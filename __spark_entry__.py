@@ -1,38 +1,739 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.9:
+M-queries exercise the MODIS aggregation semantics over the repo's
+deterministic fixtures (/root/repo/fixtures); R-queries exercise the general
+relational surface over the driver's TPC-H-ish tables; X-queries cover the
+large-scale extension operators (dedup, text, similarity).
+``oracle_sql()`` — DuckDB-equivalent SQL for each.
+
+Column-alias discipline: every computed/aggregate column is aliased
+identically in the Spark plan and the SQL so the driver's sorted-column
+value hash lines up. Doubles are rounded (6 dp) on BOTH sides to absorb
+summation-order ulp differences.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from modis_aggregation_spark.config import REFERENCE_EDGES, default_spec
+from modis_aggregation_spark.functions.histogram import hist_bucket_sql
+from modis_aggregation_spark.functions.dayrules import day_definition_null, day_definition_sql
+from modis_aggregation_spark.operators import stats as ops_stats
+from modis_aggregation_spark.operators import hist as ops_hist
+from modis_aggregation_spark.operators.densify import densify
+from modis_aggregation_spark.sources.catalog import (
+    catalog_from_filenames,
+    date_range_catalog,
+)
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+PIXELS = os.path.join(FIXTURES, "pixels.parquet")
+GRANULES = os.path.join(FIXTURES, "granules.parquet")
+
+# Regional spec used by all M-queries: lat [-20,20] x lon [0,35], 1° grid
+SPEC = default_spec(lat_bounds=(-20.0, 20.0), lon_bounds=(0.0, 35.0))
+NLAT, NLON, NCELLS = SPEC.nlat, SPEC.nlon, SPEC.ncells
+
+# SQL fragments shared by the M oracles
+_BBOX = "lat > -20.0 AND lat < 20.0 AND lon > 0.0 AND lon < 35.0"
+_CELL = (
+    "CAST(FLOOR((lat - -20.0) / 1.0) AS BIGINT) * 35 "
+    "+ CAST(FLOOR((lon - 0.0) / 1.0) AS BIGINT)"
+)
+_CM = "CASE WHEN (cm_raw & 1) = 0 THEN -1 ELSE (cm_raw & 7) >> 1 END"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long (see session.py); truncate
+        # to micros exactly like DuckDB's nanos→TIMESTAMP coercion
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _px(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(PIXELS)
+
+
+def _px_cell(spark: SparkSession, sampling: int = 1) -> DataFrame:
+    spec = SPEC if sampling == 1 else default_spec(
+        lat_bounds=SPEC.lat_bounds, lon_bounds=SPEC.lon_bounds, sampling=sampling
+    )
+    return ops_stats.with_cell(_px(spark), spec)
+
+
+def _r6(c, dp: int = 6):
+    return F.round(c, dp)
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query (smoke check at sf0.001)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """TPC-H Q1-style grouped aggregation over sf0.001 lineitem (R2)."""
+    return _q_r2_tpch_q1(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------------
+# M-queries — MODIS aggregation semantics (fixtures)
+# --------------------------------------------------------------------------
+
+def _q_m1_bbox_cell_count(spark, sf_dir):
+    return (
+        _px_cell(spark)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pix"))
+    )
+
+
+_SQL_M1 = f"""
+SELECT {_CELL} AS cell, count(*) AS n_pix
+FROM read_parquet('{PIXELS}')
+WHERE {_BBOX}
+GROUP BY 1
+"""
+
+
+def _q_m2_cell_stats(spark, sf_dir):
+    df = ops_stats.cell_stats(_px_cell(spark), ["ctp"])
+    return df.select(
+        "cell",
+        _r6(F.col("ctp_min")).alias("ctp_min"),
+        _r6(F.col("ctp_max")).alias("ctp_max"),
+        _r6(F.col("ctp_sum")).alias("ctp_sum"),
+        F.col("ctp_count"),
+        _r6(F.col("ctp_mean")).alias("ctp_mean"),
+        _r6(F.col("ctp_stddev")).alias("ctp_stddev"),
+    )
+
+
+_SQL_M2 = f"""
+SELECT {_CELL} AS cell,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       round(sum(ctp), 6) AS ctp_sum,
+       count(ctp) AS ctp_count,
+       round(avg(ctp), 6) AS ctp_mean,
+       round(stddev_pop(ctp), 6) AS ctp_stddev
+FROM read_parquet('{PIXELS}')
+WHERE {_BBOX}
+GROUP BY 1
+"""
+
+
+def _q_m3_cloud_fraction(spark, sf_dir):
+    df = ops_stats.cloud_fraction(ops_stats.with_cloud_mask(_px_cell(spark)))
+    return df.select(
+        "cell", "cld_pix", "tot_pix", _r6(F.col("cf_mean")).alias("cf_mean")
+    )
+
+
+_SQL_M3 = f"""
+SELECT {_CELL} AS cell,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix,
+       round(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0), 6) AS cf_mean
+FROM read_parquet('{PIXELS}')
+WHERE {_BBOX}
+GROUP BY 1
+"""
+
+
+def _q_m4_cf_minmax(spark, sf_dir):
+    df = ops_stats.cloud_fraction_minmax(ops_stats.with_cloud_mask(_px_cell(spark)))
+    return df.select(
+        "cell",
+        _r6(F.col("cf_min")).alias("cf_min"),
+        _r6(F.col("cf_max")).alias("cf_max"),
+        _r6(F.col("cf_granule_mean")).alias("cf_granule_mean"),
+        _r6(F.col("cf_granule_std")).alias("cf_granule_std"),
+        F.col("cf_granule_count"),
+    )
+
+
+_SQL_M4 = f"""
+WITH per_granule AS (
+  SELECT {_CELL} AS cell, granule_id,
+         sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+           / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0) AS granule_cf
+  FROM read_parquet('{PIXELS}')
+  WHERE {_BBOX}
+  GROUP BY 1, 2
+)
+SELECT cell,
+       round(min(granule_cf), 6) AS cf_min,
+       round(max(granule_cf), 6) AS cf_max,
+       round(avg(granule_cf), 6) AS cf_granule_mean,
+       round(stddev_pop(granule_cf), 6) AS cf_granule_std,
+       count(granule_cf) AS cf_granule_count
+FROM per_granule
+GROUP BY cell
+"""
+
+
+def _q_m5_hist_1d(spark, sf_dir):
+    return ops_hist.hist_1d(_px_cell(spark), "ctp", REFERENCE_EDGES["ctp"])
+
+
+_SQL_M5 = f"""
+SELECT cell, bucket, count(*) AS cnt
+FROM (
+  SELECT {_CELL} AS cell, {hist_bucket_sql("ctp", REFERENCE_EDGES["ctp"])} AS bucket
+  FROM read_parquet('{PIXELS}')
+  WHERE {_BBOX}
+)
+WHERE bucket IS NOT NULL
+GROUP BY cell, bucket
+"""
+
+
+def _q_m6_hist_2d(spark, sf_dir):
+    return ops_hist.hist_2d(
+        _px_cell(spark), "ctp", "cee", REFERENCE_EDGES["ctp"], (0.25, 0.725, 0.975)
+    )
+
+
+_SQL_M6 = f"""
+SELECT cell, bucket_x, bucket_y, count(*) AS cnt
+FROM (
+  SELECT {_CELL} AS cell,
+         {hist_bucket_sql("ctp", REFERENCE_EDGES["ctp"])} AS bucket_x,
+         {hist_bucket_sql("cee", (0.25, 0.725, 0.975))} AS bucket_y
+  FROM read_parquet('{PIXELS}')
+  WHERE {_BBOX}
+)
+WHERE bucket_x IS NOT NULL AND bucket_y IS NOT NULL
+GROUP BY cell, bucket_x, bucket_y
+"""
+
+
+def _q_m7_day_rules(spark, sf_dir):
+    px = _px(spark)
+    gran = spark.read.parquet(GRANULES).select("granule_id", "doy", "hour")
+    df = px.join(F.broadcast(gran), "granule_id")
+    df = day_definition_null(df, ["ctp"], end_doy=2, spill_doy=3, shift_hours=3)
+    return df.groupBy("doy", "hour").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count("ctp").alias("ctp_kept")
+    )
+
+
+_SQL_M7 = f"""
+SELECT g.doy, g.hour, count(*) AS n_rows,
+       count(CASE WHEN {day_definition_sql(2, 3, 3, 'p.lon')} THEN NULL ELSE p.ctp END) AS ctp_kept
+FROM read_parquet('{PIXELS}') p
+JOIN (SELECT granule_id, doy, hour FROM read_parquet('{GRANULES}')) g USING (granule_id)
+GROUP BY g.doy, g.hour
+"""
+
+
+def _q_m8_sampling(spark, sf_dir):
+    return (
+        _px_cell(spark, sampling=5)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pix"))
+    )
+
+
+_SQL_M8 = f"""
+SELECT {_CELL} AS cell, count(*) AS n_pix
+FROM read_parquet('{PIXELS}')
+WHERE {_BBOX}
+  AND i >= 2 AND j >= 2 AND (i - 2) % 5 = 0 AND (j - 2) % 5 = 0
+GROUP BY 1
+"""
+
+
+def _q_m9_densify(spark, sf_dir):
+    cf = ops_stats.cloud_fraction(ops_stats.with_cloud_mask(_px_cell(spark)))
+    out = densify(cf, NLAT, NLON, zero_fill_cols=["cld_pix", "tot_pix"])
+    return out.select(
+        "cell", "lat_idx", "lon_idx", "cld_pix", "tot_pix",
+        _r6(F.col("cf_mean")).alias("cf_mean"),
+    )
+
+
+_SQL_M9 = f"""
+WITH agg AS ({_SQL_M3})
+SELECT d.cell,
+       CAST(d.cell // 35 AS INT) AS lat_idx,
+       CAST(d.cell % 35 AS INT) AS lon_idx,
+       coalesce(agg.cld_pix, 0) AS cld_pix,
+       coalesce(agg.tot_pix, 0) AS tot_pix,
+       agg.cf_mean AS cf_mean
+FROM (SELECT range AS cell FROM range({NCELLS})) d
+LEFT JOIN agg ON agg.cell = d.cell
+"""
+
+
+def _q_m10_grid_counts(spark, sf_dir):
+    return ops_stats.grid_counts(_px_cell(spark))
+
+
+_SQL_M10 = f"""
+SELECT {_CELL} AS cell, count(DISTINCT granule_id) AS grid_count
+FROM read_parquet('{PIXELS}')
+WHERE {_BBOX}
+GROUP BY 1
+"""
+
+
+def _q_m11_catalog(spark, sf_dir):
+    files = spark.read.parquet(GRANULES).select("granule_id", "filename")
+    cat = catalog_from_filenames(files)
+    windowed = date_range_catalog(cat, "2008-01-01", "2008-01-02", shift_hours=3)
+    return windowed.select("granule_id", "product", "year", "doy", "date", "hhmm", "hour")
+
+
+_SQL_M11 = f"""
+WITH parsed AS (
+  SELECT granule_id,
+         regexp_extract(filename, '^([A-Z0-9_]+)\\.A(\\d{{4}})(\\d{{3}})\\.(\\d{{4}})\\.', 1) AS product,
+         CAST(regexp_extract(filename, '^([A-Z0-9_]+)\\.A(\\d{{4}})(\\d{{3}})\\.(\\d{{4}})\\.', 2) AS INT) AS year,
+         CAST(regexp_extract(filename, '^([A-Z0-9_]+)\\.A(\\d{{4}})(\\d{{3}})\\.(\\d{{4}})\\.', 3) AS INT) AS doy,
+         regexp_extract(filename, '^([A-Z0-9_]+)\\.A(\\d{{4}})(\\d{{3}})\\.(\\d{{4}})\\.', 4) AS hhmm
+  FROM read_parquet('{GRANULES}')
+)
+SELECT granule_id, product, year, doy,
+       make_date(year, 1, 1) + (doy - 1) AS "date",
+       hhmm,
+       CAST(substr(hhmm, 1, 2) AS INT) AS hour
+FROM parsed
+WHERE (make_date(year, 1, 1) + (doy - 1) >= DATE '2008-01-01'
+       AND make_date(year, 1, 1) + (doy - 1) <= DATE '2008-01-02')
+   OR (make_date(year, 1, 1) + (doy - 1) = DATE '2008-01-03'
+       AND CAST(substr(hhmm, 1, 2) AS INT) < 3)
+"""
+
+
+def _q_m12_finalize(spark, sf_dir):
+    staged = _px_cell(spark).groupBy("cell").agg(
+        F.sum("ctp").alias("s"), F.count("ctp").alias("c"),
+        F.sum(F.col("ctp") * F.col("ctp")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("c")
+    var = F.greatest(F.col("ss") / F.col("c") - mean * mean, F.lit(0.0))
+    return staged.select(
+        "cell",
+        _r6(mean).alias("ctp_mean"),
+        _r6(F.sqrt(var)).alias("ctp_std"),
+    )
+
+
+_SQL_M12 = f"""
+WITH staged AS (
+  SELECT {_CELL} AS cell, sum(ctp) AS s, count(ctp) AS c, sum(ctp * ctp) AS ss
+  FROM read_parquet('{PIXELS}')
+  WHERE {_BBOX}
+  GROUP BY 1
+)
+SELECT cell,
+       round(s / c, 6) AS ctp_mean,
+       round(sqrt(greatest(ss / c - (s / c) * (s / c), 0.0)), 6) AS ctp_std
+FROM staged
+"""
+
+
+# --------------------------------------------------------------------------
+# R-queries — relational surface (driver tables at sf_dir)
+# --------------------------------------------------------------------------
+
+def _q_r1_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_quantity") > 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            _r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            "l_shipdate",
+        )
+    )
+
+
+_SQL_R1 = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 6) AS net_price, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_quantity > 25
+"""
+
+
+def _q_r2_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(disc)).alias("sum_disc_price"),
+            _r6(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_R2 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_r3_join_chain(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r6(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+_SQL_R3 = """
+SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 6) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def _q_r4_semi_anti(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    has = customer.join(orders, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("with_orders").alias("bucket")
+    )
+    hasnt = customer.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("without_orders").alias("bucket")
+    )
+    return has.unionByName(hasnt)
+
+
+_SQL_R4 = """
+SELECT c_custkey, 'with_orders' AS bucket FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'without_orders' AS bucket FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def _q_r5_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .rollup("o_orderpriority", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r6(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+_SQL_R5 = """
+SELECT o_orderpriority, year(o_orderdate) AS o_year,
+       count(*) AS n_orders, round(sum(o_totalprice), 6) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+"""
+
+
+def _q_r6_rownum_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_SQL_R6A = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def _q_r6_rank(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.rank().over(w).alias("size_rank"),
+        F.dense_rank().over(w).alias("size_dense_rank"),
+    )
+
+
+_SQL_R6B = """
+SELECT p_partkey, p_brand, p_size,
+       rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_rank,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_dense_rank
+FROM part
+"""
+
+
+def _q_r6_sliding(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        _r6(F.sum("value").over(w)).alias("sliding_sum_7"),
+    )
+
+
+_SQL_R6C = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS sliding_sum_7
+FROM events
+"""
+
+
+def _q_r7_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+_SQL_R7 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+def _q_r8_setops(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    both = a.intersect(b).select("o_custkey", F.lit("both").alias("bucket"))
+    only_a = a.subtract(b).select("o_custkey", F.lit("only_early").alias("bucket"))
+    return both.unionByName(only_a)
+
+
+_SQL_R8 = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1996-01-01'),
+     b AS (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+SELECT o_custkey, 'both' AS bucket FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT o_custkey, 'only_early' AS bucket FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+"""
+
+
+def _q_r9_distinct(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_SQL_R9 = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custkeys, count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def _q_r10_scalar_battery(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_code"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.dayofyear("o_orderdate").alias("order_doy"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        F.when(F.col("o_totalprice") > 150000, "big").otherwise("small").alias("size_class"),
+        _r6(F.pow(F.col("o_totalprice"), F.lit(0.5))).alias("price_sqrt"),
+    )
+
+
+_SQL_R10 = """
+SELECT o_orderkey,
+       string_split(o_orderpriority, '-')[1] AS prio_code,
+       substr(o_orderstatus, 1, 1) AS status_c,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+       dayofyear(o_orderdate) AS order_doy,
+       last_day(o_orderdate) AS month_end,
+       o_orderkey & 255 AS key_low_byte,
+       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_class,
+       round(sqrt(o_totalprice), 6) AS price_sqrt
+FROM orders
+"""
+
+
+def _q_r11_dedup_exact(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+_SQL_R11 = """
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def _q_r12_text_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+_SQL_R12 = """
+SELECT term, count(*) AS cnt
+FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+)
+WHERE term <> ''
+GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "m1_bbox_cell_count": _q_m1_bbox_cell_count,
+        "m2_cell_stats": _q_m2_cell_stats,
+        "m3_cloud_fraction": _q_m3_cloud_fraction,
+        "m4_cf_minmax": _q_m4_cf_minmax,
+        "m5_hist_1d": _q_m5_hist_1d,
+        "m6_hist_2d": _q_m6_hist_2d,
+        "m7_day_rules": _q_m7_day_rules,
+        "m8_sampling": _q_m8_sampling,
+        "m9_densify": _q_m9_densify,
+        "m10_grid_counts": _q_m10_grid_counts,
+        "m11_catalog": _q_m11_catalog,
+        "m12_finalize": _q_m12_finalize,
+        "r1_filter_project": _q_r1_filter_project,
+        "r2_tpch_q1": _q_r2_tpch_q1,
+        "r3_join_chain": _q_r3_join_chain,
+        "r4_semi_anti": _q_r4_semi_anti,
+        "r5_rollup": _q_r5_rollup,
+        "r6_rownum_topk": _q_r6_rownum_topk,
+        "r6_rank": _q_r6_rank,
+        "r6_sliding": _q_r6_sliding,
+        "r7_topk": _q_r7_topk,
+        "r8_setops": _q_r8_setops,
+        "r9_distinct": _q_r9_distinct,
+        "r10_scalar_battery": _q_r10_scalar_battery,
+        "r11_dedup_exact": _q_r11_dedup_exact,
+        "r12_text_terms": _q_r12_text_terms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "m1_bbox_cell_count": _SQL_M1,
+        "m2_cell_stats": _SQL_M2,
+        "m3_cloud_fraction": _SQL_M3,
+        "m4_cf_minmax": _SQL_M4,
+        "m5_hist_1d": _SQL_M5,
+        "m6_hist_2d": _SQL_M6,
+        "m7_day_rules": _SQL_M7,
+        "m8_sampling": _SQL_M8,
+        "m9_densify": _SQL_M9,
+        "m10_grid_counts": _SQL_M10,
+        "m11_catalog": _SQL_M11,
+        "m12_finalize": _SQL_M12,
+        "r1_filter_project": _SQL_R1,
+        "r2_tpch_q1": _SQL_R2,
+        "r3_join_chain": _SQL_R3,
+        "r4_semi_anti": _SQL_R4,
+        "r5_rollup": _SQL_R5,
+        "r6_rownum_topk": _SQL_R6A,
+        "r6_rank": _SQL_R6B,
+        "r6_sliding": _SQL_R6C,
+        "r7_topk": _SQL_R7,
+        "r8_setops": _SQL_R8,
+        "r9_distinct": _SQL_R9,
+        "r10_scalar_battery": _SQL_R10,
+        "r11_dedup_exact": _SQL_R11,
+        "r12_text_terms": _SQL_R12,
+    }
