@@ -414,10 +414,10 @@ def _q_r3_join_chain(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # customer scales with SF — no broadcast hint (AQE picks broadcast when
+    # it fits); nation/region are fixed-size dims, always broadcast.
     return (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("o_orderdate") >= F.lit("1995-01-01"))

@@ -1,0 +1,92 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing each with a
+full-materialization action (noop write — computes everything, sinks
+nothing). Proxy-baseline metrics per BASELINE.md:
+
+* q_m2_stats      — full per-cell statistics over the pixel fixture (M2)
+* q_cf_grid       — end-to-end daily cloud-fraction grid incl. parquet sink
+* q_tpch_q1       — R2 grouped aggregation on lineitem
+* q_join_chain    — R3 broadcast join chain
+* q_window_topk   — R6 row_number top-3 per customer
+* q_hist_1d       — M5 per-cell histogram
+* q_dedup         — R11 windowed exact dedup on events
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from modis_aggregation_spark import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    bench_queries = {
+        "q_m2_stats": qs["m2_cell_stats"],
+        "q_hist_1d": qs["m5_hist_1d"],
+        "q_tpch_q1": qs["r2_tpch_q1"],
+        "q_join_chain": qs["r3_join_chain"],
+        "q_window_topk": qs["r6_rownum_topk"],
+        "q_dedup": qs["r11_dedup_exact"],
+    }
+
+    # JVM/codegen warmup on a trivial plan
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        best = float("inf")
+        for _ in range(2):  # best-of-2: shed JIT/GC noise on tiny inputs
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    # end-to-end CF grid including a real parquet sink
+    out = tempfile.mkdtemp(prefix="bench_cf_")
+    try:
+        t0 = time.perf_counter()
+        qs["m9_densify"](spark, SF_DIR).write.mode("overwrite").parquet(out)
+        timings["q_cf_grid"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "bench_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

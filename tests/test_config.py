@@ -1,0 +1,62 @@
+"""Config model + reference CSV format parsing."""
+
+import pytest
+
+from modis_aggregation_spark.config import (
+    AggregationSpec,
+    default_spec,
+    parse_jhist_csv,
+    parse_variable_csv,
+)
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="integer multiple"):
+        AggregationSpec(lat_bounds=(0.0, 10.5), grid=(1.0, 1.0))
+    with pytest.raises(ValueError, match="increasing"):
+        AggregationSpec(lat_bounds=(10.0, 0.0))
+    with pytest.raises(ValueError, match="sampling"):
+        AggregationSpec(sampling=0)
+    with pytest.raises(ValueError, match="unknown statistics"):
+        AggregationSpec(stats=("Bogus",))
+
+
+def test_grid_shape():
+    spec = AggregationSpec(
+        lat_bounds=(-90.0, 90.0), lon_bounds=(-180.0, 180.0), grid=(0.5, 0.625)
+    )
+    assert spec.nlat == 360 and spec.nlon == 576
+    assert spec.ncells == 207_360
+
+
+def test_parse_reference_csv_formats(tmp_path):
+    # mirror of examples/input_file_5km.csv layout (whitespace-delimited)
+    vcsv = tmp_path / "vars.csv"
+    vcsv.write_text(
+        "Variable_Name Histogram_Intervals\n"
+        "ctp 50.5,150,250\n"
+        "cloud_fraction_CM 0.02,0.1\n"
+    )
+    variables = parse_variable_csv(str(vcsv))
+    assert [v.name for v in variables] == ["ctp", "cloud_fraction_CM"]
+    assert variables[0].bin_edges == (50.5, 150.0, 250.0)
+    assert variables[1].is_virtual
+
+    jcsv = tmp_path / "jhist.csv"
+    jcsv.write_text(
+        "Variable_Name Joint_Name Partner_Index Intervals\n"
+        "ctp Fraction 2 0.25,0.725\n"
+    )
+    jh = parse_jhist_csv(str(jcsv), variables)
+    assert jh[0].partner_var == "cloud_fraction_CM"
+    assert jh[0].joint_edges == (0.25, 0.725)
+
+
+def test_default_spec():
+    spec = default_spec()
+    assert len(spec.variables) == 5
+    assert spec.variable("ctp").bin_edges[0] == 50.5
+    assert len(spec.joint_hists) == 2
+    assert spec.physical_variables() == tuple(
+        v for v in spec.variables if v.name != "cloud_fraction_CM"
+    )

@@ -1,0 +1,113 @@
+"""Unit tests for the Catalyst expression builders (bits, grid, histogram,
+day rules) on hand-computed frames — SURVEY §5.2 item 2."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.functions.bits import bit_field, cloud_mask_flag
+from modis_aggregation_spark.functions.grid import cell_id, lat_idx, lon_idx
+from modis_aggregation_spark.functions.histogram import hist_bucket, hist_bucket_sql
+from modis_aggregation_spark.functions.dayrules import day_definition_null
+
+
+def test_bit_field(spark):
+    # byte 0b10110101: bits1-2 = 0b10 = 2, bit0 = 1
+    df = spark.createDataFrame([(0b10110101,)], "v int")
+    row = df.select(
+        bit_field(F.col("v"), 1, 2).alias("flag"),
+        bit_field(F.col("v"), 0, 1).alias("status"),
+    ).first()
+    assert row.flag == 2
+    assert row.status == 1
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        (0b000, -1),  # status 0 -> undetermined
+        (0b001, 0),   # cloudy, determined
+        (0b011, 1),   # prob-cloudy
+        (0b101, 2),   # prob-clear
+        (0b111, 3),   # clear
+        (0b110, -1),  # clear but status 0
+        (0b1111001, 0),  # high noise bits ignored
+    ],
+)
+def test_cloud_mask_flag(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], "cm_raw int")
+    assert df.select(cloud_mask_flag(F.col("cm_raw")).alias("cm")).first().cm == expected
+
+
+def test_cell_id_row_major(spark):
+    # 1-degree global grid: lat -90..90 (180 rows), lon -180..180 (360 cols)
+    df = spark.createDataFrame(
+        [(-89.5, -179.5), (-89.5, 179.5), (89.5, 179.5), (0.5, 0.5)], "lat double, lon double"
+    )
+    out = df.select(
+        cell_id(F.col("lat"), F.col("lon"), -90.0, -180.0, 1.0, 1.0, 360).alias("cell"),
+        lat_idx(F.col("lat"), -90.0, 1.0).alias("li"),
+        lon_idx(F.col("lon"), -180.0, 1.0).alias("lj"),
+    ).collect()
+    assert [r.cell for r in out] == [0, 359, 179 * 360 + 359, 90 * 360 + 180]
+    assert [(r.li, r.lj) for r in out] == [(0, 0), (0, 359), (179, 359), (90, 180)]
+
+
+def test_hist_bucket_numpy_semantics(spark):
+    edges = [0.0, 1.0, 2.0, 3.0]
+    vals = [(-0.5,), (0.0,), (0.99,), (1.0,), (2.5,), (3.0,), (3.01,), (None,)]
+    df = spark.createDataFrame(vals, "v double")
+    got = [r.b for r in df.select(hist_bucket(F.col("v"), edges).alias("b")).collect()]
+    # below range -> NULL; 3.0 in CLOSED last bin; above range -> NULL
+    assert got == [None, 0, 0, 1, 2, 2, None, None]
+
+
+def test_hist_bucket_irregular_edges(spark):
+    edges = [50.5, 150.0, 250.0, 1050.0]  # non-uniform (reference ctp head)
+    df = spark.createDataFrame([(50.5,), (149.9,), (150.0,), (1050.0,), (1050.1,)], "v double")
+    got = [r.b for r in df.select(hist_bucket(F.col("v"), edges).alias("b")).collect()]
+    assert got == [0, 0, 1, 2, None]
+
+
+def test_hist_bucket_matches_numpy_random(spark):
+    rng = np.random.default_rng(7)
+    edges = [0.0, 0.3, 1.1, 2.0, 5.0]
+    vals = rng.uniform(-1, 6, 500).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r.b for r in df.select(hist_bucket(F.col("v"), edges).alias("b")).collect()]
+    arr = np.asarray(vals)
+    counts_np, _ = np.histogram(arr, bins=edges)
+    counts_spark = np.bincount([g for g in got if g is not None], minlength=4)
+    assert (counts_np == counts_spark).all()
+    n_in_range = ((arr >= edges[0]) & (arr <= edges[-1])).sum()
+    assert sum(g is not None for g in got) == n_in_range
+
+
+def test_hist_bucket_sql_matches_column_expr(spark):
+    edges = [0.0, 1.5, 2.0, 7.0]
+    df = spark.createDataFrame([(float(x) / 3,) for x in range(-5, 25)], "v double")
+    a = [r.b for r in df.select(hist_bucket(F.col("v"), edges).alias("b")).collect()]
+    b = [r.b for r in df.selectExpr(f"{hist_bucket_sql('v', edges)} AS b").collect()]
+    assert a == b
+
+
+def test_day_definition_null(spark):
+    rows = [
+        # (lon, doy, hour, expect_nulled)
+        (-120.0, 2, 1, True),   # end day, shifted hour, daytime quadrant
+        (-120.0, 2, 5, False),  # not a shifted hour
+        (-120.0, 1, 1, False),  # not end/spill day
+        (45.0, 2, 0, True),     # end day, [0,90]
+        (-90.0, 2, 2, True),    # inclusive bound
+        (120.0, 3, 1, True),    # spill day, [90,180]
+        (-45.0, 3, 2, True),    # spill day, [-90,0]
+        (120.0, 2, 1, False),   # end day but spill-day quadrant
+        (-45.0, 2, 1, False),
+    ]
+    df = spark.createDataFrame(
+        [(lon, doy, h, 1.0) for lon, doy, h, _ in rows],
+        "lon double, doy int, hour int, ctp double",
+    )
+    out = day_definition_null(df, ["ctp"], end_doy=2, spill_doy=3).collect()
+    for (lon, doy, h, nulled), r in zip(rows, out):
+        assert (r.ctp is None) == nulled, (lon, doy, h)
