@@ -1,0 +1,121 @@
+"""Text-analysis column builders for the large-scale pipeline extension.
+
+All hot-path expressions are built-in Catalyst functions (split, transform,
+aggregate, xxhash64 …) — no Python UDFs. These operate on the `documents`
+table shape (doc_id, text, lang, source, n_chars) but take plain Columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic, embedded — no model downloads at 100 TB scale;
+# extend per deployment.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une", "pour", "que", "dans"),
+    "it": ("il", "la", "di", "che", "e", "un", "per", "con", "non", "una"),
+}
+
+# Whitespace + BPE-ish word/number/punctuation splitter for token counting.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: words + numbers + individual punctuation
+    (regexp-based; a cheap proxy for subword tokenizers)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-whitespace characters that are punctuation."""
+    no_ws = F.regexp_replace(text, r"\s+", "")
+    punct = F.regexp_replace(no_ws, r"[A-Za-z0-9]", "")
+    return F.length(punct) / F.nullif(F.length(no_ws), F.lit(0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.nullif(F.size(toks), F.lit(0))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Heuristic [0,1] document-quality score: long-enough, low punctuation,
+    some stopwords, sane mean word length — the standard cheap pre-filters
+    of large-scale corpus curation."""
+    wc = word_count(text)
+    len_score = F.least(wc / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    sw = stopword_ratio(text, lang)
+    sw_score = F.least(sw * 5, F.lit(1.0))
+    mwl = mean_word_length(text)
+    mwl_score = F.when((mwl >= 2.5) & (mwl <= 10.0), 1.0).otherwise(0.3)
+    return (len_score * 0.3 + punct_pen * 0.3 + sw_score * 0.2 + mwl_score * 0.2).alias(
+        "quality"
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-overlap language ID over the embedded lists.
+
+    Scores each language by stopword-hit fraction; argmax via array_max on
+    (score, lang) structs — entirely JVM-side. Returns 'und' when nothing
+    matches.
+    """
+    toks = tokens(text)
+    n = F.nullif(F.size(toks), F.lit(0))
+
+    # NB: higher-order-function lambdas must have exactly one parameter —
+    # pyspark treats a second parameter (even a default-valued closure
+    # capture) as the array-index argument. Bind via factory instead.
+    def _isin(sw: tuple[str, ...]):
+        return lambda t: t.isin(*sw)
+
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, _isin(sw))) / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct lowercase character k-grams (the MinHash input)."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint of whitespace-normalized lowercase text
+    (rolling-hash equivalent for exact near-identity grouping)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)

@@ -1,0 +1,377 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five strategies, all Spark-first (built-in expressions; the only shuffles
+are the LSH bucket joins and the final groupBys):
+
+* ``exact_dedup``          — hash-groupBy on normalized content
+* ``minhash_lsh_pairs``    — char-shingle MinHash + banded LSH candidate
+                             join + exact-Jaccard verification
+* ``simhash``/``simhash_pairs`` — 64-bit SimHash + chunk-equality banding +
+                             Hamming-distance verification
+* ``ngram_jaccard_pairs``  — exact n-gram Jaccard over LSH candidates
+                             (the verification half of MinHash, reusable
+                             standalone)
+* ``embedding_pairs``      — random-hyperplane LSH over an embedding
+                             column + cosine verification
+
+Scale notes: every strategy is (shingle/signature computation: narrow) →
+(explode bands: ×B rows) → (self-join on band key: shuffle on a short hash
+key) → (verify: narrow). Candidate counts are controlled by band geometry
+(B bands × R rows, P(match | jaccard=s) = 1-(1-s^R)^B). Skewed buckets
+(boilerplate shingles) are handled by AQE skew-join + an optional bucket
+size cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.functions.text import char_shingles, fingerprint, tokens
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row (lowest id) per distinct normalized content.
+
+    One shuffle on the 64-bit fingerprint; survivors keep all columns.
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", fingerprint(F.col(content_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
+    """ARRAY<BIGINT> MinHash signature over char k-shingles.
+
+    Each hash family member is xxhash64(shingle, seed_i); the signature
+    element is the min over shingles — all inside one JVM expression
+    (transform + array_min), no UDF, no explode.
+    """
+    sh = char_shingles(text, k)
+    return F.array(
+        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)]
+    )
+
+
+def _seeded_hash(seed: int):
+    """Single-arg lambda factory: a 2-param lambda (even with a default)
+    would be interpreted by pyspark as the (element, index) form."""
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def _band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """ARRAY<STRUCT<band:int, key:bigint>> — one LSH key per band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[sig.getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / F.nullif(F.size(a) + F.size(b) - inter, F.lit(0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    shingle → signature → explode band keys → self-join per (band, key) →
+    dedupe candidate pairs → verify with EXACT shingle Jaccard. ``max_bucket``
+    caps pathological buckets (boilerplate) — capped buckets are dropped,
+    trading recall for bounded worst-case join fan-out; at 100 TB this is the
+    difference between a bounded shuffle and a quadratic blow-up.
+    """
+    rows_per_band = num_hashes // num_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(content_col), k).alias("sh"),
+    ).withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), _seeded_hash(i)))
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    # cap pathological buckets
+    wcnt = Window.partitionBy("band", "key")
+    banded = banded.withColumn("__bc", F.count(F.lit(1)).over(wcnt)).filter(
+        F.col("__bc") <= max_bucket
+    ).drop("__bc")
+
+    left = banded.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: every doc that pairs (as the higher id) with a
+    surviving lower id is removed (greedy by id — one connected-component
+    approximation pass; exact CC needs iterative joins, see docstring).
+
+    For full transitive closure run connected components over the pair
+    graph (iterated joins / GraphFrames); the greedy lower-id rule is the
+    standard single-pass approximation used in corpus pipelines.
+    """
+    pairs = minhash_lsh_pairs(df, content_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens, as one JVM expression.
+
+    For each bit b: sum over tokens of ±1 depending on bit b of
+    xxhash64(token); bit set iff the sum is positive. Expressed with
+    aggregate() over the token array — no explode, no UDF.
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(b: int) -> Column:
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4 x 16-bit
+    chunks (any pair within Hamming distance 3 shares >= 1 exact chunk),
+    join per chunk, verify Hamming distance."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(content_col)).alias("sh")
+    )
+    chunks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    left = chunks.select("chunk", "key", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = chunks.select("chunk", "key", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, candidate-driven)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_token_freq: int = 500,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs via an inverted-index candidate join.
+
+    Documents sharing at least one (non-ubiquitous) n-gram become
+    candidates; Jaccard is verified exactly. ``max_token_freq`` drops
+    n-grams appearing in more than that many docs (stopword-like; they add
+    candidates without discriminating) — bounding the self-join fan-out.
+    """
+    toks = tokens(F.col(content_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    inv = base.select("id", F.explode("grams").alias("gram"))
+    wg = Window.partitionBy("gram")
+    inv = inv.withColumn("__gc", F.count(F.lit(1)).over(wg)).filter(
+        F.col("__gc") <= max_token_freq
+    ).drop("__gc")
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("g_a"), F.col("g_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<DOUBLE> columns, pure JVM."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def embedding_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.9,
+    seed: int = 17,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine via random-hyperplane LSH.
+
+    Sign bits under ``n_planes`` fixed (seeded) hyperplanes form a bit
+    signature; ``n_bands`` bands of equal width become join keys; survivors
+    verified with exact cosine. Hyperplanes ride along as literal arrays —
+    constant-folded, broadcast-free.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def plane_bit(p: int) -> Column:
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, 1).otherwise(0)
+
+    bits_per_band = n_planes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
+    )
+    for p in range(n_planes):
+        base = base.withColumn(f"__b{p}", plane_bit(p))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", *[F.col(f"__b{b * bits_per_band + r}") for r in range(bits_per_band)]
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = base.select(
+        "id", "e", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "e", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select("band", "key", F.col("id").alias("id_a"), F.col("e").alias("e_a"))
+    right = banded.select("band", "key", F.col("id").alias("id_b"), F.col("e").alias("e_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,134 @@
+"""Multimodal (image/audio/video) column handling.
+
+Design: media payloads are opaque ``BINARY`` columns with a typed metadata
+struct alongside; all Spark-side plumbing (schemas, pruning, Arrow batch
+shapes, partitioning) is real and tested. The actual codec work is a
+Pandas-UDF boundary: the image/audio libraries are NOT in this container,
+so decode is STUBBED — ``decoder="fake"`` produces a deterministic
+payload-derived result (for plumbing tests); ``decoder="real"`` raises
+``NotImplementedError`` unless PIL/soundfile are importable.
+
+At scale the pattern is: `binaryFile` source (or parquet with binary cols)
+→ `repartition` to spread large blobs → `mapInPandas` decode with small
+`maxRecordsPerBatch` (blobs are MBs; default 10k-row batches would OOM
+Arrow) → narrow feature columns onward, payload dropped as early as
+possible (column pruning is the whole game with 100 TB of media).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "size_bytes BIGINT, mime STRING, sha256 STRING"
+)
+
+_MAGIC = [
+    ("ffd8ff", "image/jpeg"),
+    ("89504e47", "image/png"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),  # RIFF
+    ("494433", "audio/mpeg"),   # ID3
+    ("000000", "video/mp4"),    # ftyp boxes (loose)
+]
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Size / mime-sniff / digest — pure JVM expressions over BINARY."""
+    p = F.col(payload_col)
+    head = F.lower(F.hex(F.substring(p, 1, 4)))
+    mime = F.lit("application/octet-stream")
+    for magic, m in reversed(_MAGIC):
+        mime = F.when(head.startswith(magic), m).otherwise(mime)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.length(p).alias("size_bytes"),
+            mime.alias("mime"),
+            F.sha2(p, 256).alias("sha256"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, h: int = 8, w: int = 8, c: int = 3) -> np.ndarray:
+    """Deterministic stand-in decoder: pixels derived from the payload
+    digest. Replaces PIL in this container; same shape contract."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+DECODED_SCHEMA = "id BIGINT, height INT, width INT, channels INT, mean_pixel DOUBLE, pixels BINARY"
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    decoder: str = "fake",
+    out_hw: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode image payloads to fixed-size pixel arrays via mapInPandas.
+
+    ``decoder="real"`` requires PIL (not in this container -> raises
+    NotImplementedError at plan-build time, by design). ``decoder="fake"``
+    exercises the identical Arrow batch path with deterministic output.
+    """
+    if decoder == "real":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real image decode needs PIL, which is not in this container; "
+                "use decoder='fake' for plumbing tests"
+            ) from e
+    h, w = out_hw
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = [_fake_decode(bytes(b), h, w) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "height": h,
+                    "width": w,
+                    "channels": 3,
+                    "mean_pixel": [float(a.mean()) for a in arrs],
+                    "pixels": [a.tobytes() for a in arrs],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame BINARY"
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    every_n: int = 10,
+    n_frames: int = 3,
+) -> DataFrame:
+    """Video frame sampling stub: emits ``n_frames`` deterministic fake
+    frames per payload (one row per frame — the explode shape a real
+    ffmpeg-backed decoder would produce)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                for fi in range(n_frames):
+                    ids.append(i)
+                    idxs.append(fi * every_n)
+                    frames.append(_fake_decode(bytes(b) + bytes([fi]), 4, 4).tobytes())
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+* ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, JVM-side dot products, per-query window
+  top-k. The correctness baseline; O(|corpus| x |queries|) but fully
+  distributed and shuffle-light (one shuffle for the top-k window, bounded
+  by |queries| x k after per-partition pre-truncation).
+* ``ivf_assign`` / ``ivf_topk`` — IVF scale path: k-means centroids (fit on
+  a driver-side SAMPLE, deterministic), corpus partitioned by nearest
+  centroid, queries probe only ``nprobe`` nearest lists — at 100 TB this
+  prunes the scan to nprobe/nlist of the corpus; the centroid assignment
+  is a vectorized Pandas UDF (numpy matmul per Arrow batch — the one place
+  Python earns its keep here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from modis_aggregation_spark.operators.dedup import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (brute force).
+
+    ``queries``: (query_id, embedding). Broadcast-joined against the
+    corpus; ties broken by neighbor id for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("__ce"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__ce"), F.col("__qe")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    nlist: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 5,
+) -> np.ndarray:
+    """Fit IVF centroids with plain Lloyd k-means on a driver-side sample.
+
+    The sample (not the corpus) is collected — bounded memory regardless of
+    corpus size; at 100 TB you'd sample ~1e5 rows the same way.
+    """
+    sample = np.array(
+        df.select(F.col(emb_col).cast("array<double>"))
+        .limit(sample_rows)
+        .rdd.map(lambda r: r[0])
+        .collect()
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for ci in range(len(cents)):
+            members = sample[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Attach nearest-centroid list id (vectorized Pandas UDF, Arrow batches)."""
+    cents = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def _assign(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+        d = (cents**2).sum(1)[None, :] - 2.0 * m @ cents.T
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return df.withColumn(out_col, _assign(F.col(emb_col).cast("array<double>")))
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: each query scans only its ``nprobe`` nearest
+    centroid lists. ``corpus_assigned`` must carry ``list_id`` (from
+    ``ivf_assign``; persist/partition by it for reuse across query batches).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    qa = ivf_assign(q, centroids, "__qe", "__c0")  # nearest list (unused, doc)
+    # probe set per query: nprobe nearest centroids, computed JVM-side
+    probes = []
+    for ci, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(F.col("__qe"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probes.append(F.struct(d.alias("d"), F.lit(ci).alias("list_id")))
+    qp = (
+        qa.withColumn("__probe", F.slice(F.array_sort(F.array(*probes)), 1, nprobe))
+        .select("query_id", "__qe", F.explode("__probe.list_id").alias("list_id"))
+    )
+    c = corpus_assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("__ce"),
+        "list_id",
+    )
+    scored = (
+        c.join(F.broadcast(qp), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("__ce"), F.col("__qe")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )

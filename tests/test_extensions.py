@@ -1,0 +1,259 @@
+"""Extension-operator tests: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §7.1 step 9)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.functions import text as T
+from modis_aggregation_spark.operators import dedup as D
+from modis_aggregation_spark.operators import multimodal as M
+from modis_aggregation_spark.operators import similarity as S
+
+
+# --------------------------------------------------------------------------
+# text functions
+# --------------------------------------------------------------------------
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("The  quick, brown fox!",)], ["t"])
+    row = df.select(
+        T.tokens(F.col("t")).alias("toks"),
+        T.word_count(F.col("t")).alias("wc"),
+        T.token_count(F.col("t")).alias("tc"),
+    ).first()
+    assert row["toks"] == ["the", "quick,", "brown", "fox!"]
+    assert row["wc"] == 4
+    # words: The quick brown fox; punct: , !  -> 6
+    assert row["tc"] == 6
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat, the hat!",)], ["t"])
+    row = df.select(
+        T.punct_ratio(F.col("t")).alias("pr"),
+        T.stopword_ratio(F.col("t"), "en").alias("sr"),
+        T.mean_word_length(F.col("t")).alias("mwl"),
+    ).first()
+    # non-ws chars: thecat,thehat! = 14; punct = 2
+    assert row["pr"] == pytest.approx(2 / 14)
+    # tokens: the cat, the hat! -> stopwords: the, the (cat,/hat! carry punct)
+    assert row["sr"] == pytest.approx(2 / 4)
+    assert row["mwl"] == pytest.approx((3 + 4 + 3 + 4) / 4)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is that"),
+            (2, "der hund ist von der frau und das kind"),
+            (3, "el perro es de la casa y en un dia"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["id", "t"],
+    )
+    got = {
+        r["id"]: r["lang"]
+        for r in df.select("id", T.lang_id(F.col("t")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_char_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([("abcdef",), ("abc def",), ("ABC  def",)], ["t"])
+    rows = df.select(
+        T.char_shingles(F.col("t"), 3).alias("sh"),
+        T.fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    assert rows[0]["sh"] == ["abc", "bcd", "cde", "def"]
+    # whitespace-normalized lowercase => rows 1 and 2 identical fingerprints
+    assert rows[1]["fp"] == rows[2]["fp"]
+    assert rows[0]["fp"] != rows[1]["fp"]
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat with a dog for fun " * 10,), ("!!! ???",)], ["t"]
+    )
+    vals = [r["q"] for r in df.select(T.quality_score(F.col("t")).alias("q")).collect()]
+    assert 0.0 <= vals[1] < vals[0] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "THE  quick brown fox jumps over the lazy dog again and again"),  # ws/case dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),   # near-dup of 1
+    (4, "completely different content about spark aggregation engines"),
+    (5, "the quick brown fox jumps over the lazy dog again and again"),   # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 2 and 5 normalize to doc 1's content; lowest id survives
+    assert ids == [1, 3, 4]
+
+
+def test_minhash_pairs_and_dedup(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)  # identical after normalization
+    assert got[(1, 5)] == pytest.approx(1.0)
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert all(4 not in p for p in got)
+    kept = sorted(r["doc_id"] for r in D.minhash_dedup(_docs(spark), threshold=0.5).collect())
+    assert kept == [1, 4]
+
+
+def test_simhash_pairs(spark):
+    base = D.simhash(F.col("text"))
+    hashes = {r["doc_id"]: r["h"] for r in _docs(spark).select("doc_id", base.alias("h")).collect()}
+    assert hashes[1] == hashes[5]
+    pairs = D.simhash_pairs(_docs(spark), max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 5)] == 0
+    assert (1, 3) in got  # one word swapped -> small hamming distance
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = D.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 5)] == pytest.approx(1.0)
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert all(4 not in p for p in got)
+
+
+def test_embedding_pairs(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((20, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((100, rows[3][1]))  # exact dup of vec 3
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = D.embedding_pairs(df, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+    assert got == {(3, 100): pytest.approx(1.0)}
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def _emb_df(spark, n=30, dim=8, seed=1):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            ["vec_id", "embedding"],
+        ),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    queries = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    out = S.cosine_topk(df, queries, k=5).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in range(3):
+        order = [i for i in np.argsort(-sims[qid], kind="stable") if i != qid][:5]
+        got = [r["neighbor_id"] for r in out if r["query_id"] == qid]
+        got_sorted_by_rank = [
+            r["neighbor_id"] for r in sorted(
+                (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert sorted(got) == sorted(order)
+        assert got_sorted_by_rank == order
+
+
+def test_ivf_assign_and_topk(spark):
+    # two well-separated clusters
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((15, 8)) * 0.01 + np.array([10.0] * 8)
+    b = rng.standard_normal((15, 8)) * 0.01 + np.array([-10.0] * 8)
+    vecs = np.vstack([a, b])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    cents = S.kmeans_centroids(df, nlist=2, sample_rows=30, seed=3)
+    assigned = S.ivf_assign(df, cents)
+    lists = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    assert len({lists[i] for i in range(15)}) == 1
+    assert len({lists[i] for i in range(15, 30)}) == 1
+    assert lists[0] != lists[15]
+
+    queries = df.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    out = S.ivf_topk(assigned, queries, cents, k=3, nprobe=1).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] < 15 for r in out)  # same cluster only
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def _media_df(spark):
+    rows = [
+        (1, bytes.fromhex("ffd8ff") + b"jpegdata"),
+        (2, bytes.fromhex("89504e47") + b"pngdata"),
+        (3, b"plain text payload"),
+    ]
+    return spark.createDataFrame(rows, ["id", "payload"])
+
+
+def test_attach_media_metadata(spark):
+    out = M.attach_media_metadata(_media_df(spark))
+    got = {r["id"]: r["media_meta"] for r in out.collect()}
+    assert got[1]["mime"] == "image/jpeg"
+    assert got[2]["mime"] == "image/png"
+    assert got[3]["mime"] == "application/octet-stream"
+    assert got[1]["size_bytes"] == 11
+    assert len(got[1]["sha256"]) == 64
+
+
+def test_decode_images_fake(spark):
+    out = M.decode_images(_media_df(spark), decoder="fake").collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["height"], r["width"], r["channels"]) == (8, 8, 3)
+        px = np.frombuffer(r["pixels"], dtype=np.uint8)
+        assert px.size == 8 * 8 * 3
+        assert r["mean_pixel"] == pytest.approx(px.mean())
+    # determinism
+    again = M.decode_images(_media_df(spark), decoder="fake").collect()
+    assert {r["id"]: r["pixels"] for r in out} == {r["id"]: r["pixels"] for r in again}
+
+
+def test_decode_images_real_is_gated(spark):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        M.decode_images(_media_df(spark), decoder="real")
+
+
+def test_sample_frames(spark):
+    out = M.sample_frames(_media_df(spark), n_frames=3, every_n=10).collect()
+    assert len(out) == 9
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 10, 20] for v in by_id.values())
