@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modis_aggregation_spark.config import REFERENCE_EDGES, default_spec
+from modis_aggregation_spark.functions import text as fn_text
+from modis_aggregation_spark.operators import dedup as ops_dedup
+from modis_aggregation_spark.operators import multimodal as ops_mm
+from modis_aggregation_spark.operators import similarity as ops_sim
 from modis_aggregation_spark.functions.histogram import hist_bucket_sql
 from modis_aggregation_spark.functions.dayrules import day_definition_null, day_definition_sql
 from modis_aggregation_spark.operators import stats as ops_stats
@@ -674,6 +678,220 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# X-queries — large-scale pipeline extensions (documents / embeddings)
+# --------------------------------------------------------------------------
+
+# DuckDB equivalents of the engine's text tokenization (functions/text.py):
+# tokens = non-empty \s+ splits of lower(text); ratios guarded by nullif.
+_D_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_D_NOWS = r"regexp_replace(text, '\s+', '', 'g')"
+
+
+def _sw_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in fn_text.STOPWORDS[lang])
+
+
+def _q_x1_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ops_dedup.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# oracle partitions by the normalized content itself; the engine partitions
+# by its xxhash64 fingerprint — identical survivors absent hash collisions
+_SQL_X1 = r"""
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+           ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+def _q_x2_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        fn_text.word_count(t).cast("long").alias("word_count"),
+        fn_text.token_count(t).cast("long").alias("token_count"),
+        _r6(fn_text.punct_ratio(t)).alias("punct_ratio"),
+        _r6(fn_text.stopword_ratio(t, "en")).alias("stopword_ratio"),
+        _r6(fn_text.mean_word_length(t)).alias("mean_word_len"),
+        _r6(fn_text.quality_score(t, "en")).alias("quality"),
+    )
+
+
+_SQL_X2 = f"""
+WITH t AS (
+  SELECT doc_id, text, {_D_TOKS} AS toks, {_D_NOWS} AS no_ws FROM documents
+), c AS (
+  SELECT doc_id,
+         len(toks) AS word_count,
+         len(regexp_extract_all(text, '{fn_text.TOKEN_REGEX}')) AS token_count,
+         length(regexp_replace(no_ws, '[A-Za-z0-9]', '', 'g'))
+           / nullif(length(no_ws), 0) AS pr,
+         len(list_filter(toks, x -> x IN ({_sw_sql('en')})))
+           / nullif(len(toks), 0) AS sr,
+         list_sum(list_transform(toks, x -> length(x)))
+           / nullif(len(toks), 0) AS mwl
+  FROM t
+)
+SELECT doc_id, word_count, token_count,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stopword_ratio,
+       round(mwl, 6) AS mean_word_len,
+       round(least(word_count / 100.0, 1.0) * 0.3
+             + greatest(0.0, 1.0 - pr * 4) * 0.3
+             + least(sr * 5, 1.0) * 0.2
+             + (CASE WHEN mwl >= 2.5 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.2,
+             6) AS quality
+FROM c
+"""
+
+
+def _q_x3_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fn_text.lang_id(F.col("text")).alias("lang"))
+
+
+_SQL_X3 = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_aggregate([
+           {", ".join(
+             "{'score': len(list_filter(toks, x -> x IN (%s))) / nullif(len(toks), 0), 'lang': '%s'}"
+             % (_sw_sql(lang), lang)
+             for lang in sorted(fn_text.STOPWORDS)
+           )}
+         ], 'max') AS best
+  FROM t
+)
+SELECT doc_id, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang
+FROM s
+"""
+
+
+def _q_x4_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # max_token_freq effectively off so candidates == all gram-sharing pairs
+    # and the all-pairs oracle below is exactly equivalent
+    return ops_dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, max_token_freq=1_000_000_000
+    )
+
+
+_SQL_X4 = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS grams
+  FROM t
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS la, len(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(inter / nullif(la + lb - inter, 0), 6) AS jaccard
+FROM p
+WHERE inter / nullif(la + lb - inter, 0) >= 0.1
+"""
+
+
+def _q_x5_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ops_dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def _q_x6_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ops_dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def _q_x7_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return ops_sim.cosine_topk(emb, queries, k=10)
+
+
+_SQL_X7 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.emb, q.qe) AS cos
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+def _q_x8_embedding_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_dedup.embedding_pairs(
+        emb, "embedding", "vec_id", dim=64, threshold=0.4
+    )
+
+
+def _q_x9_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ops_sim.kmeans_centroids(emb, nlist=8, sample_rows=2000, seed=5)
+    assigned = ops_sim.ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return ops_sim.ivf_topk(assigned, queries, cents, k=10, nprobe=2)
+
+
+def _q_x10_media_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    out = ops_mm.attach_media_metadata(docs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+# documents are ASCII text: mime sniff lands on octet-stream and DuckDB's
+# VARCHAR sha256 hashes the same utf-8 bytes Spark's sha2(binary) sees
+_SQL_X10 = """
+SELECT doc_id,
+       octet_length(encode(text)) AS size_bytes,
+       'application/octet-stream' AS mime,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def _q_x11_decode_images(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = ops_mm.decode_images(docs, decoder="fake")
+    return out.select(
+        "id", "height", "width", "channels", _r6(F.col("mean_pixel")).alias("mean_pixel")
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -705,6 +923,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_scalar_battery": _q_r10_scalar_battery,
         "r11_dedup_exact": _q_r11_dedup_exact,
         "r12_text_terms": _q_r12_text_terms,
+        "x1_exact_dedup": _q_x1_exact_dedup,
+        "x2_text_stats": _q_x2_text_stats,
+        "x3_lang_id": _q_x3_lang_id,
+        "x4_ngram_jaccard": _q_x4_ngram_jaccard,
+        "x5_minhash_pairs": _q_x5_minhash_pairs,
+        "x6_simhash_pairs": _q_x6_simhash_pairs,
+        "x7_cosine_topk": _q_x7_cosine_topk,
+        "x8_embedding_pairs": _q_x8_embedding_pairs,
+        "x9_ivf_topk": _q_x9_ivf_topk,
+        "x10_media_meta": _q_x10_media_meta,
+        "x11_decode_images": _q_x11_decode_images,
     }
 
 
@@ -736,4 +965,13 @@ def oracle_sql() -> dict[str, str]:
         "r10_scalar_battery": _SQL_R10,
         "r11_dedup_exact": _SQL_R11,
         "r12_text_terms": _SQL_R12,
+        # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
+        # no SQL equivalent — driver records the weaker rows-only check;
+        # exact pytest oracles cover them in tests/test_extensions.py
+        "x1_exact_dedup": _SQL_X1,
+        "x2_text_stats": _SQL_X2,
+        "x3_lang_id": _SQL_X3,
+        "x4_ngram_jaccard": _SQL_X4,
+        "x7_cosine_topk": _SQL_X7,
+        "x10_media_meta": _SQL_X10,
     }
