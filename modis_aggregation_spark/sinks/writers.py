@@ -1,0 +1,181 @@
+"""Sinks: canonical Parquet writer + HDF5 compatibility exporter.
+
+The canonical sink is a Parquet result table ``cells(cell, lat_idx,
+lon_idx, {var}_{stat} …)`` — queryable, splittable, schema-full. The HDF5
+exporter reproduces the reference's MYD08-style output file
+(``addGridEntry`` + writer loop, reference
+``MODIS_Aggregation/aggregate_functions.py:413-453,724-757``) for users who
+need the legacy format. The L3 grid is tiny (180×360 cells at 1°), so the
+exporter's driver-side ``collect()`` is bounded at ~MBs regardless of input
+scale — the only place the engine ever collects.
+
+Packing rules replicated exactly (quirk Q10):
+* floats pack as ``int(v / scale + offset)`` — TRUNCATION toward zero, not
+  rounding (``:431,435``);
+* ``±Inf`` → fill for min/max datasets (``:429-431``), NaN/NULL → fill for
+  the rest (``:433-435``);
+* counts and histograms stay raw integers (``:424-427``);
+* cloud-fraction datasets are forced ``scale=1e-4, offset=0, fill=-9999``
+  (``:438-444``).
+
+h5py is not in this container: the numeric packing is pure NumPy (tested),
+and the actual file write is gated behind an import-try.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from modis_aggregation_spark.config import AggregationSpec
+
+CF_SCALE = 1e-4
+CF_OFFSET = 0.0
+CF_FILL = -9999
+
+
+def write_grid_parquet(df: DataFrame, path: str, overwrite: bool = False) -> None:
+    """Canonical sink. Default refuses to overwrite — the reference's
+    output-exists guard (S13, ``aggregate_functions.py:610-617``) is
+    Spark's ``errorifexists`` mode."""
+    df.write.mode("overwrite" if overwrite else "errorifexists").parquet(path)
+
+
+def pack_values(
+    values: np.ndarray,
+    scale: float,
+    offset: float,
+    fill: int,
+    is_extreme: bool = False,
+) -> np.ndarray:
+    """Pack a float array to int32 with the reference's truncation rules."""
+    v = np.asarray(values, dtype=np.float64)
+    # the reference guards Inf only on min/max datasets (:429-431) because
+    # Inf can only arise there (untouched ±inf buffer init); mapping all
+    # non-finite values to fill is equivalent and avoids UB int casts
+    bad = ~np.isfinite(v)
+    packed = np.zeros(v.shape, dtype=np.int32)
+    ok = ~bad
+    # astype(int) truncates toward zero — replicated exactly (Q10)
+    packed[ok] = (v[ok] / scale + offset).astype(np.int32)
+    packed[bad] = fill
+    return packed
+
+
+def _is_count_col(name: str) -> bool:
+    return name.endswith(("_count", "_pix", "_hist", "_jhist")) or name in (
+        "grid_count",
+        "grid_count_compat",
+    )
+
+
+def _is_cf_col(name: str) -> bool:
+    return name.startswith("cf_") and not name.endswith(("_hist", "_jhist"))
+
+
+def grid_to_arrays(
+    grid_df: DataFrame, spec: AggregationSpec
+) -> dict[str, np.ndarray]:
+    """Collect a DENSIFIED grid DataFrame into ``{name: ndarray}`` shaped
+    ``[nlat, nlon]`` (histograms ``[nlat, nlon, bins]``; joint histograms
+    ``[nlat, nlon, bx, by]``) — the reference's output layout (A16)."""
+    nlat, nlon = spec.nlat, spec.nlon
+    rows = grid_df.orderBy("cell").collect()
+    if len(rows) != nlat * nlon:
+        raise ValueError(
+            f"grid must be densified: got {len(rows)} rows, want {nlat * nlon}"
+        )
+    out: dict[str, np.ndarray] = {}
+    skip = {"cell", "lat_idx", "lon_idx"}
+    for fname in grid_df.columns:
+        if fname in skip:
+            continue
+        col = [r[fname] for r in rows]
+        if col and isinstance(col[0], list):
+            arr = np.array(
+                [c if c is not None else np.zeros_like(col[0]) for c in col],
+                dtype=np.float64,
+            )
+            out[fname] = arr.reshape((nlat, nlon) + arr.shape[1:])
+        else:
+            arr = np.array(
+                [np.nan if c is None else float(c) for c in col], dtype=np.float64
+            )
+            out[fname] = arr.reshape(nlat, nlon)
+    return out
+
+
+def pack_grid(
+    arrays: dict[str, np.ndarray], spec: AggregationSpec
+) -> dict[str, tuple[np.ndarray, dict]]:
+    """Apply the packing rules to every dataset; returns
+    ``{name: (packed, attrs)}``. Counts/histograms pass through as int64."""
+    out: dict[str, tuple[np.ndarray, dict]] = {}
+    for name, arr in arrays.items():
+        if _is_count_col(name):
+            out[name] = (
+                np.nan_to_num(arr, nan=0.0).astype(np.int64),
+                {"units": "none", "_FillValue": 0},
+            )
+            continue
+        if _is_cf_col(name):
+            scale, offset, fill = CF_SCALE, CF_OFFSET, CF_FILL
+        else:
+            var = name.rsplit("_", 1)[0]
+            try:
+                vs = spec.variable(var)
+                scale, offset, fill = vs.scale_factor, vs.add_offset, int(vs.fill_value)
+            except KeyError:
+                scale, offset, fill = 1.0, 0.0, -9999
+        is_extreme = name.endswith(("_min", "_max"))
+        out[name] = (
+            pack_values(arr, scale, offset, fill, is_extreme),
+            {
+                "scale_factor": scale,
+                "add_offset": offset,
+                "_FillValue": fill,
+            },
+        )
+    return out
+
+
+def axis_bounds(spec: AggregationSpec) -> tuple[np.ndarray, np.ndarray]:
+    """lat_bnd / lon_bnd cell-edge vectors (reference ``:746-757``)."""
+    lat0, lat1 = spec.lat_bounds
+    lon0, lon1 = spec.lon_bounds
+    return (
+        np.linspace(lat0, lat1, spec.nlat + 1),
+        np.linspace(lon0, lon1, spec.nlon + 1),
+    )
+
+
+def export_hdf5(
+    grid_df: DataFrame,
+    spec: AggregationSpec,
+    path: str,
+    overwrite: bool = False,
+) -> str:
+    """Write the MYD08-style HDF5 file. Requires h5py (not in this
+    container — gated; the packing math above is what matters and is
+    tested without it)."""
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "HDF5 export needs h5py; install it or use write_grid_parquet"
+        ) from e
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(path)  # S13 output-exists guard
+    arrays = grid_to_arrays(grid_df, spec)
+    packed = pack_grid(arrays, spec)
+    lat_bnd, lon_bnd = axis_bounds(spec)
+    with h5py.File(path, "w") as f:  # pragma: no cover - env-dependent
+        f.create_dataset("lat_bnd", data=lat_bnd)
+        f.create_dataset("lon_bnd", data=lon_bnd)
+        for name, (data, attrs) in packed.items():
+            ds = f.create_dataset(name, data=data)
+            for k, v in attrs.items():
+                ds.attrs[k] = v
+    return path
