@@ -677,6 +677,75 @@ LIMIT 20
 """
 
 
+def _q_s1_stream_daily(spark, sf_dir):
+    """Structured Streaming daily grid, run to completion (availableNow)
+    over the pixel fixture; returns the final batch result. Oracle: the
+    identical daily grouping in plain SQL — stream == batch because every
+    aggregate is a commutative monoid."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from modis_aggregation_spark.config import VariableSpec, default_spec
+    from modis_aggregation_spark.streaming.daily_stream import (
+        stream_daily_grid,
+        stream_pixels,
+    )
+
+    spec = default_spec(lat_bounds=(-20.0, 20.0), lon_bounds=(0.0, 35.0))
+    spec = type(spec)(
+        lat_bounds=spec.lat_bounds,
+        lon_bounds=spec.lon_bounds,
+        variables=(VariableSpec(name="ctp"),),
+    )
+    granules = spark.read.parquet(GRANULES)
+    schema = spark.read.parquet(PIXELS).schema
+    # the file stream source lists a DIRECTORY; the fixture is one file
+    src_dir = tempfile.mkdtemp(prefix="s1_src_")
+    shutil.copy(PIXELS, os.path.join(src_dir, "pixels.parquet"))
+    name = f"s1_stream_{uuid.uuid4().hex[:8]}"
+    stream = stream_pixels(spark, src_dir, schema)
+    out = stream_daily_grid(stream, granules, spec)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s1_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        F.col("date").cast("string").alias("date"),
+        "cell",
+        "cld_pix",
+        "tot_pix",
+        _r6(F.col("ctp_sum")).alias("ctp_sum"),
+        "ctp_count",
+        _r6(F.col("ctp_min")).alias("ctp_min"),
+        _r6(F.col("ctp_max")).alias("ctp_max"),
+        _r6(F.col("cf_mean")).alias("cf_mean"),
+    )
+
+
+_SQL_S1 = f"""
+SELECT CAST(g.date AS VARCHAR) AS date,
+       {_CELL} AS cell,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix,
+       round(sum(ctp), 6) AS ctp_sum,
+       count(ctp) AS ctp_count,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       round(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0), 6) AS cf_mean
+FROM read_parquet('{PIXELS}') p
+JOIN read_parquet('{GRANULES}') g USING (granule_id)
+WHERE {_BBOX}
+GROUP BY g.date, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # X-queries — large-scale pipeline extensions (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -934,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_ivf_topk": _q_x9_ivf_topk,
         "x10_media_meta": _q_x10_media_meta,
         "x11_decode_images": _q_x11_decode_images,
+        "s1_stream_daily": _q_s1_stream_daily,
     }
 
 
@@ -974,4 +1044,5 @@ def oracle_sql() -> dict[str, str]:
         "x4_ngram_jaccard": _SQL_X4,
         "x7_cosine_topk": _SQL_X7,
         "x10_media_meta": _SQL_X10,
+        "s1_stream_daily": _SQL_S1,
     }

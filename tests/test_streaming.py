@@ -1,0 +1,86 @@
+"""Streaming daily aggregation: the streamed result must equal the batch
+result over the same closed input (exactly-once, monoid aggregation)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.config import AggregationSpec, VariableSpec
+from modis_aggregation_spark.operators.stats import with_cell, with_cloud_mask
+from modis_aggregation_spark.streaming.daily_stream import (
+    stream_daily_grid,
+    stream_pixels,
+    with_event_time,
+)
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+SPEC = AggregationSpec(
+    lat_bounds=(-20.0, 20.0),
+    lon_bounds=(0.0, 35.0),
+    variables=(VariableSpec(name="ctp"),),
+)
+
+
+@pytest.fixture(scope="module")
+def staged_dir(spark, tmp_path_factory):
+    """Re-write the pixel fixture as a multi-file directory so the file
+    source has several files to discover."""
+    out = str(tmp_path_factory.mktemp("stream_src"))
+    spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet")).repartition(
+        6, "granule_id"
+    ).write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_equals_batch(spark, staged_dir, tmp_path):
+    granules = spark.read.parquet(os.path.join(FIXTURES, "granules.parquet"))
+    schema = spark.read.parquet(staged_dir).schema
+
+    stream = stream_pixels(spark, staged_dir, schema, max_files_per_trigger=2)
+    out = stream_daily_grid(stream, granules, SPEC)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("daily_grid_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["date"]), r["cell"]): r
+        for r in spark.sql("select * from daily_grid_stream").collect()
+    }
+
+    # batch equivalent on the same input
+    pixels = spark.read.parquet(staged_dir)
+    batch = with_event_time(pixels, granules)
+    batch = with_cell(with_cloud_mask(batch), SPEC)
+    cm = F.col("cm")
+    want_df = batch.groupBy(
+        F.col("ts").cast("date").alias("date"), "cell"
+    ).agg(
+        F.sum(F.when(cm.between(0, 1), 1).otherwise(0)).cast("long").alias("cld_pix"),
+        F.sum(F.when(cm.between(0, 3), 1).otherwise(0)).cast("long").alias("tot_pix"),
+        F.sum("ctp").alias("ctp_sum"),
+        F.count("ctp").alias("ctp_count"),
+        F.min("ctp").alias("ctp_min"),
+        F.max("ctp").alias("ctp_max"),
+    )
+    want = {(str(r["date"]), r["cell"]): r for r in want_df.collect()}
+
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert g["cld_pix"] == w["cld_pix"] and g["tot_pix"] == w["tot_pix"], k
+        assert g["ctp_count"] == w["ctp_count"], k
+        for c in ("ctp_sum", "ctp_min", "ctp_max"):
+            a, b = g[c], w[c]
+            assert (a is None and b is None) or a == pytest.approx(b, abs=1e-9), (k, c)
+    assert len(got) > 10
