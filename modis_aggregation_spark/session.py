@@ -41,6 +41,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushFilters (granule-id partition pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long and convert at the source helper
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,133 @@
+"""Python DataSource granule reader (S3) + decode expressions (S4/S5/Q3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.config import AggregationSpec, VariableSpec
+from modis_aggregation_spark.functions.decode import (
+    decode_raw,
+    null_fill,
+    reference_double_transform,
+)
+from modis_aggregation_spark.operators import stats as ops_stats
+from modis_aggregation_spark.sources.granule_datasource import (
+    SWATH_COLS,
+    SWATH_ROWS,
+    GranuleDataSource,
+    GranuleReader,
+    expected_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(GranuleDataSource)
+    return spark
+
+
+def _load(spark, ids="1,2,3", variables="ctp,cee"):
+    return (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ids)
+        .option("variables", variables)
+        .load()
+    )
+
+
+def test_datasource_shape_and_schema(registered):
+    df = _load(registered)
+    assert df.columns == ["granule_id", "i", "j", "lat", "lon", "cm_raw", "ctp", "cee"]
+    assert df.count() == expected_rows(3)
+    one = df.filter(F.col("granule_id") == 2)
+    assert one.count() == SWATH_ROWS * SWATH_COLS
+
+
+def test_datasource_determinism_and_nulls(registered):
+    a = _load(registered, ids="7", variables="ctp").agg(
+        F.sum("ctp"), F.count("ctp"), F.count(F.lit(1))
+    ).first()
+    b = _load(registered, ids="7", variables="ctp").agg(
+        F.sum("ctp"), F.count("ctp"), F.count(F.lit(1))
+    ).first()
+    assert a == b
+    # fill holes arrive as NULL (not NaN)
+    total, nonnull = a[2], a[1]
+    assert 0 < nonnull < total
+    nan_rows = _load(registered, ids="7", variables="ctp").filter(
+        F.isnan("ctp")
+    ).count()
+    assert nan_rows == 0
+
+
+def test_pushfilters_prunes_partitions():
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+
+    from pyspark.sql.types import StructType
+
+    reader = GranuleReader(
+        StructType(), {"granule_ids": "1,2,3,4", "variables": "ctp"}
+    )
+    leftover = list(
+        reader.pushFilters([EqualTo(("granule_id",), 3), IsNotNull(("ctp",))])
+    )
+    assert [p.granule_id for p in reader.partitions()] == [3]
+    # unsupported filter handed back to Spark
+    assert len(leftover) == 1 and isinstance(leftover[0], IsNotNull)
+
+    r2 = GranuleReader.__new__(GranuleReader)
+    r2.granule_ids = [1, 2, 3, 4]
+    list(r2.pushFilters([GreaterThan(("granule_id",), 2)]))
+    assert r2.granule_ids == [3, 4]
+
+
+def test_datasource_through_pipeline(registered):
+    """Granule source → decode → cell aggregation end-to-end."""
+    df = _load(registered, ids="1,2", variables="ctp")
+    spec = AggregationSpec(
+        lat_bounds=(-90.0, 90.0),
+        lon_bounds=(-180.0, 180.0),
+        variables=(VariableSpec(name="ctp"),),
+    )
+    out = ops_stats.cell_stats(
+        ops_stats.with_cell(df, spec), ["ctp"]
+    ).filter(F.col("ctp_count") > 0)
+    assert out.count() > 10
+    row = out.agg(F.sum("ctp_count")).first()
+    assert row[0] > 0
+
+
+def test_decode_raw_and_compat_equivalence(spark):
+    scale, offset, fill = 0.01, -15000.0, -32768
+    df = spark.createDataFrame(
+        [(1, -32768), (2, 0), (3, 15000), (4, -20000)], ["id", "raw"]
+    )
+    decoded = df.select(
+        "id", decode_raw(F.col("raw"), scale, offset, fill).alias("v")
+    )
+    got = {r["id"]: r["v"] for r in decoded.collect()}
+    assert got[1] is None  # fill → NULL
+    assert got[2] == pytest.approx((0 - offset) * scale)
+    assert got[3] == pytest.approx((15000 - offset) * scale)
+
+    # Q3: the reference's double transform over an auto-scaled value equals
+    # the single-application decode of the raw value
+    auto = df.select(
+        "id",
+        ((F.col("raw") * F.lit(scale)) + F.lit(offset)).alias("autoscaled"),
+        F.col("raw"),
+    ).filter(F.col("raw") != fill)
+    both = auto.select(
+        "id",
+        reference_double_transform(F.col("autoscaled"), scale, offset, fill).alias("ref"),
+        decode_raw(F.col("raw"), scale, offset, fill).alias("engine"),
+    )
+    for r in both.collect():
+        assert r["ref"] == pytest.approx(r["engine"], abs=1e-9)
+
+
+def test_null_fill(spark):
+    df = spark.createDataFrame([(1, -9999.0), (2, 5.0)], ["id", "v"])
+    out = {r["id"]: r["nv"] for r in df.select(
+        "id", null_fill(F.col("v"), -9999.0).alias("nv")
+    ).collect()}
+    assert out[1] is None and out[2] == 5.0
