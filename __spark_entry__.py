@@ -677,6 +677,31 @@ LIMIT 20
 """
 
 
+def _q_r13_json_props(spark, sf_dir):
+    """JSON scalar functions (F9) over the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+_SQL_R13 = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
 def _q_s1_stream_daily(spark, sf_dir):
     """Structured Streaming daily grid, run to completion (availableNow)
     over the pixel fixture; returns the final batch result. Oracle: the
@@ -992,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_scalar_battery": _q_r10_scalar_battery,
         "r11_dedup_exact": _q_r11_dedup_exact,
         "r12_text_terms": _q_r12_text_terms,
+        "r13_json_props": _q_r13_json_props,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
         "x3_lang_id": _q_x3_lang_id,
@@ -1035,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "r10_scalar_battery": _SQL_R10,
         "r11_dedup_exact": _SQL_R11,
         "r12_text_terms": _SQL_R12,
+        "r13_json_props": _SQL_R13,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py

