@@ -809,15 +809,14 @@ WHERE rn = 1
 
 def _q_x2_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    return fn_text.text_profile(docs, "text", "en").select(
         "doc_id",
-        fn_text.word_count(t).cast("long").alias("word_count"),
-        fn_text.token_count(t).cast("long").alias("token_count"),
-        _r6(fn_text.punct_ratio(t)).alias("punct_ratio"),
-        _r6(fn_text.stopword_ratio(t, "en")).alias("stopword_ratio"),
-        _r6(fn_text.mean_word_length(t)).alias("mean_word_len"),
-        _r6(fn_text.quality_score(t, "en")).alias("quality"),
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("token_count").cast("long").alias("token_count"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("quality")).alias("quality"),
     )
 
 
@@ -851,7 +850,7 @@ FROM c
 
 def _q_x3_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", fn_text.lang_id(F.col("text")).alias("lang"))
+    return fn_text.text_profile(docs, "text").select("doc_id", "lang")
 
 
 _SQL_X3 = f"""

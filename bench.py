@@ -50,6 +50,9 @@ def main() -> None:
         "q_join_chain": qs["r3_join_chain"],
         "q_window_topk": qs["r6_rownum_topk"],
         "q_dedup": qs["r11_dedup_exact"],
+        "q_minhash_lsh": qs["x5_minhash_pairs"],
+        "q_text_profile": qs["x2_text_stats"],
+        "q_cosine_topk": qs["x7_cosine_topk"],
     }
 
     # JVM/codegen warmup on a trivial plan

@@ -107,6 +107,63 @@ def lang_id(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def text_profile(df, content_col: str = "text", lang: str = "en"):
+    """All text statistics in one staged pass: tokens and the
+    whitespace-stripped form are MATERIALIZED columns, so each statistic
+    reads an attribute instead of re-tokenizing (Catalyst does not CSE
+    expressions into per-statistic lambdas — inline tokens() would re-run
+    split per statistic, and per language for lang_id).
+
+    Returns df plus: word_count, token_count, punct_ratio, stopword_ratio,
+    mean_word_len, quality, lang.
+    """
+    staged = df.withColumns(
+        {
+            "__toks": tokens(F.col(content_col)),
+            "__no_ws": F.regexp_replace(F.col(content_col), r"\s+", ""),
+        }
+    )
+    toks = F.col("__toks")
+    no_ws = F.col("__no_ws")
+    n = F.nullif(F.size(toks), F.lit(0))
+    punct = F.regexp_replace(no_ws, r"[A-Za-z0-9]", "")
+    pr = F.length(punct) / F.nullif(F.length(no_ws), F.lit(0))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))) / n
+    mwl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n
+    wc = F.size(toks)
+    len_score = F.least(wc / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - pr * 4)
+    sw_score = F.least(sw * 5, F.lit(1.0))
+    mwl_score = F.when((mwl >= 2.5) & (mwl <= 10.0), 1.0).otherwise(0.3)
+
+    def _isin(words: tuple[str, ...]):
+        return lambda t: t.isin(*words)
+
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, _isin(words))) / n).alias("score"),
+                F.lit(lg).alias("lang"),
+            )
+            for lg, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return staged.withColumns(
+        {
+            "word_count": wc,
+            "token_count": F.size(
+                F.regexp_extract_all(F.col(content_col), F.lit(TOKEN_REGEX), 0)
+            ),
+            "punct_ratio": pr,
+            "stopword_ratio": sw,
+            "mean_word_len": mwl,
+            "quality": len_score * 0.3 + punct_pen * 0.3 + sw_score * 0.2 + mwl_score * 0.2,
+            "lang": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+        }
+    ).drop("__toks", "__no_ws")
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct lowercase character k-grams (the MinHash input)."""
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")

@@ -76,6 +76,37 @@ def test_char_shingles_and_fingerprint(spark):
     assert rows[0]["fp"] != rows[1]["fp"]
 
 
+def test_text_profile_matches_individual_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is that"),
+         (2, "der hund ist von der frau und das kind"),
+         (3, "The  quick, brown fox! 42")],
+        ["doc_id", "text"],
+    )
+    prof = {r["doc_id"]: r for r in T.text_profile(df, "text", "en").collect()}
+    ind = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.word_count(F.col("text")).alias("wc"),
+            T.token_count(F.col("text")).alias("tc"),
+            T.punct_ratio(F.col("text")).alias("pr"),
+            T.stopword_ratio(F.col("text"), "en").alias("sr"),
+            T.mean_word_length(F.col("text")).alias("mwl"),
+            T.quality_score(F.col("text"), "en").alias("q"),
+            T.lang_id(F.col("text")).alias("lang"),
+        ).collect()
+    }
+    for i in prof:
+        assert prof[i]["word_count"] == ind[i]["wc"]
+        assert prof[i]["token_count"] == ind[i]["tc"]
+        assert prof[i]["punct_ratio"] == pytest.approx(ind[i]["pr"])
+        assert prof[i]["stopword_ratio"] == pytest.approx(ind[i]["sr"])
+        assert prof[i]["mean_word_len"] == pytest.approx(ind[i]["mwl"])
+        assert prof[i]["quality"] == pytest.approx(ind[i]["q"])
+        assert prof[i]["lang"] == ind[i]["lang"]
+
+
 def test_quality_score_range(spark):
     df = spark.createDataFrame(
         [("the cat sat on the mat with a dog for fun " * 10,), ("!!! ???",)], ["t"]
