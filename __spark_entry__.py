@@ -677,6 +677,68 @@ LIMIT 20
 """
 
 
+def _q_m13_monthly_reagg(spark, sf_dir):
+    """A15/A16: stage per-day partial grids, merge with reaggregate() —
+    must equal one-shot aggregation over the whole period (the oracle
+    computes the one-shot form directly)."""
+    from modis_aggregation_spark.config import VariableSpec
+    from modis_aggregation_spark.plans.pipeline import daily_grid, reaggregate
+
+    spec = type(SPEC)(
+        lat_bounds=SPEC.lat_bounds,
+        lon_bounds=SPEC.lon_bounds,
+        variables=(VariableSpec(name="ctp"),),
+    )
+    pixels = _px(spark)
+    granules = spark.read.parquet(GRANULES)
+    staged = []
+    for doy in [r["doy"] for r in granules.select("doy").distinct().collect()]:
+        ids = granules.filter(F.col("doy") == doy).select("granule_id")
+        sub = pixels.join(ids, "granule_id", "left_semi")
+        staged.append(
+            daily_grid(spark, spec, sub, granules, densify_output=False)
+            .withColumn("date", F.lit(int(doy)))
+        )
+    from functools import reduce
+
+    merged = reaggregate(reduce(lambda a, b: a.unionByName(b), staged))
+    return merged.select(
+        "cell",
+        _r6(F.col("ctp_min")).alias("ctp_min"),
+        _r6(F.col("ctp_max")).alias("ctp_max"),
+        F.col("ctp_count"),
+        _r6(F.col("ctp_mean")).alias("ctp_mean"),
+        F.col("cld_pix"),
+        F.col("tot_pix"),
+        _r6(F.col("cf_mean")).alias("cf_mean"),
+    )
+
+
+_SQL_M13 = f"""
+SELECT {_CELL} AS cell,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       count(ctp) AS ctp_count,
+       round(avg(ctp), 6) AS ctp_mean,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix,
+       round(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0), 6) AS cf_mean
+FROM read_parquet('{PIXELS}')
+WHERE {_BBOX}
+GROUP BY 1
+"""
+
+
+def _q_r9b_approx_distinct(spark, sf_dir):
+    """approx_count_distinct — reported, rows-only (approximate by
+    definition; exact twin is r9)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys")
+    )
+
+
 def _q_r13_json_props(spark, sf_dir):
     """JSON scalar functions (F9) over the events props column."""
     ev = _t(spark, sf_dir, "events")
@@ -1002,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_grid_counts": _q_m10_grid_counts,
         "m11_catalog": _q_m11_catalog,
         "m12_finalize": _q_m12_finalize,
+        "m13_monthly_reagg": _q_m13_monthly_reagg,
         "r1_filter_project": _q_r1_filter_project,
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -1013,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r7_topk": _q_r7_topk,
         "r8_setops": _q_r8_setops,
         "r9_distinct": _q_r9_distinct,
+        "r9b_approx_distinct": _q_r9b_approx_distinct,
         "r10_scalar_battery": _q_r10_scalar_battery,
         "r11_dedup_exact": _q_r11_dedup_exact,
         "r12_text_terms": _q_r12_text_terms,
@@ -1046,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "m10_grid_counts": _SQL_M10,
         "m11_catalog": _SQL_M11,
         "m12_finalize": _SQL_M12,
+        "m13_monthly_reagg": _SQL_M13,
         "r1_filter_project": _SQL_R1,
         "r2_tpch_q1": _SQL_R2,
         "r3_join_chain": _SQL_R3,

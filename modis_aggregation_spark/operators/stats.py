@@ -57,6 +57,33 @@ def with_cell(pixels: DataFrame, spec: AggregationSpec) -> DataFrame:
     return df.filter((F.col("cell") >= 0) & (F.col("cell") < spec.ncells))
 
 
+def trim_cross_track(pixels: DataFrame, keep_cols: int = 1350) -> DataFrame:
+    """Drop trailing cross-track columns (S8): the reference keeps only the
+    first 1350 of the 1-km product's 1354 columns
+    (``aggregate_functions.py:119,145,195-196``). A plain pushed-down
+    filter on the pixel's cross-track index."""
+    return pixels.filter(F.col("j") < keep_cols)
+
+
+def validate_resolution(pixels: DataFrame, varnames: Sequence[str]) -> None:
+    """Plan-time schema validation (S11): every requested variable must
+    exist with a numeric type alongside lat/lon — the engine's version of
+    the reference's shape-match abort (``aggregate_functions.py:209-219``),
+    moved from per-granule runtime to before the job starts."""
+    dtypes = dict(pixels.dtypes)
+    numeric = ("double", "float", "int", "bigint", "smallint", "tinyint", "decimal")
+    for required in ("lat", "lon"):
+        if required not in dtypes:
+            raise ValueError(f"pixel table is missing required column '{required}'")
+    for v in varnames:
+        if v not in dtypes:
+            raise ValueError(
+                f"variable '{v}' not found in pixel schema; have {sorted(dtypes)}"
+            )
+        if not dtypes[v].startswith(numeric):
+            raise ValueError(f"variable '{v}' has non-numeric type {dtypes[v]}")
+
+
 def with_cloud_mask(pixels: DataFrame, cm_raw_col: str = "cm_raw") -> DataFrame:
     """Attach the decoded cloud-mask flag column ``cm`` (S6 + S7)."""
     return pixels.withColumn("cm", cloud_mask_flag(F.col(cm_raw_col)))

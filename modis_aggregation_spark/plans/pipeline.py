@@ -67,11 +67,13 @@ def prepare_pixels(
     granule catalogs are ~100k rows/year, trivially broadcastable even at
     full-mission scale.
     """
+    from modis_aggregation_spark.operators.stats import validate_resolution
+
+    measure_cols = [v.name for v in spec.physical_variables()]
+    validate_resolution(pixels, measure_cols)  # S11: fail before the job
     cat = granules.select("granule_id", "doy", "hour")
     df = pixels.join(F.broadcast(cat), "granule_id")
     df = with_cloud_mask(df)
-
-    measure_cols = [v.name for v in spec.physical_variables()]
     if end_doy is not None and spill_doy is not None:
         cond = day_definition_condition(
             F.col("lon"), F.col("doy"), F.col("hour"),

@@ -151,6 +151,39 @@ def axis_bounds(spec: AggregationSpec) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def export_netcdf_cfa(
+    grid_df: DataFrame,
+    spec: AggregationSpec,
+    path: str,
+    cf_col: str = "cf_mean",
+    overwrite: bool = False,
+) -> str:
+    """Legacy ``cfa``-pipeline netCDF sink (S14/A18): a single cloud-
+    fraction dataset on the grid, the shape of the reference's sample
+    product ``resources/data/sample_output_data/
+    MYD08_D3.A2008001CloudFraction.nc`` (180×360 DataArray written by the
+    compiled-only ``cfa`` module's ``displayOutput``). Requires xarray
+    (gated — not in this container)."""
+    try:
+        import xarray as xr
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "netCDF export needs xarray; use write_grid_parquet"
+        ) from e
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(path)
+    arrays = grid_to_arrays(grid_df.select("cell", "lat_idx", "lon_idx", cf_col), spec)
+    lat_bnd, lon_bnd = axis_bounds(spec)
+    centers = lambda b: (b[:-1] + b[1:]) / 2.0  # noqa: E731
+    da = xr.DataArray(  # pragma: no cover - env-dependent
+        arrays[cf_col],
+        coords={"lat": centers(lat_bnd), "lon": centers(lon_bnd)},
+        dims=("lat", "lon"),
+    )
+    da.to_netcdf(path)  # pragma: no cover - env-dependent
+    return path
+
+
 def export_hdf5(
     grid_df: DataFrame,
     spec: AggregationSpec,

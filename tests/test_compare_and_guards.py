@@ -1,0 +1,93 @@
+"""J4 grid comparison, S8 cross-track trim, S11 resolution validation,
+S14 gated netCDF export."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.config import AggregationSpec, VariableSpec
+from modis_aggregation_spark.operators import stats as ops_stats
+from modis_aggregation_spark.operators.compare import compare_grids, max_abs_diff
+from modis_aggregation_spark.sinks import writers
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+
+def test_compare_grids_identical_and_perturbed(spark):
+    a = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (1, 0, None)],
+        "lat_idx int, lon_idx int, cf_mean double",
+    )
+    same = compare_grids(a, a, ["cf_mean"])
+    assert max_abs_diff(same, ["cf_mean"]) == {"cf_mean": 0.0}
+
+    b = spark.createDataFrame(
+        [(0, 0, 1.5), (0, 1, 2.0), (2, 2, 9.0)],
+        "lat_idx int, lon_idx int, cf_mean double",
+    )
+    cmpdf = compare_grids(a, b, ["cf_mean"])
+    rows = {(r["lat_idx"], r["lon_idx"]): r for r in cmpdf.collect()}
+    assert rows[(0, 0)]["cf_mean_absdiff"] == pytest.approx(0.5)
+    assert rows[(0, 0)]["cf_mean_ratio"] == pytest.approx(1.0 / 1.5)
+    # full outer: one-sided cells survive with NULLs
+    assert rows[(2, 2)]["cf_mean_l"] is None
+    assert rows[(1, 0)]["cf_mean_absdiff"] is None
+
+
+def test_compare_round4_matches_notebook_semantics(spark):
+    # diffs below 1e-4 vanish after the notebook's round(4)
+    a = spark.createDataFrame([(0, 0, 0.123411)], "lat_idx int, lon_idx int, v double")
+    b = spark.createDataFrame([(0, 0, 0.123419)], "lat_idx int, lon_idx int, v double")
+    out = compare_grids(a, b, ["v"]).first()
+    assert out["v_absdiff"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_trim_cross_track(spark):
+    px = spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet"))
+    jmax = px.agg(F.max("j")).first()[0]
+    trimmed = ops_stats.trim_cross_track(px, keep_cols=jmax)
+    assert trimmed.agg(F.max("j")).first()[0] == jmax - 1
+    assert trimmed.count() < px.count()
+
+
+def test_validate_resolution(spark):
+    px = spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet"))
+    ops_stats.validate_resolution(px, ["ctp", "cee"])  # ok
+    with pytest.raises(ValueError, match="not found"):
+        ops_stats.validate_resolution(px, ["nope"])
+    bad = px.withColumn("s", F.lit("x"))
+    with pytest.raises(ValueError, match="non-numeric"):
+        ops_stats.validate_resolution(bad, ["s"])
+    with pytest.raises(ValueError, match="missing required"):
+        ops_stats.validate_resolution(px.drop("lat"), ["ctp"])
+
+
+def test_pipeline_validates_before_job(spark):
+    from modis_aggregation_spark.plans.pipeline import daily_grid
+
+    px = spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet"))
+    gr = spark.read.parquet(os.path.join(FIXTURES, "granules.parquet"))
+    spec = AggregationSpec(
+        lat_bounds=(-20.0, 20.0),
+        lon_bounds=(0.0, 35.0),
+        variables=(VariableSpec(name="does_not_exist"),),
+    )
+    with pytest.raises(ValueError, match="not found"):
+        daily_grid(spark, spec, px, gr)
+
+
+def test_export_netcdf_gated(spark, tmp_path):
+    try:
+        import xarray  # noqa: F401
+        pytest.skip("xarray unexpectedly present")
+    except ImportError:
+        pass
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0.5)], "cell long, lat_idx int, lon_idx int, cf_mean double"
+    )
+    spec = AggregationSpec(lat_bounds=(-0.5, 0.5), lon_bounds=(-0.5, 0.5))
+    with pytest.raises(NotImplementedError):
+        writers.export_netcdf_cfa(df, spec, str(tmp_path / "cf.nc"))
