@@ -91,3 +91,39 @@ def test_export_netcdf_gated(spark, tmp_path):
     spec = AggregationSpec(lat_bounds=(-0.5, 0.5), lon_bounds=(-0.5, 0.5))
     with pytest.raises(NotImplementedError):
         writers.export_netcdf_cfa(df, spec, str(tmp_path / "cf.nc"))
+
+
+def test_salted_agg_matches_plain(spark):
+    from modis_aggregation_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("l_quantity_sum"),
+            F.count("l_quantity").alias("l_quantity_count"),
+            F.min("l_quantity").alias("l_quantity_min"),
+            F.max("l_quantity").alias("l_quantity_max"),
+            F.avg("l_quantity").alias("l_quantity_avg"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r
+        for r in salted_agg(
+            li, ["l_returnflag"], "l_quantity",
+            stats=("sum", "count", "min", "max", "avg", "stddev_pop"),
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        for s in ("sum", "count", "min", "max"):
+            assert salted[k][f"l_quantity_{s}"] == pytest.approx(
+                plain[k][f"l_quantity_{s}"], rel=1e-12
+            ), (k, s)
+        assert salted[k]["l_quantity_avg"] == pytest.approx(
+            plain[k]["l_quantity_avg"], rel=1e-12
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_agg(li, ["l_returnflag"], "l_quantity", stats=("median",))
