@@ -168,11 +168,16 @@ def minhash_lsh_pairs(
         F.explode(_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    # cap pathological buckets
-    wcnt = Window.partitionBy("band", "key")
-    banded = banded.withColumn("__bc", F.count(F.lit(1)).over(wcnt)).filter(
-        F.col("__bc") <= max_bucket
-    ).drop("__bc")
+    # cap pathological buckets via anti-join against the (tiny) set of
+    # oversized (band, key) pairs — unlike a count-window this needs no
+    # per-partition sort, and the oversized set broadcasts
+    big = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > max_bucket)
+        .select("band", "key")
+    )
+    banded = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
 
     left = banded.select("band", "key", F.col("id").alias("id_a"))
     right = banded.select("band", "key", F.col("id").alias("id_b"))
@@ -324,10 +329,13 @@ def ngram_jaccard_pairs(
     )
     base = staged.select("id", grams.alias("grams"))
     inv = base.select("id", F.explode("grams").alias("gram"))
-    wg = Window.partitionBy("gram")
-    inv = inv.withColumn("__gc", F.count(F.lit(1)).over(wg)).filter(
-        F.col("__gc") <= max_token_freq
-    ).drop("__gc")
+    big = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__gc"))
+        .filter(F.col("__gc") > max_token_freq)
+        .select("gram")
+    )
+    inv = inv.join(F.broadcast(big), "gram", "left_anti")
     cand = (
         inv.alias("a")
         .join(inv.alias("b"), "gram")

@@ -76,10 +76,12 @@ def kmeans_centroids(
     corpus size; at 100 TB you'd sample ~1e5 rows the same way.
     """
     sample = np.array(
-        df.select(F.col(emb_col).cast("array<double>"))
-        .limit(sample_rows)
-        .rdd.map(lambda r: r[0])
-        .collect()
+        [
+            r[0]
+            for r in df.select(F.col(emb_col).cast("array<double>"))
+            .limit(sample_rows)
+            .collect()
+        ]
     )
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
