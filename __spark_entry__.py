@@ -677,6 +677,56 @@ LIMIT 20
 """
 
 
+def _q_m14_compare_grids(spark, sf_dir):
+    """J4: cell-aligned comparison of the full-resolution CF grid against
+    the sampling=5 CF grid (round(4) absdiff + ratio, the validation-
+    notebook semantics)."""
+    from modis_aggregation_spark.operators.compare import compare_grids
+
+    full = _q_m9_densify(spark, sf_dir).select("lat_idx", "lon_idx", "cf_mean")
+    samp_cf = ops_stats.cloud_fraction(
+        ops_stats.with_cloud_mask(_px_cell(spark, sampling=5))
+    )
+    samp = densify(samp_cf, NLAT, NLON).select("lat_idx", "lon_idx", "cf_mean")
+    cmpdf = compare_grids(full, samp, ["cf_mean"])
+    return cmpdf.select(
+        "lat_idx",
+        "lon_idx",
+        _r6(F.col("cf_mean_l")).alias("cf_mean_l"),
+        _r6(F.col("cf_mean_r")).alias("cf_mean_r"),
+        _r6(F.col("cf_mean_absdiff")).alias("cf_mean_absdiff"),
+        _r6(F.col("cf_mean_ratio")).alias("cf_mean_ratio"),
+    )
+
+
+_SAMPLING5 = "i >= 2 AND j >= 2 AND (i - 2) % 5 = 0 AND (j - 2) % 5 = 0"
+
+_SQL_M14 = f"""
+WITH full_agg AS (
+  SELECT {_CELL} AS cell,
+         sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+           / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0) AS cf
+  FROM read_parquet('{PIXELS}') WHERE {_BBOX} GROUP BY 1
+),
+samp_agg AS (
+  SELECT {_CELL} AS cell,
+         sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+           / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0) AS cf
+  FROM read_parquet('{PIXELS}') WHERE {_BBOX} AND {_SAMPLING5} GROUP BY 1
+),
+dim AS (SELECT range AS cell, CAST(range // 35 AS INT) AS lat_idx,
+               CAST(range % 35 AS INT) AS lon_idx FROM range({NCELLS}))
+SELECT d.lat_idx, d.lon_idx,
+       round(f.cf, 6) AS cf_mean_l,
+       round(s.cf, 6) AS cf_mean_r,
+       round(abs(round(f.cf, 4) - round(s.cf, 4)), 6) AS cf_mean_absdiff,
+       round(f.cf / nullif(s.cf, 0), 6) AS cf_mean_ratio
+FROM dim d
+LEFT JOIN full_agg f ON f.cell = d.cell
+LEFT JOIN samp_agg s ON s.cell = d.cell
+"""
+
+
 def _q_m13_monthly_reagg(spark, sf_dir):
     """A15/A16: stage per-day partial grids, merge with reaggregate() —
     must equal one-shot aggregation over the whole period (the oracle
@@ -1065,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m11_catalog": _q_m11_catalog,
         "m12_finalize": _q_m12_finalize,
         "m13_monthly_reagg": _q_m13_monthly_reagg,
+        "m14_compare_grids": _q_m14_compare_grids,
         "r1_filter_project": _q_r1_filter_project,
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -1111,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "m11_catalog": _SQL_M11,
         "m12_finalize": _SQL_M12,
         "m13_monthly_reagg": _SQL_M13,
+        "m14_compare_grids": _SQL_M14,
         "r1_filter_project": _SQL_R1,
         "r2_tpch_q1": _SQL_R2,
         "r3_join_chain": _SQL_R3,

@@ -77,6 +77,38 @@ def date_range_catalog(
     return catalog.filter(in_range | in_spill)
 
 
+def validate_hour_coverage(
+    catalog: DataFrame,
+    start_date: str,
+    end_date: str,
+    date_col: str = "date",
+    hour_col: str = "hour",
+) -> None:
+    """Missing-hour abort (S1 runtime assertion): the reference errors when
+    an (year, doy, hour) glob matches nothing
+    (``aggregate_functions.py:73-78``). Declaratively: generate the full
+    expected (date, hour) lattice and anti-join the catalog against it —
+    one tiny job, all gaps reported at once instead of first-gap abort."""
+    spark = catalog.sparkSession
+    expected = (
+        spark.sql(
+            f"SELECT explode(sequence(DATE '{start_date}', DATE '{end_date}')) AS d"
+        )
+        .crossJoin(spark.range(24).select(F.col("id").cast("int").alias("h")))
+    )
+    present = catalog.select(
+        F.col(date_col).alias("d"), F.col(hour_col).alias("h")
+    ).distinct()
+    gaps = expected.join(present, ["d", "h"], "left_anti").orderBy("d", "h")
+    missing = gaps.limit(25).collect()
+    if missing:
+        desc = ", ".join(f"{r['d']}T{r['h']:02d}" for r in missing[:5])
+        raise ValueError(
+            f"catalog has {len(missing)}{'+' if len(missing) == 25 else ''} "
+            f"missing (date, hour) slots, e.g. {desc}"
+        )
+
+
 def pair_granules(
     catalog: DataFrame,
     data_product: str = "MYD06_L2",
