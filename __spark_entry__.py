@@ -789,6 +789,45 @@ def _q_r9b_approx_distinct(spark, sf_dir):
     )
 
 
+def _q_r14_subquery(spark, sf_dir):
+    """Correlated scalar subquery through spark.sql (Catalyst
+    decorrelation): parts priced above their brand's average."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__part_r14")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 6) AS price
+        FROM __part_r14 p
+        WHERE p_retailprice > (
+          SELECT avg(p_retailprice) FROM __part_r14 q WHERE q.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+_SQL_R14 = """
+SELECT p_partkey, p_brand, round(p_retailprice, 6) AS price
+FROM part p
+WHERE p_retailprice > (
+  SELECT avg(p_retailprice) FROM part q WHERE q.p_brand = p.p_brand
+)
+"""
+
+
+def _q_r15_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+_SQL_R15 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _q_r13_json_props(spark, sf_dir):
     """JSON scalar functions (F9) over the events props column."""
     ev = _t(spark, sf_dir, "events")
@@ -1132,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_dedup_exact": _q_r11_dedup_exact,
         "r12_text_terms": _q_r12_text_terms,
         "r13_json_props": _q_r13_json_props,
+        "r14_subquery": _q_r14_subquery,
+        "r15_cube": _q_r15_cube,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
         "x3_lang_id": _q_x3_lang_id,
@@ -1178,6 +1219,8 @@ def oracle_sql() -> dict[str, str]:
         "r11_dedup_exact": _SQL_R11,
         "r12_text_terms": _SQL_R12,
         "r13_json_props": _SQL_R13,
+        "r14_subquery": _SQL_R14,
+        "r15_cube": _SQL_R15,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py

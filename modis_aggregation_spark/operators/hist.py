@@ -92,6 +92,50 @@ def hist_array(
     return df.groupBy(*group_cols).agg(F.array(*counts).alias(out_col))
 
 
+def hist_array_pandas(
+    pixels_with_cell: DataFrame,
+    var: str,
+    edges: Sequence[float],
+    group_cols: Sequence[str] = ("cell",),
+    out_col: str | None = None,
+) -> DataFrame:
+    """``applyInPandas`` UDAF cross-check of ``hist_array`` (SURVEY §2.7).
+
+    Uses np.histogram directly per group — definitionally the reference's
+    binning — so tests can assert the JVM bucket expression against it.
+    NOT the hot path: applyInPandas shuffles raw rows to groups (no
+    map-side combine); the conditional-sum form ships per-partition
+    partials instead. Kept as the semantic oracle and as the pattern for
+    aggregations that genuinely need NumPy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_col = out_col or f"{var}_hist"
+    nbins = len(edges) - 1
+    edge_arr = np.asarray(edges, dtype=np.float64)
+    keys = list(group_cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pixels_with_cell.schema.fields
+        if f.name in keys
+    )
+    schema = f"{key_schema}, {out_col} array<bigint>"
+
+    def binner(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[var].to_numpy(dtype=np.float64)
+        h, _ = np.histogram(vals[~np.isnan(vals)], bins=edge_arr)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[out_col] = [h.astype("int64").tolist()]
+        return pd.DataFrame(row)
+
+    return (
+        pixels_with_cell.select(*keys, var)
+        .groupBy(*keys)
+        .applyInPandas(binner, schema)
+    )
+
+
 def hist_array_2d(
     pixels_with_cell: DataFrame,
     var_x: str,

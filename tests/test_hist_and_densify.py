@@ -75,3 +75,24 @@ def test_cell_dimension_shape(spark):
     assert dim.count() == 12
     r = dim.filter(F.col("cell") == 7).first()
     assert (r.lat_idx, r.lon_idx) == (1, 3)
+
+
+def test_hist_array_pandas_cross_check(spark):
+    """The JVM conditional-sum histogram must equal the applyInPandas
+    np.histogram UDAF on the same data (SURVEY §2.7 cross-check)."""
+    import os
+
+    from modis_aggregation_spark.config import default_spec
+    from modis_aggregation_spark.operators import stats as ops_stats
+    from modis_aggregation_spark.operators.hist import hist_array, hist_array_pandas
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+    )
+    px = spark.read.parquet(os.path.join(fixtures, "pixels.parquet"))
+    spec = default_spec(lat_bounds=(-20.0, 20.0), lon_bounds=(0.0, 35.0))
+    df = ops_stats.with_cell(px, spec)
+    edges = (0.0, 300.0, 600.0, 900.0, 1100.0)
+    jvm = {r["cell"]: list(r["ctp_hist"]) for r in hist_array(df, "ctp", edges).collect()}
+    pd_ = {r["cell"]: list(r["ctp_hist"]) for r in hist_array_pandas(df, "ctp", edges).collect()}
+    assert jvm == pd_
