@@ -246,3 +246,22 @@ def test_cli_end_to_end(spark, tmp_path):
             "--lat0", "-20", "--lat1", "20", "--lon0", "0", "--lon1", "35",
             "--var", "ctp",
         ])
+
+
+def test_daily_grid_day_rules_null_measures(spark):
+    """End-to-end day-definition path: running with end_doy/spill_doy must
+    reduce counted measures (quadrant nulling) but never row counts."""
+    pixels = spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet"))
+    granules = spark.read.parquet(os.path.join(FIXTURES, "granules.parquet"))
+    plain = daily_grid(spark, SPEC, pixels, granules, densify_output=False)
+    ruled = daily_grid(
+        spark, SPEC, pixels, granules, end_doy=2, spill_doy=3, densify_output=False
+    )
+    p = {r["cell"]: r for r in plain.collect()}
+    r_ = {r["cell"]: r for r in ruled.collect()}
+    total_p = sum(x["ctp_count"] for x in p.values())
+    total_r = sum(x["ctp_count"] for x in r_.values())
+    assert total_r < total_p
+    tot_p = sum(x["tot_pix"] for x in p.values())
+    tot_r = sum(x["tot_pix"] for x in r_.values())
+    assert tot_r < tot_p  # cm nulled too (CF path)
