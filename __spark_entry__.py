@@ -853,6 +853,47 @@ GROUP BY 1
 """
 
 
+def _q_r16_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + running-sum window rewrite)."""
+    from modis_aggregation_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, gap_minutes=360.0, order_cols=("event_id",))
+    return out.select(
+        "user_id",
+        "session_id",
+        _r6(F.col("session_start").cast("double")).alias("start_sec"),
+        _r6(F.col("session_end").cast("double")).alias("end_sec"),
+        _r6(F.col("duration_sec")).alias("duration_sec"),
+        "n_events",
+    )
+
+
+_SQL_R16 = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 21600 THEN 1 ELSE 0 END AS ns
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM f
+)
+SELECT user_id, session_id,
+       round(min(epoch(ts)), 6) AS start_sec,
+       round(max(epoch(ts)), 6) AS end_sec,
+       round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec,
+       count(*) AS n_events
+FROM s
+GROUP BY 1, 2
+"""
+
+
 def _q_s1_stream_daily(spark, sf_dir):
     """Structured Streaming daily grid, run to completion (availableNow)
     over the pixel fixture; returns the final batch result. Oracle: the
@@ -1173,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r13_json_props": _q_r13_json_props,
         "r14_subquery": _q_r14_subquery,
         "r15_cube": _q_r15_cube,
+        "r16_sessionize": _q_r16_sessionize,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
         "x3_lang_id": _q_x3_lang_id,
@@ -1221,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "r13_json_props": _SQL_R13,
         "r14_subquery": _SQL_R14,
         "r15_cube": _SQL_R15,
+        "r16_sessionize": _SQL_R16,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py

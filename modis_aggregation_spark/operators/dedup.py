@@ -197,22 +197,83 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Exact connected components of a pair graph via iterative label
+    propagation: every node's label converges to the minimum id reachable
+    from it. Returns (id, component).
+
+    Each round is one join + one groupBy (label = min over self and
+    neighbors); lineage is cut with localCheckpoint per round so the plan
+    does not grow exponentially. Converges in O(diameter) rounds —
+    near-dup clusters are shallow (boilerplate stars, chain lengths of a
+    few), so ``max_iter`` is a safety bound, not a truncation in practice;
+    a non-converged graph raises rather than returning wrong labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+                F.col("comp").alias("__old"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("comp") != F.col("__old")).limit(1).count()
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def minhash_dedup(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
+    exact_components: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: every doc that pairs (as the higher id) with a
-    surviving lower id is removed (greedy by id — one connected-component
-    approximation pass; exact CC needs iterative joins, see docstring).
+    """Drop near-duplicates, keeping one representative per cluster.
 
-    For full transitive closure run connected components over the pair
-    graph (iterated joins / GraphFrames); the greedy lower-id rule is the
-    standard single-pass approximation used in corpus pipelines.
+    Default (greedy): every doc that pairs (as the higher id) with a lower
+    id is removed — the standard single-pass approximation used in corpus
+    pipelines (over-deletes only when a chain's middle element links ends
+    that aren't pairwise similar). ``exact_components=True`` runs true
+    transitive closure via ``connected_components`` and keeps exactly the
+    minimum id of each cluster.
     """
     pairs = minhash_lsh_pairs(df, content_col, id_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if exact_components:
+        comps = connected_components(pairs)
+        losers = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

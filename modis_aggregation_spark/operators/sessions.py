@@ -1,0 +1,150 @@
+"""Sessionization: gap-based event sessions, batch and streaming.
+
+Batch: the classic window rewrite — ``lag(ts)`` per user, new-session flag
+on gap > timeout, running sum of flags = session id. Pure Catalyst, one
+shuffle on user_id (SQL-expressible, oracle-checked as r16).
+
+Streaming: ``applyInPandasWithState`` keeps an open session per user and
+emits sessions as they close — the engine's demonstration of a custom
+stateful streaming operator for semantics that windowed aggregation can't
+express (data-driven gaps rather than fixed windows). Spark 4's
+``session_window`` covers the common case; the stateful form is the
+template for arbitrary per-key state machines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign ``session_id`` (0-based per user) by inactivity gap.
+
+    Deterministic given a total order: pass tie-breaker ``order_cols``
+    (e.g. event_id) for equal timestamps.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_sec = gap_minutes * 60.0
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_sec),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-session summary: start/end/duration/event count."""
+    s = sessionize(events, user_col, ts_col, gap_minutes, order_cols)
+    return s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.max(F.col(ts_col)).cast("double")
+            - F.min(F.col(ts_col)).cast("double")
+        ).alias("duration_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+STREAM_SESSION_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "duration_sec DOUBLE, n_events BIGINT"
+)
+_STATE_SCHEMA = "start DOUBLE, last DOUBLE, n BIGINT"
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+):
+    """Streaming sessionizer via ``applyInPandasWithState``.
+
+    Emits one row per CLOSED session (closed by a later event beyond the
+    gap, or by state timeout once the watermark passes). State per user is
+    the open session's (start, last, count) — constant size per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_sec = gap_minutes * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                sessions.append((user, start, last, last - start, n))
+                state.remove()
+        else:
+            ts = []
+            for pdf in pdfs:
+                ts.extend(float(t.timestamp()) for t in pd.to_datetime(pdf[ts_col]))
+            ts.sort()
+            if ts:
+                if state.exists:
+                    start, last, n = state.get
+                else:
+                    start, last, n = ts[0], ts[0], 0
+                for t in ts:
+                    if t - last > gap_sec:
+                        sessions.append((user, start, last, last - start, n))
+                        start, n = t, 0
+                    last = max(last, t)
+                    n += 1
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+        if sessions:
+            import numpy as np
+
+            def to_us(vals):  # exact microseconds → safe ns→us Arrow cast
+                return pd.to_datetime(
+                    np.round(np.asarray(vals) * 1e6).astype("int64"), unit="us", utc=True
+                )
+
+            yield pd.DataFrame(
+                {
+                    "user_id": [s[0] for s in sessions],
+                    "session_start": to_us([s[1] for s in sessions]),
+                    "session_end": to_us([s[2] for s in sessions]),
+                    "duration_sec": [s[3] for s in sessions],
+                    "n_events": [s[4] for s in sessions],
+                }
+            )
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STREAM_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -288,3 +288,19 @@ def test_sample_frames(spark):
     for r in out:
         by_id.setdefault(r["id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 10, 20] for v in by_id.values())
+
+
+def test_connected_components_and_exact_dedup(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], ["id_a", "id_b"]
+    )
+    comps = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    kept = sorted(
+        r["doc_id"]
+        for r in D.minhash_dedup(
+            _docs(spark), threshold=0.5, exact_components=True
+        ).collect()
+    )
+    assert kept == [1, 4]
