@@ -107,6 +107,63 @@ def decode_images(
     return df.select(id_col, payload_col).mapInPandas(batches, DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "id BIGINT, sample_rate INT, n_samples BIGINT, duration_sec DOUBLE, "
+    "rms DOUBLE, zero_crossings BIGINT"
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    decoder: str = "fake",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Audio feature extraction over BINARY payloads via mapInPandas.
+
+    ``decoder="real"`` needs soundfile/librosa (not in this container →
+    NotImplementedError); ``decoder="fake"`` deterministically synthesizes
+    a waveform from the payload digest and computes REAL features on it
+    (RMS, zero crossings) — the Arrow batch path and schema contract are
+    identical to a real codec's.
+    """
+    if decoder == "real":
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real audio decode needs soundfile; use decoder='fake'"
+            ) from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, durs, rmss, zcs = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(b)
+                seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                n = 1000 + (len(payload) % 1000)
+                wave = rng.standard_normal(n).astype(np.float32)
+                ids.append(i)
+                ns.append(n)
+                durs.append(n / sample_rate)
+                rmss.append(float(np.sqrt(np.mean(wave**2))))
+                zcs.append(int(np.count_nonzero(np.diff(np.signbit(wave)))))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "sample_rate": sample_rate,
+                    "n_samples": ns,
+                    "duration_sec": durs,
+                    "rms": rmss,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)
+
+
 FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame BINARY"
 
 

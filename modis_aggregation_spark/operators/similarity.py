@@ -114,6 +114,21 @@ def ivf_assign(
     return df.withColumn(out_col, _assign(F.col(emb_col).cast("array<double>")))
 
 
+def ivf_build(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    index_path: str,
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus written as parquet PARTITIONED BY
+    list_id. Queries then touch only their probe lists' directories —
+    partition pruning turns nprobe/nlist into a physical I/O reduction,
+    which is the entire point of IVF at 100 TB (reading 2/16ths of the
+    corpus instead of all of it, before any compute)."""
+    assigned = ivf_assign(corpus, centroids, emb_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     queries: DataFrame,

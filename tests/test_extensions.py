@@ -304,3 +304,31 @@ def test_connected_components_and_exact_dedup(spark):
         ).collect()
     )
     assert kept == [1, 4]
+
+
+def test_extract_audio_features(spark):
+    out = M.extract_audio_features(_media_df(spark), decoder="fake").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == 1000 + (r["n_samples"] - 1000)  # in range
+        assert 0.5 < r["rms"] < 1.5  # unit gaussian RMS ~ 1
+        assert r["zero_crossings"] > 0
+        assert r["duration_sec"] == pytest.approx(r["n_samples"] / 16000)
+    again = M.extract_audio_features(_media_df(spark), decoder="fake").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # deterministic
+    with pytest.raises(NotImplementedError):
+        M.extract_audio_features(_media_df(spark), decoder="real")
+
+
+def test_ivf_build_partition_pruning(spark, tmp_path):
+    df, _ = _emb_df(spark, n=40, dim=8, seed=4)
+    cents = S.kmeans_centroids(df, nlist=4, sample_rows=40, seed=7)
+    path = str(tmp_path / "ivf_index")
+    S.ivf_build(df, cents, path)
+    idx = spark.read.parquet(path)
+    assert sorted(idx.columns) == ["embedding", "list_id", "vec_id"]
+    assert idx.count() == 40
+    probed = idx.filter(F.col("list_id") == 0)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:120]
