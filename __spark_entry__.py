@@ -853,6 +853,96 @@ GROUP BY 1
 """
 
 
+def _q_r17_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped: 3-way join, grouped revenue, deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_R17 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q_r18_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shaped: 6-way join chain (join-reordering exercise)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(_t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1992-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+_SQL_R18 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1992-01-01'
+GROUP BY n_name
+"""
+
+
+def _q_s2_granule_scan(spark, sf_dir):
+    """S3 in the driver contract: the granule Python DataSource end-to-end
+    (deterministic synthetic decode → bbox → per-granule counts).
+    Rows-only: the source is generated, not a parquet table DuckDB sees."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    spark.dataSource.register(GranuleDataSource)
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", "1,2,3,4")
+        .option("variables", "ctp")
+        .load()
+    )
+    return (
+        df.filter((F.col("lat") > -60) & (F.col("lat") < 60))
+        .groupBy("granule_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pix"),
+            F.count("ctp").alias("ctp_valid"),
+            _r6(F.avg("ctp")).alias("ctp_mean"),
+        )
+    )
+
+
 def _q_r16_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag + running-sum window rewrite)."""
     from modis_aggregation_spark.operators.sessions import session_stats
@@ -1215,6 +1305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r14_subquery": _q_r14_subquery,
         "r15_cube": _q_r15_cube,
         "r16_sessionize": _q_r16_sessionize,
+        "r17_tpch_q3": _q_r17_tpch_q3,
+        "r18_tpch_q5": _q_r18_tpch_q5,
+        "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
         "x3_lang_id": _q_x3_lang_id,
@@ -1264,6 +1357,8 @@ def oracle_sql() -> dict[str, str]:
         "r14_subquery": _SQL_R14,
         "r15_cube": _SQL_R15,
         "r16_sessionize": _SQL_R16,
+        "r17_tpch_q3": _SQL_R17,
+        "r18_tpch_q5": _SQL_R18,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
