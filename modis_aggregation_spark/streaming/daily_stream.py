@@ -62,6 +62,40 @@ def with_event_time(pixels: DataFrame, granules: DataFrame) -> DataFrame:
     return pixels.join(F.broadcast(cat), "granule_id")
 
 
+def write_daily_grids(
+    daily_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+):
+    """Continuous L3 production: sink the streaming daily grid to parquet
+    PARTITIONED BY date via foreachBatch.
+
+    ``complete`` output mode re-emits every open day each micro-batch;
+    dynamic partition overwrite rewrites only the day-partitions present in
+    that batch, so closed days stop being touched once the watermark passes
+    — downstream readers see one directory per day of mergeable partials
+    (finalize with ``plans.pipeline.reaggregate`` column logic).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(out_path)
+        )
+
+    writer = (
+        daily_stream.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_daily_grid(
     pixels_stream: DataFrame,
     granules: DataFrame,

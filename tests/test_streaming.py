@@ -84,3 +84,34 @@ def test_stream_equals_batch(spark, staged_dir, tmp_path):
             a, b = g[c], w[c]
             assert (a is None and b is None) or a == pytest.approx(b, abs=1e-9), (k, c)
     assert len(got) > 10
+
+
+def test_write_daily_grids_partitioned_sink(spark, staged_dir, tmp_path):
+    from modis_aggregation_spark.streaming.daily_stream import write_daily_grids
+
+    granules = spark.read.parquet(os.path.join(FIXTURES, "granules.parquet"))
+    schema = spark.read.parquet(staged_dir).schema
+    stream = stream_pixels(spark, staged_dir, schema, max_files_per_trigger=3)
+    out = stream_daily_grid(stream, granules, SPEC)
+    q = write_daily_grids(
+        out,
+        str(tmp_path / "l3_days"),
+        str(tmp_path / "ckpt2"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(str(tmp_path / "l3_days"))
+    # one directory partition per event day
+    days = sorted(str(r["date"]) for r in result.select("date").distinct().collect())
+    assert len(days) >= 2
+    assert os.path.isdir(os.path.join(str(tmp_path / "l3_days"), f"date={days[0]}"))
+    # partials in the sink match the direct batch daily aggregation
+    total_cld = result.agg(F.sum("cld_pix")).first()[0]
+    px = spark.read.parquet(staged_dir)
+    from modis_aggregation_spark.operators.stats import with_cell, with_cloud_mask
+    direct = with_cell(with_cloud_mask(px), SPEC)
+    want_cld = direct.agg(
+        F.sum(F.when(F.col("cm").between(0, 1), 1).otherwise(0))
+    ).first()[0]
+    assert total_cld == want_cld
