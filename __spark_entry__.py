@@ -1067,6 +1067,106 @@ def _sw_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in fn_text.STOPWORDS[lang])
 
 
+def _q_x12_curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation: quality gate → language gate → exact
+    dedup → per-source survivor counts. The composition every large-scale
+    training-data pipeline runs, as ONE declarative plan."""
+    docs = _t(spark, sf_dir, "documents")
+    profiled = fn_text.text_profile(docs, "text", "en")
+    kept = profiled.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    deduped = ops_dedup.exact_dedup(kept, "text", "doc_id")
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r6(F.avg("quality")).alias("avg_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_SQL_X12 = f"""
+WITH t AS (
+  SELECT doc_id, text, source, n_chars, {_D_TOKS} AS toks, {_D_NOWS} AS no_ws
+  FROM documents
+), c AS (
+  SELECT doc_id, text, source, n_chars, toks,
+         len(toks) AS wc,
+         length(regexp_replace(no_ws, '[A-Za-z0-9]', '', 'g'))
+           / nullif(length(no_ws), 0) AS pr,
+         len(list_filter(toks, x -> x IN ({_sw_sql('en')})))
+           / nullif(len(toks), 0) AS sr,
+         list_sum(list_transform(toks, x -> length(x)))
+           / nullif(len(toks), 0) AS mwl
+  FROM t
+), langed AS (
+  SELECT doc_id, text, source, n_chars, wc, pr, sr, mwl,
+         list_aggregate([
+           {", ".join(
+             "{'score': len(list_filter(toks, x -> x IN (%s))) / nullif(len(toks), 0), 'lang': '%s'}"
+             % (_sw_sql(lang), lang)
+             for lang in sorted(fn_text.STOPWORDS)
+           )}
+         ], 'max') AS best
+  FROM c
+), scored AS (
+  SELECT doc_id, text, source, n_chars,
+         least(wc / 100.0, 1.0) * 0.3
+           + greatest(0.0, 1.0 - pr * 4) * 0.3
+           + least(sr * 5, 1.0) * 0.2
+           + (CASE WHEN mwl >= 2.5 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
+           AS quality,
+         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang
+  FROM langed
+), kept AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE quality >= 0.5 AND lang = 'en'
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(quality), 6) AS avg_quality,
+       sum(n_chars) AS total_chars
+FROM kept WHERE rn = 1
+GROUP BY source
+"""
+
+
+def _q_x13_tfidf(spark, sf_dir):
+    """TF-IDF top-5 terms per document (smoothed idf, deterministic ties)."""
+    from modis_aggregation_spark.operators.tfidf import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_idf(docs, "text", "doc_id", top_k=5)
+    return out.select(
+        "doc_id", "term", "tf", "df", _r6(F.col("tfidf")).alias("tfidf"), "rank"
+    )
+
+
+_SQL_X13 = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents)
+  GROUP BY doc_id, term
+), df_ AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_.df,
+         tf.tf * (ln((n.n_docs + 1) / (df_.df + 1)) + 1.0) AS tfidf
+  FROM tf JOIN df_ USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
 def _q_x1_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return ops_dedup.exact_dedup(docs, "text", "doc_id").select(
@@ -1319,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_ivf_topk": _q_x9_ivf_topk,
         "x10_media_meta": _q_x10_media_meta,
         "x11_decode_images": _q_x11_decode_images,
+        "x12_curate_corpus": _q_x12_curate_corpus,
+        "x13_tfidf": _q_x13_tfidf,
         "s1_stream_daily": _q_s1_stream_daily,
     }
 
@@ -1368,5 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "x4_ngram_jaccard": _SQL_X4,
         "x7_cosine_topk": _SQL_X7,
         "x10_media_meta": _SQL_X10,
+        "x12_curate_corpus": _SQL_X12,
+        "x13_tfidf": _SQL_X13,
         "s1_stream_daily": _SQL_S1,
     }

@@ -332,3 +332,21 @@ def test_ivf_build_partition_pruning(spark, tmp_path):
     probed = idx.filter(F.col("list_id") == 0)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_tf_idf(spark):
+    from modis_aggregation_spark.operators.tfidf import idf_value, tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tf_idf(df).collect()}
+    assert out[(1, "apple")]["tf"] == 2 and out[(1, "apple")]["df"] == 1
+    assert out[(1, "banana")]["df"] == 2
+    assert out[(1, "apple")]["tfidf"] == pytest.approx(2 * idf_value(3, 1))
+    assert out[(2, "banana")]["tfidf"] == pytest.approx(1 * idf_value(3, 2))
+    # rarer term outranks common one at equal tf
+    top = tf_idf(df, top_k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in top}
+    assert best[2] == "cherry"

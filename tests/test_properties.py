@@ -154,3 +154,44 @@ def test_partition_count_invariance(spark):
         }
 
     assert run(1) == run(16)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=64),
+        min_size=1,
+        max_size=30,
+    ),
+    scale=st.sampled_from([0.01, 0.1, 1.0]),
+)
+@SETTINGS
+def test_pack_roundtrip_error_bounded(vals, scale):
+    """unpack(pack(v)) differs from v by < scale (truncation quantization)."""
+    from modis_aggregation_spark.sinks.writers import pack_values
+
+    arr = np.array(vals)
+    packed = pack_values(arr, scale=scale, offset=0.0, fill=-999999)
+    unpacked = packed.astype(np.float64) * scale
+    assert np.all(np.abs(unpacked - arr) < scale + 1e-12)
+
+
+def test_day_rules_preserve_rows(spark):
+    """P4 nulls measures, never drops rows; untouched quadrants unchanged."""
+    import os
+
+    from modis_aggregation_spark.functions.dayrules import day_definition_null
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+    )
+    px = spark.read.parquet(os.path.join(fixtures, "pixels.parquet"))
+    gran = spark.read.parquet(os.path.join(fixtures, "granules.parquet")).select(
+        "granule_id", "doy", "hour"
+    )
+    df = px.join(gran, "granule_id")
+    out = day_definition_null(df, ["ctp"], end_doy=2, spill_doy=3, shift_hours=3)
+    assert out.count() == df.count()
+    # rows outside the shifted hours keep their values bit-for-bit
+    before = df.filter(F.col("hour") >= 3).agg(F.sum("ctp")).first()[0]
+    after = out.filter(F.col("hour") >= 3).agg(F.sum("ctp")).first()[0]
+    assert before == after
