@@ -76,6 +76,37 @@ def main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # flagship: the fused daily_grid plan (all stats + histograms + joint
+    # hist + CF + grid counts, densified) over the pixel fixture
+    from modis_aggregation_spark.config import (
+        AggregationSpec,
+        JointHistSpec,
+        VariableSpec,
+    )
+    from modis_aggregation_spark.plans.pipeline import daily_grid
+
+    spec = AggregationSpec(
+        lat_bounds=(-20.0, 20.0),
+        lon_bounds=(0.0, 35.0),
+        variables=(
+            VariableSpec(name="ctp", bin_edges=(0.0, 300.0, 600.0, 900.0, 1100.0)),
+            VariableSpec(name="cee", bin_edges=(0.0, 0.5, 1.0)),
+            VariableSpec(name="cloud_fraction_CM", bin_edges=(0.0, 0.5, 1.0)),
+        ),
+        joint_hists=(
+            JointHistSpec("ctp", "ctp_cee", "cee", (0.0, 0.5, 1.0)),
+        ),
+    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    px = spark.read.parquet(os.path.join(repo, "fixtures", "pixels.parquet"))
+    gr = spark.read.parquet(os.path.join(repo, "fixtures", "granules.parquet"))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        daily_grid(spark, spec, px, gr).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["q_daily_grid_full"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     spark.stop()
     print(

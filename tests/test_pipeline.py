@@ -265,3 +265,21 @@ def test_daily_grid_day_rules_null_measures(spark):
     tot_p = sum(x["tot_pix"] for x in p.values())
     tot_r = sum(x["tot_pix"] for x in r_.values())
     assert tot_r < tot_p  # cm nulled too (CF path)
+
+
+def test_daily_grid_empty_input(spark):
+    """A region with zero surviving pixels still yields the full densified
+    grid: counts 0, statistics NULL — never an empty frame or a crash."""
+    pixels = spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet"))
+    granules = spark.read.parquet(os.path.join(FIXTURES, "granules.parquet"))
+    spec = AggregationSpec(
+        lat_bounds=(88.0, 89.0),  # fixture max lat is 86.6 — guaranteed empty
+        lon_bounds=(100.0, 105.0),
+        variables=(VariableSpec(name="ctp"),),
+    )
+    out = daily_grid(spark, spec, pixels, granules)
+    rows = out.collect()
+    assert len(rows) == spec.ncells == 5
+    for r in rows:
+        assert r["tot_pix"] == 0 and r["ctp_count"] == 0
+        assert r["ctp_mean"] is None and r["cf_mean"] is None
