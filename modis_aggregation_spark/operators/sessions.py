@@ -118,7 +118,11 @@ def sessionize_stream(
                     last = max(last, t)
                     n += 1
                 state.update((start, last, n))
-                state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+                # a straggler key's (last + gap) can already be behind the
+                # watermark — Spark rejects past timeouts, so clamp forward
+                timeout_ms = int((last + gap_sec) * 1000)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         if sessions:
             import numpy as np
 

@@ -93,10 +93,13 @@ def grid_to_arrays(
         if fname in skip:
             continue
         col = [r[fname] for r in rows]
-        if col and isinstance(col[0], list):
+        # detect array columns from the first NON-NULL value — cell 0 may be
+        # an empty cell whose histogram is NULL after the densify left join
+        first = next((c for c in col if c is not None), None)
+        if isinstance(first, list):
+            zero = np.zeros_like(np.asarray(first, dtype=np.float64))
             arr = np.array(
-                [c if c is not None else np.zeros_like(col[0]) for c in col],
-                dtype=np.float64,
+                [c if c is not None else zero for c in col], dtype=np.float64
             )
             out[fname] = arr.reshape((nlat, nlon) + arr.shape[1:])
         else:

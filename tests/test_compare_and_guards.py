@@ -127,3 +127,27 @@ def test_salted_agg_matches_plain(spark):
         )
     with pytest.raises(ValueError, match="unsupported"):
         salted_agg(li, ["l_returnflag"], "l_quantity", stats=("median",))
+
+
+def test_grid_to_arrays_null_first_cell(spark):
+    """Regression: hist columns must be detected from the first NON-NULL
+    value — cell 0 of a densified grid can be empty (NULL array)."""
+    import numpy as np
+
+    from modis_aggregation_spark.config import VariableSpec
+    from modis_aggregation_spark.sinks.writers import grid_to_arrays
+
+    spec = AggregationSpec(
+        lat_bounds=(0.0, 1.0),
+        lon_bounds=(0.0, 2.0),
+        variables=(VariableSpec(name="v", bin_edges=(0.0, 1.0, 2.0)),),
+    )
+    df = spark.createDataFrame(
+        [(0, 0, 0, None, None), (1, 0, 1, 3.0, [1, 2])],
+        "cell long, lat_idx int, lon_idx int, v_mean double, v_hist array<bigint>",
+    )
+    arrays = grid_to_arrays(df, spec)
+    assert arrays["v_hist"].shape == (1, 2, 2)
+    assert np.all(arrays["v_hist"][0, 0] == 0)  # NULL cell -> zeros
+    assert arrays["v_hist"][0, 1].tolist() == [1.0, 2.0]
+    assert np.isnan(arrays["v_mean"][0, 0])
