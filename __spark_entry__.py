@@ -727,6 +727,35 @@ LEFT JOIN samp_agg s ON s.cell = d.cell
 """
 
 
+def _q_m15_alt_grid(spark, sf_dir):
+    """The reference's alternate 0.5° × 0.625° (non-square) grid
+    (MODIS_Aggregation_Local_Commands.sh:43-51): same bbox, 80×56 cells."""
+    spec = default_spec(
+        lat_bounds=SPEC.lat_bounds, lon_bounds=SPEC.lon_bounds, grid=(0.5, 0.625)
+    )
+    df = ops_stats.cell_stats(ops_stats.with_cell(_px(spark), spec), ["ctp"])
+    return df.select(
+        "cell",
+        _r6(F.col("ctp_min")).alias("ctp_min"),
+        _r6(F.col("ctp_max")).alias("ctp_max"),
+        F.col("ctp_count"),
+        _r6(F.col("ctp_mean")).alias("ctp_mean"),
+    )
+
+
+_SQL_M15 = f"""
+SELECT CAST(FLOOR((lat - -20.0) / 0.5) AS BIGINT) * 56
+         + CAST(FLOOR((lon - 0.0) / 0.625) AS BIGINT) AS cell,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       count(ctp) AS ctp_count,
+       round(avg(ctp), 6) AS ctp_mean
+FROM read_parquet('{PIXELS}')
+WHERE {_BBOX}
+GROUP BY 1
+"""
+
+
 def _q_m13_monthly_reagg(spark, sf_dir):
     """A15/A16: stage per-day partial grids, merge with reaggregate() —
     must equal one-shot aggregation over the whole period (the oracle
@@ -1386,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m12_finalize": _q_m12_finalize,
         "m13_monthly_reagg": _q_m13_monthly_reagg,
         "m14_compare_grids": _q_m14_compare_grids,
+        "m15_alt_grid": _q_m15_alt_grid,
         "r1_filter_project": _q_r1_filter_project,
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -1441,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         "m12_finalize": _SQL_M12,
         "m13_monthly_reagg": _SQL_M13,
         "m14_compare_grids": _SQL_M14,
+        "m15_alt_grid": _SQL_M15,
         "r1_filter_project": _SQL_R1,
         "r2_tpch_q1": _SQL_R2,
         "r3_join_chain": _SQL_R3,

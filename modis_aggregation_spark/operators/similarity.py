@@ -143,12 +143,13 @@ def ivf_topk(
     centroid lists. ``corpus_assigned`` must carry ``list_id`` (from
     ``ivf_assign``; persist/partition by it for reuse across query batches).
     """
-    q = queries.select(
+    qa = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).cast("array<double>").alias("__qe"),
     )
-    qa = ivf_assign(q, centroids, "__qe", "__c0")  # nearest list (unused, doc)
     # probe set per query: nprobe nearest centroids, computed JVM-side
+    # (centroids ride as literal arrays — fine at typical nlist ≤ a few
+    # hundred; beyond that, broadcast a centroid DataFrame instead)
     probes = []
     for ci, cent in enumerate(centroids):
         lit_c = F.array(*[F.lit(float(x)) for x in cent])
