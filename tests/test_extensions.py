@@ -350,3 +350,21 @@ def test_tf_idf(spark):
     top = tf_idf(df, top_k=1).collect()
     best = {r["doc_id"]: r["term"] for r in top}
     assert best[2] == "cherry"
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """With nprobe == nlist IVF degrades to exact search: results must
+    equal cosine_topk row for row."""
+    df, _ = _emb_df(spark, n=40, dim=8, seed=9)
+    queries = df.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+    cents = S.kmeans_centroids(df, nlist=4, sample_rows=40, seed=11)
+    assigned = S.ivf_assign(df, cents)
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in S.ivf_topk(assigned, queries, cents, k=5, nprobe=4).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in S.cosine_topk(df, queries, k=5).collect()
+    }
+    assert ivf == brute

@@ -73,3 +73,31 @@ def test_validate_hour_coverage(spark):
     validate_hour_coverage(cat, "2008-01-01", "2008-01-02")  # days 1-2 complete
     with pytest.raises(ValueError, match="missing"):
         validate_hour_coverage(cat, "2008-01-01", "2008-01-03")
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys: a self-join of a table bucketed by
+    the join key must plan without an Exchange on either side."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (
+        li.write.mode("overwrite")
+        .option("path", str(tmp_path / "li_bucketed"))  # external: keep out of cwd
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path so the assertion targets
+        # hash-partitioning exchanges, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("li_bucketed")
+        agg_a = t.groupBy("l_orderkey").count()
+        joined = agg_a.join(t.select("l_orderkey", "l_quantity"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan
+        assert joined.count() == t.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
