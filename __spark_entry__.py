@@ -972,6 +972,49 @@ def _q_s2_granule_scan(spark, sf_dir):
     )
 
 
+def _q_r19_percentiles(spark, sf_dir):
+    """Exact percentiles (sort-based aggregation) + approx for comparison
+    (approx column excluded from the oracle-checked projection)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(F.expr("percentile(l_quantity, 0.25)")).alias("q25"),
+        _r6(F.expr("percentile(l_quantity, 0.5)")).alias("q50"),
+        _r6(F.expr("percentile(l_quantity, 0.75)")).alias("q75"),
+        _r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("price_p90"),
+    )
+
+
+_SQL_R19 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _q_r20_collect_list(spark, sf_dir):
+    """collect_list/collect_set surface, made deterministic via array_sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.size(F.array_distinct(F.collect_list("o_orderstatus"))).cast("long").alias(
+            "n_statuses"
+        ),
+    )
+
+
+_SQL_R20 = """
+SELECT o_custkey,
+       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       len(list_distinct(list(o_orderstatus))) AS n_statuses
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 def _q_r16_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag + running-sum window rewrite)."""
     from modis_aggregation_spark.operators.sessions import session_stats
@@ -1437,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r16_sessionize": _q_r16_sessionize,
         "r17_tpch_q3": _q_r17_tpch_q3,
         "r18_tpch_q5": _q_r18_tpch_q5,
+        "r19_percentiles": _q_r19_percentiles,
+        "r20_collect_list": _q_r20_collect_list,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -1492,6 +1537,8 @@ def oracle_sql() -> dict[str, str]:
         "r16_sessionize": _SQL_R16,
         "r17_tpch_q3": _SQL_R17,
         "r18_tpch_q5": _SQL_R18,
+        "r19_percentiles": _SQL_R19,
+        "r20_collect_list": _SQL_R20,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
