@@ -972,6 +972,71 @@ def _q_s2_granule_scan(spark, sf_dir):
     )
 
 
+def _q_r21_having_in(spark, sf_dir):
+    """TPC-H Q18-shaped: HAVING-filtered aggregate driving an IN-subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            _r6(F.col("total_qty")).alias("total_qty"),
+        )
+    )
+
+
+_SQL_R21 = """
+SELECT o_orderkey, o_custkey, o_orderdate, round(total_qty, 6) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+) big ON o_orderkey = big.l_orderkey
+"""
+
+
+def _q_r22_outer_joins(spark, sf_dir):
+    """Full outer join: per-nation customer vs supplier counts, nations
+    with only one side surviving with NULL-safe zero counts."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+_SQL_R22 = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
 def _q_r19_percentiles(spark, sf_dir):
     """Exact percentiles (sort-based aggregation) + approx for comparison
     (approx column excluded from the oracle-checked projection)."""
@@ -1482,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r18_tpch_q5": _q_r18_tpch_q5,
         "r19_percentiles": _q_r19_percentiles,
         "r20_collect_list": _q_r20_collect_list,
+        "r21_having_in": _q_r21_having_in,
+        "r22_outer_joins": _q_r22_outer_joins,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -1539,6 +1606,8 @@ def oracle_sql() -> dict[str, str]:
         "r18_tpch_q5": _SQL_R18,
         "r19_percentiles": _SQL_R19,
         "r20_collect_list": _SQL_R20,
+        "r21_having_in": _SQL_R21,
+        "r22_outer_joins": _SQL_R22,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
