@@ -60,3 +60,34 @@ def test_default_spec():
     assert spec.physical_variables() == tuple(
         v for v in spec.variables if v.name != "cloud_fraction_CM"
     )
+
+
+def test_reference_cli_argv_parsing():
+    from modis_aggregation_spark.reference_cli import (
+        parse_data_path_csv,
+        parse_reference_argv,
+    )
+
+    argv = [
+        "examples/data_path.csv", "2008/01/01", "2008/01/02",
+        "[-20,20,0,35]", "[1,1]", "[1]",
+        "1", "1", "1", "1", "1", "1", "1",
+        "examples/input_variables.csv", "examples/input_jhist.csv",
+    ]
+    spec, data_csv = parse_reference_argv(argv)
+    assert spec.lat_bounds == (-20.0, 20.0)
+    assert spec.lon_bounds == (0.0, 35.0)
+    assert spec.grid == (1.0, 1.0)
+    assert spec.start_date == "2008-01-01" and spec.end_date == "2008-01-02"
+    assert spec.sampling == 1
+    assert len(spec.stats) == 7
+    assert [v.name for v in spec.variables] == ["ctp", "cee", "cloud_fraction_CM"]
+    assert spec.joint_hists[0].partner_var == "cee"
+    px, gr = parse_data_path_csv(data_csv)
+    assert px.endswith("pixels.parquet") and gr.endswith("granules.parquet")
+
+    # switches off -> stats subset; jhist off drops the second CSV
+    argv2 = argv[:6] + ["1", "0", "1", "0", "0", "0", "0"] + [argv[13]]
+    spec2, _ = parse_reference_argv(argv2)
+    assert spec2.stats == ("Minimum", "Mean")
+    assert spec2.joint_hists == ()
