@@ -1080,6 +1080,59 @@ GROUP BY o_custkey
 """
 
 
+def _q_r23_pivot(spark, sf_dir):
+    """groupBy().pivot().agg() — orderstatus columns per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+_SQL_R23 = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _q_r24_tumbling_window(spark, sf_dir):
+    """Batch event-time tumbling window via F.window (the same construct
+    the streaming path groups by)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_R24 = """
+SELECT CAST(CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
 def _q_r16_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag + running-sum window rewrite)."""
     from modis_aggregation_spark.operators.sessions import session_stats
@@ -1549,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r20_collect_list": _q_r20_collect_list,
         "r21_having_in": _q_r21_having_in,
         "r22_outer_joins": _q_r22_outer_joins,
+        "r23_pivot": _q_r23_pivot,
+        "r24_tumbling_window": _q_r24_tumbling_window,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -1608,6 +1663,8 @@ def oracle_sql() -> dict[str, str]:
         "r20_collect_list": _SQL_R20,
         "r21_having_in": _SQL_R21,
         "r22_outer_joins": _SQL_R22,
+        "r23_pivot": _SQL_R23,
+        "r24_tumbling_window": _SQL_R24,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
