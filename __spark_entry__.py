@@ -1357,6 +1357,54 @@ WHERE rank <= 5
 """
 
 
+def _q_x14_quality_quantile(spark, sf_dir):
+    """Keep documents at or above their SOURCE's median quality — the
+    quantile-threshold curation filter (window percentile)."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = fn_text.text_profile(docs, "text", "en").select(
+        "doc_id", "source", F.col("quality")
+    )
+    w = Window.partitionBy("source")
+    med = F.expr("percentile(quality, 0.5)").over(w)
+    return (
+        prof.withColumn("__med", med)
+        .filter(F.col("quality") >= F.col("__med"))
+        .select("doc_id", "source", _r6(F.col("quality")).alias("quality"))
+    )
+
+
+_SQL_X14 = f"""
+WITH t AS (
+  SELECT doc_id, source, {_D_TOKS} AS toks, {_D_NOWS} AS no_ws FROM documents
+), c AS (
+  SELECT doc_id, source,
+         len(toks) AS wc,
+         length(regexp_replace(no_ws, '[A-Za-z0-9]', '', 'g'))
+           / nullif(length(no_ws), 0) AS pr,
+         len(list_filter(toks, x -> x IN ({_sw_sql('en')})))
+           / nullif(len(toks), 0) AS sr,
+         list_sum(list_transform(toks, x -> length(x)))
+           / nullif(len(toks), 0) AS mwl
+  FROM t
+), scored AS (
+  SELECT doc_id, source,
+         least(wc / 100.0, 1.0) * 0.3
+           + greatest(0.0, 1.0 - pr * 4) * 0.3
+           + least(sr * 5, 1.0) * 0.2
+           + (CASE WHEN mwl >= 2.5 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
+           AS quality
+  FROM c
+)
+SELECT doc_id, source, round(quality, 6) AS quality
+FROM (
+  SELECT doc_id, source, quality,
+         quantile_cont(quality, 0.5) OVER (PARTITION BY source) AS med
+  FROM scored
+)
+WHERE quality >= med
+"""
+
+
 def _q_x1_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return ops_dedup.exact_dedup(docs, "text", "doc_id").select(
@@ -1618,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_decode_images": _q_x11_decode_images,
         "x12_curate_corpus": _q_x12_curate_corpus,
         "x13_tfidf": _q_x13_tfidf,
+        "x14_quality_quantile": _q_x14_quality_quantile,
         "s1_stream_daily": _q_s1_stream_daily,
     }
 
@@ -1676,5 +1725,6 @@ def oracle_sql() -> dict[str, str]:
         "x10_media_meta": _SQL_X10,
         "x12_curate_corpus": _SQL_X12,
         "x13_tfidf": _SQL_X13,
+        "x14_quality_quantile": _SQL_X14,
         "s1_stream_daily": _SQL_S1,
     }

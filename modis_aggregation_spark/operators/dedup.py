@@ -197,6 +197,34 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus, the way a continuously
+    ingesting pipeline runs: dedupe within the batch, then anti-join its
+    fingerprints against the accumulated ``seen_fingerprints`` table
+    (single column ``fp``).
+
+    Returns (survivors, updated_fingerprints). At 100 TB the fingerprint
+    table is 8 B/doc — 8 GB/billion docs — and the anti-join shuffles only
+    fingerprints, never content; bucket ``seen_fingerprints`` by ``fp`` to
+    make the per-batch join exchange-free on the corpus side.
+    """
+    within = exact_dedup(new_batch, content_col, id_col).withColumn(
+        "__fp", fingerprint(F.col(content_col))
+    )
+    survivors = within.join(
+        seen_fingerprints.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+    )
+    updated = seen_fingerprints.unionByName(
+        survivors.select(F.col("__fp").alias("fp"))
+    ).distinct()
+    return survivors.drop("__fp"), updated
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

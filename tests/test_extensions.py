@@ -368,3 +368,22 @@ def test_ivf_full_probe_equals_brute_force(spark):
         for r in S.cosine_topk(df, queries, k=5).collect()
     }
     assert ivf == brute
+
+
+def test_incremental_exact_dedup(spark):
+    batch1 = _docs(spark)  # ids 1..5; 2/5 dup of 1
+    empty_fps = spark.createDataFrame([], "fp long")
+    s1, fps1 = D.incremental_exact_dedup(batch1, empty_fps)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3, 4]
+    assert fps1.count() == 3
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+            (11, "a genuinely new document about streaming watermarks"),
+        ],
+        ["doc_id", "text"],
+    )
+    s2, fps2 = D.incremental_exact_dedup(batch2, fps1)
+    assert [r["doc_id"] for r in s2.collect()] == [11]
+    assert fps2.count() == 4
