@@ -92,17 +92,19 @@ def _shingle_hash_frame(
     return staged.select("id", sh.alias("sh"))
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
-    """ARRAY<BIGINT> MinHash signature over char k-shingles.
-
-    Signature element i is min over shingles of xxhash64(xxhash64(shingle),
-    i) — all inside one JVM expression (transform + array_min), no UDF, no
-    explode, one pass over the strings.
-    """
-    hs = shingle_hashes(text, k)
+def signature_from_hashes(hs: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from an ARRAY<BIGINT> of shingle hashes: element i
+    is min over shingles of xxhash64(h, i). Pass a MATERIALIZED column."""
     return F.array(
         *[F.array_min(F.transform(hs, _remix(i))) for i in range(num_hashes)]
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, k: int = 5) -> Column:
+    """ARRAY<BIGINT> MinHash signature over char k-shingles — one JVM
+    expression (one string-hash pass + long remixes), no UDF, no explode.
+    Prefer the staged path in ``minhash_lsh_pairs`` for bulk use."""
+    return signature_from_hashes(shingle_hashes(text, k), num_hashes)
 
 
 def _band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -147,13 +149,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // num_bands
     base = _shingle_hash_frame(df, content_col, id_col, k).withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), _remix(i)))
-                for i in range(num_hashes)
-            ]
-        ),
+        "sig", signature_from_hashes(F.col("sh"), num_hashes)
     )
     # reused by the band branch and the candidate-verification branch —
     # persist so shingling/signatures run once (at corpus scale you would

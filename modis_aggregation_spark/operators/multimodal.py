@@ -81,13 +81,14 @@ def decode_images(
     exercises the identical Arrow batch path with deterministic output.
     """
     if decoder == "real":
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not in this container; "
-                "use decoder='fake' for plumbing tests"
-            ) from e
+        # the real codec is not wired in this build — raise regardless of
+        # whether PIL happens to be importable, never silently fall back
+        # to the fake decoder
+        raise NotImplementedError(
+            "real image decode is not implemented in this build (PIL-based "
+            "codec stub); use decoder='fake' — the Arrow batch path, schema "
+            "and partitioning are identical"
+        )
     h, w = out_hw
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,12 +130,11 @@ def extract_audio_features(
     identical to a real codec's.
     """
     if decoder == "real":
-        try:
-            import soundfile  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "real audio decode needs soundfile; use decoder='fake'"
-            ) from e
+        raise NotImplementedError(
+            "real audio decode is not implemented in this build (soundfile-"
+            "based codec stub); use decoder='fake' — the feature math and "
+            "batch path are identical"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

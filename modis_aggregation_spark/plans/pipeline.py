@@ -190,6 +190,14 @@ def _cf_granule_level(px: DataFrame, spec: AggregationSpec) -> DataFrame:
         aggs.append(F.sum(inflated).cast("long").alias("grid_count_compat"))
     else:
         aggs.append(F.stddev_pop("granule_cf").alias("cf_std"))
+        # mergeable partials of the per-granule CF so reaggregate() can
+        # re-finalize cf_granule_mean/cf_granule_stddev across periods
+        # (cf_std itself is not mergeable; monthly std comes from these)
+        aggs.append(F.sum("granule_cf").alias("cf_granule_sum"))
+        aggs.append(F.count("granule_cf").alias("cf_granule_count"))
+        aggs.append(
+            F.sum(F.col("granule_cf") * F.col("granule_cf")).alias("cf_granule_sumsq")
+        )
         if cf_var is not None and cf_var.bin_edges and "Histogram_Counts" in spec.stats:
             nbins = len(cf_var.bin_edges) - 1
             b = hist_bucket(F.col("granule_cf"), cf_var.bin_edges)
@@ -232,7 +240,11 @@ def daily_grid(
     if not densify_output:
         return agg
     zero_cols = [c for c in agg.columns if c.endswith(("_count", "_pix"))]
-    zero_cols += [c for c in ("grid_count", "grid_count_compat") if c in agg.columns]
+    zero_cols += [
+        c
+        for c in ("grid_count", "grid_count_compat")
+        if c in agg.columns and c not in zero_cols
+    ]
     return densify(agg, spec.nlat, spec.nlon, zero_fill_cols=zero_cols)
 
 
@@ -248,6 +260,13 @@ def reaggregate(staged: DataFrame, group_cols: list[str] | None = None) -> DataF
 
     Array histograms merge with element-wise sums via ``zip_with`` chained
     through ``reduce``-style aggregation (JVM-side, no UDF).
+
+    Finalized-only columns (daily ``cf_std``, ``cf_mean`` …) are dropped
+    and recomputed from merged partials where those exist: cf_mean from
+    cld/tot sums; cf_granule_mean/cf_granule_stddev from the
+    cf_granule_{sum,count,sumsq} partials emitted by ``daily_grid``.
+    (strict_compat's Q2 cf_std is intentionally daily-only — the reference
+    drivers themselves disagree on its monthly form, SURVEY Q2.)
     """
     group_cols = group_cols or ["cell"]
     aggs = []

@@ -121,6 +121,13 @@ def test_reaggregate_equals_direct(spark):
         assert [list(x) for x in d[cell]["ctp_cee_jhist"]] == [
             list(x) for x in m[cell]["ctp_cee_jhist"]
         ]
+        # merged per-granule CF std (re-finalized from cf_granule_* partials)
+        # equals the direct daily stddev_pop over all granules
+        a, b = d[cell]["cf_std"], m[cell]["cf_granule_stddev"]
+        if a is None or b is None:
+            assert (a is None) == (b is None or d[cell]["cf_granule_count"] == 0), cell
+        else:
+            assert a == pytest.approx(b, abs=1e-6), cell
 
 
 def test_strict_compat_quirks(spark):
