@@ -225,7 +225,7 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Exact connected components of a pair graph via iterative label
     propagation: every node's label converges to the minimum id reachable

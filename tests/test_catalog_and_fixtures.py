@@ -73,3 +73,32 @@ def test_fixture_determinism(tmp_path):
         fresh = pq.read_table(paths[name])
         committed = pq.read_table(getattr(fx, f"{name.upper()}_PATH"))
         assert fresh.equals(committed), f"{name} fixture drifted"
+
+
+def test_date_range_catalog_year_boundary(spark):
+    """The 3-hour spill must cross the year boundary (the reference needs a
+    special-case fixup for this, aggregate_functions.py:589-601; date
+    arithmetic handles it declaratively here)."""
+    from modis_aggregation_spark.sources.catalog import (
+        catalog_from_filenames,
+        date_range_catalog,
+    )
+
+    rows = []
+    gid = 0
+    for day, doy in (("2008", 366), ("2009", 1)):  # 2008 is a leap year
+        for hour in range(5):
+            gid += 1
+            rows.append((gid, f"MYD06_L2.A{day}{doy:03d}.{hour:02d}30.061.x.hdf"))
+    cat = catalog_from_filenames(
+        spark.createDataFrame(rows, ["granule_id", "filename"])
+    )
+    # leap-year doy 366 resolves to Dec 31
+    dates = {r["doy"]: str(r["date"]) for r in cat.collect()}
+    assert dates[366] == "2008-12-31"
+    assert dates[1] == "2009-01-01"
+
+    windowed = date_range_catalog(cat, "2008-12-31", "2008-12-31", shift_hours=3)
+    got = sorted((r["doy"], r["hour"]) for r in windowed.collect())
+    # all 5 hours of Dec 31 + the first 3 hours of Jan 1 (the spill)
+    assert got == [(1, 0), (1, 1), (1, 2), (366, 0), (366, 1), (366, 2), (366, 3), (366, 4)]

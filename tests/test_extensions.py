@@ -387,3 +387,14 @@ def test_incremental_exact_dedup(spark):
     s2, fps2 = D.incremental_exact_dedup(batch2, fps1)
     assert [r["doc_id"] for r in s2.collect()] == [11]
     assert fps2.count() == 4
+
+
+def test_connected_components_long_chain(spark):
+    """Min-label propagation advances one hop per round: a 25-node chain
+    must still converge (and all collapse to the minimum id)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 25)], ["id_a", "id_b"]
+    )
+    comps = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert set(comps.values()) == {1}
+    assert len(comps) == 25
