@@ -55,10 +55,18 @@ _CM = "CASE WHEN (cm_raw & 1) = 0 THEN -1 ELSE (cm_raw & 7) >> 1 END"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
+        # outright without this flag — the driver may hand us a session
+        # without it (it is runtime-settable), so set it defensively here
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long (see session.py); truncate
-        # to micros exactly like DuckDB's nanos→TIMESTAMP coercion
+        # nanos-as-long → truncate to micros exactly like DuckDB's
+        # nanos→TIMESTAMP coercion
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
@@ -954,6 +962,12 @@ def _q_s2_granule_scan(spark, sf_dir):
     Rows-only: the source is generated, not a parquet table DuckDB sees."""
     from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
 
+    # the reader implements pushFilters, which Spark rejects unless this
+    # flag is on — set it defensively for driver-supplied sessions
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     spark.dataSource.register(GranuleDataSource)
     df = (
         spark.read.format("modis_granules")
