@@ -21,13 +21,20 @@ FIXTURES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
 )
 
-LAT0, LAT1, LON0, LON1 = -20.0, 20.0, 0.0, 35.0
-NLON = 35
-NCELLS = 40 * 35
 EDGES = np.array([0.0, 300.0, 600.0, 900.0, 1100.0])
 
+# (lat0, lat1, lon0, lon1, d_lat, d_lon) — several regions/grids so the
+# differential is not tuned to one geometry
+SPECS = [
+    (-20.0, 20.0, 0.0, 35.0, 1.0, 1.0),
+    (-60.0, 60.0, -120.0, 120.0, 2.0, 2.0),
+    (10.0, 30.0, -50.0, -25.0, 0.5, 0.625),
+]
 
-def _emulate_reference(pdf):
+
+def _emulate_reference(pdf, LAT0, LAT1, LON0, LON1, D_LAT, D_LON):
+    NLON = round((LON1 - LON0) / D_LON)
+    NCELLS = round((LAT1 - LAT0) / D_LAT) * NLON
     """Per-granule accumulation with NaN-skipping stats, merged with
     fmin/fmax/+ — the reference's scheme per SURVEY §2.4 (A2-A15)."""
     acc = {
@@ -48,8 +55,8 @@ def _emulate_reference(pdf):
             continue
         lat, lon = g["lat"].to_numpy(), g["lon"].to_numpy()
         cells = (
-            np.floor((lat - LAT0) / 1.0).astype(np.int64) * NLON
-            + np.floor((lon - LON0) / 1.0).astype(np.int64)
+            np.floor((lat - LAT0) / D_LAT).astype(np.int64) * NLON
+            + np.floor((lon - LON0) / D_LON).astype(np.int64)
         )
         ctp = g["ctp"].to_numpy(dtype=np.float64)
         cm_raw = g["cm_raw"].to_numpy()
@@ -82,12 +89,16 @@ def _emulate_reference(pdf):
     return acc, mean, std, cf
 
 
-def test_engine_matches_reference_formulas(spark):
+@pytest.mark.parametrize("geom", SPECS)
+def test_engine_matches_reference_formulas(spark, geom):
+    LAT0, LAT1, LON0, LON1, D_LAT, D_LON = geom
+    NCELLS = round((LAT1 - LAT0) / D_LAT) * round((LON1 - LON0) / D_LON)
     pixels = spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet"))
     granules = spark.read.parquet(os.path.join(FIXTURES, "granules.parquet"))
     spec = AggregationSpec(
         lat_bounds=(LAT0, LAT1),
         lon_bounds=(LON0, LON1),
+        grid=(D_LAT, D_LON),
         variables=(VariableSpec(name="ctp", bin_edges=tuple(EDGES)),),
     )
     grid = {
@@ -98,10 +109,10 @@ def test_engine_matches_reference_formulas(spark):
     }
 
     pdf = pixels.select("granule_id", "lat", "lon", "ctp", "cm_raw").toPandas()
-    acc, mean, std, cf = _emulate_reference(pdf)
+    acc, mean, std, cf = _emulate_reference(pdf, LAT0, LAT1, LON0, LON1, D_LAT, D_LON)
 
     occupied = [z for z in range(NCELLS) if acc["tot"][z] > 0 or acc["count"][z] > 0]
-    assert len(occupied) > 500
+    assert len(occupied) > 100
     for z in occupied:
         r = grid[z]
         if acc["count"][z] > 0:
