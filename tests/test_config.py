@@ -91,3 +91,26 @@ def test_reference_cli_argv_parsing():
     spec2, _ = parse_reference_argv(argv2)
     assert spec2.stats == ("Minimum", "Mean")
     assert spec2.joint_hists == ()
+
+
+def test_reference_cli_end_to_end(spark, tmp_path):
+    """The reference's positional command line runs the whole engine."""
+    import os
+
+    from modis_aggregation_spark.reference_cli import main
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "ref_cli_out")
+    rc = main([
+        os.path.join(repo, "examples/data_path.csv"),
+        "2008/01/01", "2008/01/02",
+        "[-20,20,0,35]", "[1,1]", "[1]",
+        "1", "1", "1", "1", "1", "1", "1",
+        os.path.join(repo, "examples/input_variables.csv"),
+        os.path.join(repo, "examples/input_jhist.csv"),
+        out,
+    ])
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 40 * 35
+    assert "ctp_cee_jhist" in df.columns and "cf_hist" in df.columns
