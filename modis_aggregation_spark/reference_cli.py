@@ -93,7 +93,13 @@ def parse_data_path_csv(path: str) -> tuple[str, str]:
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    out_path = argv.pop() if len(argv) in (15, 16) else "l3_output.parquet"
+    if len(argv) < 13:
+        raise SystemExit("expected the reference's 14/15 positional args")
+    # the reference layout is 14 args, +1 (jhist CSV) when switch 7 is on;
+    # one MORE trailing arg is our output path — decide by the switch, not
+    # by raw length (a bare length test would eat the jhist CSV)
+    expected = 15 if argv[12].strip() == "1" else 14
+    out_path = argv.pop() if len(argv) == expected + 1 else "l3_output.parquet"
     spec, data_csv = parse_reference_argv(argv)
     pixels_path, granules_path = parse_data_path_csv(data_csv)
 

@@ -114,3 +114,32 @@ def test_reference_cli_end_to_end(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 40 * 35
     assert "ctp_cee_jhist" in df.columns and "cf_hist" in df.columns
+
+
+def test_reference_cli_15_args_without_output_path(spark):
+    """The reference's own 15-arg form (jhist on, no output path) must NOT
+    have its jhist CSV eaten by the output-path heuristic. Relative paths
+    resolve against the JVM working directory (fixed at session start), so
+    assert via the same resolution and clean up after."""
+    import os
+    import shutil
+
+    from modis_aggregation_spark.reference_cli import main
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = spark.read  # touch session so the JVM cwd is established
+    try:
+        rc = main([
+            os.path.join(repo, "examples/data_path.csv"),
+            "2008/01/01", "2008/01/02",
+            "[-20,20,0,35]", "[1,1]", "[1]",
+            "1", "1", "1", "1", "1", "1", "1",
+            os.path.join(repo, "examples/input_variables.csv"),
+            os.path.join(repo, "examples/input_jhist.csv"),
+        ])
+        assert rc == 0
+        df = spark.read.parquet("l3_output.parquet")  # same relative resolution
+        assert df.count() == 40 * 35
+        assert "ctp_cee_jhist" in df.columns
+    finally:
+        shutil.rmtree(os.path.join(os.getcwd(), "l3_output.parquet"), ignore_errors=True)
