@@ -101,3 +101,44 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
+
+
+def test_modis_cf_pipeline_as_pure_sql(spark):
+    """The MODIS daily CF grid expressed as one spark.sql string must match
+    the operator pipeline — every engine operator is a stock Catalyst
+    construct, so the SQL surface is first-class (SURVEY §3.4)."""
+    from modis_aggregation_spark.config import default_spec
+    from modis_aggregation_spark.operators import stats as ops_stats
+
+    register_fixtures(spark, FIXTURES)
+    sql_res = {
+        r["cell"]: (r["cld_pix"], r["tot_pix"], r["cf_mean"])
+        for r in spark.sql(
+            """
+            WITH px AS (
+              SELECT CAST(FLOOR((lat - -20.0) / 1.0) AS BIGINT) * 35
+                       + CAST(FLOOR((lon - 0.0) / 1.0) AS BIGINT) AS cell,
+                     CASE WHEN (cm_raw & 1) = 0 THEN -1
+                          ELSE (cm_raw & 7) >> 1 END AS cm
+              FROM pixels
+              WHERE lat > -20 AND lat < 20 AND lon > 0 AND lon < 35
+            )
+            SELECT cell,
+                   sum(CASE WHEN cm BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS cld_pix,
+                   sum(CASE WHEN cm BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS tot_pix,
+                   sum(CASE WHEN cm BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+                     / nullif(sum(CASE WHEN cm BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0)
+                     AS cf_mean
+            FROM px GROUP BY cell
+            """
+        ).collect()
+    }
+    spec = default_spec(lat_bounds=(-20.0, 20.0), lon_bounds=(0.0, 35.0))
+    px = ops_stats.with_cloud_mask(
+        ops_stats.with_cell(spark.table("pixels"), spec)
+    )
+    op_res = {
+        r["cell"]: (r["cld_pix"], r["tot_pix"], r["cf_mean"])
+        for r in ops_stats.cloud_fraction(px).collect()
+    }
+    assert sql_res == op_res and len(sql_res) > 1000
