@@ -54,6 +54,16 @@ _CELL = (
 _CM = "CASE WHEN (cm_raw & 1) = 0 THEN -1 ELSE (cm_raw & 7) >> 1 END"
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Event-time bucketing (F.window, timestamp→date casts) follows the
+    session timezone; the driver may hand us a non-UTC vanilla session
+    while the oracles bucket naive timestamps — pin UTC at runtime."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
@@ -691,7 +701,11 @@ def _q_m14_compare_grids(spark, sf_dir):
     notebook semantics)."""
     from modis_aggregation_spark.operators.compare import compare_grids
 
-    full = _q_m9_densify(spark, sf_dir).select("lat_idx", "lon_idx", "cf_mean")
+    # both inputs UNROUNDED (m9's projection pre-rounds cf_mean — reusing it
+    # here would skew absdiff/ratio against the unrounded oracle); rounding
+    # happens once, in the final projection below
+    full_cf = ops_stats.cloud_fraction(ops_stats.with_cloud_mask(_px_cell(spark)))
+    full = densify(full_cf, NLAT, NLON).select("lat_idx", "lon_idx", "cf_mean")
     samp_cf = ops_stats.cloud_fraction(
         ops_stats.with_cloud_mask(_px_cell(spark, sampling=5))
     )
@@ -1123,6 +1137,7 @@ GROUP BY o_orderpriority
 def _q_r24_tumbling_window(spark, sf_dir):
     """Batch event-time tumbling window via F.window (the same construct
     the streaming path groups by)."""
+    _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"))
@@ -1203,6 +1218,7 @@ def _q_s1_stream_daily(spark, sf_dir):
         stream_pixels,
     )
 
+    _ensure_utc(spark)  # window('1 day') buckets in session TZ
     spec = default_spec(lat_bounds=(-20.0, 20.0), lon_bounds=(0.0, 35.0))
     spec = type(spec)(
         lat_bounds=spec.lat_bounds,
@@ -1213,20 +1229,31 @@ def _q_s1_stream_daily(spark, sf_dir):
     schema = spark.read.parquet(PIXELS).schema
     # the file stream source lists a DIRECTORY; the fixture is one file
     src_dir = tempfile.mkdtemp(prefix="s1_src_")
-    shutil.copy(PIXELS, os.path.join(src_dir, "pixels.parquet"))
+    ckpt_dir = tempfile.mkdtemp(prefix="s1_ckpt_")
     name = f"s1_stream_{uuid.uuid4().hex[:8]}"
-    stream = stream_pixels(spark, src_dir, schema)
-    out = stream_daily_grid(stream, granules, spec)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s1_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name).select(
+    try:
+        shutil.copy(PIXELS, os.path.join(src_dir, "pixels.parquet"))
+        stream = stream_pixels(spark, src_dir, schema)
+        out = stream_daily_grid(stream, granules, spec)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s1_stream_daily: stream did not finish in 300s")
+        # materialize from the memory sink BEFORE the source dir is removed
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df.select(
         F.col("date").cast("string").alias("date"),
         "cell",
         "cld_pix",
