@@ -1611,6 +1611,17 @@ def _q_x9_ivf_topk(spark, sf_dir):
     return ops_sim.ivf_topk(assigned, queries, cents, k=10, nprobe=2)
 
 
+def _q_x9b_ivf_full_probe(spark, sf_dir):
+    """IVF with nprobe == nlist degrades to exact search, so the whole IVF
+    path (centroid fit, assignment UDF, probe pruning, per-list scoring)
+    is oracle-checked against the same brute-force SQL as x7."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ops_sim.kmeans_centroids(emb, nlist=8, sample_rows=2000, seed=5)
+    assigned = ops_sim.ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    return ops_sim.ivf_topk(assigned, queries, cents, k=10, nprobe=8)
+
+
 def _q_x10_media_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "utf-8")
@@ -1703,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_cosine_topk": _q_x7_cosine_topk,
         "x8_embedding_pairs": _q_x8_embedding_pairs,
         "x9_ivf_topk": _q_x9_ivf_topk,
+        "x9b_ivf_full_probe": _q_x9b_ivf_full_probe,
         "x10_media_meta": _q_x10_media_meta,
         "x11_decode_images": _q_x11_decode_images,
         "x12_curate_corpus": _q_x12_curate_corpus,
@@ -1763,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         "x3_lang_id": _SQL_X3,
         "x4_ngram_jaccard": _SQL_X4,
         "x7_cosine_topk": _SQL_X7,
+        "x9b_ivf_full_probe": _SQL_X7,  # full probe == exact == x7's oracle
         "x10_media_meta": _SQL_X10,
         "x12_curate_corpus": _SQL_X12,
         "x13_tfidf": _SQL_X13,
