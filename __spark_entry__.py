@@ -1622,6 +1622,33 @@ def _q_x9b_ivf_full_probe(spark, sf_dir):
     return ops_sim.ivf_topk(assigned, queries, cents, k=10, nprobe=8)
 
 
+def _q_x15_label_centroids(spark, sf_dir):
+    """Element-wise mean embedding per label (class centroids)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ops_sim.mean_embedding(emb, "label", "embedding")
+    return out.select(
+        "label",
+        F.transform(F.col("centroid"), lambda v: F.round(v, 6)).alias("centroid"),
+        "n_vectors",
+    )
+
+
+_SQL_X15 = """
+WITH e AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), p AS (
+  SELECT label, pos, avg(v) AS m, count(*) AS n FROM e GROUP BY label, pos
+)
+SELECT label,
+       list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS centroid,
+       max(n) AS n_vectors
+FROM p
+GROUP BY label
+"""
+
+
 def _q_x10_media_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "utf-8")
@@ -1720,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_curate_corpus": _q_x12_curate_corpus,
         "x13_tfidf": _q_x13_tfidf,
         "x14_quality_quantile": _q_x14_quality_quantile,
+        "x15_label_centroids": _q_x15_label_centroids,
         "s1_stream_daily": _q_s1_stream_daily,
     }
 
@@ -1780,5 +1808,6 @@ def oracle_sql() -> dict[str, str]:
         "x12_curate_corpus": _SQL_X12,
         "x13_tfidf": _SQL_X13,
         "x14_quality_quantile": _SQL_X14,
+        "x15_label_centroids": _SQL_X15,
         "s1_stream_daily": _SQL_S1,
     }

@@ -114,6 +114,37 @@ def ivf_assign(
     return df.withColumn(out_col, _assign(F.col(emb_col).cast("array<double>")))
 
 
+def mean_embedding(
+    df: DataFrame,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """Element-wise mean embedding per label (class centroids / mean
+    pooling): posexplode → per-(label, position) avg → re-assemble ordered
+    array. Two narrow-keyed hash aggregations, no UDF; shuffle volume is
+    labels × dim rows — the standard distributed formulation that avoids
+    collecting vectors anywhere.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("pos", "v"),
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.avg("v").alias("m"), F.count("v").alias("n")
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias(out_col),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     centroids: np.ndarray,

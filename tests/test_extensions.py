@@ -398,3 +398,14 @@ def test_connected_components_long_chain(spark):
     comps = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
     assert set(comps.values()) == {1}
     assert len(comps) == 25
+
+
+def test_mean_embedding(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        ["label", "embedding"],
+    )
+    out = {r["label"]: r for r in S.mean_embedding(df).collect()}
+    assert out[0]["centroid"] == [pytest.approx(2.0), pytest.approx(3.0)]
+    assert out[0]["n_vectors"] == 2
+    assert out[1]["centroid"] == [pytest.approx(10.0), pytest.approx(20.0)]
