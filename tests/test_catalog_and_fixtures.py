@@ -102,3 +102,23 @@ def test_date_range_catalog_year_boundary(spark):
     got = sorted((r["doy"], r["hour"]) for r in windowed.collect())
     # all 5 hours of Dec 31 + the first 3 hours of Jan 1 (the spill)
     assert got == [(1, 0), (1, 1), (1, 2), (366, 0), (366, 1), (366, 2), (366, 3), (366, 4)]
+
+
+def test_pair_granules_happy_path(spark):
+    from modis_aggregation_spark.sources.catalog import (
+        catalog_from_filenames,
+        pair_granules,
+    )
+
+    rows = []
+    gid = 0
+    for prod in ("MYD06_L2", "MYD03"):
+        for hhmm in ("0000", "0005", "0010"):
+            gid += 1
+            rows.append((gid, f"{prod}.A2008001.{hhmm}.061.x.hdf"))
+    cat = catalog_from_filenames(spark.createDataFrame(rows, ["granule_id", "filename"]))
+    paired = pair_granules(cat)
+    out = paired.collect()
+    assert len(out) == 3
+    assert all(r["product"] == "MYD06_L2" and r["geo_granule_id"] is not None for r in out)
+    assert {r["hhmm"] for r in out} == {"0000", "0005", "0010"}

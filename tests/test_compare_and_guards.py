@@ -151,3 +151,31 @@ def test_grid_to_arrays_null_first_cell(spark):
     assert np.all(arrays["v_hist"][0, 0] == 0)  # NULL cell -> zeros
     assert arrays["v_hist"][0, 1].tolist() == [1.0, 2.0]
     assert np.isnan(arrays["v_mean"][0, 0])
+
+
+def test_salted_agg_stddev_matches_plain(spark):
+    from modis_aggregation_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: r["sd"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.stddev_pop("l_quantity").alias("sd"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["l_quantity_stddev_pop"]
+        for r in salted_agg(
+            li, ["l_returnflag"], "l_quantity", stats=("stddev_pop",)
+        ).collect()
+    }
+    for k in plain:
+        assert salted[k] == pytest.approx(plain[k], abs=1e-6), k
+
+
+def test_register_grid_view(spark):
+    from modis_aggregation_spark.sql import register_grid
+
+    df = spark.createDataFrame([(0, 0.5)], "cell long, cf_mean double")
+    name = register_grid(spark, df, "t_grid_view")
+    assert spark.sql(f"select cf_mean from {name}").first()[0] == 0.5
