@@ -1089,10 +1089,17 @@ GROUP BY l_returnflag
 
 
 def _q_r20_collect_list(spark, sf_dir):
-    """collect_list/collect_set surface, made deterministic via array_sort."""
+    """collect_list/collect_set surface, made deterministic via array_sort.
+
+    The sorted key list is serialized to a CSV string: the driver's
+    canonicalizer hashes values with pandas and crashes on unhashable
+    array cells (round-1 r20 err), so both sides emit a scalar.
+    """
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("orderkeys"),
         F.size(F.array_distinct(F.collect_list("o_orderstatus"))).cast("long").alias(
             "n_statuses"
         ),
@@ -1101,7 +1108,7 @@ def _q_r20_collect_list(spark, sf_dir):
 
 _SQL_R20 = """
 SELECT o_custkey,
-       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys,
        len(list_distinct(list(o_orderstatus))) AS n_statuses
 FROM orders
 GROUP BY o_custkey
@@ -1126,9 +1133,9 @@ def _q_r23_pivot(spark, sf_dir):
 
 _SQL_R23 = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -1168,12 +1175,17 @@ def _q_r16_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     out = session_stats(ev, gap_minutes=360.0, order_cols=("event_id",))
+    # exact epoch-microsecond BIGINTs, not rounded epoch-second doubles:
+    # ~1.7e9-second values sit at the 6dp ulp edge, and the driver hash is
+    # dtype-sensitive (float64 vs int64 mismatch → round-1 r16 red)
+    start_us = F.unix_micros(F.col("session_start"))
+    end_us = F.unix_micros(F.col("session_end"))
     return out.select(
         "user_id",
         "session_id",
-        _r6(F.col("session_start").cast("double")).alias("start_sec"),
-        _r6(F.col("session_end").cast("double")).alias("end_sec"),
-        _r6(F.col("duration_sec")).alias("duration_sec"),
+        start_us.alias("start_us"),
+        end_us.alias("end_us"),
+        (end_us - start_us).alias("duration_us"),
         "n_events",
     )
 
@@ -1189,14 +1201,14 @@ WITH o AS (
   FROM o
 ), s AS (
   SELECT user_id, ts,
-         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM f
 )
 SELECT user_id, session_id,
-       round(min(epoch(ts)), 6) AS start_sec,
-       round(max(epoch(ts)), 6) AS end_sec,
-       round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
        count(*) AS n_events
 FROM s
 GROUP BY 1, 2
@@ -1358,7 +1370,7 @@ WITH t AS (
 )
 SELECT source, count(*) AS n_docs,
        round(avg(quality), 6) AS avg_quality,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM kept WHERE rn = 1
 GROUP BY source
 """
@@ -1623,12 +1635,20 @@ def _q_x9b_ivf_full_probe(spark, sf_dir):
 
 
 def _q_x15_label_centroids(spark, sf_dir):
-    """Element-wise mean embedding per label (class centroids)."""
+    """Element-wise mean embedding per label (class centroids).
+
+    Output is one row per (label, position): the driver's canonicalizer
+    cannot hash array cells (round-1 r20 err), so the centroid vector is
+    exploded to scalar rows on both sides.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     out = ops_sim.mean_embedding(emb, "label", "embedding")
     return out.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("pos", "v")
+    ).select(
         "label",
-        F.transform(F.col("centroid"), lambda v: F.round(v, 6)).alias("centroid"),
+        F.col("pos").cast("long").alias("pos"),
+        _r6(F.col("v")).alias("centroid_val"),
         "n_vectors",
     )
 
@@ -1636,16 +1656,14 @@ def _q_x15_label_centroids(spark, sf_dir):
 _SQL_X15 = """
 WITH e AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
-         generate_subscripts(embedding, 1) AS pos
+         generate_subscripts(embedding, 1) - 1 AS pos
   FROM embeddings
 ), p AS (
   SELECT label, pos, avg(v) AS m, count(*) AS n FROM e GROUP BY label, pos
-)
-SELECT label,
-       list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS centroid,
-       max(n) AS n_vectors
-FROM p
-GROUP BY label
+), nn AS (SELECT label, max(n) AS n_vectors FROM p GROUP BY label)
+SELECT p.label, CAST(p.pos AS BIGINT) AS pos,
+       round(p.m, 6) AS centroid_val, nn.n_vectors
+FROM p JOIN nn ON p.label = nn.label
 """
 
 

@@ -5,11 +5,21 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 column names, and values (column-name-sorted, row-sorted, 1e-9 float
 tolerance). Exit code 1 on any mismatch.
 
+Both sides are materialized through **pandas** (``toPandas()`` /
+``res.df()``) and compared with dtype-KIND-sensitive keys, mirroring the
+driver's hash layer: DuckDB HUGEINT (any integer ``sum``) lands as
+float64 while Spark emits int64 — identical values, different dtype —
+and the driver hashes them differently (round-1 r16/r23 reds). Integer
+WIDTH is ignored (int32 vs int64 hash alike in pandas); float-vs-int is
+a failure. Array/list cells fail loudly, mirroring the driver
+canonicalizer's ``unhashable type: 'list'`` crash (round-1 r20 err).
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import sys
@@ -21,27 +31,56 @@ TABLES = (
 ).split()
 
 
-def normalize(rows: list[tuple], cols: list[str]):
-    """Sort columns by name, normalize values, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+class UnhashableCell(Exception):
+    """An array/list/ndarray landed in an output cell (driver would crash)."""
 
-    def norm(v):
-        if v is None:
-            return None
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return round(v, 9)
-        if isinstance(v, (int, str, bool)):
-            return v
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
-        return str(v)  # dates, timestamps, decimals
 
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [
-        cols[i] for i in order
-    ]
+def _norm_cell(v):
+    """Type-kind-aware canonical key for one pandas cell.
+
+    The kind tag ('i'/'f'/'b'/'s') is part of the key so a float64 5.0
+    never equals an int64 5 — the exact divergence the driver's hasher
+    punishes. Integer width is irrelevant (numpy int32 and int64 both
+    land as ('i', v), matching pandas' value-based uint64 hashing).
+    """
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise UnhashableCell(type(v).__name__)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        fv = float(v)
+        return ("f", "NaN") if math.isnan(fv) else ("f", round(fv, 9))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, datetime.date) or type(v).__name__ in ("Timestamp", "datetime64"):
+        # DuckDB DATE lands as pandas Timestamp(midnight) while Spark's
+        # DateType stays datetime.date — the driver hashes these alike
+        # (m11/r10 green in round 1), so canonicalize to ISO, date-only
+        # when the time-of-day is midnight
+        s = str(v)
+        return ("s", s[:10] if s.endswith(" 00:00:00") else s)
+    return ("s", str(v))  # decimals, anything else
+
+
+def normalize_pdf(pdf):
+    """Column-name-sorted, row-sorted list of canonical row keys."""
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if v is None or v is pd.NaT:
+                vals.append(None)
+            else:
+                vals.append(_norm_cell(v))
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), cols
 
 
 def main():
@@ -66,27 +105,35 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in osql:
-            print(f"weak  {name}: rows={len(s_rows)} (no oracle)")
+            print(f"weak  {name}: rows={len(s_pdf)} (no oracle)")
             continue
         try:
-            res = con.execute(osql[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(osql[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
-        sn, sc = normalize(s_rows, s_cols)
-        dn, dc = normalize(d_rows, d_cols)
+        try:
+            sn, sc = normalize_pdf(s_pdf)
+        except UnhashableCell as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark output has unhashable {e} cell "
+                  "(driver canonicalizer would crash)")
+            continue
+        try:
+            dn, dc = normalize_pdf(d_pdf)
+        except UnhashableCell as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle output has unhashable {e} cell "
+                  "(driver canonicalizer would crash)")
+            continue
         if sc != dc:
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
