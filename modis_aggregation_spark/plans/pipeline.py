@@ -151,7 +151,9 @@ def _stat_exprs_for(spec: AggregationSpec) -> list:
     return exprs
 
 
-def _cf_granule_level(px: DataFrame, spec: AggregationSpec) -> DataFrame:
+def _cf_granule_level(
+    px: DataFrame, spec: AggregationSpec, extra_group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Two-level CF stats (A13) + compat Q1/Q2/Q5 variants.
 
     One (cell, granule) pre-aggregation feeds every per-granule statistic:
@@ -165,7 +167,7 @@ def _cf_granule_level(px: DataFrame, spec: AggregationSpec) -> DataFrame:
         F.max(F.when(F.col(v.name).isNotNull(), 1).otherwise(0)).alias(f"__v_{v.name}")
         for v in spec.physical_variables()
     ]
-    per_granule = px.groupBy("cell", "granule_id").agg(
+    per_granule = px.groupBy("cell", *extra_group_cols, "granule_id").agg(
         F.sum(cld).alias("g_cld"),
         F.sum(tot).alias("g_tot"),
         *var_valid,
@@ -207,7 +209,7 @@ def _cf_granule_level(px: DataFrame, spec: AggregationSpec) -> DataFrame:
                       for i in range(nbins)]
                 ).alias("cf_hist")
             )
-    out = per_granule.groupBy("cell").agg(*aggs)
+    out = per_granule.groupBy("cell", *extra_group_cols).agg(*aggs)
     if spec.strict_compat and cf_var is not None and cf_var.bin_edges \
             and "Histogram_Counts" in spec.stats:
         # Q1: the reference's CF histogram never accumulates — emit zeros
@@ -226,17 +228,27 @@ def daily_grid(
     end_doy: int | None = None,
     spill_doy: int | None = None,
     densify_output: bool = True,
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The full L3 daily product as one DataFrame.
 
     Columns: cell, lat_idx, lon_idx, per-variable ``{var}_{stat}``,
     ``{var}_hist`` arrays, ``{joint}_jhist`` nested arrays, cld/tot pixel
     counts, cf_mean/cf_min/cf_max/cf_std, cf_hist, grid_count.
+
+    ``extra_group_cols`` adds period columns (e.g. ``doy`` from the
+    broadcast catalog) to every grouping key, producing the staged
+    per-period partials ``reaggregate()`` merges — ONE pass over the
+    pixels for a whole month instead of a plan branch per day. Requires
+    ``densify_output=False`` (densification is a per-cell-grid concept).
     """
+    if extra_group_cols and densify_output:
+        raise ValueError("extra_group_cols requires densify_output=False")
     px = prepare_pixels(pixels, granules, spec, end_doy, spill_doy)
-    main = px.groupBy("cell").agg(*_stat_exprs_for(spec))
-    cf = _cf_granule_level(px, spec)
-    agg = main.join(cf, "cell", "left")
+    keys = ["cell", *extra_group_cols]
+    main = px.groupBy(*keys).agg(*_stat_exprs_for(spec))
+    cf = _cf_granule_level(px, spec, extra_group_cols)
+    agg = main.join(cf, keys, "left")
     if not densify_output:
         return agg
     zero_cols = [c for c in agg.columns if c.endswith(("_count", "_pix"))]

@@ -37,3 +37,12 @@ def test_r1_projection_pruned(spark):
     plan = _plan(spark, "r1_filter_project")
     # only the five needed lineitem columns are read
     assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double," in plan
+
+
+def test_m13_single_pass_staging(spark):
+    """Monthly reagg must stage per-day partials in ONE pass over the
+    pixels (round 1 unioned a plan branch per day: 51 redundant scans)."""
+    plan = _plan(spark, "m13_monthly_reagg")
+    assert plan.count("pixels.parquet") == 1  # one scan, branches reused
+    assert plan.count("Exchange hashpartitioning") <= 3  # (cell,doy) stage + cell merge
+    assert "SortMergeJoin" not in plan
