@@ -999,6 +999,101 @@ def _q_s2_granule_scan(spark, sf_dir):
     )
 
 
+_FIXTURE_1KM = "/tmp/spark_graft_1km_granule901.parquet"
+
+
+def _ensure_1km_fixture() -> str:
+    """Materialize the deterministic 1-km granule (id 901) as parquet so
+    the DuckDB oracle reads byte-identical rows to what the DataSource
+    scan synthesizes (``decoder=fake`` is a pure function of granule_id).
+    NaN measure values become parquet NULLs, matching the scan's
+    NaN→NULL masking."""
+    if os.path.exists(_FIXTURE_1KM):
+        return _FIXTURE_1KM
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        PRODUCT_SHAPES,
+        synth_granule,
+    )
+
+    data = synth_granule(901, ["ctp"], *PRODUCT_SHAPES["1km"])
+    arrays = {}
+    for name, col in data.items():
+        if col.dtype == np.float64 and name not in ("lat", "lon"):
+            arrays[name] = pa.array(col, mask=np.isnan(col))
+        else:
+            arrays[name] = pa.array(col)
+    tmp = f"{_FIXTURE_1KM}.{os.getpid()}.tmp"
+    pq.write_table(pa.table(arrays), tmp)
+    os.replace(tmp, _FIXTURE_1KM)
+    return _FIXTURE_1KM
+
+
+def _q_m16_trim_1km(spark, sf_dir):
+    """The 1-km product path end-to-end (S8 + S9 at 1-km shape): the
+    granule DataSource emits the 2030×1354 1-km swath (reference
+    ``aggregate_functions.py:117-118``), ``trim_cross_track`` drops the
+    last 4 cross-track columns (``:119,145``), systematic sampling uses
+    the reference's 1-km measure offsets ``[2::5, 3::5]`` (``:120``), and
+    the survivors grid to 1° cells with ctp stats + CF counts."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    _ensure_1km_fixture()
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", "901")
+        .option("product", "1km")
+        .option("variables", "ctp")
+        .load()
+    )
+    spec = default_spec(sampling=5, sampling_offset=(2, 3))
+    px = ops_stats.with_cloud_mask(
+        ops_stats.with_cell(ops_stats.trim_cross_track(df), spec)
+    )
+    cm = F.col("cm")
+    cld = F.when(cm.between(0, 1), 1).otherwise(0)
+    tot = F.when(cm.between(0, 3), 1).otherwise(0)
+    return px.groupBy("cell").agg(
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        F.count("ctp").alias("ctp_count"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        F.sum(cld).cast("long").alias("cld_pix"),
+        F.sum(tot).cast("long").alias("tot_pix"),
+        _r6(F.sum(cld) / F.nullif(F.sum(tot), F.lit(0))).alias("cf_mean"),
+    )
+
+
+_SQL_M16 = f"""
+WITH t AS (
+  SELECT * FROM read_parquet('{_FIXTURE_1KM}')
+  WHERE j < 1350
+    AND i >= 2 AND j >= 3 AND (i - 2) % 5 = 0 AND (j - 3) % 5 = 0
+    AND lat > -90.0 AND lat < 90.0 AND lon > -180.0 AND lon < 180.0
+)
+SELECT CAST(FLOOR((lat - -90.0) / 1.0) AS BIGINT) * 360
+         + CAST(FLOOR((lon - -180.0) / 1.0) AS BIGINT) AS cell,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       count(ctp) AS ctp_count,
+       round(avg(ctp), 6) AS ctp_mean,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix,
+       round(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0), 6) AS cf_mean
+FROM t
+GROUP BY 1
+"""
+
+
 def _q_r21_having_in(spark, sf_dir):
     """TPC-H Q18-shaped: HAVING-filtered aggregate driving an IN-subquery."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1721,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m13_monthly_reagg": _q_m13_monthly_reagg,
         "m14_compare_grids": _q_m14_compare_grids,
         "m15_alt_grid": _q_m15_alt_grid,
+        "m16_trim_1km": _q_m16_trim_1km,
         "r1_filter_project": _q_r1_filter_project,
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -1786,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         "m13_monthly_reagg": _SQL_M13,
         "m14_compare_grids": _SQL_M14,
         "m15_alt_grid": _SQL_M15,
+        "m16_trim_1km": _SQL_M16,
         "r1_filter_project": _SQL_R1,
         "r2_tpch_q1": _SQL_R2,
         "r3_join_chain": _SQL_R3,

@@ -54,8 +54,12 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-# 5-km product shape (reference aggregate_functions.py:150-154)
-SWATH_ROWS, SWATH_COLS = 406, 270
+# Product swath shapes (reference aggregate_functions.py:117-119,150-154):
+# the 5-km product is 406×270; the 1-km product is 2030×1354, of which the
+# reference keeps only the first 1350 cross-track columns (S8 trim — applied
+# downstream by operators.stats.trim_cross_track, not in the scan).
+PRODUCT_SHAPES = {"5km": (406, 270), "1km": (2030, 1354)}
+SWATH_ROWS, SWATH_COLS = PRODUCT_SHAPES["5km"]
 BASE_FIELDS = "granule_id BIGINT, i INT, j INT, lat DOUBLE, lon DOUBLE, cm_raw TINYINT"
 
 
@@ -64,12 +68,18 @@ class GranulePartition(InputPartition):
         self.granule_id = granule_id
 
 
-def synth_granule(granule_id: int, variables: Sequence[str]) -> dict[str, np.ndarray]:
-    """Deterministic fake 5-km granule keyed by id: a lat/lon swath strip
+def synth_granule(
+    granule_id: int,
+    variables: Sequence[str],
+    rows: int = SWATH_ROWS,
+    cols: int = SWATH_COLS,
+) -> dict[str, np.ndarray]:
+    """Deterministic fake granule keyed by id: a lat/lon swath strip
     plus per-variable fields with fill-value holes. Stands in for the HDF4
-    codec; the Spark-side shape/typing/batching contract is identical."""
+    codec; the Spark-side shape/typing/batching contract is identical.
+    Default shape is the 5-km product; pass ``PRODUCT_SHAPES["1km"]`` for
+    the 2030×1354 1-km swath."""
     rng = np.random.default_rng(granule_id * 2654435761 % (2**32))
-    rows, cols = SWATH_ROWS, SWATH_COLS
     lat0 = float(rng.uniform(-60, 50))
     lon0 = float(rng.uniform(-170, 150))
     i = np.repeat(np.arange(rows, dtype=np.int32), cols)
@@ -100,6 +110,12 @@ class GranuleReader(DataSourceReader):
         ]
         ids = options.get("granule_ids", "1")
         self.granule_ids = [int(x) for x in ids.split(",") if x]
+        product = options.get("product", "5km")
+        if product not in PRODUCT_SHAPES:
+            raise ValueError(
+                f"unknown product {product!r}; known: {sorted(PRODUCT_SHAPES)}"
+            )
+        self.swath_shape = PRODUCT_SHAPES[product]
         self.decoder = options.get("decoder", "fake")
         if self.decoder == "hdf":
             try:
@@ -144,7 +160,7 @@ class GranuleReader(DataSourceReader):
     def read(self, partition: GranulePartition):
         import pyarrow as pa
 
-        data = synth_granule(partition.granule_id, self.variables)
+        data = synth_granule(partition.granule_id, self.variables, *self.swath_shape)
         arrays, names = [], []
         for field in self.schema_.fields:
             col = data[field.name]

@@ -96,6 +96,41 @@ def test_datasource_through_pipeline(registered):
     assert row[0] > 0
 
 
+def test_datasource_1km_product_shape_and_trim(registered):
+    """The 1-km product emits the 2030×1354 swath; trim_cross_track keeps
+    exactly the first 1350 cross-track columns (reference
+    aggregate_functions.py:117-119)."""
+    from modis_aggregation_spark.sources.granule_datasource import PRODUCT_SHAPES
+
+    rows, cols = PRODUCT_SHAPES["1km"]
+    df = (
+        registered.read.format("modis_granules")
+        .option("granule_ids", "11")
+        .option("variables", "ctp")
+        .option("product", "1km")
+        .load()
+    )
+    n_full, n_trim, jmax = (
+        df.agg(
+            F.count(F.lit(1)),
+            F.count(F.when(F.col("j") < 1350, 1)),
+            F.max("j"),
+        ).first()
+    )
+    assert n_full == rows * cols
+    assert jmax == cols - 1
+    assert n_trim == rows * 1350
+    trimmed = ops_stats.trim_cross_track(df)
+    assert trimmed.count() == rows * 1350
+
+
+def test_datasource_unknown_product_rejected():
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(ValueError, match="unknown product"):
+        GranuleReader(StructType(), {"granule_ids": "1", "product": "2km"})
+
+
 def test_decode_raw_and_compat_equivalence(spark):
     scale, offset, fill = 0.01, -15000.0, -32768
     df = spark.createDataFrame(
