@@ -127,8 +127,42 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.nullif(F.size(a) + F.size(b) - inter, F.lit(0))
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """The MinHash signatures table ``(id, sh, sig)`` — shingle hashes plus
+    the ``num_hashes``-long signature, both ARRAY<BIGINT>.
+
+    Bulk pipelines should compute this ONCE, materialize it (write to a
+    table, or persist + manage the cache), and hand it to
+    ``minhash_lsh_pairs(signatures=…)`` — repeated inline invocations would
+    otherwise re-shingle the corpus and accumulate persisted blocks per
+    call. At 100 TB this table is ~(k·|sh| + 8·num_hashes) B/doc and is the
+    natural incremental artifact: new batches append signatures and join
+    against the existing table's band keys.
+
+    Hashing is CPU-bound (|shingles| × num_hashes remixes per doc), so the
+    stage must run at cluster parallelism: when the scan yields fewer
+    partitions than ``defaultParallelism`` (small-file corpora — one
+    parquet file serializes the whole build onto one core), the input is
+    repartitioned up front. At real corpus scale the scan already has
+    thousands of partitions and no shuffle is added.
+    """
+    n = df.rdd.getNumPartitions()
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if n < p:
+        df = df.repartition(p)
+    return _shingle_hash_frame(df, content_col, id_col, k).withColumn(
+        "sig", signature_from_hashes(F.col("sh"), num_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame | None = None,
     content_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
@@ -136,6 +170,7 @@ def minhash_lsh_pairs(
     k: int = 5,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -146,18 +181,26 @@ def minhash_lsh_pairs(
     caps pathological buckets (boilerplate) — capped buckets are dropped,
     trading recall for bounded worst-case join fan-out; at 100 TB this is the
     difference between a bounded shuffle and a quadratic blow-up.
+
+    Pass ``signatures`` (a ``minhash_signatures`` frame, ideally already
+    materialized) to skip the shingle/signature computation; its
+    ``num_hashes`` must match. Without it, the signatures are built inline
+    and persisted for the duration of the returned plan — the cached blocks
+    stay pinned until the session evicts them, so for repeated calls
+    materialize the signatures table yourself and pass it in.
     """
     rows_per_band = num_hashes // num_bands
-    base = _shingle_hash_frame(df, content_col, id_col, k).withColumn(
-        "sig", signature_from_hashes(F.col("sh"), num_hashes)
-    )
-    # reused by the band branch and the candidate-verification branch —
-    # persist so shingling/signatures run once (at corpus scale you would
-    # materialize this as a signatures table instead)
-    base = base.persist()
+    if signatures is not None:
+        base = signatures
+    elif df is None:
+        raise ValueError("pass a source DataFrame or a signatures frame")
+    else:
+        # reused by the band branch and the candidate-verification branch —
+        # persist so shingling/signatures run once per returned plan
+        base = minhash_signatures(df, content_col, id_col, num_hashes, k).persist()
     # the band self-join shuffles ONLY (id, band, key) — the shingle arrays
-    # (the wide payload) are fetched once per verified candidate pair below;
-    # at corpus scale this is the difference between shuffling ~24 B/row×B
+    # (the wide payload) are fetched once per candidate pair below; at
+    # corpus scale this is the difference between shuffling ~24 B/row×B
     # and shuffling the whole corpus B times
     banded = base.select(
         "id",
@@ -173,16 +216,24 @@ def minhash_lsh_pairs(
         .filter(F.col("__bc") > max_bucket)
         .select("band", "key")
     )
-    banded = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
+    capped = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
 
-    left = banded.select("band", "key", F.col("id").alias("id_a"))
-    right = banded.select("band", "key", F.col("id").alias("id_b"))
-    cand = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # same-lineage alias self-join (not two select-renamed copies)
+    lhs, rhs = capped.alias("l"), capped.alias("r")
+    cand = lhs.join(
+        rhs,
+        on=[
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.key") == F.col("r.key"),
+            F.col("l.id") < F.col("r.id"),
+        ],
+    ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    # a pair matching in several bands is verified per band and deduped
+    # LAST: the duplicate factor is ≤ num_bands of pure CPU (array
+    # intersects), while a pre-verify distinct inserts a stage barrier
+    # between the skinny join and the payload fetch that measured ~4×
+    # slower end-to-end at small scale; no extra shuffle of the signature
+    # table either way
     sh = base.select("id", "sh")
     return (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -190,6 +241,7 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

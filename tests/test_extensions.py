@@ -150,6 +150,26 @@ def test_minhash_pairs_and_dedup(spark):
     assert kept == [1, 4]
 
 
+def test_minhash_pairs_from_materialized_signatures(spark):
+    """The bulk-pipeline entry point: pairs computed from a precomputed
+    signatures table must equal the inline path exactly."""
+    inline = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    sigs = D.minhash_signatures(_docs(spark)).persist()
+    try:
+        staged = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.minhash_lsh_pairs(signatures=sigs, threshold=0.5).collect()
+        }
+    finally:
+        sigs.unpersist()
+    assert staged == inline
+    with pytest.raises(ValueError, match="source DataFrame or a signatures"):
+        D.minhash_lsh_pairs()
+
+
 def test_simhash_pairs(spark):
     base = D.simhash(F.col("text"))
     hashes = {r["doc_id"]: r["h"] for r in _docs(spark).select("doc_id", base.alias("h")).collect()}
