@@ -181,9 +181,16 @@ def _cf_granule_level(
     ]
     if spec.strict_compat:
         # Q2: staged ΣCLD, ΣTOT, ΣCLD² → serial-driver CF "std"
+        # guard on ΣTOT>0: greatest() skips NULLs, which would otherwise
+        # turn an all-undetermined cell's NULL std into 0.0 (the reference
+        # leaves it NaN — found by the hypothesis differential harness)
         mean = F.sum("g_cld") / F.nullif(F.sum("g_tot"), F.lit(0))
         var = F.sum(F.col("g_cld") * F.col("g_cld")) / F.nullif(F.sum("g_tot"), F.lit(0)) - mean * mean
-        aggs.append(F.sqrt(F.greatest(var, F.lit(0.0))).alias("cf_std"))
+        aggs.append(
+            F.when(
+                F.sum("g_tot") > 0, F.sqrt(F.greatest(var, F.lit(0.0)))
+            ).alias("cf_std")
+        )
         # Q5: +1 per (granule, variable-with-valid-data) + the CF call
         inflated = sum(
             (F.col(f"__v_{v.name}") for v in spec.physical_variables()),
