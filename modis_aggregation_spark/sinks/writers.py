@@ -124,14 +124,27 @@ def pack_grid(
             )
             continue
         if _is_cf_col(name):
-            scale, offset, fill = CF_SCALE, CF_OFFSET, CF_FILL
-        else:
-            var = name.rsplit("_", 1)[0]
-            try:
-                vs = spec.variable(var)
-                scale, offset, fill = vs.scale_factor, vs.add_offset, int(vs.fill_value)
-            except KeyError:
-                scale, offset, fill = 1.0, 0.0, -9999
+            # the reference's Cloud_Fraction branch writes the SCALED values
+            # as float64 WITHOUT the astype(int) truncation every other
+            # dataset gets (``aggregate_functions.py:438-445``) — 0.123456
+            # lands as 1234.56, not 1234
+            v = np.asarray(arr, dtype=np.float64) / CF_SCALE + CF_OFFSET
+            v[~np.isfinite(v)] = CF_FILL
+            out[name] = (
+                v,
+                {
+                    "scale_factor": CF_SCALE,
+                    "add_offset": CF_OFFSET,
+                    "_FillValue": CF_FILL,
+                },
+            )
+            continue
+        var = name.rsplit("_", 1)[0]
+        try:
+            vs = spec.variable(var)
+            scale, offset, fill = vs.scale_factor, vs.add_offset, int(vs.fill_value)
+        except KeyError:
+            scale, offset, fill = 1.0, 0.0, -9999
         is_extreme = name.endswith(("_min", "_max"))
         out[name] = (
             pack_values(arr, scale, offset, fill, is_extreme),

@@ -209,6 +209,11 @@ def test_pack_grid_and_axes(spark, grid):
     assert cf_attrs["_FillValue"] == writers.CF_FILL
     # empty cells -> fill
     assert (cf_packed == writers.CF_FILL).any()
+    # CF datasets stay SCALED FLOATS (reference skips the int truncation for
+    # Cloud_Fraction, aggregate_functions.py:438-445)
+    assert cf_packed.dtype == np.float64
+    occupied = cf_packed[cf_packed != writers.CF_FILL]
+    assert occupied.size and not np.allclose(occupied, np.trunc(occupied))
     # counts stay raw ints
     cnt, _ = packed["tot_pix"]
     assert cnt.dtype == np.int64
