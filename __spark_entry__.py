@@ -119,7 +119,7 @@ def _q_m1_bbox_cell_count(spark, sf_dir):
 
 _SQL_M1 = f"""
 SELECT {_CELL} AS cell, count(*) AS n_pix
-FROM read_parquet('{PIXELS}')
+FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
 GROUP BY 1
 """
@@ -146,7 +146,7 @@ SELECT {_CELL} AS cell,
        count(ctp) AS ctp_count,
        round(avg(ctp), 6) AS ctp_mean,
        round(stddev_pop(ctp), 6) AS ctp_stddev
-FROM read_parquet('{PIXELS}')
+FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
 GROUP BY 1
 """
@@ -165,7 +165,7 @@ SELECT {_CELL} AS cell,
        CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix,
        round(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
              / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0), 6) AS cf_mean
-FROM read_parquet('{PIXELS}')
+FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
 GROUP BY 1
 """
@@ -188,7 +188,7 @@ WITH per_granule AS (
   SELECT {_CELL} AS cell, granule_id,
          sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
            / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0) AS granule_cf
-  FROM read_parquet('{PIXELS}')
+  FROM read_parquet('{PIXELS}/*.parquet')
   WHERE {_BBOX}
   GROUP BY 1, 2
 )
@@ -211,7 +211,7 @@ _SQL_M5 = f"""
 SELECT cell, bucket, count(*) AS cnt
 FROM (
   SELECT {_CELL} AS cell, {hist_bucket_sql("ctp", REFERENCE_EDGES["ctp"])} AS bucket
-  FROM read_parquet('{PIXELS}')
+  FROM read_parquet('{PIXELS}/*.parquet')
   WHERE {_BBOX}
 )
 WHERE bucket IS NOT NULL
@@ -231,7 +231,7 @@ FROM (
   SELECT {_CELL} AS cell,
          {hist_bucket_sql("ctp", REFERENCE_EDGES["ctp"])} AS bucket_x,
          {hist_bucket_sql("cee", (0.25, 0.725, 0.975))} AS bucket_y
-  FROM read_parquet('{PIXELS}')
+  FROM read_parquet('{PIXELS}/*.parquet')
   WHERE {_BBOX}
 )
 WHERE bucket_x IS NOT NULL AND bucket_y IS NOT NULL
@@ -252,7 +252,7 @@ def _q_m7_day_rules(spark, sf_dir):
 _SQL_M7 = f"""
 SELECT g.doy, g.hour, count(*) AS n_rows,
        count(CASE WHEN {day_definition_sql(2, 3, 3, 'p.lon')} THEN NULL ELSE p.ctp END) AS ctp_kept
-FROM read_parquet('{PIXELS}') p
+FROM read_parquet('{PIXELS}/*.parquet') p
 JOIN (SELECT granule_id, doy, hour FROM read_parquet('{GRANULES}')) g USING (granule_id)
 GROUP BY g.doy, g.hour
 """
@@ -268,7 +268,7 @@ def _q_m8_sampling(spark, sf_dir):
 
 _SQL_M8 = f"""
 SELECT {_CELL} AS cell, count(*) AS n_pix
-FROM read_parquet('{PIXELS}')
+FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
   AND i >= 2 AND j >= 2 AND (i - 2) % 5 = 0 AND (j - 2) % 5 = 0
 GROUP BY 1
@@ -303,7 +303,7 @@ def _q_m10_grid_counts(spark, sf_dir):
 
 _SQL_M10 = f"""
 SELECT {_CELL} AS cell, count(DISTINCT granule_id) AS grid_count
-FROM read_parquet('{PIXELS}')
+FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
 GROUP BY 1
 """
@@ -354,7 +354,7 @@ def _q_m12_finalize(spark, sf_dir):
 _SQL_M12 = f"""
 WITH staged AS (
   SELECT {_CELL} AS cell, sum(ctp) AS s, count(ctp) AS c, sum(ctp * ctp) AS ss
-  FROM read_parquet('{PIXELS}')
+  FROM read_parquet('{PIXELS}/*.parquet')
   WHERE {_BBOX}
   GROUP BY 1
 )
@@ -728,13 +728,13 @@ WITH full_agg AS (
   SELECT {_CELL} AS cell,
          sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
            / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0) AS cf
-  FROM read_parquet('{PIXELS}') WHERE {_BBOX} GROUP BY 1
+  FROM read_parquet('{PIXELS}/*.parquet') WHERE {_BBOX} GROUP BY 1
 ),
 samp_agg AS (
   SELECT {_CELL} AS cell,
          sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
            / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0) AS cf
-  FROM read_parquet('{PIXELS}') WHERE {_BBOX} AND {_SAMPLING5} GROUP BY 1
+  FROM read_parquet('{PIXELS}/*.parquet') WHERE {_BBOX} AND {_SAMPLING5} GROUP BY 1
 ),
 dim AS (SELECT range AS cell, CAST(range // 35 AS INT) AS lat_idx,
                CAST(range % 35 AS INT) AS lon_idx FROM range({NCELLS}))
@@ -772,7 +772,7 @@ SELECT CAST(FLOOR((lat - -20.0) / 0.5) AS BIGINT) * 56
        round(max(ctp), 6) AS ctp_max,
        count(ctp) AS ctp_count,
        round(avg(ctp), 6) AS ctp_mean
-FROM read_parquet('{PIXELS}')
+FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
 GROUP BY 1
 """
@@ -824,7 +824,7 @@ SELECT {_CELL} AS cell,
        CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix,
        round(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
              / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0), 6) AS cf_mean
-FROM read_parquet('{PIXELS}')
+FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
 GROUP BY 1
 """
@@ -1333,12 +1333,14 @@ def _q_s1_stream_daily(spark, sf_dir):
     )
     granules = spark.read.parquet(GRANULES)
     schema = spark.read.parquet(PIXELS).schema
-    # the file stream source lists a DIRECTORY; the fixture is one file
+    # the file stream source lists a directory; stage the fixture's part
+    # files there (each arrives as one micro-batch input file)
     src_dir = tempfile.mkdtemp(prefix="s1_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="s1_ckpt_")
     name = f"s1_stream_{uuid.uuid4().hex[:8]}"
     try:
-        shutil.copy(PIXELS, os.path.join(src_dir, "pixels.parquet"))
+        for part in os.listdir(PIXELS):
+            shutil.copy(os.path.join(PIXELS, part), os.path.join(src_dir, part))
         stream = stream_pixels(spark, src_dir, schema)
         out = stream_daily_grid(stream, granules, spec)
         q = (
@@ -1383,7 +1385,7 @@ SELECT CAST(g.date AS VARCHAR) AS date,
        round(max(ctp), 6) AS ctp_max,
        round(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END)
              / nullif(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END), 0), 6) AS cf_mean
-FROM read_parquet('{PIXELS}') p
+FROM read_parquet('{PIXELS}/*.parquet') p
 JOIN read_parquet('{GRANULES}') g USING (granule_id)
 WHERE {_BBOX}
 GROUP BY g.date, 2

@@ -166,6 +166,14 @@ def build_pixels(granules: pa.Table, seed: int = 43) -> pa.Table:
     )
 
 
+# pixels.parquet is a DIRECTORY of part files: real granule data arrives as
+# one file per granule (the axis the reference's MPI/Dask drivers split on),
+# and a single-file fixture serializes every scan onto one core — Spark
+# parallelizes parquet by file/byte-range, and a 12 MB single-row-group file
+# is one task no matter how many executor threads exist.
+N_PIXEL_FILES = 32
+
+
 def generate_fixtures(out_dir: str = FIXTURES_DIR) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     granules = build_granules()
@@ -176,7 +184,16 @@ def generate_fixtures(out_dir: str = FIXTURES_DIR) -> dict[str, str]:
     }
     pq.write_table(granules, paths["granules"])
     pq.write_table(build_granules_broken(granules), paths["granules_broken"])
-    pq.write_table(build_pixels(granules), paths["pixels"])
+    pixels = build_pixels(granules)
+    os.makedirs(paths["pixels"], exist_ok=True)
+    n = pixels.num_rows
+    per = -(-n // N_PIXEL_FILES)  # ceil — deterministic contiguous slices
+    for k in range(N_PIXEL_FILES):
+        chunk = pixels.slice(k * per, per)
+        if chunk.num_rows:
+            pq.write_table(
+                chunk, os.path.join(paths["pixels"], f"part-{k:05d}.parquet")
+            )
     return paths
 
 
