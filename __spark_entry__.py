@@ -1797,6 +1797,153 @@ def _q_x11_decode_images(spark, sf_dir):
     )
 
 
+def _q_x16_train_split(spark, sf_dir):
+    """Deterministic hash train/val/test split (stable across re-runs and
+    corpus growth — documents never migrate between splits). Multiplicative
+    hashing with exact int64 arithmetic, reproduced value-for-value by the
+    oracle."""
+    from modis_aggregation_spark.operators.curation import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=7)
+    return out.select("doc_id", "bucket", "split")
+
+
+_SQL_X16 = """
+WITH b AS (
+  SELECT doc_id,
+         (((doc_id + 7) * 2654435761) % 4294967296) * 1000 // 4294967296 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def _q_x17_winnow_fps(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints — k-gram polynomial hash,
+    window-minimum selection, distinct. The polynomial hash is exact int64
+    arithmetic (Σ ascii·257^j, no modulus), so unlike the xxhash sketches
+    this fingerprint family is fully value-checked by the oracle."""
+    from modis_aggregation_spark.operators.curation import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=5, w=4).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
+_SQL_X17 = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         [ascii(norm[i:i]) * 4362470401 + ascii(norm[i+1:i+1]) * 16974593
+          + ascii(norm[i+2:i+2]) * 66049 + ascii(norm[i+3:i+3]) * 257
+          + ascii(norm[i+4:i+4])
+          for i in generate_series(1, greatest(length(norm) - 4, 1))] AS hs
+  FROM t
+), w AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[i:i+3])
+                        for i in generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
+"""
+
+
+def _q_x18_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization: per-vector max-abs scale,
+    floor(x+0.5) codes (round-half modes differ across engines; floor is
+    exact everywhere). One row per (vec_id, pos) code."""
+    from modis_aggregation_spark.operators.curation import quantize_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale, codes = quantize_embedding(F.col("embedding"), bits=8)
+    staged = emb.select(
+        "vec_id", scale.alias("scale"), F.posexplode(codes).alias("pos", "q")
+    )
+    return staged.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        "q",
+        _r6(F.col("scale")).alias("scale"),
+    )
+
+
+_SQL_X18 = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       generate_subscripts(v, 1) - 1 AS pos,
+       CAST(floor(unnest(v) / nullif(scale, 0) * 127 + 0.5) AS INT) AS q,
+       round(scale, 6) AS scale
+FROM e
+"""
+
+
+def _q_s3_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: documents arrive as a file stream,
+    dropDuplicates on normalized content, run to completion (availableNow).
+    Oracle: batch DISTINCT over the same normalization — the surviving KEY
+    set is deterministic even though which physical row arrives first is
+    not, so the query emits keys, not rows."""
+    import shutil
+    import tempfile
+    import uuid
+
+    _ensure_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    src_dir = tempfile.mkdtemp(prefix="s3_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s3_ckpt_")
+    name = f"s3_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(src, os.path.join(src_dir, "documents.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn(
+                "norm",
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            )
+            .select("norm")
+            .dropDuplicates(["norm"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s3_stream_dedup: stream did not finish in 300s")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S3 = r"""
+SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1863,7 +2010,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_tfidf": _q_x13_tfidf,
         "x14_quality_quantile": _q_x14_quality_quantile,
         "x15_label_centroids": _q_x15_label_centroids,
+        "x16_train_split": _q_x16_train_split,
+        "x17_winnow_fps": _q_x17_winnow_fps,
+        "x18_quantize": _q_x18_quantize,
         "s1_stream_daily": _q_s1_stream_daily,
+        "s3_stream_dedup": _q_s3_stream_dedup,
     }
 
 
@@ -1925,5 +2076,9 @@ def oracle_sql() -> dict[str, str]:
         "x13_tfidf": _SQL_X13,
         "x14_quality_quantile": _SQL_X14,
         "x15_label_centroids": _SQL_X15,
+        "x16_train_split": _SQL_X16,
+        "x17_winnow_fps": _SQL_X17,
+        "x18_quantize": _SQL_X18,
         "s1_stream_daily": _SQL_S1,
+        "s3_stream_dedup": _SQL_S3,
     }

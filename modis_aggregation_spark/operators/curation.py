@@ -1,0 +1,192 @@
+"""Corpus-curation operators: deterministic splits, winnowing fingerprints,
+embedding quantization.
+
+All three are pure Catalyst expression pipelines (no UDFs, no shuffles
+beyond the caller's aggregations) built on exact 64-bit integer arithmetic
+so an external SQL engine can reproduce them value-for-value — unlike the
+xxhash64-based sketches (MinHash/SimHash), these are fully oracle-checkable.
+
+Scale notes: every operator here is a narrow projection (row → rows);
+cost is O(bytes scanned) with no data movement. The winnowing fingerprint
+table (a few × 8 B per document) is the join-key side of any downstream
+near-dup pair join, same shape as the MinHash band keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant (2^32 / golden ratio), exact in int64
+_MULT = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def split_bucket(id_col: Column, salt: int = 0, n_buckets: int = 1000) -> Column:
+    """Deterministic bucket 0..n_buckets-1 from an integer id.
+
+    ``(((id + salt) * K) mod 2^32) * n / 2^32`` — multiplicative hashing
+    taking the TOP bits (low bits of ``id*K`` are biased for sequential
+    ids). The salt shifts the id BEFORE the multiply so different salts
+    produce uncorrelated assignments (an additive post-multiply salt only
+    nudges within a bucket). Exact int64 arithmetic: reproducible in any
+    engine, stable forever — the property a train/test split must have so
+    later pipeline runs never migrate a document across splits. Requires
+    ``(id + salt) * K < 2^63`` (ids below ~3.4e9).
+    """
+    b = ((id_col.cast("long") + F.lit(salt)) * F.lit(_MULT)) % F.lit(_MOD)
+    return (b * F.lit(n_buckets)) / F.lit(_MOD)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Assign every row a stable ``split`` label (train/val/test …).
+
+    ``weights`` maps label → fraction (must sum to ≤ 1; remainder goes to
+    the last label). Assignment depends only on (id, salt) — adding or
+    removing other rows never reassigns a document, which is what keeps
+    eval sets uncontaminated across pipeline re-runs at corpus scale.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = F.floor(split_bucket(F.col(id_col), salt)).cast("long")
+    edges: list[tuple[str, int]] = []
+    acc = 0.0
+    for label, frac in weights.items():
+        acc += frac
+        edges.append((label, round(acc * 1000)))
+    expr = None
+    for label, hi in edges:  # when-chain, lowest threshold first
+        cond = bucket < hi
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = expr.otherwise(edges[-1][0])
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+# --------------------------------------------------------------------------
+# winnowing (MOSS-style) document fingerprints
+# --------------------------------------------------------------------------
+
+_B = 257  # polynomial base over extended-ASCII codes
+
+
+def _gram_hash(norm: Column, i, k: int) -> Column:
+    """Exact polynomial hash of the char k-gram at 1-based position ``i``:
+    Σ ascii(c_j)·257^(k-1-j). No modulus — for k ≤ 7 the value fits int64
+    exactly, so ANY engine computing the same sum matches bit-for-bit
+    (the reason this fingerprint family is oracle-checkable while
+    xxhash-based MinHash is not)."""
+    terms = [
+        F.ascii(norm.substr(i + j, F.lit(1))) * F.lit(_B ** (k - 1 - j))
+        for j in range(k)
+    ]
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every char
+    k-gram of the normalized text, slide a window of ``w`` hashes, keep the
+    window minimum, dedupe. Guarantees any shared substring of length
+    ≥ k+w-1 contributes at least one shared fingerprint — the standard
+    local document-fingerprinting scheme (MOSS).
+
+    Returns distinct ``(id, fp)`` rows. Pure higher-order-function
+    pipeline: hashes and window minima are computed inside one projection;
+    lambda inputs are materialized columns (Catalyst does not CSE into
+    lambdas).
+    """
+    norm = F.regexp_replace(F.lower(F.col(content_col)), r"\s+", " ")
+    staged = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+    n_grams = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _gram_hash(F.col("__norm"), i, k),
+    )
+    staged = staged.select("id", hashes.alias("__h"))
+    n_windows = F.greatest(F.size("__h") - (w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(F.col("__h"), i, w)),
+        )
+    )
+    return staged.select("id", F.explode(fps).alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints.
+
+    Inverted-index self-join on ``fp`` (skinny 16 B rows), counting shared
+    fingerprints per pair. ``max_fp_freq`` drops boilerplate fingerprints
+    shared by too many documents via a broadcast anti-join — the same
+    bounded-fan-out cap as the MinHash bucket cap.
+    """
+    fps = winnow_fingerprints(df, content_col, id_col, k, w)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > max_fp_freq)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    lhs, rhs = fps.alias("l"), fps.alias("r")
+    return (
+        lhs.join(
+            rhs,
+            on=[F.col("l.fp") == F.col("r.fp"), F.col("l.id") < F.col("r.id")],
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding quantization
+# --------------------------------------------------------------------------
+
+def quantize_embedding(
+    vec: Column, bits: int = 8
+) -> tuple[Column, Column]:
+    """Symmetric per-vector int quantization: scale = max|v|, code =
+    floor(v/scale·(2^(bits-1)-1) + 0.5) — floor(x+0.5) instead of round()
+    because round-half modes differ across engines while floor is exact.
+
+    Returns (scale, codes). Dequantize with ``code·scale/qmax``. The
+    compressed column is ~8× smaller than float64 arrays — the difference
+    between shipping 256 GB and 2 TB of embeddings through an ANN build at
+    corpus scale.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    # widen float32 embeddings to double FIRST: all downstream arithmetic
+    # is then float64 end-to-end, matching any engine that computes on
+    # doubles (float32 division + round near code boundaries diverges)
+    vecd = vec.cast("array<double>")
+    scale = F.array_max(F.transform(vecd, lambda v: F.abs(v)))
+    # nullif guards the all-zero vector (0/0 diverges across engines)
+    codes = F.transform(
+        vecd,
+        lambda v: F.floor(
+            v / F.nullif(scale, F.lit(0.0)) * F.lit(qmax) + F.lit(0.5)
+        ).cast("int"),
+    )
+    return scale, codes
