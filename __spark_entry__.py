@@ -1309,6 +1309,184 @@ GROUP BY 1, 2
 """
 
 
+def _q_r25_asof_join(spark, sf_dir):
+    """As-of join (point-in-time lookup): each click takes the latest
+    prior-or-equal view of the same user. Union-marker + running last()
+    window — ONE shuffle on user_id, no theta join. The right side is
+    pre-aggregated to one row per (user, ts) so the matched payload is
+    deterministic (ASOF is otherwise ambiguous among equal-ts rows)."""
+    from modis_aggregation_spark.operators.temporal import asof_join
+
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    out = asof_join(
+        clicks, views, on="user_id", ts_col="ts",
+        right_cols=("view_event_id", "view_value"),
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_r").alias("view_ts_us"),
+        F.col("view_event_id_r").alias("view_event_id"),
+        _r6(F.col("view_value_r")).alias("view_value"),
+    )
+
+
+_SQL_R25 = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id,
+         max_by(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts_us,
+       epoch_us(v.ts) AS view_ts_us, v.view_event_id,
+       round(v.view_value, 6) AS view_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def _q_r26_range_join(spark, sf_dir):
+    """Banded range join: (click, error) pairs of the same user with the
+    error 0..3600 s after the click. Time-binned equi-join on (user, bin)
+    + exact filter — a hash join, never BroadcastNestedLoopJoin."""
+    from modis_aggregation_spark.operators.temporal import range_join_binned
+
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    out = range_join_binned(
+        clicks, errors, on="user_id", ts_col="ts",
+        lower_sec=0.0, upper_sec=3600.0,
+    )
+    return out.select(
+        "user_id",
+        "event_id_l",
+        "event_id_r",
+        (F.unix_micros("ts_r") - F.unix_micros("ts_l")).alias("delta_us"),
+    )
+
+
+_SQL_R26 = """
+SELECT c.user_id, c.event_id AS event_id_l, e.event_id AS event_id_r,
+       epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events e ON c.user_id = e.user_id
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 3600 SECOND
+"""
+
+
+def _q_r27_merge_upsert(spark, sf_dir):
+    """Lake-style MERGE: every key%10==0 order is updated (price doubled,
+    status U), every key%17==0 order re-inserted under a fresh key; output
+    is the merged snapshot. Full-outer join + source-wins coalesce — the
+    logical plan a Delta/Iceberg MERGE executes."""
+    from modis_aggregation_spark.operators.merge import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    src = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    new = orders.where(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    merged = merge_upsert(orders, src.unionByName(new), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        _r6(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+_SQL_R27 = """
+WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+s AS (
+  SELECT o_orderkey, o_custkey, round(o_totalprice * 2, 2) AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM t WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderstatus
+  FROM t WHERE o_orderkey % 17 = 0
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice, o_orderstatus
+FROM (
+  SELECT * FROM s
+  UNION ALL
+  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+)
+"""
+
+
+def _q_r28_scd2(spark, sf_dir):
+    """SCD type-2 history rewrite: one open version per order, then a
+    price update for every key%5==0 closes it and appends a new open
+    version. end_us is -1 for open versions (a NULL BIGINT would land in
+    pandas as float64 and trip the dtype-sensitive driver hash)."""
+    from modis_aggregation_spark.operators.merge import scd2_apply
+
+    _ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    hist = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+        F.lit(None).cast("timestamp").alias("end_ts"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        # ×1.5 yields 3-decimal values; round to 6dp ONLY (a 2dp round
+        # sits on the .xx5 half-case where Spark's BigDecimal and
+        # DuckDB's scaled-double rounding disagree)
+        (F.col("o_totalprice") * 1.5).alias("o_totalprice"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    out = scd2_apply(hist, upd, ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        _r6(F.col("o_totalprice")).alias("o_totalprice"),
+        F.unix_micros("effective_ts").alias("eff_us"),
+        F.coalesce(F.unix_micros("end_ts"), F.lit(-1)).alias("end_us"),
+        "is_current",
+    )
+
+
+# 2024-01-01 / 2024-06-01 00:00 UTC in epoch microseconds
+_SQL_R28 = """
+WITH t AS (SELECT o_orderkey, o_totalprice FROM orders)
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+       1704067200000000 AS eff_us,
+       CASE WHEN o_orderkey % 5 = 0 THEN 1717200000000000 ELSE -1 END AS end_us,
+       o_orderkey % 5 <> 0 AS is_current
+FROM t
+UNION ALL
+SELECT o_orderkey, round(o_totalprice * 1.5, 6) AS o_totalprice,
+       1717200000000000 AS eff_us, -1 AS end_us, TRUE AS is_current
+FROM t WHERE o_orderkey % 5 = 0
+"""
+
+
 def _q_s1_stream_daily(spark, sf_dir):
     """Structured Streaming daily grid, run to completion (availableNow)
     over the pixel fixture; returns the final batch result. Oracle: the
@@ -1890,6 +2068,56 @@ FROM e
 """
 
 
+def _q_x19_chunk_docs(spark, sf_dir):
+    """Fixed-size overlapping character chunking (context-window packing /
+    embedding indexing prep). Pure Catalyst sequence→transform→posexplode;
+    narrow map-only stage at corpus scale."""
+    from modis_aggregation_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "text", "doc_id", size=200, overlap=50)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "chunk_chars"
+    )
+
+
+_SQL_X19 = """
+SELECT doc_id, s // 150 AS chunk_id,
+       substring(text, s + 1, 200) AS chunk_text,
+       length(substring(text, s + 1, 200)) AS chunk_chars
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS s
+      FROM documents)
+"""
+
+
+def _q_x20_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum (per-source) sampling: keep iff the
+    document's hash bucket falls under the stratum's fraction — re-runs
+    and incremental batches keep the SAME rows (sampleBy cannot). Narrow
+    filter, fraction table is a Catalyst map literal."""
+    from modis_aggregation_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "source", "doc_id",
+        {"src0": 0.9, "src1": 0.5, "src2": 0.25},
+        default_frac=0.1, salt=3,
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
+_SQL_X20 = """
+SELECT doc_id, source, lang, n_chars
+FROM (
+  SELECT *, (((doc_id + 3) * 2654435761) % 4294967296) * 1000000 // 4294967296 AS b
+  FROM documents
+)
+WHERE b < CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 500000
+                      WHEN 'src2' THEN 250000 ELSE 100000 END
+"""
+
+
 def _q_s3_stream_dedup(spark, sf_dir):
     """Streaming exact dedup: documents arrive as a file stream,
     dropDuplicates on normalized content, run to completion (availableNow).
@@ -1993,6 +2221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r22_outer_joins": _q_r22_outer_joins,
         "r23_pivot": _q_r23_pivot,
         "r24_tumbling_window": _q_r24_tumbling_window,
+        "r25_asof_join": _q_r25_asof_join,
+        "r26_range_join": _q_r26_range_join,
+        "r27_merge_upsert": _q_r27_merge_upsert,
+        "r28_scd2": _q_r28_scd2,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -2013,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_train_split": _q_x16_train_split,
         "x17_winnow_fps": _q_x17_winnow_fps,
         "x18_quantize": _q_x18_quantize,
+        "x19_chunk_docs": _q_x19_chunk_docs,
+        "x20_stratified_sample": _q_x20_stratified_sample,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
     }
@@ -2062,6 +2296,10 @@ def oracle_sql() -> dict[str, str]:
         "r22_outer_joins": _SQL_R22,
         "r23_pivot": _SQL_R23,
         "r24_tumbling_window": _SQL_R24,
+        "r25_asof_join": _SQL_R25,
+        "r26_range_join": _SQL_R26,
+        "r27_merge_upsert": _SQL_R27,
+        "r28_scd2": _SQL_R28,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
@@ -2079,6 +2317,8 @@ def oracle_sql() -> dict[str, str]:
         "x16_train_split": _SQL_X16,
         "x17_winnow_fps": _SQL_X17,
         "x18_quantize": _SQL_X18,
+        "x19_chunk_docs": _SQL_X19,
+        "x20_stratified_sample": _SQL_X20,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
     }

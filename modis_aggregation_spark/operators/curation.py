@@ -160,6 +160,74 @@ def winnow_pairs(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls below the stratum's fraction. Unlike ``df.sampleBy`` (Bernoulli
+    on a per-run RNG) the kept set depends only on (id, salt) — re-runs,
+    retries, and incremental batches sample the SAME rows, so downstream
+    artifacts are reproducible. Pure narrow projection, no shuffle; the
+    fraction table is a Catalyst map literal, never a join.
+
+    ``fractions`` maps stratum value → keep fraction in [0, 1]; strata not
+    listed keep ``default_frac``.
+    """
+    n = 1_000_000
+    bucket = F.floor(split_bucket(F.col(id_col), salt, n_buckets=n)).cast("long")
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs.extend([F.lit(k), F.lit(int(round(v * n)))])
+    thresh = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)],
+        F.lit(int(round(default_frac * n))),
+    )
+    return df.where(bucket < thresh)
+
+
+def chunk_documents(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the standard pre-tokenization step of a training-data pipeline
+    (context-window packing, embedding indexing). Chunk c starts at
+    ``c * (size - overlap)``; the final chunk may be short; an empty
+    document yields one empty chunk (so no document silently vanishes).
+
+    Pure Catalyst: ``sequence`` of chunk starts → ``transform`` substring
+    → ``posexplode``. Narrow, no shuffle, O(bytes) — at corpus scale this
+    is a map-only stage that chains onto the scan.
+
+    Returns (id, chunk_id, chunk_text, chunk_chars).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("__text")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("__text") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.col("__text").substr(s + 1, F.lit(size))
+    )
+    return staged.select(
+        "id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).withColumn("chunk_chars", F.length("chunk_text"))
+
+
 # --------------------------------------------------------------------------
 # embedding quantization
 # --------------------------------------------------------------------------

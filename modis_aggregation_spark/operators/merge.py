@@ -1,0 +1,108 @@
+"""Lake-style MERGE (upsert) and SCD2 history rewrite as pure DataFrame ops.
+
+The reference has no table-maintenance surface (its outputs are
+write-once HDF5 grids, ``MODIS_Aggregation/aggregate_functions.py:413``);
+an analytics engine feeding a training pipeline needs one: reference
+tables (dedup fingerprints, quality scores, split assignments) are
+updated incrementally. Without Delta/Iceberg in the environment, MERGE
+semantics are expressed as a join + coalesce over the snapshot — the same
+logical plan those formats execute, minus the transaction log.
+
+Scale shape: one shuffle join on the merge key. At lake scale you bound
+the rewrite, not the join — partition the snapshot on a stable key range,
+semi-join source→target partitions first, and rewrite only affected
+partitions via dynamic partition overwrite (demonstrated in
+``streaming/daily_stream.py::write_daily_grids``). The source side is
+usually ≪ target: broadcast it below the auto-broadcast threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO target USING source: matched rows take ALL source
+    values (whole-row upsert), unmatched source rows insert, unmatched
+    target rows are kept. If ``delete_col`` names a boolean source
+    column, matched rows with it true are deleted instead (the column is
+    not emitted).
+
+    Schemas must agree on the non-key columns being merged; the output
+    column order is the target's.
+    """
+    keys = list(key_cols)
+    data_cols = [c for c in target.columns if c not in keys]
+    s = source
+    if delete_col is None:
+        s = s.withColumn("__del", F.lit(False))
+    else:
+        s = s.withColumn("__del", F.coalesce(F.col(delete_col), F.lit(False)))
+    s = s.select(
+        *keys, *[F.col(c).alias(f"__s_{c}") for c in data_cols], "__del"
+    )
+    joined = target.join(s, on=keys, how="full_outer")
+    merged = joined.where(~F.coalesce(F.col("__del"), F.lit(False))).select(
+        *keys,
+        *[
+            # __del is never-null on source rows, so its presence marks
+            # "source row exists" even when the source value is NULL —
+            # a whole-row upsert must take a NULL source value, which a
+            # bare coalesce(source, target) would silently skip
+            F.when(F.col("__del").isNotNull(), F.col(f"__s_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in data_cols
+        ],
+    )
+    return merged.select(*target.columns)
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "effective_ts",
+    current_col: str = "is_current",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the current version of
+    each updated key (set ``end_ts`` to the update's timestamp, clear
+    ``is_current``) and append the update as the new open version.
+
+    ``history`` carries (keys…, attrs…, effective_ts, end_ts,
+    is_current); ``updates`` carries (keys…, attrs…, effective_ts).
+    Untouched keys pass through unchanged. One shuffle join on the key —
+    same bound as :func:`merge_upsert`.
+    """
+    keys = list(key_cols)
+    upd_keys = updates.select(
+        *keys, F.col(ts_col).alias("__new_ts")
+    ).dropDuplicates(keys)
+    closed = (
+        history.join(upd_keys, on=keys, how="left")
+        .withColumn(
+            end_col,
+            F.when(
+                F.col(current_col) & F.col("__new_ts").isNotNull(),
+                F.col("__new_ts"),
+            ).otherwise(F.col(end_col)),
+        )
+        .withColumn(
+            current_col,
+            F.col(current_col) & F.col("__new_ts").isNull(),
+        )
+        .drop("__new_ts")
+    )
+    opened = updates.withColumn(
+        end_col, F.lit(None).cast(dict(history.dtypes)[end_col])
+    ).withColumn(current_col, F.lit(True))
+    return closed.unionByName(opened.select(*history.columns))

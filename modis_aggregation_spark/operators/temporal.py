@@ -1,0 +1,171 @@
+"""Temporal joins: as-of (nearest-prior/next match) and banded range join.
+
+Neither exists in the reference (its pairing is filename-keyed equality,
+``MODIS_Aggregation/aggregate_functions.py:96-109``) or in stock Spark's
+join menu; both are staples of event/feature pipelines (point-in-time
+feature lookup, click→outcome attribution) and both degenerate into a
+cartesian-per-key theta join if written naively. The implementations here
+are the scale shapes:
+
+- ``asof_join``: the union-marker + running ``last()`` window rewrite.
+  ONE shuffle on the key column, no join at all — both sides are unioned,
+  sorted per key by (ts, side), and the right payload is carried forward
+  (or backward) by an ignore-nulls window. O(n log n) per key, resistant
+  to the per-key row explosion a ``l.ts >= r.ts`` theta join produces.
+- ``range_join_binned``: time-binned equi-join. Each left row probes only
+  the ceil(span/bin)+1 bins its window can overlap, so the join is a plain
+  hash equi-join on (key, bin) followed by an exact filter — never a
+  BroadcastNestedLoopJoin. Bin width defaults to the window span, giving
+  at most 2 probe bins per left row.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PAYLOAD = "__asof_payload"
+_SIDE = "__asof_side"
+_BIN = "__range_bin"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    right_cols: Sequence[str] = ("value",),
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (``backward``; ``forward`` = earliest with
+    ``right.ts >= left.ts``) sharing the key column(s). Unmatched left
+    rows keep NULLs (left-join semantics).
+
+    Ties: an equal-timestamp right row DOES match (>= / <=, like DuckDB's
+    ASOF). Among right rows sharing the extreme timestamp the window picks
+    one nondeterministically — pre-aggregate the right side to one row per
+    (key, ts) if the payload must be deterministic.
+
+    Output: all left columns, then ``<ts_col><suffix>`` and
+    ``<c><suffix>`` for each of ``right_cols``.
+
+    Rows with NULL ``ts_col`` never match and are dropped from the right
+    side (they would sort first and pollute the running last()).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    payload = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in right_cols])
+    # side sorts the right row BEFORE the left at equal ts for backward
+    # (so last() sees it) and AFTER for forward (so first() sees it).
+    r_side = 0 if direction == "backward" else 2
+    r = (
+        right.where(F.col(ts_col).isNotNull())
+        .select(*keys, ts_col, payload.alias(_PAYLOAD))
+        .withColumn(_SIDE, F.lit(r_side))
+    )
+    l = left.withColumn(_PAYLOAD, F.lit(None).cast(r.schema[_PAYLOAD].dataType)).withColumn(
+        _SIDE, F.lit(1)
+    )
+    unioned = l.select(*left.columns, _PAYLOAD, _SIDE).unionByName(
+        r.select(
+            *keys,
+            *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
+              for c in left.columns if c not in keys and c != ts_col],
+            ts_col,
+            _PAYLOAD,
+            _SIDE,
+        ).select(*left.columns, _PAYLOAD, _SIDE)
+    )
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(_SIDE))
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = F.last(F.col(_PAYLOAD), ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = F.first(F.col(_PAYLOAD), ignorenulls=True).over(frame)
+
+    matched = (
+        unioned.withColumn(_PAYLOAD, carried)
+        .where(F.col(_SIDE) == 1)
+        .drop(_SIDE)
+    )
+    if tolerance_sec is not None:
+        gap = F.abs(
+            F.col(ts_col).cast("double") - F.col(_PAYLOAD)[ts_col].cast("double")
+        )
+        matched = matched.withColumn(
+            _PAYLOAD, F.when(gap <= float(tolerance_sec), F.col(_PAYLOAD))
+        )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(_PAYLOAD)[ts_col].alias(f"{ts_col}{suffix}"))
+    out_cols.extend(F.col(_PAYLOAD)[c].alias(f"{c}{suffix}") for c in right_cols)
+    return matched.select(*out_cols)
+
+
+def _epoch_us(c: Column) -> Column:
+    return F.unix_micros(c)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    lower_sec: float = 0.0,
+    upper_sec: float = 300.0,
+    bin_sec: float | None = None,
+) -> DataFrame:
+    """All (left, right) pairs sharing the key with
+    ``lower_sec <= right.ts - left.ts <= upper_sec`` (bounds inclusive;
+    ``lower_sec`` may be negative for a window straddling the left event).
+
+    Plan shape: right rows land in bin floor(ts/bin); each left row is
+    exploded to the bins its [ts+lower, ts+upper] window overlaps
+    (``sequence`` over bin ids — 2 bins when ``bin_sec`` is the default
+    window span). The join is then a hash equi-join on (key, bin) plus an
+    exact microsecond filter. Each qualifying pair appears exactly once:
+    a right row occupies exactly one bin.
+
+    Columns are suffixed ``_l`` / ``_r`` apart from the key column(s).
+    """
+    if upper_sec < lower_sec:
+        raise ValueError("upper_sec must be >= lower_sec")
+    keys = [on] if isinstance(on, str) else list(on)
+    span_us = int(round((upper_sec - lower_sec) * 1e6))
+    lower_us = int(round(lower_sec * 1e6))
+    upper_us = int(round(upper_sec * 1e6))
+    bin_us = int(round(bin_sec * 1e6)) if bin_sec is not None else max(span_us, 1)
+
+    l_us = _epoch_us(F.col(f"{ts_col}_l"))
+    lo_bin = F.floor((l_us + F.lit(lower_us)) / F.lit(bin_us))
+    hi_bin = F.floor((l_us + F.lit(upper_us)) / F.lit(bin_us))
+    lhs = (
+        left.where(F.col(ts_col).isNotNull())
+        .select(
+            *keys,
+            *[F.col(c).alias(f"{c}_l") for c in left.columns if c not in keys],
+        )
+        .withColumn(_BIN, F.explode(F.sequence(lo_bin, hi_bin)))
+    )
+    rhs = (
+        right.where(F.col(ts_col).isNotNull())
+        .select(
+            *keys,
+            *[F.col(c).alias(f"{c}_r") for c in right.columns if c not in keys],
+        )
+        .withColumn(_BIN, F.floor(_epoch_us(F.col(f"{ts_col}_r")) / F.lit(bin_us)))
+    )
+    delta = _epoch_us(F.col(f"{ts_col}_r")) - _epoch_us(F.col(f"{ts_col}_l"))
+    return (
+        lhs.join(rhs, on=[*keys, _BIN])
+        .where((delta >= lower_us) & (delta <= upper_us))
+        .drop(_BIN)
+    )
