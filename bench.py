@@ -12,6 +12,8 @@ nothing). Proxy-baseline metrics per BASELINE.md:
 * q_window_topk   — R6 row_number top-3 per customer
 * q_hist_1d       — M5 per-cell histogram
 * q_dedup         — R11 windowed exact dedup on events
+* q_asof_join     — R25 as-of join (union-marker window rewrite) on events
+* q_merge_upsert  — R27 MERGE snapshot rewrite on orders
 """
 
 from __future__ import annotations
@@ -52,6 +54,8 @@ def main() -> None:
         "q_dedup": qs["r11_dedup_exact"],
         "q_text_profile": qs["x2_text_stats"],
         "q_cosine_topk": qs["x7_cosine_topk"],
+        "q_asof_join": qs["r25_asof_join"],
+        "q_merge_upsert": qs["r27_merge_upsert"],
     }
 
     # JVM/codegen warmup on a trivial plan

@@ -161,6 +161,12 @@ def minhash_signatures(
     )
 
 
+# single-slot cache of the last inline-built signatures frame (see
+# minhash_lsh_pairs docstring): bounds executor-storage growth across
+# repeated inline calls in one session
+_INLINE_SIG_CACHE: list[DataFrame] = []
+
+
 def minhash_lsh_pairs(
     df: DataFrame | None = None,
     content_col: str = "text",
@@ -185,9 +191,13 @@ def minhash_lsh_pairs(
     Pass ``signatures`` (a ``minhash_signatures`` frame, ideally already
     materialized) to skip the shingle/signature computation; its
     ``num_hashes`` must match. Without it, the signatures are built inline
-    and persisted for the duration of the returned plan — the cached blocks
-    stay pinned until the session evicts them, so for repeated calls
-    materialize the signatures table yourself and pass it in.
+    and persisted; the cache is single-slot — the NEXT inline call
+    unpersists this one's blocks, so repeated calls in a long-lived
+    session hold at most one signatures frame in executor storage. (A
+    still-referenced earlier result keeps working after eviction — Spark
+    recomputes its lineage — so the trade is recompute, never wrong
+    results. Bulk pipelines should still materialize the signatures table
+    once and pass it in.)
     """
     rows_per_band = num_hashes // num_bands
     if signatures is not None:
@@ -198,6 +208,12 @@ def minhash_lsh_pairs(
         # reused by the band branch and the candidate-verification branch —
         # persist so shingling/signatures run once per returned plan
         base = minhash_signatures(df, content_col, id_col, num_hashes, k).persist()
+        while _INLINE_SIG_CACHE:
+            try:
+                _INLINE_SIG_CACHE.pop().unpersist()
+            except Exception:
+                pass
+        _INLINE_SIG_CACHE.append(base)
     # the band self-join shuffles ONLY (id, band, key) — the shingle arrays
     # (the wide payload) are fetched once per candidate pair below; at
     # corpus scale this is the difference between shuffling ~24 B/row×B

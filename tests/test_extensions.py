@@ -170,6 +170,16 @@ def test_minhash_pairs_from_materialized_signatures(spark):
         D.minhash_lsh_pairs()
 
 
+def test_minhash_inline_cache_is_single_slot(spark):
+    """Repeated inline calls must not accumulate persisted signature
+    frames: each call evicts the previous call's cache."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(3):
+        D.minhash_lsh_pairs(_docs(spark), threshold=0.5).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after - before <= 1
+
+
 def test_simhash_pairs(spark):
     base = D.simhash(F.col("text"))
     hashes = {r["doc_id"]: r["h"] for r in _docs(spark).select("doc_id", base.alias("h")).collect()}
