@@ -1487,6 +1487,98 @@ FROM t WHERE o_orderkey % 5 = 0
 """
 
 
+def _q_r29_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: the four lineitem measures to long form (one row per
+    (line, measure)). Stock ``DataFrame.unpivot`` — a generate/stack node,
+    narrow (no shuffle), so it scales as a pure map over the scan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    melted = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return melted.select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        _r6(F.col("value")).alias("value"),
+    )
+
+
+_SQL_R29 = """
+SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+  FROM lineitem WHERE l_orderkey < 2000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey < 2000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey < 2000
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey < 2000
+)
+"""
+
+
+def _q_r30_snapshot_diff(spark, sf_dir):
+    """Change-data-capture between two order snapshots: keys %5==0 exist
+    only in the new snapshot (inserts), %7==0 only in the old (deletes),
+    open-status orders get a price bump (updates); unchanged keys are
+    dropped. One full-outer co-partitioned join — the batch equivalent of
+    a lake change feed."""
+    from modis_aggregation_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.where(F.col("o_orderkey") % 5 != 0)
+    new = orders.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        # ×1.5 keeps the 6dp round away from the .xx5 half-case (see r28)
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    out = snapshot_diff(old, new, ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "op",
+        "o_custkey",
+        _r6(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+_SQL_R30 = """
+WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+old AS (SELECT * FROM t WHERE o_orderkey % 5 <> 0),
+new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.5
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM t WHERE o_orderkey % 7 <> 0
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+            WHEN n.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+       round(CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                  ELSE n.o_totalprice END, 6) AS o_totalprice,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+            ELSE n.o_orderstatus END AS o_orderstatus
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+
+
 def _q_s1_stream_daily(spark, sf_dir):
     """Structured Streaming daily grid, run to completion (availableNow)
     over the pixel fixture; returns the final batch result. Oracle: the
@@ -2118,6 +2210,58 @@ WHERE b < CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 500000
 """
 
 
+def _q_x21_cosine_pairs_exact(spark, sf_dir):
+    """EXACT all-pairs embedding cosine ≥ 0.35 — the value-checked
+    verification baseline for the approximate LSH path (x8): blocked
+    equi-join on id blocks, JVM-side dot products, no cartesian task.
+    At corpus scale this runs on samples/candidate pools only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_sim.cosine_pairs_exact(
+        emb, "embedding", "vec_id", threshold=0.35, block_size=128
+    )
+
+
+_SQL_X21 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+"""
+
+
+def _q_x22_subword_tokens(spark, sf_dir):
+    """GPT-2-style subword-count estimate per document (pre-tokenizer
+    regex, pure Catalyst) next to the whitespace+punct token count —
+    the context-window budgeting signal chunking consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    sub = fn_text.subword_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sub.cast("long").alias("n_subwords"),
+        fn_text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        _r6(
+            sub / F.nullif(fn_text.word_count(F.col("text")), F.lit(0))
+        ).alias("subwords_per_word"),
+    )
+
+
+_SUBWORD_RE_SQL = fn_text.SUBWORD_REGEX.replace("'", "''")
+
+_SQL_X22 = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS n_subwords,
+         len(regexp_extract_all(text, '{fn_text.TOKEN_REGEX}')) AS n_tokens,
+         len({_D_TOKS}) AS wc
+  FROM documents
+)
+SELECT doc_id, n_subwords, n_tokens,
+       round(n_subwords / nullif(wc, 0), 6) AS subwords_per_word
+FROM c
+"""
+
+
 def _q_s3_stream_dedup(spark, sf_dir):
     """Streaming exact dedup: documents arrive as a file stream,
     dropDuplicates on normalized content, run to completion (availableNow).
@@ -2225,6 +2369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
         "r28_scd2": _q_r28_scd2,
+        "r29_unpivot": _q_r29_unpivot,
+        "r30_snapshot_diff": _q_r30_snapshot_diff,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -2247,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x18_quantize": _q_x18_quantize,
         "x19_chunk_docs": _q_x19_chunk_docs,
         "x20_stratified_sample": _q_x20_stratified_sample,
+        "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
+        "x22_subword_tokens": _q_x22_subword_tokens,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
     }
@@ -2299,6 +2447,8 @@ def oracle_sql() -> dict[str, str]:
         "r25_asof_join": _SQL_R25,
         "r26_range_join": _SQL_R26,
         "r27_merge_upsert": _SQL_R27,
+        "r29_unpivot": _SQL_R29,
+        "r30_snapshot_diff": _SQL_R30,
         "r28_scd2": _SQL_R28,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
@@ -2319,6 +2469,8 @@ def oracle_sql() -> dict[str, str]:
         "x18_quantize": _SQL_X18,
         "x19_chunk_docs": _SQL_X19,
         "x20_stratified_sample": _SQL_X20,
+        "x21_cosine_pairs_exact": _SQL_X21,
+        "x22_subword_tokens": _SQL_X22,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
     }

@@ -24,6 +24,14 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 # Whitespace + BPE-ish word/number/punctuation splitter for token counting.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
+# GPT-2-flavored subword pre-tokenizer: contraction suffixes, then
+# space-prefixed letter/digit/punctuation runs, then whitespace runs.
+# ASCII classes (not \p{L}) so Java regex (Spark) and RE2 (DuckDB oracle)
+# agree exactly; GPT-2's trailing `\s+(?!\S)` lookahead is dropped (RE2
+# has no lookahead) — the plain `\s+` fallback differs only on interior
+# multi-space runs, which collapse to one token here.
+SUBWORD_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
 
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens (empty strings removed)."""
@@ -34,6 +42,14 @@ def token_count(text: Column) -> Column:
     """BPE-ish token count: words + numbers + individual punctuation
     (regexp-based; a cheap proxy for subword tokenizers)."""
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def subword_token_count(text: Column) -> Column:
+    """GPT-2-style subword-count estimate (pre-tokenizer matches only —
+    no merges table, so this upper-bounds a real BPE count). Pure regexp
+    expression; the cheap context-window sizing signal for chunking and
+    per-document token budgeting."""
+    return F.size(F.regexp_extract_all(text, F.lit(SUBWORD_REGEX), 0))
 
 
 def word_count(text: Column) -> Column:

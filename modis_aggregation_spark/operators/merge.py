@@ -66,6 +66,68 @@ def merge_upsert(
     return merged.select(*target.columns)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same table: emit
+    one row per changed key with ``op`` ∈ {'I','U','D'} (insert / update /
+    delete, from old→new) plus the new-side values for inserts/updates and
+    the old-side values for deletes.
+
+    ``compare_cols`` defaults to all non-key columns shared by both
+    sides; an update is any key present in both snapshots whose compared
+    columns differ (NULL-safe, via ``<=>`` equality per column).
+
+    Scale shape: one full-outer shuffle join co-partitioned on the key —
+    the same single-shuffle bound as :func:`merge_upsert`; unchanged keys
+    are dropped before any downstream work. This is the batch equivalent
+    of a Delta/Iceberg change feed when no transaction log exists.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c not in keys and c in new.columns
+        ]
+    cmp_cols = list(compare_cols)
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(~same, F.lit("U"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[
+                # deletes carry the old values; inserts/updates the new
+                F.when(F.col("op") == "D", F.col(f"__o_{c}"))
+                .otherwise(F.col(f"__n_{c}"))
+                .alias(c)
+                for c in cmp_cols
+            ],
+        )
+    )
+
+
 def scd2_apply(
     history: DataFrame,
     updates: DataFrame,

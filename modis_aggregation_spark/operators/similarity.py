@@ -62,6 +62,86 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    block_size: int = 4096,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold (id1 < id2).
+
+    This is the verification baseline for the approximate scale path
+    (``operators.dedup.embedding_pairs`` — random-hyperplane LSH): exact
+    all-pairs is inherently O(n²) dot products, so it is only runnable on
+    a corpus slice, a candidate pool, or an eval set. The join itself is
+    still distributed and shuffle-skinny: the right side is blocked on
+    ``id div block_size`` and each block pairs only with blocks at or
+    after it, so the equi-join on block pairs avoids a single cartesian
+    task while every comparison stays JVM-side (``zip_with``/``aggregate``
+    dot product, no Python). At corpus scale use ``embedding_pairs`` and
+    reserve this for auditing its recall on a sample. Zero-norm vectors
+    have no defined cosine and are dropped.
+    """
+    # normalize ONCE per row (norm staged as a real column — lambda inputs
+    # must be materialized, and an inline norm would re-evaluate per pair):
+    # per-pair work then collapses to a single dot product
+    unit = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(emb_col).cast("array<double>").alias("__e"),
+        )
+        .withColumn(
+            "__n",
+            F.sqrt(
+                F.aggregate(
+                    F.col("__e"), F.lit(0.0), lambda acc, v: acc + v * v
+                )
+            ),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            "__id",
+            F.transform(F.col("__e"), lambda v: v / F.col("__n")).alias("__e"),
+        )
+    )
+    a = unit.select(
+        F.col("__id").alias("id1"),
+        F.col("__e").alias("__e1"),
+        (F.col("__id").cast("long") / block_size).cast("long").alias("__b1"),
+    )
+    b = unit.select(
+        F.col("__id").alias("id2"),
+        F.col("__e").alias("__e2"),
+        (F.col("__id").cast("long") / block_size).cast("long").alias("__b2"),
+    )
+    # explode each left row to every right block ≥ its own: keeps the join
+    # an equi-join (hash-partitioned on block id), never a nested loop
+    nblocks = df.agg(
+        (F.max(F.col(id_col).cast("long")) / block_size).cast("long")
+    ).first()[0]
+    nblocks = int(nblocks or 0)
+    probes = a.select(
+        "id1",
+        "__e1",
+        F.explode(
+            F.sequence(F.col("__b1"), F.lit(nblocks))
+        ).alias("__b2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__e1"), F.col("__e2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        probes.join(b, "__b2")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", dot)
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     emb_col: str = "embedding",

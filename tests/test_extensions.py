@@ -225,6 +225,35 @@ def _emb_df(spark, n=30, dim=8, seed=1):
     )
 
 
+def test_cosine_pairs_exact_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    # block_size=8 over 30 ids forces the multi-block equi-join path
+    out = S.cosine_pairs_exact(df, threshold=0.3, block_size=8).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {
+        (i, j): sims[i, j]
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= 0.3
+    }
+    got = {(r["id1"], r["id2"]): r["cosine"] for r in out}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-5
+
+
+def test_subword_token_count(spark):
+    rows = [
+        ("I'll go to 123 places!!", 7),   # I / 'll / go / to / 123 / places / !!
+        ("a  b", 3),                      # letter / double-space run / letter
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r[0] for r in df.select(T.subword_token_count(F.col("text"))).collect()]
+    assert got == [n for _, n in rows]
+
+
 def test_cosine_topk_matches_numpy(spark):
     df, vecs = _emb_df(spark)
     queries = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")

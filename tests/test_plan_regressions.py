@@ -39,6 +39,57 @@ def test_r1_projection_pruned(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double," in plan
 
 
+def test_x21_exact_cosine_no_cartesian(spark):
+    """Exact all-pairs cosine must stay an equi-join on block ids — a
+    cartesian/nested-loop product would be quadratic per task."""
+    plan = _plan(spark, "x21_cosine_pairs_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pre-normalized vectors: the per-pair join condition is ONE dot
+    # product — no per-pair SQRT of either side's norm
+    join_lines = [l for l in plan.splitlines() if "HashJoin" in l]
+    assert join_lines and all("SQRT" not in l for l in join_lines)
+
+
+def test_r30_snapshot_diff_single_join(spark):
+    """CDC diff is one co-partitioned full-outer join, nothing more."""
+    plan = _plan(spark, "r30_snapshot_diff")
+    assert plan.count("Join") == 1
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime Bloom-filter join pruning is ON by default but
+    gated behind a 10 GB application-side scan threshold — invisible at
+    test scale, load-bearing at 100 TB (a selective dim filter prunes the
+    fact scan before the shuffle). Lower the gate and assert the filter
+    actually injects on our join shape, so a conf/regression can't
+    silently disable it."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # broadcast joins bypass the bloom path entirely; force shuffles
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_m13_single_pass_staging(spark):
     """Monthly reagg must stage per-day partials in ONE pass over the
     pixels (round 1 unioned a plan branch per day: 51 redundant scans)."""

@@ -147,6 +147,29 @@ def test_scd2_apply(spark):
     assert old[0]["end_ts"] == _ts("2024-01-01 00:00:00")
 
 
+def test_snapshot_diff_insert_update_delete_nullsafe(spark):
+    from modis_aggregation_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged -> dropped
+         (2, "b", None),      # NULL == NULL -> unchanged
+         (3, "c", None),      # value -> NULL is an update
+         (4, "d", 40.0)],     # insert; 5 deleted
+        "k long, s string, x double",
+    )
+    got = {r["k"]: (r["op"], r["s"], r["x"]) for r in
+           snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        3: ("U", "c", None),
+        4: ("I", "d", 40.0),
+        5: ("D", "e", 50.0),  # deletes carry the old values
+    }
+
+
 # ----------------------------------------------------- chunking / sampling
 
 def test_chunk_documents_cover_and_overlap(spark):
