@@ -1579,6 +1579,93 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
 """
 
 
+def _q_r31_hopping_window(spark, sf_dir):
+    """Event-time HOPPING (sliding) window, 6h wide every 90min — each
+    event lands in width/slide = 4 windows. ``F.window(w, s)`` expands
+    rows JVM-side (a Generate, narrow) before one grouped agg; the same
+    construct Structured Streaming groups by. Oracle: union of the 4
+    slide-shifted tumbling assignments in epoch-microsecond arithmetic."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "90 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# width 6 h = 21_600_000_000 us, slide 90 min = 5_400_000_000 us
+_SQL_R31 = """
+WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+j AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(j)),
+w AS (
+  SELECT ((us - j*5400000000) // 21600000000) * 21600000000
+           + j*5400000000 AS win_start_us,
+         value
+  FROM e CROSS JOIN j
+)
+SELECT win_start_us, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1
+"""
+
+
+def _q_r32_session_window(spark, sf_dir):
+    """Built-in ``F.session_window`` (the native gap-session construct,
+    batch AND streaming groupable) — complements r16's explicit
+    lag+running-sum rewrite. Spark merges events while the gap is
+    STRICTLY under 6h (half-open [start, last+gap)), so the oracle opens
+    a new session at gap >= 21600 s exactly."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_R32 = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 21600
+              THEN 1 ELSE 0 END AS ns
+  FROM o
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM f
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + 21600000000 AS end_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
 def _q_s1_stream_daily(spark, sf_dir):
     """Structured Streaming daily grid, run to completion (availableNow)
     over the pixel fixture; returns the final batch result. Oracle: the
@@ -2371,6 +2458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r28_scd2": _q_r28_scd2,
         "r29_unpivot": _q_r29_unpivot,
         "r30_snapshot_diff": _q_r30_snapshot_diff,
+        "r31_hopping_window": _q_r31_hopping_window,
+        "r32_session_window": _q_r32_session_window,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -2449,6 +2538,8 @@ def oracle_sql() -> dict[str, str]:
         "r27_merge_upsert": _SQL_R27,
         "r29_unpivot": _SQL_R29,
         "r30_snapshot_diff": _SQL_R30,
+        "r31_hopping_window": _SQL_R31,
+        "r32_session_window": _SQL_R32,
         "r28_scd2": _SQL_R28,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;

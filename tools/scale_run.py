@@ -1,0 +1,115 @@
+"""Scale-anchor measurement: throughput curves for the 1-km granule path
+and the signatures-table MinHash flow.
+
+Run ad hoc (``python tools/scale_run.py [n_granules ...]``); results are
+recorded in BASELINE.md ("Scale anchor") and docs/ROUND2.md. The point is
+the SHAPE of the curve, not the absolute numbers: px/s must rise (or hold)
+with granule count — the signature of a plan whose only scaling dimension
+is the embarrassingly-parallel scan — and the MinHash pair step must be
+decoupled from the signature build so bulk pipelines pay the build once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from modis_aggregation_spark import get_spark  # noqa: E402
+from modis_aggregation_spark.config import default_spec  # noqa: E402
+from modis_aggregation_spark.operators import stats as ops_stats  # noqa: E402
+from modis_aggregation_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from modis_aggregation_spark.sources.granule_datasource import (  # noqa: E402
+    GranuleDataSource,
+)
+
+PX_PER_1KM_GRANULE = 2030 * 1354
+
+
+def run_1km(spark, n_granules: int) -> dict:
+    """m16-shaped workload over ``n_granules`` synthetic 1-km granules:
+    DataSource scan → 1350-col trim → [2::5, 3::5] sampling → 1° grid
+    stats + CF counts."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GranuleDataSource)
+    ids = ",".join(str(2000 + i) for i in range(n_granules))
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ids)
+        .option("product", "1km")
+        .option("variables", "ctp")
+        .load()
+    )
+    spec = default_spec(sampling=5, sampling_offset=(2, 3))
+    px = ops_stats.with_cloud_mask(
+        ops_stats.with_cell(ops_stats.trim_cross_track(df), spec)
+    )
+    cm = F.col("cm")
+    agg = px.groupBy("cell").agg(
+        F.min("ctp"),
+        F.max("ctp"),
+        F.avg("ctp"),
+        F.stddev_pop("ctp"),
+        F.count("ctp"),
+        F.sum(F.when(cm.between(0, 1), 1).otherwise(0)),
+        F.sum(F.when(cm.between(0, 3), 1).otherwise(0)),
+    )
+    t0 = time.perf_counter()
+    cells = agg.count()
+    wall = time.perf_counter() - t0
+    total_px = n_granules * PX_PER_1KM_GRANULE
+    return {
+        "granules": n_granules,
+        "pixels_scanned": total_px,
+        "cells": cells,
+        "wall_sec": round(wall, 2),
+        "px_per_sec": int(total_px / wall),
+    }
+
+
+def run_minhash(spark, sf_dir: str) -> dict:
+    """Signatures-table flow on the documents table: one-time signature
+    build (materialized), then LSH pairs from the reused table."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(docs, "text", "doc_id").persist()
+    sigs.count()
+    t_sigs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs = minhash_lsh_pairs(
+        id_col="doc_id", signatures=sigs, threshold=0.6
+    ).count()
+    t_pairs = time.perf_counter() - t0
+    sigs.unpersist()
+    return {
+        "docs": n_docs,
+        "sig_build_sec": round(t_sigs, 2),
+        "pairs_sec": round(t_pairs, 2),
+        "pairs": n_pairs,
+        "docs_per_sec_sig": int(n_docs / t_sigs),
+    }
+
+
+def main() -> None:
+    counts = [int(a) for a in sys.argv[1:]] or [4, 16, 32]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    out = {
+        "one_km": [run_1km(spark, n) for n in counts],
+        "minhash": run_minhash(spark, sf_dir),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
