@@ -2349,6 +2349,51 @@ FROM c
 """
 
 
+def _q_x23_dedup_clusters(spark, sf_dir):
+    """Exact connected components (iterative label propagation with
+    localCheckpoint rounds) over the x4 n-gram-Jaccard pair graph — the
+    near-dup CLUSTERING step of dedup. Oracle: transitive closure via a
+    DuckDB recursive CTE over the identical pair set; component label =
+    min reachable doc_id on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops_dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, max_token_freq=1_000_000_000
+    )
+    comp = ops_dedup.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+_SQL_X23 = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS grams
+  FROM t
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS la, len(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM p
+  WHERE inter / nullif(la + lb - inter, 0) >= 0.1
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk (id, comp) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id
+)
+SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+"""
+
+
 def _q_s3_stream_dedup(spark, sf_dir):
     """Streaming exact dedup: documents arrive as a file stream,
     dropDuplicates on normalized content, run to completion (availableNow).
@@ -2400,6 +2445,71 @@ def _q_s3_stream_dedup(spark, sf_dir):
 _SQL_S3 = r"""
 SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
 FROM documents
+"""
+
+
+def _q_s4_stream_join(spark, sf_dir):
+    """Stream-stream watermarked interval join: events split by id parity
+    into two file streams, each right event paired to same-user left
+    events within 1 h, run to completion (availableNow). The watermark is
+    set past the fixture's 30-day span so no state eviction fires and the
+    result equals the batch join EXACTLY (the oracle); production uses a
+    tight watermark for bounded state — see streaming/joins.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from modis_aggregation_spark.streaming.joins import stream_interval_join
+
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    a_dir = tempfile.mkdtemp(prefix="s4_a_")
+    b_dir = tempfile.mkdtemp(prefix="s4_b_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s4_ckpt_")
+    name = f"s4_join_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(a_dir)
+        ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(b_dir)
+        schema = spark.read.parquet(a_dir).schema
+        a = spark.readStream.schema(schema).parquet(a_dir)
+        b = spark.readStream.schema(schema).parquet(b_dir)
+        joined = stream_interval_join(
+            a, b, on="user_id", ts_col="ts",
+            interval_sec=3600, watermark="45 days",
+        ).select(
+            F.col("l_event_id").alias("a_id"),
+            F.col("r_event_id").alias("b_id"),
+            "user_id",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s4_stream_join: stream did not finish in 300s")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(a_dir, ignore_errors=True)
+        shutil.rmtree(b_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S4 = """
+WITH a AS (SELECT event_id, ts, user_id FROM events WHERE event_id % 2 = 0),
+     b AS (SELECT event_id, ts, user_id FROM events WHERE event_id % 2 = 1)
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM a JOIN b ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
 """
 
 
@@ -2484,8 +2594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x20_stratified_sample": _q_x20_stratified_sample,
         "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
         "x22_subword_tokens": _q_x22_subword_tokens,
+        "x23_dedup_clusters": _q_x23_dedup_clusters,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
+        "s4_stream_join": _q_s4_stream_join,
     }
 
 
@@ -2562,6 +2674,8 @@ def oracle_sql() -> dict[str, str]:
         "x20_stratified_sample": _SQL_X20,
         "x21_cosine_pairs_exact": _SQL_X21,
         "x22_subword_tokens": _SQL_X22,
+        "x23_dedup_clusters": _SQL_X23,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
+        "s4_stream_join": _SQL_S4,
     }

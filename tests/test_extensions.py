@@ -209,6 +209,34 @@ def test_embedding_pairs(spark):
     assert got == {(3, 100): pytest.approx(1.0)}
 
 
+def test_embedding_lsh_recall_vs_exact_baseline(spark):
+    """The audit loop x21 exists for: near-dup pairs found by the exact
+    all-pairs baseline must be recovered by the LSH path at high
+    similarity. 16 planes / 4 bands ⇒ a pair colliding on ≥1 band needs
+    4 matching sign bits; perturbed copies (cos ≈ 0.999) make that near
+    certain, and the exact-cosine verification step removes any FP risk,
+    so recall on these pairs is deterministic-in-practice for this seed."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((25, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # ids 1000+i are tiny perturbations of ids 0..9 -> 10 true near-dups
+    for i in range(10):
+        rows.append(
+            (1000 + i, [float(x) for x in base[i] + rng.standard_normal(64) * 0.01])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id1"], r["id2"])
+        for r in S.cosine_pairs_exact(df, threshold=0.99, block_size=8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_pairs(df, threshold=0.99).collect()
+    }
+    assert exact == {(i, 1000 + i) for i in range(10)}
+    assert lsh == exact  # full recall on the near-dup pairs, no extras
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

@@ -115,3 +115,44 @@ def test_write_daily_grids_partitioned_sink(spark, staged_dir, tmp_path):
         F.sum(F.when(F.col("cm").between(0, 1), 1).otherwise(0))
     ).first()[0]
     assert total_cld == want_cld
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join over a closed replay must
+    equal the batch interval join when the watermark covers the whole
+    event-time span (no state eviction)."""
+    import datetime as dt
+
+    from modis_aggregation_spark.streaming.joins import stream_interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mk = lambda m: base + dt.timedelta(minutes=m)
+    left = [(1, mk(0), 10), (2, mk(5), 10), (3, mk(0), 20)]
+    right = [
+        (11, mk(30), 10),   # pairs with 1 and 2
+        (12, mk(65), 10),   # pairs with 2 only (1 is > 60min back)
+        (13, mk(200), 20),  # pairs with nobody (3 is 200min back)
+        (14, mk(-10), 10),  # before everything: pairs with nobody
+    ]
+    schema = "event_id long, ts timestamp, user_id long"
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left, schema).write.parquet(ldir)
+    spark.createDataFrame(right, schema).write.parquet(rdir)
+    sch = spark.read.parquet(ldir).schema
+    out = stream_interval_join(
+        spark.readStream.schema(sch).parquet(ldir),
+        spark.readStream.schema(sch).parquet(rdir),
+        on="user_id", ts_col="ts", interval_sec=3600, watermark="10 days",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("s_ijoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {(r["l_event_id"], r["r_event_id"])
+           for r in spark.table("s_ijoin").collect()}
+    assert got == {(1, 11), (2, 11), (2, 12)}
