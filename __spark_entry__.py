@@ -2513,6 +2513,111 @@ FROM a JOIN b ON a.user_id = b.user_id
 """
 
 
+_FIXTURE_S5 = "/tmp/spark_graft_stream_granules_3000_3011.parquet"
+_S5_IDS = list(range(3000, 3012))
+
+
+def _ensure_s5_fixture() -> str:
+    """Materialize the 12 streamed 5-km granules as one parquet so the
+    DuckDB oracle reads byte-identical rows to what the streaming
+    DataSource decodes (decode is a pure function of granule_id)."""
+    if os.path.exists(_FIXTURE_S5):
+        return _FIXTURE_S5
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import synth_granule
+
+    tables = []
+    for gid in _S5_IDS:
+        data = synth_granule(gid, ["ctp"])
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S5}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S5)
+    return _FIXTURE_S5
+
+
+def _q_s5_stream_granules(spark, sf_dir):
+    """Streaming granule SOURCE end-to-end: the Python DataSource's
+    streamReader lands 5 granules per micro-batch (simulated arrivals;
+    offsets = index ranges into the id list, replay exactly-once), the
+    daily-grid cell aggregation runs in complete mode, and the final grid
+    must equal the batch aggregation of the same granules — oracle reads
+    a materialized parquet twin. processAllAvailable() returns once the
+    arrival frontier stops advancing; no sleeps, no timing dependence."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    spark.dataSource.register(GranuleDataSource)
+    _ensure_s5_fixture()
+    stream = (
+        spark.readStream.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _S5_IDS))
+        .option("granules_per_batch", "5")
+        .option("variables", "ctp")
+        .load()
+    )
+    spec = default_spec()
+    px = ops_stats.with_cloud_mask(ops_stats.with_cell(stream, spec))
+    cm = F.col("cm")
+    agg = px.groupBy("cell").agg(
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        F.count("ctp").alias("ctp_count"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        F.sum(F.when(cm.between(0, 1), 1).otherwise(0)).cast("long").alias("cld_pix"),
+        F.sum(F.when(cm.between(0, 3), 1).otherwise(0)).cast("long").alias("tot_pix"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="s5_ckpt_")
+    name = f"s5_grid_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S5 = f"""
+WITH t AS (
+  SELECT * FROM read_parquet('{_FIXTURE_S5}')
+  WHERE lat > -90.0 AND lat < 90.0 AND lon > -180.0 AND lon < 180.0
+)
+SELECT CAST(FLOOR((lat - -90.0) / 1.0) AS BIGINT) * 360
+         + CAST(FLOOR((lon - -180.0) / 1.0) AS BIGINT) AS cell,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       count(ctp) AS ctp_count,
+       round(avg(ctp), 6) AS ctp_mean,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix
+FROM t
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2598,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
+        "s5_stream_granules": _q_s5_stream_granules,
     }
 
 
@@ -2678,4 +2784,5 @@ def oracle_sql() -> dict[str, str]:
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,
+        "s5_stream_granules": _SQL_S5,
     }

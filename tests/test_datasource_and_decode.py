@@ -166,3 +166,33 @@ def test_null_fill(spark):
         "id", null_fill(F.col("v"), -9999.0).alias("nv")
     ).collect()}
     assert out[1] is None and out[2] == 5.0
+
+
+def test_datasource_stream_reader_exactly_once(registered, tmp_path):
+    """The streaming reader must land every granule exactly once across
+    multiple micro-batches (offset ranges over the id list) and match the
+    batch reader's rows."""
+    stream = (
+        registered.readStream.format("modis_granules")
+        .option("granule_ids", "41,42,43,44,45,46,47")
+        .option("granules_per_batch", "3")
+        .option("variables", "ctp")
+        .load()
+    )
+    agg = stream.groupBy("granule_id").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ds_stream_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    q.stop()
+    rows = {r["granule_id"]: r["count"]
+            for r in registered.table("ds_stream_counts").collect()}
+    assert set(rows) == {41, 42, 43, 44, 45, 46, 47}
+    assert all(c == SWATH_ROWS * SWATH_COLS for c in rows.values())
+    assert n_batches >= 3  # 3+3+1 arrival batches, not one big scan
