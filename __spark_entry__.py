@@ -26,6 +26,7 @@ from modis_aggregation_spark.config import REFERENCE_EDGES, default_spec
 from modis_aggregation_spark.functions import text as fn_text
 from modis_aggregation_spark.operators import dedup as ops_dedup
 from modis_aggregation_spark.operators import multimodal as ops_mm
+from modis_aggregation_spark.operators import quality as ops_quality
 from modis_aggregation_spark.operators import similarity as ops_sim
 from modis_aggregation_spark.functions.histogram import hist_bucket_sql
 from modis_aggregation_spark.functions.dayrules import day_definition_null, day_definition_sql
@@ -2394,6 +2395,77 @@ SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
 """
 
 
+def _q_x24_quality_checks(spark, sf_dir):
+    """Declarative data-quality constraint battery (Deequ-style): every
+    row-level rule compiles into ONE global aggregation pass — N rules,
+    one scan, one 1-row shuffle — then unpivots to (rule, total,
+    violations, pass_rate) rows. The scale-shaped replacement for the
+    reference's ad-hoc input asserts (reference
+    ``MODIS_Aggregation/aggregate_functions.py:96-115``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ops_quality.check_constraints(
+        li,
+        {
+            "qty_range": F.col("l_quantity").between(1, 50),
+            "disc_range": F.col("l_discount").between(0.0, 0.08),
+            "price_pos": F.col("l_extendedprice") > 0,
+            "flag_valid": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_set": F.col("l_shipdate").isNotNull(),
+        },
+    )
+
+
+_X24_RULES_SQL = [
+    ("qty_range", "l_quantity BETWEEN 1 AND 50"),
+    ("disc_range", "l_discount BETWEEN 0.0 AND 0.08"),
+    ("price_pos", "l_extendedprice > 0"),
+    ("flag_valid", "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_set", "l_shipdate IS NOT NULL"),
+]
+
+_SQL_X24 = (
+    "WITH a AS (SELECT count(*) AS total, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN NOT coalesce({cond}, FALSE) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS v_{name}"
+        for name, cond in _X24_RULES_SQL
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, total, v_{name} AS violations,"
+        f" round((total - v_{name}) / nullif(total, 0), 6) AS pass_rate FROM a"
+        for name, _ in _X24_RULES_SQL
+    )
+)
+
+
+def _q_x25_fk_orphans(spark, sf_dir):
+    """Referential-integrity quarantine: child rows whose key has no match
+    in the approved parent set, via LEFT ANTI join (only the parent's key
+    column travels; broadcast when small). Parent = finalized orders, so
+    the orphan set — lineitems of non-finalized orders — is non-empty and
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    parents = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    orphans = ops_quality.referential_orphans(
+        li, parents, {"l_orderkey": "o_orderkey"}
+    )
+    return orphans.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r6(F.col("l_extendedprice")).alias("l_extendedprice"),
+    )
+
+
+_SQL_X25 = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS l_extendedprice
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+)
+"""
+
+
 def _q_s3_stream_dedup(spark, sf_dir):
     """Streaming exact dedup: documents arrive as a file stream,
     dropDuplicates on normalized content, run to completion (availableNow).
@@ -2700,6 +2772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
         "x22_subword_tokens": _q_x22_subword_tokens,
         "x23_dedup_clusters": _q_x23_dedup_clusters,
+        "x24_quality_checks": _q_x24_quality_checks,
+        "x25_fk_orphans": _q_x25_fk_orphans,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
@@ -2781,6 +2855,8 @@ def oracle_sql() -> dict[str, str]:
         "x21_cosine_pairs_exact": _SQL_X21,
         "x22_subword_tokens": _SQL_X22,
         "x23_dedup_clusters": _SQL_X23,
+        "x24_quality_checks": _SQL_X24,
+        "x25_fk_orphans": _SQL_X25,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,
