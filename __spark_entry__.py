@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 
 from modis_aggregation_spark.config import REFERENCE_EDGES, default_spec
 from modis_aggregation_spark.functions import text as fn_text
+from modis_aggregation_spark.operators import curation as ops_cur
 from modis_aggregation_spark.operators import dedup as ops_dedup
 from modis_aggregation_spark.operators import multimodal as ops_mm
 from modis_aggregation_spark.operators import quality as ops_quality
+from modis_aggregation_spark.operators import screening as ops_scr
 from modis_aggregation_spark.operators import similarity as ops_sim
 from modis_aggregation_spark.functions.histogram import hist_bucket_sql
 from modis_aggregation_spark.functions.dayrules import day_definition_null, day_definition_sql
@@ -2466,6 +2468,210 @@ WHERE l_orderkey NOT IN (
 """
 
 
+def _q_x26_pii_scrub(spark, sf_dir):
+    """PII counting + redaction (email → IPv4 → phone, each stage counted
+    on the previous stage's redacted text so overlapping patterns are
+    unambiguous). Pure Catalyst regexp expressions — a map-only stage
+    fused onto the scan at corpus scale. The corpus fixture contains no
+    PII, so deterministic PII derived from doc_id is injected identically
+    on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 555-"),
+                    F.lpad((F.col("doc_id") % 9999).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = fn_text.pii_scrub(aug, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "redacted",
+    )
+
+
+_SQL_X26 = (
+    """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1 555-' || lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t0
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0, '__EMAIL__')) AS BIGINT) AS n_emails,
+         regexp_replace(t0, '__EMAIL__', '<EMAIL>', 'g') AS t1
+  FROM aug),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '__IP__')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '__IP__', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(t2, '__PHONE__')) AS BIGINT) AS n_phones,
+         regexp_replace(t2, '__PHONE__', '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones, t3 AS redacted FROM s3
+"""
+    .replace("__EMAIL__", fn_text.PII_EMAIL)
+    .replace("__IP__", fn_text.PII_IP)
+    .replace("__PHONE__", fn_text.PII_PHONE)
+)
+
+
+def _q_x27_pack_sequences(spark, sf_dir):
+    """Concat-and-chop sequence packing for LM training: documents
+    concatenated in id order into one token stream, cut every 512 tokens.
+    The global prefix sum is a distributed two-phase scan (intra-bucket
+    windows in parallel + tiny per-bucket offset broadcast) — never a
+    single-partition global window."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = docs.select(
+        "doc_id",
+        F.size(fn_text.tokens(F.col("text"))).cast("long").alias("wc"),
+    )
+    out = ops_cur.pack_sequences(
+        wc, "wc", id_col="doc_id", seq_len=512, ids_per_bucket=64
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "seq_id", "seq_offset", "n_seqs"
+    )
+
+
+_SQL_X27 = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+  FROM t)
+SELECT doc_id, n_tokens,
+       (e - n_tokens) // 512 AS seq_id,
+       (e - n_tokens) % 512 AS seq_offset,
+       ((e - 1) // 512) - ((e - n_tokens) // 512) + 1 AS n_seqs
+FROM c
+"""
+
+
+def _q_x28_repetition(spark, sf_dir):
+    """Gopher-style repetition screens: fraction of tokens covered by the
+    most frequent 2-/3-gram and fraction of duplicated 5-gram occurrences.
+    All n values ride ONE explode into skinny (id, n, gram) rows; partial
+    aggregation absorbs per-document repeats before the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = ops_scr.repetition_profile(
+        docs, "text", "doc_id", top_ns=(2, 3), dup_n=5
+    )
+    return prof.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("top2gram_frac", 6).alias("top2gram_frac"),
+        F.round("top3gram_frac", 6).alias("top3gram_frac"),
+        F.round("dup5gram_frac", 6).alias("dup5gram_frac"),
+    )
+
+
+_SQL_X28 = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+gi AS (
+  SELECT doc_id, n_tokens, n, toks,
+         unnest(generate_series(1, len(toks) - n + 1)) AS i
+  FROM b, (VALUES (2), (3), (5)) AS v(n)),
+g AS (
+  SELECT doc_id, n_tokens, n,
+         array_to_string(toks[i:i+n-1], ' ') AS gram
+  FROM gi),
+pg AS (
+  SELECT doc_id, n_tokens, n, gram, count(*) AS cnt
+  FROM g GROUP BY doc_id, n_tokens, n, gram),
+pn AS (
+  SELECT doc_id, n_tokens, n, max(cnt) AS mx,
+         CAST(sum(cnt) AS BIGINT) AS total, count(*) AS uniq
+  FROM pg GROUP BY doc_id, n_tokens, n)
+SELECT doc_id, n_tokens,
+       round(max(CASE WHEN n = 2 THEN mx * 2 / n_tokens END), 6) AS top2gram_frac,
+       round(max(CASE WHEN n = 3 THEN mx * 3 / n_tokens END), 6) AS top3gram_frac,
+       round(max(CASE WHEN n = 5 THEN 1 - uniq / total END), 6) AS dup5gram_frac
+FROM pn GROUP BY doc_id, n_tokens
+"""
+
+
+def _q_x29_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C style): training docs
+    sharing distinct word 3-grams with an eval set. The eval side is a
+    broadcast (MBs vs a 100 TB corpus); the corpus ships only skinny
+    (id, gram) rows through the join. Eval set = doc_id % 23 == 0."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    out = ops_scr.decontaminate(train, bench, "text", "doc_id", n=3, min_hits=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_hits",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+_SQL_X29 = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+gi AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM t),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM gi),
+ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dg GROUP BY doc_id),
+bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 23 = 0),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n_hits
+  FROM dg JOIN bench USING (gram)
+  WHERE dg.doc_id % 23 <> 0
+  GROUP BY dg.doc_id)
+SELECT h.doc_id, ng.n_grams, h.n_hits,
+       round(h.n_hits / ng.n_grams, 6) AS contamination
+FROM hits h JOIN ng USING (doc_id)
+WHERE h.n_hits >= 1
+"""
+
+
 def _q_s3_stream_dedup(spark, sf_dir):
     """Streaming exact dedup: documents arrive as a file stream,
     dropDuplicates on normalized content, run to completion (availableNow).
@@ -2774,6 +2980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x23_dedup_clusters": _q_x23_dedup_clusters,
         "x24_quality_checks": _q_x24_quality_checks,
         "x25_fk_orphans": _q_x25_fk_orphans,
+        "x26_pii_scrub": _q_x26_pii_scrub,
+        "x27_pack_sequences": _q_x27_pack_sequences,
+        "x28_repetition": _q_x28_repetition,
+        "x29_decontaminate": _q_x29_decontaminate,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
@@ -2857,6 +3067,10 @@ def oracle_sql() -> dict[str, str]:
         "x23_dedup_clusters": _SQL_X23,
         "x24_quality_checks": _SQL_X24,
         "x25_fk_orphans": _SQL_X25,
+        "x26_pii_scrub": _SQL_X26,
+        "x27_pack_sequences": _SQL_X27,
+        "x28_repetition": _SQL_X28,
+        "x29_decontaminate": _SQL_X29,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,

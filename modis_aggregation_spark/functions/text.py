@@ -180,6 +180,50 @@ def text_profile(df, content_col: str = "text", lang: str = "en"):
     ).drop("__toks", "__no_ws")
 
 
+# PII patterns — ASCII classes, no lookarounds, so Java regex (Spark) and
+# RE2 (DuckDB oracle) match identically. Redaction ORDER matters (emails
+# and IPs contain digit runs a phone pattern would eat): email → ip →
+# phone, each count taken on the PREVIOUS stage's redacted text so the
+# counts are unambiguous under overlap.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"\+?[(]?[0-9][0-9\-\s().]{5,}[0-9]"
+
+_PII_STAGES: tuple[tuple[str, str, str], ...] = (
+    ("emails", PII_EMAIL, "<EMAIL>"),
+    ("ips", PII_IP, "<IP>"),
+    ("phones", PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_scrub(df, content_col: str = "text"):
+    """Count and redact emails, IPv4s, and phone numbers.
+
+    Adds n_emails / n_ips / n_phones and ``redacted``. Each intermediate
+    redaction stage is a MATERIALIZED column (withColumns chain) so every
+    regex runs once per row — pure Catalyst regexp expressions, no UDFs;
+    at corpus scale this is a map-only stage fused onto the scan.
+    """
+    staged = df.withColumn("__t0", F.col(content_col))
+    prev = "__t0"
+    counts: dict[str, str] = {}
+    for i, (name, pat, repl) in enumerate(_PII_STAGES, start=1):
+        cur = f"__t{i}"
+        staged = staged.withColumns(
+            {
+                f"n_{name}": F.size(
+                    F.regexp_extract_all(F.col(prev), F.lit(pat), 0)
+                ),
+                cur: F.regexp_replace(F.col(prev), pat, repl),
+            }
+        )
+        counts[name] = cur
+        prev = cur
+    return staged.withColumn("redacted", F.col(prev)).drop(
+        *[f"__t{i}" for i in range(len(_PII_STAGES) + 1)]
+    )
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct lowercase character k-grams (the MinHash input)."""
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth multiplicative constant (2^32 / golden ratio), exact in int64
@@ -226,6 +226,65 @@ def chunk_documents(
     return staged.select(
         "id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
     ).withColumn("chunk_chars", F.length("chunk_text"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str,
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    ids_per_bucket: int = 4096,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are concatenated in
+    ``id_col`` order into one global token stream and cut every
+    ``seq_len`` tokens — the standard packing of LM training data.
+    Returns per document: (id, n_tokens, seq_id, seq_offset, n_seqs)
+    where ``seq_id`` is the training sequence its first token lands in,
+    ``seq_offset`` the position within it, and ``n_seqs`` how many
+    sequences the document spans.
+
+    The global prefix sum is computed as a DISTRIBUTED two-phase scan —
+    never a single-partition global window: intra-bucket running sums
+    under ``partitionBy(bucket)`` run fully parallel, the per-bucket
+    totals (one row per ~``ids_per_bucket`` documents — KBs at corpus
+    scale) take the only ordered single-partition window, and their
+    running offsets broadcast-join back. Exactly equal to the naive
+    global cumulative sum, at the cost of one small shuffle + broadcast.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn("__b", F.floor(F.col("id") / ids_per_bucket).cast("long"))
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = staged.withColumn("__cum_in", F.sum("n_tokens").over(w_intra))
+    totals = staged.groupBy("__b").agg(F.sum("n_tokens").alias("__t"))
+    w_prev = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(w_prev), F.lit(0)).alias("__off")
+    )
+    # exact int64 `div` arithmetic end-to-end — float division of a
+    # ~1e14-token stream position by seq_len can land a boundary token in
+    # the wrong sequence; integer div cannot
+    joined = (
+        intra.join(F.broadcast(offsets), "__b")
+        .withColumn("__end", (F.col("__off") + F.col("__cum_in")).cast("long"))
+        .withColumn("__start", (F.col("__end") - F.col("n_tokens")).cast("long"))
+    )
+    L = int(seq_len)
+    return joined.select(
+        "id",
+        "n_tokens",
+        F.expr(f"__start div {L}").alias("seq_id"),
+        F.expr(f"__start % {L}").alias("seq_offset"),
+        F.expr(f"((__end - 1) div {L}) - (__start div {L}) + 1").alias("n_seqs"),
+    )
 
 
 # --------------------------------------------------------------------------

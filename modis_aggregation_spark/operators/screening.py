@@ -1,0 +1,161 @@
+"""Corpus screening: repetition signals and benchmark decontamination.
+
+The two shuffle-based document screens of a training-data pipeline that
+the narrow curation projections (operators/curation.py) can't express:
+
+* **Repetition profile** — the Gopher-rule family (Rae et al. 2021,
+  "Scaling Language Models", table A1): fraction of tokens covered by the
+  most frequent n-gram (n small) and fraction of duplicated n-gram
+  occurrences (n larger). Machine-generated and boilerplate text scores
+  high on both.
+* **Decontamination** — flag training documents sharing word n-grams
+  with an evaluation/benchmark set (the GPT-3 appendix-C style n-gram
+  overlap check).
+
+Scale shape: both explode token n-grams to skinny (id, gram) rows and
+aggregate — partial (map-side) aggregation absorbs the per-document
+repeats, the shuffle keys include the document id so there are no hot
+keys, and the benchmark side of decontamination is a broadcast (an eval
+set is MBs against a 100 TB corpus; the corpus side never shuffles its
+payload, only grams). No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.functions import text as fn_text
+
+
+def _gram_array(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a MATERIALIZED token-array column.
+
+    ``sequence(a, b)`` counts DOWN when b < a, so the index range is
+    clamped to [1, 1] and over-long indices are filtered out — a document
+    with fewer than ``n`` tokens yields an empty array, not garbage.
+    """
+    last = F.size(toks) - (n - 1)
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(last, F.lit(1))),
+        lambda i: i <= last,
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def repetition_profile(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: Sequence[int] = (2, 3),
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition signals over word n-grams.
+
+    Returns (id, n_tokens, top{n}gram_frac … , dup{dup_n}gram_frac):
+
+    * ``top{n}gram_frac`` — tokens covered by the single most frequent
+      n-gram as a fraction of all tokens (count × n / n_tokens).
+    * ``dup{dup_n}gram_frac`` — fraction of n-gram occurrences that are
+      repeats (1 − distinct/total).
+
+    A metric is NULL when the document is shorter than its n. All n
+    values ride ONE explode: the per-n gram arrays are built in a single
+    projection, concatenated as (n, gram) structs, and aggregated twice
+    — (id, n, gram) counts, then per-(id, n) max/total/distinct —
+    before a conditional pivot back to one row per document.
+    """
+    ns = sorted({*top_ns, dup_n})
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        fn_text.tokens(F.col(content_col)).alias("__toks"),
+    ).withColumn("n_tokens", F.size("__toks"))
+
+    def tagged(n: int) -> Column:
+        return F.transform(
+            _gram_array(F.col("__toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    exploded = staged.select(
+        "id",
+        "n_tokens",
+        F.explode(F.concat(*[tagged(n) for n in ns])).alias("__g"),
+    ).select("id", "n_tokens", F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
+
+    per_gram = exploded.groupBy("id", "n_tokens", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = per_gram.groupBy("id", "n_tokens", "n").agg(
+        F.max("cnt").alias("mx"),
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("uniq"),
+    )
+    aggs = [
+        F.max(F.when(F.col("n") == n, F.col("mx") * n / F.col("n_tokens"))).alias(
+            f"top{n}gram_frac"
+        )
+        for n in top_ns
+    ]
+    aggs.append(
+        F.max(
+            F.when(F.col("n") == dup_n, 1 - F.col("uniq") / F.col("total"))
+        ).alias(f"dup{dup_n}gram_frac")
+    )
+    return per_n.groupBy("id", "n_tokens").agg(*aggs)
+
+
+def distinct_ngrams(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Distinct word n-grams per document as skinny (id, n_grams, gram)
+    rows. Distinctness is established INSIDE the array (array_distinct
+    before explode) — no shuffle is spent on it."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            _gram_array(fn_text.tokens(F.col(content_col)), n)
+        ).alias("__grams"),
+    )
+    return staged.select(
+        "id",
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("gram"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training documents contaminated by benchmark n-gram overlap.
+
+    Builds the distinct n-gram set of ``benchmark`` (an eval set — MBs,
+    so it is BROADCAST), inner-joins the training documents' distinct
+    n-grams against it, and counts matches per document. Returns
+    (id, n_grams, n_hits, contamination) for documents with
+    ``n_hits >= min_hits``; contamination = n_hits / n_grams. The
+    training corpus ships only (id, gram) rows through the join — the
+    payload never moves.
+    """
+    bench_grams = (
+        distinct_ngrams(benchmark, content_col, id_col, n).select("gram").distinct()
+    )
+    train_grams = distinct_ngrams(train, content_col, id_col, n)
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.filter(F.col("n_hits") >= min_hits).select(
+        "id",
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits") / F.col("n_grams")).alias("contamination"),
+    )

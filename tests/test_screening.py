@@ -1,0 +1,150 @@
+"""Unit tests for corpus screening (repetition, decontamination), PII
+scrub, and sequence packing — the x26–x29 contract operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.functions.text import pii_scrub
+from modis_aggregation_spark.operators import screening as S
+from modis_aggregation_spark.operators.curation import pack_sequences
+
+
+# ---------------------------------------------------------------- pii_scrub
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org now"),
+            (2, "server 10.0.0.1 and 192.168.1.255 up"),
+            (3, "call +1 555-867-5309 or (410) 555 0199."),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (2, 0, 0)
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) == (0, 2, 0)
+    assert rows[2]["redacted"] == "server <IP> and <IP> up"
+    assert (rows[3]["n_emails"], rows[3]["n_ips"], rows[3]["n_phones"]) == (0, 0, 2)
+    assert rows[3]["redacted"] == "call <PHONE> or <PHONE>."
+    assert (rows[4]["n_emails"], rows[4]["n_ips"], rows[4]["n_phones"]) == (0, 0, 0)
+    assert rows[4]["redacted"] == "no pii here at all"
+
+
+def test_pii_scrub_stage_order_prevents_double_count(spark):
+    # the email local part and the IP both contain digit runs a phone
+    # pattern would eat — staged redaction must count them exactly once
+    df = spark.createDataFrame(
+        [(1, "u12345@ex.com at 10.20.30.40 tel 555-123456")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).first()
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+    assert r["redacted"] == "<EMAIL> at <IP> tel <PHONE>"
+
+
+# ------------------------------------------------------------ pack_sequences
+
+
+def _naive_pack(rows, L):
+    out, pos = {}, 0
+    for i, n in sorted(rows):
+        start, end = pos, pos + n
+        out[i] = (n, start // L, start % L, (end - 1) // L - start // L + 1)
+        pos = end
+    return out
+
+
+@pytest.mark.parametrize("bucket", [2, 3, 1000])
+def test_pack_sequences_matches_naive_cumsum(spark, bucket):
+    rows = [(i, 7 * i % 23 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"], r["n_seqs"])
+        for r in pack_sequences(
+            df, "n", id_col="doc_id", seq_len=16, ids_per_bucket=bucket
+        ).collect()
+    }
+    assert got == _naive_pack(rows, 16)
+
+
+def test_pack_sequences_long_doc_spans_many(spark):
+    df = spark.createDataFrame(
+        [(0, 5), (1, 100), (2, 3)], "doc_id long, n long"
+    )
+    got = {r["id"]: r for r in pack_sequences(df, "n", seq_len=16, id_col="doc_id").collect()}
+    assert got[1]["seq_id"] == 0 and got[1]["seq_offset"] == 5
+    assert got[1]["n_seqs"] == (5 + 100 - 1) // 16 - 0 + 1  # ends in seq 6
+    assert got[2]["seq_id"] == 105 // 16 and got[2]["seq_offset"] == 105 % 16
+
+
+# -------------------------------------------------------- repetition_profile
+
+
+def test_repetition_profile_values(spark):
+    # "a b a b a b" : top 2-gram "a b" occurs 3×/5 grams, covers 6/6 tokens
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z q r")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in S.repetition_profile(df, top_ns=(2,), dup_n=2).collect()
+    }
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["top2gram_frac"] == pytest.approx(3 * 2 / 6)
+    # 5 bigram occurrences, 2 distinct -> dup frac 3/5
+    assert rows[1]["dup2gram_frac"] == pytest.approx(1 - 2 / 5)
+    assert rows[2]["top2gram_frac"] == pytest.approx(2 / 6)
+    assert rows[2]["dup2gram_frac"] == 0.0
+
+
+def test_repetition_profile_short_doc_null_metric(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in S.repetition_profile(df, top_ns=(2,), dup_n=5).collect()
+    }
+    # doc 1 has 2-grams but no 5-grams -> dup metric NULL
+    assert rows[1]["top2gram_frac"] is not None
+    assert rows[1]["dup5gram_frac"] is None
+    # doc 2 has no grams for any n -> no output row (matches the oracle)
+    assert 2 not in rows
+
+
+# ------------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated words appear here instead now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in S.decontaminate(train, bench, n=3).collect()}
+    assert 1 in out and 2 not in out
+    # shared 3-grams: "quick brown fox", "brown fox jumps"
+    assert out[1]["n_hits"] == 2
+    assert out[1]["n_grams"] == 7
+    assert out[1]["contamination"] == pytest.approx(2 / 7)
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    train = spark.createDataFrame(
+        [(1, "one shared trigram lives right here only")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "one shared trigram")], "doc_id long, text string"
+    )
+    assert S.decontaminate(train, bench, n=3, min_hits=2).count() == 0
+    assert S.decontaminate(train, bench, n=3, min_hits=1).count() == 1
