@@ -97,3 +97,45 @@ def test_m13_single_pass_staging(spark):
     assert plan.count("pixels.parquet") == 1  # one scan, branches reused
     assert plan.count("Exchange hashpartitioning") <= 3  # (cell,doy) stage + cell merge
     assert "SortMergeJoin" not in plan
+
+
+def test_x26_pii_scrub_map_only(spark):
+    """PII count/redact is pure Catalyst regexp projection — any Exchange
+    here means someone added a shuffle to a map-only stage."""
+    plan = _plan(spark, "x26_pii_scrub")
+    assert "Exchange" not in plan
+
+
+def test_x27_pack_sequences_distributed_prefix_sum(spark):
+    """The global cumsum must stay two-phase: the full table only sees a
+    __b-partitioned window; the single-partition window runs on the tiny
+    per-bucket totals AGGREGATE and returns via broadcast."""
+    plan = _plan(spark, "x27_pack_sequences")
+    lines = plan.splitlines()
+    # the unpartitioned (SinglePartition) exchange must be downstream of
+    # the totals HashAggregate, never over the raw document rows
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert len(single) == 1
+    assert any("HashAggregate" in l for l in lines[single[0]:]), plan
+    # the per-row window is partitioned by the bucket column
+    assert any("windowspecdefinition(__b" in l for l in lines)
+    # offsets come back as a broadcast join, not a shuffle join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_x28_repetition_partial_agg_no_join(spark):
+    """Repetition screens: one parquet scan, map-side partial aggregation
+    absorbing per-document n-gram repeats, no join of any kind."""
+    plan = _plan(spark, "x28_repetition")
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan  # map-side combine before the gram shuffle
+    assert "Join" not in plan
+
+
+def test_x29_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set gram side must broadcast (MBs vs a 100 TB corpus);
+    a sort-merge join here would shuffle the whole corpus's grams twice."""
+    plan = _plan(spark, "x29_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
