@@ -69,18 +69,29 @@ def _ensure_utc(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
-        # outright without this flag — the driver may hand us a session
-        # without it (it is runtime-settable), so set it defensively here
+        # events.parquet has shipped as TIMESTAMP(NANOS) (round 1) and as
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 2). Spark 4 has
+        # no nanos timestamp — the legacy flag reads nanos as long — and
+        # reads naive micros as TIMESTAMP_NTZ, which watermarks and the
+        # epoch functions reject. The driver may hand us a session without
+        # either conf (both are runtime-settable), so set defensively here.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → truncate to micros exactly like DuckDB's
-        # nanos→TIMESTAMP coercion
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long → truncate to micros exactly like DuckDB's
+            # nanos→TIMESTAMP coercion
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ→TZ cast interprets the wall clock in the SESSION zone;
+            # pin UTC first so the instant equals naive-as-UTC — the exact
+            # ts the nanos path produced (and the value DuckDB sees).
+            _ensure_utc(spark)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -2368,8 +2379,7 @@ def _q_x23_dedup_clusters(spark, sf_dir):
     )
 
 
-_SQL_X23 = f"""
-WITH RECURSIVE t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+_X23_WALK = f"""t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
 g AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -2392,7 +2402,10 @@ walk (id, comp) AS (
   SELECT s, s FROM edges
   UNION
   SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id
-)
+)"""
+
+_SQL_X23 = f"""
+WITH RECURSIVE {_X23_WALK}
 SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
 """
 
@@ -2896,6 +2909,398 @@ GROUP BY 1
 """
 
 
+def _q_x30_dedup_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup: the x4 n-gram-Jaccard pair graph →
+    exact connected components (x23) → keep the minimum doc_id of every
+    cluster, drop the rest (``dedup_by_pairs``). The surviving corpus is
+    what a training pipeline actually feeds downstream. Oracle: the x23
+    recursive-CTE closure; survivors = docs that are their own component
+    label (or in no pair at all)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops_dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, max_token_freq=1_000_000_000
+    )
+    kept = ops_dedup.dedup_by_pairs(docs, pairs, "doc_id", exact_components=True)
+    return kept.select("doc_id", "source", "lang", "n_chars")
+
+
+_SQL_X30 = f"""
+WITH RECURSIVE {_X23_WALK},
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.component = d.doc_id
+"""
+
+
+def _q_x31_c4_clean(spark, sf_dir):
+    """C4-style line-level cleanup (terminal-punctuation lines, >=5 words
+    per line, no 'javascript'; doc kept iff >=3 sentences survive and the
+    raw text has no '{' / 'lorem ipsum'). The fixture corpus is one-line
+    punctuation-free prose, so the query first synthesizes deterministic
+    line/sentence structure with a LITERAL replace (identical on both
+    sides) — the operator itself is general."""
+    docs = _t(spark, sf_dir, "documents")
+    structured = docs.withColumn(
+        "text2", F.replace(F.col("text"), F.lit("data"), F.lit("data.\n"))
+    )
+    out = fn_text.c4_clean(
+        structured, "text2", min_words_per_line=5, min_sentences=3
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        "kept",
+    )
+
+
+_SQL_X31 = r"""
+WITH s AS (
+  SELECT doc_id, replace(text, 'data', 'data.' || chr(10)) AS text2
+  FROM documents
+),
+l AS (SELECT doc_id, text2, string_split(text2, chr(10)) AS lines FROM s),
+k AS (
+  SELECT doc_id, text2, lines,
+         list_filter(lines, x ->
+             regexp_matches(trim(x), '[.!?"]$')
+             AND len(regexp_extract_all(trim(x), '\S+')) >= 5
+             AND NOT contains(lower(trim(x)), 'javascript')) AS keptl
+  FROM l
+),
+c AS (
+  -- array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+  SELECT doc_id, text2, len(lines) AS n_lines, len(keptl) AS n_lines_kept,
+         coalesce(array_to_string(keptl, chr(10)), '') AS clean_text
+  FROM k
+)
+SELECT doc_id, n_lines, n_lines_kept, len(clean_text) AS clean_chars,
+       (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        AND NOT contains(text2, '{')
+        AND NOT contains(lower(text2), 'lorem ipsum')) AS kept
+FROM c
+"""
+
+
+def _q_x32_gopher_quality(spark, sf_dir):
+    """Full Gopher document-quality rule battery (word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stopword presence) — one narrow projection pass,
+    metrics + the conjunct pass flag."""
+    docs = _t(spark, sf_dir, "documents")
+    out = fn_text.gopher_quality(docs)
+    return out.select(
+        "doc_id",
+        F.col("word_count").cast("long").alias("word_count"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("symbol_ratio")).alias("symbol_ratio"),
+        _r6(F.col("bullet_frac")).alias("bullet_frac"),
+        _r6(F.col("ellipsis_frac")).alias("ellipsis_frac"),
+        _r6(F.col("alpha_frac")).alias("alpha_frac"),
+        F.col("n_stopword_hits").cast("long").alias("n_stopword_hits"),
+        "gopher_pass",
+    )
+
+
+_SQL_X32 = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '\S+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS wc,
+         len(lines) AS nline,
+         len(regexp_replace(text, '\s', '', 'g')) AS nchr,
+         len(text) - len(replace(text, '#', '')) AS nhash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS nell,
+         len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) AS nbull,
+         len(list_filter(lines, x -> regexp_matches(trim(x), '\.\.\.$'))) AS nellline,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+         (list_contains(words, 'the')::INT + list_contains(words, 'be')::INT
+          + list_contains(words, 'to')::INT + list_contains(words, 'of')::INT
+          + list_contains(words, 'and')::INT + list_contains(words, 'that')::INT
+          + list_contains(words, 'have')::INT + list_contains(words, 'with')::INT
+         ) AS stop_hits
+  FROM w
+)
+SELECT doc_id,
+       wc AS word_count,
+       round(nchr / nullif(wc, 0), 6) AS mean_word_len,
+       round((nhash + nell) / nullif(wc, 0), 6) AS symbol_ratio,
+       round(nbull / nullif(nline, 0), 6) AS bullet_frac,
+       round(nellline / nullif(nline, 0), 6) AS ellipsis_frac,
+       round(nalpha / nullif(wc, 0), 6) AS alpha_frac,
+       CAST(stop_hits AS BIGINT) AS n_stopword_hits,
+       (wc BETWEEN 50 AND 100000
+        AND nchr / nullif(wc, 0) BETWEEN 3.0 AND 10.0
+        AND (nhash + nell) / nullif(wc, 0) <= 0.1
+        AND nbull / nullif(nline, 0) <= 0.9
+        AND nellline / nullif(nline, 0) <= 0.3
+        AND nalpha / nullif(wc, 0) >= 0.8
+        AND stop_hits >= 2) AS gopher_pass
+FROM m
+"""
+
+
+def _q_x33_domain_cap(spark, sf_dir):
+    """Per-domain document caps (web-corpus curation): keep at most 12
+    docs per source, chosen by stable hash priority. Two-phase windows in
+    the operator bound every shuffle partition; the single-window form IS
+    the oracle (provably identical selection)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_cur.capped_by_key(
+        docs, "source", "doc_id", cap=12, salt=7, n_subkeys=8
+    )
+    return out.select(
+        "doc_id", "source", F.col("keep_rank").cast("long").alias("keep_rank")
+    )
+
+
+_SQL_X33 = """
+SELECT doc_id, source, keep_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (((doc_id + 7) * 2654435761) % 4294967296) * 1000000
+                    // 4294967296, doc_id
+         ) AS keep_rank
+  FROM documents
+) WHERE keep_rank <= 12
+"""
+
+
+def _q_x34_source_mix(spark, sf_dir):
+    """Temperature-style source rebalancing (alpha=0.5): keep rate
+    min(1, 0.5*sqrt(c_max/c_s)) per source, applied as a deterministic
+    hash filter. Runs on the n_chars>=200 subset so per-source counts
+    (and therefore rates) actually differ. sqrt is IEEE correctly-rounded,
+    so the rate arithmetic is bit-identical in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    out = ops_cur.source_mix(docs, "source", "doc_id", base_rate=0.5, salt=11)
+    return out.select("doc_id", "source", "rate_millionths")
+
+
+_SQL_X34 = """
+WITH d AS (SELECT * FROM documents WHERE n_chars >= 200),
+c AS (SELECT source, count(*) AS cnt FROM d GROUP BY 1),
+r AS (
+  SELECT source,
+         CAST(floor(least(1000000.0,
+              500000.0 * sqrt(CAST(max(cnt) OVER () AS DOUBLE)
+                              / CAST(cnt AS DOUBLE)))) AS BIGINT)
+           AS rate_millionths
+  FROM c
+)
+SELECT d.doc_id, d.source, r.rate_millionths
+FROM d JOIN r ON d.source = r.source
+WHERE (((d.doc_id + 11) * 2654435761) % 4294967296) * 1000000
+      // 4294967296 < r.rate_millionths
+"""
+
+
+def _q_r33_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    non-equi conjunct (l_shipdate > o_orderdate), then a tiny grouped
+    count. Catalyst pushes the date-range filter to the orders scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+    return out
+
+
+_SQL_R33 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+def _q_r34_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape: customer LEFT OUTER orders with a join-side
+    predicate (not a WHERE — customers with zero qualifying orders must
+    survive as c_count=0), two stacked aggregations → order-count
+    distribution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_SQL_R34 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) GROUP BY 1
+"""
+
+
+def _q_r35_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG subquery decorrelated into
+    a per-part aggregate joined back (both joins broadcast — the part
+    side after its filter and the per-part averages are tiny). The
+    quantity threshold is computed on integer-valued doubles, so the
+    0.2*avg comparison is engine-deterministic."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li2 = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lim = li2.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li2.join(F.broadcast(lim), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(_r6(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_SQL_R35 = """
+WITH li2 AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+),
+lim AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+  FROM li2 GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM li2 JOIN lim USING (l_partkey)
+WHERE l_quantity < qty_lim
+"""
+
+
+def _q_r36_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates across the
+    join (brand x size-range x quantity-range triples OR'd together).
+    Catalyst extracts the common l_partkey=p_partkey conjunct so this
+    stays a broadcast hash join, never a nested-loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(5, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(10, 60)
+        )
+    )
+    return j.filter(cond).agg(
+        _r6(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SQL_R36 = """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 5 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+       AND l_quantity BETWEEN 10 AND 60)
+"""
+
+
+def _q_r37_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: scalar AVG subquery (broadcast 1-row crossjoin) +
+    NOT EXISTS (LEFT ANTI join) + substring-derived grouping key. The
+    above-average comparison runs on exact integer cents so the scalar
+    threshold is engine-deterministic."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", -2, 2)
+    ).withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    )
+    avgb = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("bal_cents").alias("avg_cents")
+    )
+    rich = cust.crossJoin(F.broadcast(avgb)).filter(
+        F.col("bal_cents") > F.col("avg_cents")
+    )
+    # "no RECENT orders" (the fixture has no never-ordered customers)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    out = (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r6(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+    return out
+
+
+_SQL_R37 = """
+WITH c AS (
+  SELECT *, substring(c_name, -2, 2) AS cntrycode,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer
+),
+a AS (SELECT avg(bal_cents) AS avg_cents FROM c WHERE c_acctbal > 0.0)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 6) AS totacctbal
+FROM c, a
+WHERE bal_cents > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '2000-01-01')
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2953,6 +3358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r30_snapshot_diff": _q_r30_snapshot_diff,
         "r31_hopping_window": _q_r31_hopping_window,
         "r32_session_window": _q_r32_session_window,
+        "r33_tpch_q4": _q_r33_tpch_q4,
+        "r34_tpch_q13": _q_r34_tpch_q13,
+        "r35_tpch_q17": _q_r35_tpch_q17,
+        "r36_tpch_q19": _q_r36_tpch_q19,
+        "r37_tpch_q22": _q_r37_tpch_q22,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -2984,6 +3394,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x27_pack_sequences": _q_x27_pack_sequences,
         "x28_repetition": _q_x28_repetition,
         "x29_decontaminate": _q_x29_decontaminate,
+        "x30_dedup_canonical": _q_x30_dedup_canonical,
+        "x31_c4_clean": _q_x31_c4_clean,
+        "x32_gopher_quality": _q_x32_gopher_quality,
+        "x33_domain_cap": _q_x33_domain_cap,
+        "x34_source_mix": _q_x34_source_mix,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
@@ -3043,6 +3458,11 @@ def oracle_sql() -> dict[str, str]:
         "r31_hopping_window": _SQL_R31,
         "r32_session_window": _SQL_R32,
         "r28_scd2": _SQL_R28,
+        "r33_tpch_q4": _SQL_R33,
+        "r34_tpch_q13": _SQL_R34,
+        "r35_tpch_q17": _SQL_R35,
+        "r36_tpch_q19": _SQL_R36,
+        "r37_tpch_q22": _SQL_R37,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
@@ -3071,6 +3491,11 @@ def oracle_sql() -> dict[str, str]:
         "x27_pack_sequences": _SQL_X27,
         "x28_repetition": _SQL_X28,
         "x29_decontaminate": _SQL_X29,
+        "x30_dedup_canonical": _SQL_X30,
+        "x31_c4_clean": _SQL_X31,
+        "x32_gopher_quality": _SQL_X32,
+        "x33_domain_cap": _SQL_X33,
+        "x34_source_mix": _SQL_X34,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,

@@ -224,6 +224,145 @@ def pii_scrub(df, content_col: str = "text"):
     )
 
 
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (public heuristics from Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning", §2.2) and Gopher document
+# quality rules (Rae et al. 2021, "Scaling Language Models", table A1).
+# All pure Catalyst expressions — ASCII regex classes only, so the Java
+# regex engine (Spark) and RE2 (DuckDB oracle) agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_clean(
+    df,
+    content_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+):
+    """C4-style line-level cleanup: keep only lines that end in terminal
+    punctuation, have >= ``min_words_per_line`` words, and don't mention
+    'javascript'; a document survives iff its cleaned text still has
+    >= ``min_sentences`` sentence terminators and the raw text has no
+    '{' (code marker) and no 'lorem ipsum' (placeholder marker).
+
+    Adds: n_lines, n_lines_kept, clean_text, kept. The line array is a
+    MATERIALIZED column (one split per row); per-line predicates run
+    inside a single-parameter ``F.filter`` lambda — a map-only stage that
+    fuses onto the scan at corpus scale (no shuffle, no UDF).
+    """
+    staged = df.withColumn("__lines", F.split(F.col(content_col), "\n"))
+    lines = F.col("__lines")
+
+    def _keep(x):
+        t = F.trim(x)
+        return (
+            t.rlike(C4_TERMINAL_RE)
+            & (
+                F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+                >= F.lit(min_words_per_line)
+            )
+            & ~F.contains(F.lower(t), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _keep)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    raw = F.col(content_col)
+    return staged.withColumns(
+        {
+            "n_lines": F.size(lines),
+            "n_lines_kept": F.size(kept),
+            "clean_text": clean,
+            "kept": (
+                (n_sent >= F.lit(min_sentences))
+                & ~F.contains(raw, F.lit("{"))
+                & ~F.contains(F.lower(raw), F.lit("lorem ipsum"))
+            ),
+        }
+    ).drop("__lines")
+
+
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    df,
+    content_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+):
+    """Full Gopher document-quality rule battery in ONE projection pass.
+
+    Adds the raw metrics (word_count, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_stopword_hits) plus the
+    conjunct ``gopher_pass``. Words/lines arrays are MATERIALIZED once;
+    every rule is a Catalyst expression over them — no UDFs, no shuffle;
+    mean word length uses the whitespace-stripped character count (equal
+    to the sum of \\S+ token lengths) to avoid a per-row aggregate lambda.
+    """
+    staged = df.withColumns(
+        {
+            "__gw": F.regexp_extract_all(
+                F.lower(F.col(content_col)), F.lit(r"\S+"), 0
+            ),
+            "__gl": F.split(F.col(content_col), "\n"),
+        }
+    )
+    raw = F.col(content_col)
+    words, lines = F.col("__gw"), F.col("__gl")
+    wc = F.size(words)
+    n = F.nullif(wc, F.lit(0))
+    nl = F.nullif(F.size(lines), F.lit(0))
+    mwl = F.length(F.regexp_replace(raw, r"\s", "")) / n
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / n
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))) / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))) / nl
+    )
+    alpha_frac = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))) / n
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.array_contains(words, s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return staged.withColumns(
+        {
+            "word_count": wc,
+            "mean_word_len": mwl,
+            "symbol_ratio": symbol_ratio,
+            "bullet_frac": bullet_frac,
+            "ellipsis_frac": ellipsis_frac,
+            "alpha_frac": alpha_frac,
+            "n_stopword_hits": stop_hits,
+            "gopher_pass": (
+                wc.between(min_words, max_words)
+                & mwl.between(min_mean_word_len, max_mean_word_len)
+                & (symbol_ratio <= max_symbol_ratio)
+                & (bullet_frac <= max_bullet_frac)
+                & (ellipsis_frac <= max_ellipsis_frac)
+                & (alpha_frac >= min_alpha_frac)
+                & (stop_hits >= min_stopwords)
+            ),
+        }
+    ).drop("__gw", "__gl")
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct lowercase character k-grams (the MinHash input)."""
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")

@@ -190,6 +190,90 @@ def stratified_sample(
     return df.where(bucket < thresh)
 
 
+def capped_by_key(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    salt: int = 7,
+    n_subkeys: int = 32,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key (per-domain caps in web-corpus
+    curation), chosen by a STABLE hash priority so re-runs keep the same
+    rows. Adds ``keep_rank`` (1..cap within the key).
+
+    Two-phase selection so one mega-domain never lands on one reducer:
+    phase 1 ranks within (key, subkey) — ``n_subkeys`` deterministic hash
+    subgroups — and keeps ≤ cap per subgroup, bounding any window
+    partition at ~|key| / n_subkeys rows; phase 2 re-ranks the ≤
+    cap·n_subkeys survivors per key. The union of per-subgroup top-cap
+    sets is a superset of the global top-cap under the same total order
+    (priority, id), so the result is IDENTICAL to a single global window
+    — that single-window form is the oracle.
+    """
+    staged = df.withColumns(
+        {
+            "__pri": F.floor(
+                split_bucket(F.col(id_col), salt, 1_000_000)
+            ).cast("long"),
+            "__sub": F.floor(
+                split_bucket(F.col(id_col), salt + 1, n_subkeys)
+            ).cast("long"),
+        }
+    )
+    w1 = Window.partitionBy(key_col, "__sub").orderBy("__pri", id_col)
+    p1 = (
+        staged.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= cap)
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__pri", id_col)
+    return (
+        p1.withColumn("keep_rank", F.row_number().over(w2))
+        .filter(F.col("keep_rank") <= cap)
+        .drop("__pri", "__sub", "__rn1")
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    base_rate: float = 0.5,
+    salt: int = 11,
+) -> DataFrame:
+    """Temperature-style source rebalancing (alpha = 0.5): every source's
+    keep rate is ``min(1, base_rate * sqrt(c_max / c_s))`` — rare sources
+    are kept at up to 1.0, the dominant source at ``base_rate`` — applied
+    as a deterministic hash-bucket filter, so the kept set is stable
+    across re-runs and incremental batches.
+
+    alpha is fixed at 0.5 because sqrt is IEEE correctly-rounded: the
+    rate arithmetic reproduces bit-for-bit in any engine (the oracle
+    property); a pow(x, alpha) would not. Shape: one tiny per-source
+    count aggregate, broadcast back; the filter itself is narrow.
+
+    Adds ``rate_millionths`` (the integer keep threshold per source).
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("__cnt"))
+    cmax = counts.agg(F.max("__cnt").alias("__cmax"))
+    rate = F.floor(
+        F.least(
+            F.lit(1_000_000.0),
+            F.lit(1_000_000.0 * base_rate)
+            * F.sqrt(F.col("__cmax").cast("double") / F.col("__cnt").cast("double")),
+        )
+    ).cast("long")
+    rates = (
+        counts.crossJoin(F.broadcast(cmax))
+        .withColumn("rate_millionths", rate)
+        .select(key_col, "rate_millionths")
+    )
+    bucket = F.floor(split_bucket(F.col(id_col), salt, 1_000_000)).cast("long")
+    return df.join(F.broadcast(rates), key_col).filter(
+        bucket < F.col("rate_millionths")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     content_col: str = "text",

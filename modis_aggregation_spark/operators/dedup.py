@@ -342,6 +342,36 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def dedup_by_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    exact_components: bool = True,
+) -> DataFrame:
+    """Canonical-document selection: given ANY near-dup pair list (MinHash,
+    SimHash, n-gram Jaccard, embedding LSH — they all emit (id_a, id_b)),
+    keep exactly one representative per duplicate cluster.
+
+    ``exact_components=True`` (default) runs transitive closure via
+    ``connected_components`` and keeps the minimum id of each cluster —
+    deterministic and partition-order-free. ``False`` is the greedy
+    single-pass approximation (drop every higher id that pairs with a
+    lower one; over-deletes only on non-transitive chains). The survivor
+    set is tiny relative to the corpus (loser ids only, 8 B each), so the
+    final step is a broadcast-friendly LEFT ANTI join.
+    """
+    if exact_components:
+        comps = connected_components(pairs, a_col, b_col)
+        losers = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col(b_col).alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def minhash_dedup(
     df: DataFrame,
     content_col: str = "text",
@@ -359,14 +389,9 @@ def minhash_dedup(
     minimum id of each cluster.
     """
     pairs = minhash_lsh_pairs(df, content_col, id_col, **kwargs)
-    if exact_components:
-        comps = connected_components(pairs)
-        losers = comps.filter(F.col("id") != F.col("comp")).select(
-            F.col("id").alias(id_col)
-        )
-    else:
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    return dedup_by_pairs(
+        df, pairs, id_col, exact_components=exact_components
+    )
 
 
 # --------------------------------------------------------------------------

@@ -82,3 +82,72 @@ def test_quantize_zero_vector_yields_nulls(spark):
     _, codes = C.quantize_embedding(F.col("embedding"))
     row = df.select(codes.alias("q")).first()
     assert row["q"] == [None, None]
+
+
+# ---------------------------------------------------------------------------
+# per-key caps + temperature source mixing
+# ---------------------------------------------------------------------------
+
+def _corpus(spark, per_source):
+    rows = []
+    i = 0
+    for src, n in per_source.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_capped_by_key_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    df = _corpus(spark, {"a": 40, "b": 7, "c": 1})
+    out = C.capped_by_key(df, "source", "doc_id", cap=5, salt=7, n_subkeys=4)
+    got = {(r["source"], r["doc_id"], r["keep_rank"]) for r in out.collect()}
+
+    # oracle: single global window under the same (priority, id) order
+    pri = F.floor(C.split_bucket(F.col("doc_id"), 7, 1_000_000)).cast("long")
+    w = Window.partitionBy("source").orderBy(pri, "doc_id")
+    ref = (
+        df.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= 5)
+    )
+    want = {(r["source"], r["doc_id"], r["keep_rank"]) for r in ref.collect()}
+    assert got == want
+    per_src = {}
+    for src, _, _ in got:
+        per_src[src] = per_src.get(src, 0) + 1
+    assert per_src == {"a": 5, "b": 5, "c": 1}
+
+
+def test_capped_by_key_stable_under_corpus_growth(spark):
+    base = _corpus(spark, {"a": 30})
+    out1 = {r["doc_id"] for r in
+            C.capped_by_key(base, "source", "doc_id", cap=30).collect()}
+    # adding a DIFFERENT source never reshuffles source a's kept set
+    grown = base.unionByName(
+        base.sparkSession.createDataFrame([(1000, "b")], ["doc_id", "source"])
+    )
+    out2 = {r["doc_id"] for r in
+            C.capped_by_key(grown, "source", "doc_id", cap=30)
+            .filter(F.col("source") == "a").collect()}
+    assert out1 == out2
+
+
+def test_source_mix_rates_and_determinism(spark):
+    import math
+
+    df = _corpus(spark, {"big": 64, "mid": 16, "tiny": 4})
+    out = C.source_mix(df, "source", "doc_id", base_rate=0.5, salt=11)
+    rates = {r["source"]: r["rate_millionths"] for r in
+             out.select("source", "rate_millionths").distinct().collect()}
+    assert rates["big"] == 500_000                       # 0.5 * sqrt(64/64)
+    assert rates["mid"] == math.floor(500_000 * math.sqrt(64 / 16))
+    assert rates["tiny"] == 1_000_000                    # capped at 1.0
+    # tiny source fully kept; deterministic across re-runs
+    kept_tiny = out.filter(F.col("source") == "tiny").count()
+    assert kept_tiny == 4
+    again = C.source_mix(df, "source", "doc_id", base_rate=0.5, salt=11)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

@@ -496,3 +496,21 @@ def test_mean_embedding(spark):
     assert out[0]["centroid"] == [pytest.approx(2.0), pytest.approx(3.0)]
     assert out[0]["n_vectors"] == 2
     assert out[1]["centroid"] == [pytest.approx(10.0), pytest.approx(20.0)]
+
+
+def test_dedup_by_pairs_exact_and_greedy(spark):
+    from modis_aggregation_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    # chain 1-2-3 (one cluster), pair 4-5, singleton 6
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    exact = {r["doc_id"] for r in
+             D.dedup_by_pairs(docs, pairs, exact_components=True).collect()}
+    assert exact == {1, 4, 6}
+    greedy = {r["doc_id"] for r in
+              D.dedup_by_pairs(docs, pairs, exact_components=False).collect()}
+    assert greedy == {1, 4, 6}  # same here; chains differ only when non-transitive

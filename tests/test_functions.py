@@ -111,3 +111,67 @@ def test_day_definition_null(spark):
     out = day_definition_null(df, ["ctp"], end_doy=2, spill_doy=3).collect()
     for (lon, doy, h, nulled), r in zip(rows, out):
         assert (r.ctp is None) == nulled, (lon, doy, h)
+
+
+# ---------------------------------------------------------------------------
+# C4 line cleaning + Gopher quality rules
+# ---------------------------------------------------------------------------
+
+def test_c4_clean_line_rules(spark):
+    from modis_aggregation_spark.functions.text import c4_clean
+
+    doc = "\n".join([
+        "This line has enough words and ends well.",   # kept
+        "Too short.",                                  # < 5 words
+        "This line has no terminal punctuation at all",  # no terminal
+        "Enable javascript to view this page today.",  # javascript
+        'He said "stop right there officer!"',         # ends with quote: kept
+    ])
+    df = spark.createDataFrame([(1, doc), (2, "code { x } here."), (3, "")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_clean(df, min_sentences=1).collect()}
+    assert out[1]["n_lines"] == 5
+    assert out[1]["n_lines_kept"] == 2
+    assert out[1]["clean_text"].splitlines() == [
+        "This line has enough words and ends well.",
+        'He said "stop right there officer!"',
+    ]
+    assert out[1]["kept"]
+    assert not out[2]["kept"]          # '{' marker kills the doc
+    assert out[3]["n_lines_kept"] == 0 and not out[3]["kept"]
+
+
+def test_c4_clean_min_sentences(spark):
+    from modis_aggregation_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, "One good sentence stands here alone today.")], ["doc_id", "text"]
+    )
+    assert c4_clean(df, min_sentences=1).first()["kept"]
+    assert not c4_clean(df, min_sentences=2).first()["kept"]
+
+
+def test_gopher_quality_rules(spark):
+    from modis_aggregation_spark.functions.text import gopher_quality
+
+    good = ("the data pipeline should be of use and have that property with "
+            "many plain words " * 5)
+    short = "the cat sat"                          # word count < 50
+    symbols = " ### ".join(["the of and that be have with to word"] * 8)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["gopher_pass"]
+    assert out[1]["n_stopword_hits"] >= 2
+    assert not out[2]["gopher_pass"] and out[2]["word_count"] == 3
+    assert not out[3]["gopher_pass"] and out[3]["symbol_ratio"] > 0.1
+
+
+def test_gopher_line_fractions(spark):
+    from modis_aggregation_spark.functions.text import gopher_quality
+
+    doc = "\n".join(["- bullet one", "- bullet two", "trailing thought..."])
+    r = gopher_quality(spark.createDataFrame([(1, doc)], ["doc_id", "text"])).first()
+    assert abs(r["bullet_frac"] - 2 / 3) < 1e-9
+    assert abs(r["ellipsis_frac"] - 1 / 3) < 1e-9

@@ -18,8 +18,13 @@ from modis_aggregation_spark.operators.sessions import (
 def events_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_src"))
     df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # naive micros read as NTZ; session pins UTC, so the cast keeps
+        # the wall clock and watermarks get the TIMESTAMP they require
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     df.select("event_id", "user_id", "ts").repartition(4, "user_id").write.mode(
         "overwrite"
     ).parquet(out)
