@@ -3301,6 +3301,138 @@ GROUP BY 1
 """
 
 
+def _q_x35_salted_agg(spark, sf_dir):
+    """Skew-resistant two-phase salted aggregation (operators/skew.py):
+    per-event-type stats computed as partial-per-salt → merge — the
+    rewrite that spreads a heavy-hitter key over n_salts reduce tasks.
+    Results are EXACT for algebraic stats; the oracle is the plain
+    GROUP BY with the identical Σv/Σv² finalization formulas."""
+    from modis_aggregation_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"], "value",
+        stats=("sum", "count", "min", "max", "avg", "stddev_pop"),
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        _r6(F.col("value_sum")).alias("value_sum"),
+        F.col("value_count").alias("value_count"),
+        _r6(F.col("value_min")).alias("value_min"),
+        _r6(F.col("value_max")).alias("value_max"),
+        _r6(F.col("value_avg")).alias("value_avg"),
+        _r6(F.col("value_stddev_pop")).alias("value_stddev_pop"),
+    )
+
+
+_SQL_X35 = """
+SELECT event_type,
+       round(sum(value), 6) AS value_sum,
+       CAST(count(value) AS BIGINT) AS value_count,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max,
+       round(sum(value) / nullif(count(value), 0), 6) AS value_avg,
+       round(sqrt(greatest(
+           sum(value * value) / nullif(count(value), 0)
+           - (sum(value) / nullif(count(value), 0))
+             * (sum(value) / nullif(count(value), 0)), 0.0)), 6)
+         AS value_stddev_pop
+FROM events
+GROUP BY 1
+"""
+
+
+def _q_x36_incremental_dedup(spark, sf_dir):
+    """Incremental cross-batch exact dedup, the continuously-ingesting
+    pipeline shape: dedupe the new batch (doc_id >= 250) within itself,
+    then LEFT ANTI its 64-bit fingerprints against the accumulated
+    corpus' fingerprint table (docs < 250). The oracle replays the same
+    semantics on the normalized TEXT key (DuckDB has no xxhash64);
+    results agree unless the 64-bit fingerprint collides."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    seen = old.select(
+        fn_text.fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    survivors, _updated = ops_dedup.incremental_exact_dedup(new, seen)
+    return survivors.select("doc_id", "source", "n_chars")
+
+
+_SQL_X36 = r"""
+WITH norm AS (
+  SELECT doc_id, source, n_chars,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+  FROM documents
+),
+old AS (SELECT DISTINCT k FROM norm WHERE doc_id < 250),
+w AS (
+  SELECT doc_id, source, n_chars, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+  FROM norm WHERE doc_id >= 250
+)
+SELECT doc_id, source, n_chars
+FROM w
+WHERE rn = 1 AND k NOT IN (SELECT k FROM old)
+"""
+
+
+def _q_x37_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py) over a synthetic
+    97-node directed graph derived arithmetically from orders — the
+    score step of similarity-graph analytics, next to x23's clusters.
+    3 iterations unroll to plain SQL: the oracle is the same recurrence
+    written as stacked CTEs. The (1-d) floor is written as (1.0 - 0.85)
+    on BOTH sides so the double arithmetic matches bit-for-bit."""
+    from modis_aggregation_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 97).alias("src"),
+            (F.col("o_orderkey") % 97).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select(F.col("id").alias("node"), _r6(F.col("rank")).alias("rank"))
+
+
+_SQL_X37 = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 97 AS src, o_orderkey % 97 AS dst
+  FROM orders WHERE o_custkey % 97 <> o_orderkey % 97
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+d AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
+r0 AS (SELECT id, 1.0 AS rank FROM n),
+r1 AS (
+  SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(s.m, 0.0) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS id, sum(r0.rank / d.outd) AS m
+    FROM e JOIN r0 ON e.src = r0.id JOIN d ON e.src = d.src GROUP BY 1
+  ) s ON n.id = s.id
+),
+r2 AS (
+  SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(s.m, 0.0) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS id, sum(r1.rank / d.outd) AS m
+    FROM e JOIN r1 ON e.src = r1.id JOIN d ON e.src = d.src GROUP BY 1
+  ) s ON n.id = s.id
+),
+r3 AS (
+  SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(s.m, 0.0) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS id, sum(r2.rank / d.outd) AS m
+    FROM e JOIN r2 ON e.src = r2.id JOIN d ON e.src = d.src GROUP BY 1
+  ) s ON n.id = s.id
+)
+SELECT id AS node, round(rank, 6) AS rank FROM r3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3399,6 +3531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x32_gopher_quality": _q_x32_gopher_quality,
         "x33_domain_cap": _q_x33_domain_cap,
         "x34_source_mix": _q_x34_source_mix,
+        "x35_salted_agg": _q_x35_salted_agg,
+        "x36_incremental_dedup": _q_x36_incremental_dedup,
+        "x37_pagerank": _q_x37_pagerank,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
@@ -3496,6 +3631,9 @@ def oracle_sql() -> dict[str, str]:
         "x32_gopher_quality": _SQL_X32,
         "x33_domain_cap": _SQL_X33,
         "x34_source_mix": _SQL_X34,
+        "x35_salted_agg": _SQL_X35,
+        "x36_incremental_dedup": _SQL_X36,
+        "x37_pagerank": _SQL_X37,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,

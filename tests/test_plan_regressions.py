@@ -139,3 +139,41 @@ def test_x29_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x33_domain_cap_two_phase_windows(spark):
+    """Per-domain caps must stay the two-phase window form: both windows
+    are hash-partitioned (never a single-partition global window), and
+    phase 1's (key, subkey) partitioning bounds every reducer even when
+    one domain dominates the corpus."""
+    plan = _plan(spark, "x33_domain_cap")
+    assert plan.count("Window [") == 2  # operator nodes, not expr text
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_r35_q17_all_broadcast(spark):
+    """Decorrelated scalar-AVG subquery: the filtered part dim and the
+    per-part averages both broadcast — a sort-merge join here would
+    shuffle the fact table twice."""
+    plan = _plan(spark, "r35_tpch_q17")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_r36_q19_stays_hash_join(spark):
+    """Disjunctive predicates must not defeat the equi-join extraction:
+    the common l_partkey=p_partkey conjunct keeps this a (broadcast)
+    hash join, never a nested-loop over the OR."""
+    plan = _plan(spark, "r36_tpch_q19")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_x34_source_mix_broadcasts_rates(spark):
+    """The per-source rate table joins back by BROADCAST (it has one row
+    per source); the corpus never shuffles for the filter."""
+    plan = _plan(spark, "x34_source_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
