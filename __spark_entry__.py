@@ -3433,6 +3433,146 @@ SELECT id AS node, round(rank, 6) AS rank FROM r3
 """
 
 
+def _q_x38_curation_pipeline(spark, sf_dir):
+    """Flagship END-TO-END curation pipeline, every stage a previously
+    oracle-proven operator chained in the order a real corpus build runs:
+    C4 line screen (x31) ∧ Gopher quality rules (x32, min_stopwords=1 on
+    this corpus) → n-gram-Jaccard near-dup pairs → CC → canonical-doc
+    dedup (x30) → per-domain cap 8 (x33) → temperature source mix at 0.8
+    (x34). Output: the surviving corpus rows. The oracle composes the
+    same stages as one WITH RECURSIVE chain."""
+    docs = _t(spark, sf_dir, "documents")
+    structured = docs.withColumn(
+        "text2", F.replace(F.col("text"), F.lit("data"), F.lit("data.\n"))
+    )
+    c4 = fn_text.c4_clean(structured, "text2", min_words_per_line=5, min_sentences=3)
+    g = fn_text.gopher_quality(c4, "text", min_stopwords=1)
+    # the screened frame feeds THREE plan branches (both sides of the
+    # pair self-join + the dedup anti-join) — materialize the regex-heavy
+    # screen once instead of re-evaluating it per branch
+    screened = g.filter(F.col("kept") & F.col("gopher_pass")).select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    ).localCheckpoint()
+    pairs = ops_dedup.ngram_jaccard_pairs(
+        screened, "text", "doc_id", n=3, threshold=0.1,
+        max_token_freq=1_000_000_000,
+    )
+    deduped = ops_dedup.dedup_by_pairs(screened, pairs, "doc_id")
+    capped = ops_cur.capped_by_key(
+        deduped, "source", "doc_id", cap=8, salt=7, n_subkeys=8
+    ).drop("keep_rank")
+    mixed = ops_cur.source_mix(
+        capped, "source", "doc_id", base_rate=0.8, salt=13
+    )
+    return mixed.select("doc_id", "source", "lang", "n_chars")
+
+
+_SQL_X38 = f"""
+WITH RECURSIVE
+sdoc AS (
+  SELECT doc_id, source, lang, n_chars, text,
+         replace(text, 'data', 'data.' || chr(10)) AS text2
+  FROM documents
+),
+c4 AS (
+  SELECT doc_id, source, lang, n_chars, text,
+         (len(regexp_extract_all(coalesce(array_to_string(
+              list_filter(string_split(text2, chr(10)), x ->
+                  regexp_matches(trim(x), '[.!?"]$')
+                  AND len(regexp_extract_all(trim(x), '\\S+')) >= 5
+                  AND NOT contains(lower(trim(x)), 'javascript')),
+              chr(10)), ''), '[.!?]')) >= 3
+          AND NOT contains(text2, '{{')
+          AND NOT contains(lower(text2), 'lorem ipsum')) AS c4_kept
+  FROM sdoc
+),
+gop AS (
+  SELECT doc_id,
+         (len(words) BETWEEN 50 AND 100000
+          AND len(regexp_replace(text, '\\s', '', 'g'))
+              / nullif(len(words), 0) BETWEEN 3.0 AND 10.0
+          AND (len(text) - len(replace(text, '#', ''))
+               + (len(text) - len(replace(text, '...', ''))) / 3)
+              / nullif(len(words), 0) <= 0.1
+          AND len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+              / nullif(len(lines), 0) <= 0.9
+          AND len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+              / nullif(len(lines), 0) <= 0.3
+          AND len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              / nullif(len(words), 0) >= 0.8
+          AND (list_contains(words, 'the')::INT + list_contains(words, 'be')::INT
+               + list_contains(words, 'to')::INT + list_contains(words, 'of')::INT
+               + list_contains(words, 'and')::INT + list_contains(words, 'that')::INT
+               + list_contains(words, 'have')::INT + list_contains(words, 'with')::INT
+              ) >= 1) AS gpass
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '\\S+') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents)
+),
+scr AS (
+  SELECT c4.doc_id, c4.source, c4.lang, c4.n_chars, c4.text
+  FROM c4 JOIN gop ON c4.doc_id = gop.doc_id
+  WHERE c4.c4_kept AND gop.gpass
+),
+t2 AS (SELECT doc_id, {_D_TOKS} AS toks FROM scr),
+g2 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS grams
+  FROM t2
+),
+p2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS la, len(b.grams) AS lb
+  FROM g2 a JOIN g2 b ON a.doc_id < b.doc_id
+),
+pairs2 AS (
+  SELECT id_a, id_b FROM p2
+  WHERE inter / nullif(la + lb - inter, 0) >= 0.1
+),
+edges2 AS (SELECT id_a AS s, id_b AS d FROM pairs2
+           UNION SELECT id_b, id_a FROM pairs2),
+walk2 (id, comp) AS (
+  SELECT s, s FROM edges2
+  UNION
+  SELECT e.s, w.comp FROM edges2 e JOIN walk2 w ON e.d = w.id
+),
+comp2 AS (SELECT id, min(comp) AS component FROM walk2 GROUP BY id),
+ded AS (
+  SELECT scr.* FROM scr LEFT JOIN comp2 ON scr.doc_id = comp2.id
+  WHERE comp2.id IS NULL OR comp2.component = scr.doc_id
+),
+cap AS (
+  SELECT * FROM (
+    SELECT doc_id, source, lang, n_chars,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY (((doc_id + 7) * 2654435761) % 4294967296) * 1000000
+                      // 4294967296, doc_id
+           ) AS rn
+    FROM ded
+  ) WHERE rn <= 8
+),
+cnt AS (SELECT source, count(*) AS c FROM cap GROUP BY 1),
+rates AS (
+  SELECT source,
+         -- 1000000.0 * 0.8 (NOT the literal 800000.0): the engine-side
+         -- double product is 800000.0000000001; both sides must round
+         -- identically before the floor
+         CAST(floor(least(1000000.0,
+              1000000.0 * 0.8 * sqrt(CAST(max(c) OVER () AS DOUBLE)
+                              / CAST(c AS DOUBLE)))) AS BIGINT) AS rate
+  FROM cnt
+)
+SELECT cap.doc_id, cap.source, cap.lang, cap.n_chars
+FROM cap JOIN rates ON cap.source = rates.source
+WHERE (((cap.doc_id + 13) * 2654435761) % 4294967296) * 1000000
+      // 4294967296 < rates.rate
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3534,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x35_salted_agg": _q_x35_salted_agg,
         "x36_incremental_dedup": _q_x36_incremental_dedup,
         "x37_pagerank": _q_x37_pagerank,
+        "x38_curation_pipeline": _q_x38_curation_pipeline,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
@@ -3634,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "x35_salted_agg": _SQL_X35,
         "x36_incremental_dedup": _SQL_X36,
         "x37_pagerank": _SQL_X37,
+        "x38_curation_pipeline": _SQL_X38,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,

@@ -306,12 +306,17 @@ def connected_components(
     few), so ``max_iter`` is a safety bound, not a truncation in practice;
     a non-converged graph raises rather than returning wrong labels.
     """
+    # materialize the edge list ONCE — it re-enters the join every round,
+    # and without the checkpoint each iteration re-executes the entire
+    # upstream pair computation (screen + LSH/Jaccard joins), turning an
+    # O(diameter) loop into O(diameter × full-pipeline)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -99,6 +99,77 @@ def run_minhash(spark, sf_dir: str) -> dict:
     }
 
 
+def run_screen(spark, sf_dir: str) -> dict:
+    """One-pass corpus screen (C4 line rules ∧ full Gopher battery ∧ PII
+    counts) over the documents table — the map-only narrow stage that
+    fronts every curation pipeline. Throughput here IS the 100 TB number:
+    no shuffle, cost is O(bytes scanned) per executor."""
+    from modis_aggregation_spark.functions.text import (
+        c4_clean,
+        gopher_quality,
+        pii_scrub,
+    )
+
+    replicate = 64  # amortize fixed task overhead; stage is per-row anyway
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .crossJoin(spark.range(replicate).select(F.col("id").alias("__rep")))
+        .repartition(64)
+        .localCheckpoint()
+    )
+    n_docs = docs.count()
+    n_bytes = docs.agg(F.sum(F.length("text"))).first()[0]
+    staged = pii_scrub(gopher_quality(c4_clean(docs, min_sentences=1)))
+    t0 = time.perf_counter()
+    kept = staged.filter(F.col("kept") & F.col("gopher_pass")).count()
+    wall = time.perf_counter() - t0
+    return {
+        "docs": n_docs,
+        "text_mb": round(n_bytes / 1e6, 1),
+        "kept": kept,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": int(n_docs / wall),
+        "mb_per_sec": round(n_bytes / 1e6 / wall, 1),
+    }
+
+
+def run_pagerank(spark, sf_dir: str, n_nodes: int = 50_000) -> dict:
+    """Fixed-iteration PageRank over a synthetic graph derived from
+    lineitem (≈1 edge per row, n_nodes node space): the per-round cost is
+    one O(E) hash join + aggregation, so edges/s/round is the number that
+    extrapolates to a billion-edge similarity graph."""
+    from modis_aggregation_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    replicate = 4  # disjoint node-space copies -> 4x edges, same diameter
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % n_nodes).alias("src"),
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % n_nodes).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .crossJoin(spark.range(replicate).select(F.col("id").alias("__copy")))
+        .select(
+            (F.col("src") + F.col("__copy") * n_nodes).alias("src"),
+            (F.col("dst") + F.col("__copy") * n_nodes).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    iters = 3
+    t0 = time.perf_counter()
+    n_ranked = pagerank(edges, iterations=iters).count()
+    wall = time.perf_counter() - t0
+    return {
+        "edges": n_edges,
+        "nodes_ranked": n_ranked,
+        "iterations": iters,
+        "wall_sec": round(wall, 2),
+        "edges_per_sec_per_round": int(n_edges * iters / wall),
+    }
+
+
 def main() -> None:
     counts = [int(a) for a in sys.argv[1:]] or [4, 16, 32]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +177,8 @@ def main() -> None:
     out = {
         "one_km": [run_1km(spark, n) for n in counts],
         "minhash": run_minhash(spark, sf_dir),
+        "screen": run_screen(spark, sf_dir),
+        "pagerank": run_pagerank(spark, sf_dir),
     }
     print(json.dumps(out))
     spark.stop()
