@@ -3301,6 +3301,111 @@ GROUP BY 1
 """
 
 
+def _q_r38_window_navigation(spark, sf_dir):
+    """Window navigation-function battery per user event stream: lag /
+    lead / first_value / last_value / nth_value (explicit full frame on
+    both sides — the default frame differs between engines) plus ntile /
+    percent_rank / cume_dist. Order includes event_id so ties on ts
+    cannot flip assignments."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r6(F.lag("value", 1).over(w)).alias("prev_value"),
+        _r6(F.lead("value", 1).over(w)).alias("next_value"),
+        _r6(F.first("value").over(wfull)).alias("first_v"),
+        _r6(F.last("value").over(wfull)).alias("last_v"),
+        _r6(F.nth_value("value", 2).over(wfull)).alias("second_v"),
+        F.ntile(4).over(w).alias("quartile"),
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+_SQL_R38 = """
+SELECT event_id, user_id,
+       round(lag(value, 1) OVER w, 6) AS prev_value,
+       round(lead(value, 1) OVER w, 6) AS next_value,
+       round(first_value(value) OVER wf, 6) AS first_v,
+       round(last_value(value) OVER wf, 6) AS last_v,
+       round(nth_value(value, 2) OVER wf, 6) AS second_v,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def _q_r39_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (not just rollup/cube) + grouping_id —
+    via spark.sql, the declared SQL surface. The oracle is the identical
+    ANSI text."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_r39")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 6) AS total,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM __orders_r39
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+_SQL_R39 = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 6) AS total,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _q_r40_range_frame(spark, sf_dir):
+    """RANGE-framed window (value-based, not row-based): trailing-hour
+    running sum/count per event type over the epoch-microsecond order
+    key. Distinct from r6_sliding's ROWS frame — RANGE peers by VALUE,
+    so simultaneous events aggregate together regardless of row order."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    us = F.unix_micros(F.col("ts"))
+    staged = ev.withColumn("ts_us", us)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return staged.select(
+        "event_id",
+        "event_type",
+        F.col("ts_us").alias("ts_us"),
+        _r6(F.sum("value").over(w)).alias("hour_sum"),
+        F.count("*").over(w).alias("hour_n"),
+    )
+
+
+_SQL_R40 = """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+       round(sum(value) OVER w, 6) AS hour_sum,
+       CAST(count(*) OVER w AS BIGINT) AS hour_n
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_x35_salted_agg(spark, sf_dir):
     """Skew-resistant two-phase salted aggregation (operators/skew.py):
     per-event-type stats computed as partial-per-salt → merge — the
@@ -3573,6 +3678,44 @@ WHERE (((cap.doc_id + 13) * 2654435761) % 4294967296) * 1000000
 """
 
 
+def _q_x39_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weights for domain-targeted data selection:
+    raw corpus scored against the lang='en' subset as the target domain.
+    Per-word log-ratio weights are integer-micro quantized before the
+    per-doc sum, so the aggregation is exact int64 both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_scr.dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), "text", "doc_id"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "score_micro"
+    )
+
+
+_SQL_X39 = f"""
+WITH rw AS (SELECT doc_id AS id, unnest({_D_TOKS}) AS w FROM documents),
+tw AS (SELECT unnest({_D_TOKS}) AS w FROM documents WHERE lang = 'en'),
+rc AS (SELECT w, count(*) AS c_r FROM rw GROUP BY 1),
+tc AS (SELECT w, count(*) AS c_t FROM tw GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_r) FROM rc) AS n_r,
+               (SELECT count(*) FROM rc) AS v,
+               (SELECT sum(c_t) FROM tc) AS n_t),
+wt AS (
+  SELECT rc.w,
+         CAST(round((ln((coalesce(tc.c_t, 0) + 1)
+                        / CAST(tot.n_t + tot.v AS DOUBLE))
+                   - ln((rc.c_r + 1)
+                        / CAST(tot.n_r + tot.v AS DOUBLE))) * 1000000.0, 0)
+              AS BIGINT) AS lw_micro
+  FROM rc LEFT JOIN tc ON rc.w = tc.w CROSS JOIN tot
+)
+SELECT rw.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(wt.lw_micro) AS BIGINT) AS score_micro
+FROM rw JOIN wt ON rw.w = wt.w
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3635,6 +3778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r35_tpch_q17": _q_r35_tpch_q17,
         "r36_tpch_q19": _q_r36_tpch_q19,
         "r37_tpch_q22": _q_r37_tpch_q22,
+        "r38_window_navigation": _q_r38_window_navigation,
+        "r39_grouping_sets": _q_r39_grouping_sets,
+        "r40_range_frame": _q_r40_range_frame,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -3675,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_incremental_dedup": _q_x36_incremental_dedup,
         "x37_pagerank": _q_x37_pagerank,
         "x38_curation_pipeline": _q_x38_curation_pipeline,
+        "x39_dsir_importance": _q_x39_dsir_importance,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
@@ -3739,6 +3886,9 @@ def oracle_sql() -> dict[str, str]:
         "r35_tpch_q17": _SQL_R35,
         "r36_tpch_q19": _SQL_R36,
         "r37_tpch_q22": _SQL_R37,
+        "r38_window_navigation": _SQL_R38,
+        "r39_grouping_sets": _SQL_R39,
+        "r40_range_frame": _SQL_R40,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
@@ -3776,6 +3926,7 @@ def oracle_sql() -> dict[str, str]:
         "x36_incremental_dedup": _SQL_X36,
         "x37_pagerank": _SQL_X37,
         "x38_curation_pipeline": _SQL_X38,
+        "x39_dsir_importance": _SQL_X39,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,

@@ -159,3 +159,76 @@ def decontaminate(
         "n_hits",
         (F.col("n_hits") / F.col("n_grams")).alias("contamination"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio between a TARGET unigram model
+    and the RAW corpus unigram model, both add-one smoothed:
+
+        score(d) = Σ_w count_d(w) · [ln p_t(w) − ln p_r(w)]
+        p(w) = (c(w) + 1) / (N + V),   V = |raw vocabulary|
+
+    High scores mean "looks like the target domain" — the resampling
+    weight for domain-targeted pretraining mixtures.
+
+    Determinism contract (the oracle property): the per-word log weight
+    is rounded to 6 dp and scaled to an integer-micro value FIRST, so the
+    per-document sum is exact int64 arithmetic — engine differences in
+    ln() (neither JVM nor C libm guarantees correct rounding) can only
+    matter if a weight sits within ~1e-7 of a rounding boundary.
+
+    Scale shape: two word-count aggregations (target counts broadcast —
+    a target/eval set is MBs against the corpus), one explode of the raw
+    corpus to skinny (id, word) rows, a broadcast join onto the weight
+    table, one per-doc sum. Returns (id, n_tokens, score_micro).
+    """
+    raw_words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(fn_text.tokens(F.col(content_col))).alias("w"),
+    )
+    tgt_words = target.select(
+        F.explode(fn_text.tokens(F.col(content_col))).alias("w")
+    )
+    raw_counts = raw_words.groupBy("w").agg(F.count("*").alias("c_r"))
+    tgt_counts = tgt_words.groupBy("w").agg(F.count("*").alias("c_t"))
+    totals = raw_counts.agg(
+        F.sum("c_r").alias("n_r"), F.count("*").alias("v")
+    ).crossJoin(tgt_counts.agg(F.sum("c_t").alias("n_t")))
+    weights = (
+        raw_counts.join(tgt_counts, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1))
+                        / (F.col("n_t") + F.col("v")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("c_r") + F.lit(1))
+                        / (F.col("n_r") + F.col("v")).cast("double")
+                    )
+                )
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("lw_micro"),
+        )
+    )
+    return (
+        raw_words.join(F.broadcast(weights), "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lw_micro").alias("score_micro"),
+        )
+    )

@@ -148,3 +148,40 @@ def test_decontaminate_min_hits_threshold(spark):
     )
     assert S.decontaminate(train, bench, n=3, min_hits=2).count() == 0
     assert S.decontaminate(train, bench, n=3, min_hits=1).count() == 1
+
+
+def test_dsir_importance_prefers_target_domain(spark):
+    from modis_aggregation_spark.operators.screening import dsir_importance
+
+    rows = [
+        (1, "alpha beam alpha beam alpha core"),
+        (2, "alpha beam core alpha beam alpha"),
+        (3, "zeta quux zeta quux zeta grind"),
+        (4, "zeta grind quux zeta quux zeta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter("doc_id <= 2")  # the alpha/beam domain
+    got = {r["id"]: r for r in dsir_importance(docs, target).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(r["n_tokens"] == 6 for r in got.values())
+    # target-domain docs must outscore off-domain docs
+    assert min(got[1]["score_micro"], got[2]["score_micro"]) > max(
+        got[3]["score_micro"], got[4]["score_micro"]
+    )
+
+
+def test_dsir_importance_score_is_exact_integer_sum(spark):
+    import math
+
+    from modis_aggregation_spark.operators.screening import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    target = docs.filter("doc_id = 1")
+    got = {r["id"]: r["score_micro"] for r in dsir_importance(docs, target).collect()}
+    # hand-compute: raw counts a=2,b=2,c=1 (N_r=5,V=3); target a=2,b=1 (N_t=3)
+    def lw(ct, cr):
+        return round((math.log((ct + 1) / 6.0) - math.log((cr + 1) / 8.0)) * 1e6)
+    assert got[1] == 2 * lw(2, 2) + lw(1, 2)
+    assert got[2] == lw(1, 2) + lw(0, 1)
