@@ -2739,6 +2739,130 @@ FROM documents
 """
 
 
+def _q_s6_stream_screen(spark, sf_dir):
+    """Streaming corpus screen: the x38 quality gate (C4 line rules ∧
+    Gopher battery) applied to documents arriving as a file stream —
+    narrow stateless maps run unchanged under Structured Streaming, so
+    the availableNow result equals the batch filter EXACTLY. Oracle: the
+    same screen as plain SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    _ensure_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    src_dir = tempfile.mkdtemp(prefix="s6_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s6_ckpt_")
+    name = f"s6_screen_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(src, os.path.join(src_dir, "documents.parquet"))
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        structured = stream.withColumn(
+            "text2", F.replace(F.col("text"), F.lit("data"), F.lit("data.\n"))
+        )
+        c4 = fn_text.c4_clean(
+            structured, "text2", min_words_per_line=5, min_sentences=3
+        )
+        g = fn_text.gopher_quality(c4, "text", min_stopwords=1)
+        screened = g.filter(F.col("kept") & F.col("gopher_pass")).select(
+            "doc_id", "source", "n_chars"
+        )
+        q = (
+            screened.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s6_stream_screen: stream did not finish in 300s")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S6 = r"""
+WITH sdoc AS (
+  SELECT doc_id, source, n_chars, text,
+         replace(text, 'data', 'data.' || chr(10)) AS text2
+  FROM documents
+),
+c4 AS (
+  SELECT doc_id, source, n_chars, text,
+         (len(regexp_extract_all(coalesce(array_to_string(
+              list_filter(string_split(text2, chr(10)), x ->
+                  regexp_matches(trim(x), '[.!?"]$')
+                  AND len(regexp_extract_all(trim(x), '\S+')) >= 5
+                  AND NOT contains(lower(trim(x)), 'javascript')),
+              chr(10)), ''), '[.!?]')) >= 3
+          AND NOT contains(text2, '{')
+          AND NOT contains(lower(text2), 'lorem ipsum')) AS c4_kept
+  FROM sdoc
+),
+gop AS (
+  SELECT doc_id,
+         (len(words) BETWEEN 50 AND 100000
+          AND len(regexp_replace(text, '\s', '', 'g'))
+              / nullif(len(words), 0) BETWEEN 3.0 AND 10.0
+          AND (len(text) - len(replace(text, '#', ''))
+               + (len(text) - len(replace(text, '...', ''))) / 3)
+              / nullif(len(words), 0) <= 0.1
+          AND len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+              / nullif(len(lines), 0) <= 0.9
+          AND len(list_filter(lines, x -> regexp_matches(trim(x), '\.\.\.$')))
+              / nullif(len(lines), 0) <= 0.3
+          AND len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              / nullif(len(words), 0) >= 0.8
+          AND (list_contains(words, 'the')::INT + list_contains(words, 'be')::INT
+               + list_contains(words, 'to')::INT + list_contains(words, 'of')::INT
+               + list_contains(words, 'and')::INT + list_contains(words, 'that')::INT
+               + list_contains(words, 'have')::INT + list_contains(words, 'with')::INT
+              ) >= 1) AS gpass
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '\S+') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents)
+)
+SELECT c4.doc_id, c4.source, c4.n_chars
+FROM c4 JOIN gop ON c4.doc_id = gop.doc_id
+WHERE c4.c4_kept AND gop.gpass
+"""
+
+
+def _q_r41_bag_setops(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — BAG semantics (duplicates preserved
+    by multiplicity), the set-op variants r8's distinct forms don't
+    exercise. Tagged and unioned so one result carries both."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_partkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_partkey")
+    both = a.intersectAll(b).withColumn("tag", F.lit("both"))
+    only_a = a.exceptAll(b).withColumn("tag", F.lit("only_a"))
+    return both.unionByName(only_a)
+
+
+_SQL_R41 = """
+SELECT l_partkey, 'both' AS tag FROM (
+  SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+  INTERSECT ALL
+  SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+)
+UNION ALL
+SELECT l_partkey, 'only_a' AS tag FROM (
+  SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+)
+"""
+
+
 def _q_s4_stream_join(spark, sf_dir):
     """Stream-stream watermarked interval join: events split by id parity
     into two file streams, each right event paired to same-user left
@@ -3781,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r38_window_navigation": _q_r38_window_navigation,
         "r39_grouping_sets": _q_r39_grouping_sets,
         "r40_range_frame": _q_r40_range_frame,
+        "r41_bag_setops": _q_r41_bag_setops,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -3826,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
         "s5_stream_granules": _q_s5_stream_granules,
+        "s6_stream_screen": _q_s6_stream_screen,
     }
 
 
@@ -3889,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
         "r38_window_navigation": _SQL_R38,
         "r39_grouping_sets": _SQL_R39,
         "r40_range_frame": _SQL_R40,
+        "r41_bag_setops": _SQL_R41,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
@@ -3931,4 +4058,5 @@ def oracle_sql() -> dict[str, str]:
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,
         "s5_stream_granules": _SQL_S5,
+        "s6_stream_screen": _SQL_S6,
     }

@@ -43,8 +43,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # Python DataSource pushFilters (granule-id partition pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp — read as long and convert at the source helper
+        # testdata events.parquet has shipped as TIMESTAMP(NANOS) and as
+        # naive TIMESTAMP(MICROS); Spark has no nanos timestamp — read
+        # nanos as long (this flag) and normalize either form at the
+        # source helper (__spark_entry__._t: NTZ→UTC-pinned TIMESTAMP)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
