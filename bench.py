@@ -92,6 +92,23 @@ def main() -> None:
     timings["q_minhash_lsh"] = round(best, 3)
     sigs.unpersist()
 
+    # one-pass corpus quality screen (C4 line rules + Gopher battery +
+    # staged PII scrub) — the map-only narrow stage of the curation family
+    from modis_aggregation_spark.functions.text import (
+        c4_clean,
+        gopher_quality,
+        pii_scrub,
+    )
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pii_scrub(gopher_quality(c4_clean(docs, min_sentences=1))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["q_screen"] = round(best, 3)
+
     # end-to-end CF grid including a real parquet sink
     out = tempfile.mkdtemp(prefix="bench_cf_")
     try:

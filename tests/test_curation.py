@@ -151,3 +151,58 @@ def test_source_mix_rates_and_determinism(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# property tests: cap equivalence and mix rate law on randomized corpora
+# ---------------------------------------------------------------------------
+
+def test_capped_by_key_property_random_corpora(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(42)
+    for trial in range(5):
+        sizes = {f"s{i}": rng.randint(1, 60) for i in range(rng.randint(2, 6))}
+        cap = rng.randint(1, 20)
+        n_subkeys = rng.choice([2, 4, 16])
+        salt = rng.randint(0, 100)
+        df = _corpus(spark, sizes)
+        got = {
+            (r["source"], r["doc_id"], r["keep_rank"])
+            for r in C.capped_by_key(
+                df, "source", "doc_id", cap=cap, salt=salt, n_subkeys=n_subkeys
+            ).collect()
+        }
+        pri = F.floor(C.split_bucket(F.col("doc_id"), salt, 1_000_000)).cast("long")
+        w = Window.partitionBy("source").orderBy(pri, "doc_id")
+        want = {
+            (r["source"], r["doc_id"], r["keep_rank"])
+            for r in df.withColumn("keep_rank", F.row_number().over(w))
+            .filter(F.col("keep_rank") <= cap)
+            .collect()
+        }
+        assert got == want, (trial, sizes, cap, n_subkeys, salt)
+
+
+def test_source_mix_rate_law_and_bounds(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    sizes = {f"s{i}": rng.randint(1, 200) for i in range(5)}
+    df = _corpus(spark, sizes)
+    base = 0.3
+    out = C.source_mix(df, "source", "doc_id", base_rate=base, salt=5)
+    rates = {r["source"]: r["rate_millionths"] for r in
+             out.select("source", "rate_millionths").distinct().collect()}
+    cmax = max(sizes.values())
+    for src, n in sizes.items():
+        expected = math.floor(
+            min(1_000_000.0, 1_000_000.0 * base * math.sqrt(cmax / n))
+        )
+        if src in rates:  # a source can vanish if no doc passes its filter
+            assert rates[src] == expected, (src, n)
+        kept = out.filter(F.col("source") == src).count()
+        assert kept <= n
