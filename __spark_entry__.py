@@ -2739,6 +2739,45 @@ FROM documents
 """
 
 
+def _q_r42_null_semantics(spark, sf_dir):
+    """NULL-semantics battery (SURVEY §1.4: NULL is the engine's only
+    missingness marker): NULL grouping keys, count(col) vs count(*) vs
+    count(DISTINCT col) under NULLs, null-safe equality (eqNullSafe ↔
+    IS NOT DISTINCT FROM), and coalesce fallback — on a frame where
+    nullif() injects NULLs deterministically."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("st", F.nullif(F.col("o_orderstatus"), F.lit("P")))
+        .withColumn("pr", F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")))
+    )
+    return o.groupBy("st").agg(
+        F.count("*").alias("n"),
+        F.count("pr").alias("n_pr"),
+        F.countDistinct("pr").alias("nd_pr"),
+        F.sum(F.col("st").eqNullSafe(F.lit("F")).cast("int"))
+        .cast("long")
+        .alias("n_nullsafe_f"),
+        F.sum(F.col("pr").isNull().cast("int")).cast("long").alias("n_null_pr"),
+        F.min(F.coalesce(F.col("pr"), F.lit("none"))).alias("min_pr_or_none"),
+    )
+
+
+_SQL_R42 = """
+SELECT st, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(pr) AS BIGINT) AS n_pr,
+       CAST(count(DISTINCT pr) AS BIGINT) AS nd_pr,
+       CAST(sum((st IS NOT DISTINCT FROM 'F')::INT) AS BIGINT) AS n_nullsafe_f,
+       CAST(sum((pr IS NULL)::INT) AS BIGINT) AS n_null_pr,
+       min(coalesce(pr, 'none')) AS min_pr_or_none
+FROM (
+  SELECT nullif(o_orderstatus, 'P') AS st,
+         nullif(o_orderpriority, '5-LOW') AS pr
+  FROM orders
+)
+GROUP BY 1
+"""
+
+
 def _q_s6_stream_screen(spark, sf_dir):
     """Streaming corpus screen: the x38 quality gate (C4 line rules ∧
     Gopher battery) applied to documents arriving as a file stream —
@@ -3906,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r39_grouping_sets": _q_r39_grouping_sets,
         "r40_range_frame": _q_r40_range_frame,
         "r41_bag_setops": _q_r41_bag_setops,
+        "r42_null_semantics": _q_r42_null_semantics,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -4016,6 +4056,7 @@ def oracle_sql() -> dict[str, str]:
         "r39_grouping_sets": _SQL_R39,
         "r40_range_frame": _SQL_R40,
         "r41_bag_setops": _SQL_R41,
+        "r42_null_semantics": _SQL_R42,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
