@@ -2778,6 +2778,115 @@ GROUP BY 1
 """
 
 
+def _q_r43_funnel(spark, sf_dir):
+    """Event-sequence funnel: users whose first 'view' is followed by a
+    'click' within 2 h and then a 'purchase' within 24 h of that click —
+    the sequential-pattern shape (min-over-filtered-self per step, NOT a
+    self-join explosion). Emits per-user step timestamps as epoch micros
+    plus how deep the user got."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select("user_id", "event_type", us.alias("t"))
+    v = base.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("t").alias("tc")
+    )
+    first_click = (
+        v.join(c, (F.col("user_id") == F.col("cu"))
+               & (F.col("tc") > F.col("t_view"))
+               & (F.col("tc") <= F.col("t_view") + F.lit(7_200_000_000)))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("tc").alias("t_click"))
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("t").alias("tp")
+    )
+    first_purchase = (
+        first_click.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("tp") > F.col("t_click"))
+            & (F.col("tp") <= F.col("t_click") + F.lit(86_400_000_000)),
+            "left",
+        )
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("tp").alias("t_purchase"))
+    )
+    out = v.join(first_purchase.drop("t_view"), "user_id", "left")
+    return out.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        (
+            F.lit(1)
+            + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+        ).cast("int").alias("steps"),
+    )
+
+
+_SQL_R43 = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+v AS (
+  SELECT user_id, min(t) AS t_view FROM base
+  WHERE event_type = 'view' GROUP BY 1
+),
+fc AS (
+  SELECT v.user_id, v.t_view, min(c.t) AS t_click
+  FROM v JOIN base c
+    ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.t > v.t_view AND c.t <= v.t_view + 7200000000
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT fc.user_id, fc.t_click, min(p.t) AS t_purchase
+  FROM fc LEFT JOIN base p
+    ON p.user_id = fc.user_id AND p.event_type = 'purchase'
+   AND p.t > fc.t_click AND p.t <= fc.t_click + 86400000000
+  GROUP BY 1, 2
+)
+SELECT v.user_id, v.t_view, fp.t_click, fp.t_purchase,
+       CAST(1 + CASE WHEN fp.t_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN fp.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+            AS INT) AS steps
+FROM v LEFT JOIN fp ON v.user_id = fp.user_id
+"""
+
+
+def _q_r44_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted by
+    distinct active users per (cohort week, weeks-since) offset — two
+    stacked aggregations around a broadcast first-seen join."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)).cast("long")
+    base = ev.select("user_id", wk.alias("wk"))
+    first = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        base.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_SQL_R44 = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM base GROUP BY 1)
+SELECT f.cohort_wk, b.wk - f.cohort_wk AS weeks_since,
+       CAST(count(DISTINCT b.user_id) AS BIGINT) AS active_users
+FROM base b JOIN first f ON b.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def _q_s6_stream_screen(spark, sf_dir):
     """Streaming corpus screen: the x38 quality gate (C4 line rules ∧
     Gopher battery) applied to documents arriving as a file stream —
@@ -3946,6 +4055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r40_range_frame": _q_r40_range_frame,
         "r41_bag_setops": _q_r41_bag_setops,
         "r42_null_semantics": _q_r42_null_semantics,
+        "r43_funnel": _q_r43_funnel,
+        "r44_cohort_retention": _q_r44_cohort_retention,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -4057,6 +4168,8 @@ def oracle_sql() -> dict[str, str]:
         "r40_range_frame": _SQL_R40,
         "r41_bag_setops": _SQL_R41,
         "r42_null_semantics": _SQL_R42,
+        "r43_funnel": _SQL_R43,
+        "r44_cohort_retention": _SQL_R44,
         # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
         # no SQL equivalent — driver records the weaker rows-only check;
         # exact pytest oracles cover them in tests/test_extensions.py
