@@ -844,6 +844,67 @@ GROUP BY 1
 """
 
 
+def _q_m17_climatology_anomaly(spark, sf_dir):
+    """Climatology + anomaly — the standard L3 post-processing science
+    query: per-cell daily cloud fraction, per-cell climatology (mean of
+    daily CF over the period), and each day's departure from it. One
+    scan builds the (cell, doy) dailies; the climatology is a tiny
+    re-aggregation broadcast back onto them."""
+    px = _px(spark)
+    days = F.broadcast(
+        spark.read.parquet(GRANULES).select("granule_id", "doy").distinct()
+    )
+    cm = F.col("cm")
+    daily = (
+        ops_stats.with_cloud_mask(ops_stats.with_cell(px, SPEC))
+        .join(days, "granule_id")
+        .groupBy("cell", "doy")
+        .agg(
+            F.sum(F.when(cm.between(0, 1), 1).otherwise(0)).alias("cld_pix"),
+            F.sum(F.when(cm.between(0, 3), 1).otherwise(0)).alias("tot_pix"),
+        )
+        .withColumn(
+            "cf_day", F.col("cld_pix") / F.nullif(F.col("tot_pix"), F.lit(0))
+        )
+    )
+    clim = daily.groupBy("cell").agg(F.avg("cf_day").alias("cf_clim"))
+    return (
+        daily.join(F.broadcast(clim), "cell")
+        .select(
+            "cell",
+            "doy",
+            F.col("cld_pix").cast("long").alias("cld_pix"),
+            F.col("tot_pix").cast("long").alias("tot_pix"),
+            _r6(F.col("cf_day")).alias("cf_day"),
+            _r6(F.col("cf_clim")).alias("cf_clim"),
+            _r6(F.col("cf_day") - F.col("cf_clim")).alias("cf_anom"),
+        )
+    )
+
+
+_SQL_M17 = f"""
+WITH days AS (
+  SELECT DISTINCT granule_id, doy
+  FROM read_parquet('{GRANULES}')
+),
+daily AS (
+  SELECT {_CELL} AS cell, doy,
+         CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+         CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix
+  FROM read_parquet('{PIXELS}/*.parquet') p JOIN days USING (granule_id)
+  WHERE {_BBOX}
+  GROUP BY 1, 2
+),
+d2 AS (SELECT *, cld_pix / nullif(tot_pix, 0) AS cf_day FROM daily),
+clim AS (SELECT cell, avg(cf_day) AS cf_clim FROM d2 GROUP BY 1)
+SELECT d2.cell, d2.doy, d2.cld_pix, d2.tot_pix,
+       round(d2.cf_day, 6) AS cf_day,
+       round(clim.cf_clim, 6) AS cf_clim,
+       round(d2.cf_day - clim.cf_clim, 6) AS cf_anom
+FROM d2 JOIN clim ON d2.cell = clim.cell
+"""
+
+
 def _q_r9b_approx_distinct(spark, sf_dir):
     """approx_count_distinct — reported, rows-only (approximate by
     definition; exact twin is r9)."""
@@ -4010,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m14_compare_grids": _q_m14_compare_grids,
         "m15_alt_grid": _q_m15_alt_grid,
         "m16_trim_1km": _q_m16_trim_1km,
+        "m17_climatology_anomaly": _q_m17_climatology_anomaly,
         "r1_filter_project": _q_r1_filter_project,
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -4124,6 +4186,7 @@ def oracle_sql() -> dict[str, str]:
         "m14_compare_grids": _SQL_M14,
         "m15_alt_grid": _SQL_M15,
         "m16_trim_1km": _SQL_M16,
+        "m17_climatology_anomaly": _SQL_M17,
         "r1_filter_project": _SQL_R1,
         "r2_tpch_q1": _SQL_R2,
         "r3_join_chain": _SQL_R3,
