@@ -2440,7 +2440,7 @@ def _q_x23_dedup_clusters(spark, sf_dir):
     )
 
 
-_X23_WALK = f"""t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+_X4_PAIRS = f"""t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
 g AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -2456,7 +2456,9 @@ p AS (
 pairs AS (
   SELECT id_a, id_b FROM p
   WHERE inter / nullif(la + lb - inter, 0) >= 0.1
-),
+)"""
+
+_X23_WALK = f"""{_X4_PAIRS},
 edges AS (SELECT id_a AS s, id_b AS d FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 walk (id, comp) AS (
@@ -4049,6 +4051,79 @@ GROUP BY 1
 """
 
 
+def _q_x40_dedup_audit(spark, sf_dir):
+    """Detector-agreement audit: the two fully-deterministic near-dup
+    detectors — n-gram Jaccard (x4) and winnowing fingerprints (x17) —
+    compared pair-by-pair via a full-outer join. The disagreement rows
+    are exactly what a curation engineer inspects when tuning thresholds;
+    both detectors are SQL-expressible, so every cell is value-checked.
+    Runs on a doc subset — the fixture's tiny vocabulary makes 5-char
+    shingles collide corpus-wide, and an audit is a sampled activity."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    jac = (
+        ops_dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1,
+            max_token_freq=1_000_000_000,
+        )
+        .select("id_a", "id_b")
+        .withColumn("__j", F.lit(1))
+    )
+    win = (
+        ops_cur.winnow_pairs(
+            docs, "text", "doc_id", k=5, w=4, min_shared=2,
+            max_fp_freq=1_000_000_000,
+        )
+        .select("id_a", "id_b")
+        .withColumn("__w", F.lit(1))
+    )
+    out = jac.join(win, ["id_a", "id_b"], "full_outer")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("__j"), F.lit(0)).cast("int").alias("in_jaccard"),
+        F.coalesce(F.col("__w"), F.lit(0)).cast("int").alias("in_winnow"),
+    )
+
+
+_X4_PAIRS_100 = _X4_PAIRS.replace(
+    "AS toks FROM documents),",
+    "AS toks FROM documents WHERE doc_id < 100),",
+)
+
+_SQL_X40 = f"""
+WITH {_X4_PAIRS_100},
+wt AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id < 100
+),
+wh AS (
+  SELECT doc_id,
+         [ascii(norm[i:i]) * 4362470401 + ascii(norm[i+1:i+1]) * 16974593
+          + ascii(norm[i+2:i+2]) * 66049 + ascii(norm[i+3:i+3]) * 257
+          + ascii(norm[i+4:i+4])
+          for i in generate_series(1, greatest(length(norm) - 4, 1))] AS hs
+  FROM wt
+),
+ww AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[i:i+3])
+                        for i in generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
+  FROM wh
+),
+wf AS (SELECT doc_id, unnest(fps) AS fp FROM ww),
+wpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT coalesce(j.id_a, w.id_a) AS id_a,
+       coalesce(j.id_b, w.id_b) AS id_b,
+       CAST(CASE WHEN j.id_a IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_jaccard,
+       CAST(CASE WHEN w.id_a IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_winnow
+FROM pairs j FULL JOIN wpairs w ON j.id_a = w.id_a AND j.id_b = w.id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4160,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x37_pagerank": _q_x37_pagerank,
         "x38_curation_pipeline": _q_x38_curation_pipeline,
         "x39_dsir_importance": _q_x39_dsir_importance,
+        "x40_dedup_audit": _q_x40_dedup_audit,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
@@ -4271,6 +4347,7 @@ def oracle_sql() -> dict[str, str]:
         "x37_pagerank": _SQL_X37,
         "x38_curation_pipeline": _SQL_X38,
         "x39_dsir_importance": _SQL_X39,
+        "x40_dedup_audit": _SQL_X40,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,

@@ -168,3 +168,50 @@ def scd2_apply(
         end_col, F.lit(None).cast(dict(history.dtypes)[end_col])
     ).withColumn(current_col, F.lit(True))
     return closed.unionByName(opened.select(*history.columns))
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` — the other half of lake maintenance next to
+    MERGE (streaming sinks and incremental upserts accrete KB-size files
+    whose per-file open/footer cost eventually dominates scans).
+
+    Sizing is from the SOURCE's actual on-disk bytes (not row counts, so
+    compression ratio is respected). Writes to ``dest_path`` — never in
+    place (a failed in-place rewrite loses data; callers swap paths or
+    re-point the catalog after success, which is exactly what
+    Delta/Iceberg's rewrite-data-files action does atomically).
+
+    Returns {files_before, files_after, bytes, rows}.
+    """
+    import math
+    import os
+
+    before = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src_path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    rows = df.count()
+    df.repartition(n_out).write.mode("errorifexists").parquet(dest_path)
+    after = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(dest_path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total_bytes,
+        "rows": rows,
+    }

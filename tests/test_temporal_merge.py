@@ -214,3 +214,26 @@ def test_stratified_sample_deterministic_subset(spark):
     n_b = len(ids) - n_a
     assert 0.4 < n_a / 2500 < 0.6
     assert 0.05 < n_b / 2500 < 0.16
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from modis_aggregation_spark.operators.merge import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compacted")
+    # 40 tiny files
+    spark.range(4000).repartition(40).write.parquet(src)
+    stats = compact_parquet(spark, src, dest, target_file_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1  # 40 tiny files fit one target file
+    assert stats["rows"] == 4000
+    # content survives exactly
+    assert (
+        spark.read.parquet(dest).selectExpr("sum(id)").first()[0]
+        == 4000 * 3999 // 2
+    )
+    # never clobbers an existing destination
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        compact_parquet(spark, src, dest)
