@@ -99,7 +99,7 @@ def run_minhash(spark, sf_dir: str) -> dict:
     }
 
 
-def run_screen(spark, sf_dir: str) -> dict:
+def run_screen(spark, sf_dir: str, replicate: int = 64) -> dict:
     """One-pass corpus screen (C4 line rules ∧ full Gopher battery ∧ PII
     counts) over the documents table — the map-only narrow stage that
     fronts every curation pipeline. Throughput here IS the 100 TB number:
@@ -110,7 +110,6 @@ def run_screen(spark, sf_dir: str) -> dict:
         pii_scrub,
     )
 
-    replicate = 64  # amortize fixed task overhead; stage is per-row anyway
     docs = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .crossJoin(spark.range(replicate).select(F.col("id").alias("__rep")))
@@ -133,7 +132,7 @@ def run_screen(spark, sf_dir: str) -> dict:
     }
 
 
-def run_pagerank(spark, sf_dir: str, n_nodes: int = 50_000) -> dict:
+def run_pagerank(spark, sf_dir: str, n_nodes: int = 50_000, replicate: int = 4) -> dict:
     """Fixed-iteration PageRank over a synthetic graph derived from
     lineitem (≈1 edge per row, n_nodes node space): the per-round cost is
     one O(E) hash join + aggregation, so edges/s/round is the number that
@@ -141,7 +140,6 @@ def run_pagerank(spark, sf_dir: str, n_nodes: int = 50_000) -> dict:
     from modis_aggregation_spark.operators.graph import pagerank
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    replicate = 4  # disjoint node-space copies -> 4x edges, same diameter
     edges = (
         li.select(
             (F.col("l_orderkey") % n_nodes).alias("src"),
