@@ -4124,6 +4124,111 @@ FROM pairs j FULL JOIN wpairs w ON j.id_a = w.id_a AND j.id_b = w.id_b
 """
 
 
+def _q_x41_source_mix_epochs(spark, sf_dir):
+    """Epoch-aware mixture: rare sources up-sampled with REPETITION
+    (rate > 1.0 → full copies + deterministic fractional copy) — the
+    'epochs per source' semantics of data-mixture recipes. Runs on the
+    n_chars>=200 subset so per-source counts differ and repetition
+    actually occurs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    out = ops_cur.source_mix_epochs(
+        docs, "source", "doc_id", base_rate=1.2, salt=11
+    )
+    return out.select("doc_id", "source", "copy", "rate_millionths")
+
+
+_SQL_X41 = """
+WITH d AS (SELECT * FROM documents WHERE n_chars >= 200),
+c AS (SELECT source, count(*) AS cnt FROM d GROUP BY 1),
+r AS (
+  SELECT source,
+         CAST(floor(1000000.0 * 1.2 * sqrt(CAST(max(cnt) OVER () AS DOUBLE)
+                                           / CAST(cnt AS DOUBLE))) AS BIGINT)
+           AS rate_millionths
+  FROM c
+),
+e AS (
+  SELECT d.doc_id, d.source, r.rate_millionths,
+         r.rate_millionths // 1000000 AS full_copies,
+         r.rate_millionths % 1000000 AS frac
+  FROM d JOIN r ON d.source = r.source
+)
+SELECT doc_id, source, CAST(copy AS BIGINT) AS copy, rate_millionths
+FROM (
+  SELECT e.*, unnest(generate_series(0, e.full_copies)) AS copy FROM e
+)
+WHERE copy < full_copies
+   OR (((doc_id + 11) * 2654435761) % 4294967296) * 1000000
+      // 4294967296 < frac
+"""
+
+
+def _q_s7_stream_static_dedup(spark, sf_dir):
+    """Stream-static anti-join — the third streaming join mode next to
+    s4's stream-stream and s1's stream aggregation: documents arrive as
+    a file stream and are dropped if their content fingerprint already
+    exists in a STATIC accumulated-corpus table (the incremental-ingest
+    dedup shape of x36, run as a stream). Stateless per micro-batch, so
+    availableNow equals the batch anti-join exactly; the oracle replays
+    it on the normalized-text key."""
+    import shutil
+    import tempfile
+    import uuid
+
+    _ensure_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    seen = (
+        spark.read.parquet(src)
+        .filter(F.col("doc_id") < 250)
+        .select(fn_text.fingerprint(F.col("text")).alias("__fp"))
+        .distinct()
+    )
+    src_dir = tempfile.mkdtemp(prefix="s7_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s7_ckpt_")
+    name = f"s7_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(src, os.path.join(src_dir, "documents.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("__fp", fn_text.fingerprint(F.col("text")))
+            .join(seen, "__fp", "left_anti")
+            .select("doc_id", "source", "n_chars")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s7_stream_static_dedup: stream timeout")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S7 = r"""
+WITH norm AS (
+  SELECT doc_id, source, n_chars,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+  FROM documents
+),
+old AS (SELECT DISTINCT k FROM norm WHERE doc_id < 250)
+SELECT doc_id, source, n_chars
+FROM norm
+WHERE k NOT IN (SELECT k FROM old)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4236,11 +4341,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x38_curation_pipeline": _q_x38_curation_pipeline,
         "x39_dsir_importance": _q_x39_dsir_importance,
         "x40_dedup_audit": _q_x40_dedup_audit,
+        "x41_source_mix_epochs": _q_x41_source_mix_epochs,
         "s1_stream_daily": _q_s1_stream_daily,
         "s3_stream_dedup": _q_s3_stream_dedup,
         "s4_stream_join": _q_s4_stream_join,
         "s5_stream_granules": _q_s5_stream_granules,
         "s6_stream_screen": _q_s6_stream_screen,
+        "s7_stream_static_dedup": _q_s7_stream_static_dedup,
     }
 
 
@@ -4348,9 +4455,11 @@ def oracle_sql() -> dict[str, str]:
         "x38_curation_pipeline": _SQL_X38,
         "x39_dsir_importance": _SQL_X39,
         "x40_dedup_audit": _SQL_X40,
+        "x41_source_mix_epochs": _SQL_X41,
         "s1_stream_daily": _SQL_S1,
         "s3_stream_dedup": _SQL_S3,
         "s4_stream_join": _SQL_S4,
         "s5_stream_granules": _SQL_S5,
         "s6_stream_screen": _SQL_S6,
+        "s7_stream_static_dedup": _SQL_S7,
     }

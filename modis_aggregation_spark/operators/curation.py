@@ -274,6 +274,46 @@ def source_mix(
     )
 
 
+def source_mix_epochs(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    base_rate: float = 1.2,
+    salt: int = 11,
+) -> DataFrame:
+    """Epoch-aware source rebalancing: like ``source_mix`` but rates may
+    EXCEED 1.0 — a rare source with rate 2.4 contributes 2 full copies of
+    every document plus a deterministic 40% of a third (the "epochs per
+    source" semantics of data-mixture recipes that up-sample scarce
+    domains). rate_s = base_rate * sqrt(c_max / c_s), uncapped.
+
+    Emits one row per (document, copy) with ``copy`` 0..n; full copies
+    need no hashing, the final fractional copy keeps iff the document's
+    hash bucket falls under the fractional part. Narrow generate+explode
+    over a broadcast rate table — no shuffle of the corpus; output bytes
+    scale with the chosen mixture, which is the point.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("__cnt"))
+    cmax = counts.agg(F.max("__cnt").alias("__cmax"))
+    rate = F.floor(
+        F.lit(1_000_000.0 * base_rate)
+        * F.sqrt(F.col("__cmax").cast("double") / F.col("__cnt").cast("double"))
+    ).cast("long")
+    rates = (
+        counts.crossJoin(F.broadcast(cmax))
+        .withColumn("rate_millionths", rate)
+        .select(key_col, "rate_millionths")
+    )
+    bucket = F.floor(split_bucket(F.col(id_col), salt, 1_000_000)).cast("long")
+    full = (F.col("rate_millionths") / F.lit(1_000_000)).cast("long")
+    frac = F.col("rate_millionths") % F.lit(1_000_000)
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0).cast("long"), full)))
+        .filter((F.col("copy") < full) | (bucket < frac))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     content_col: str = "text",

@@ -206,3 +206,29 @@ def test_source_mix_rate_law_and_bounds(spark):
             assert rates[src] == expected, (src, n)
         kept = out.filter(F.col("source") == src).count()
         assert kept <= n
+
+
+def test_source_mix_epochs_repetition(spark):
+    import math
+
+    df = _corpus(spark, {"big": 64, "tiny": 4})
+    out = C.source_mix_epochs(df, "source", "doc_id", base_rate=1.0, salt=11)
+    rows = out.collect()
+    # big: rate = 1.0 -> exactly one copy of every doc, copy = 0
+    big = [r for r in rows if r["source"] == "big"]
+    assert len(big) == 64 and all(r["copy"] == 0 for r in big)
+    # tiny: rate = sqrt(16) = 4.0 -> exactly 4 copies of each of 4 docs
+    tiny = [r for r in rows if r["source"] == "tiny"]
+    assert len(tiny) == 16
+    per_doc = {}
+    for r in tiny:
+        per_doc.setdefault(r["doc_id"], set()).add(r["copy"])
+    assert all(copies == {0, 1, 2, 3} for copies in per_doc.values())
+    # fractional rates keep a deterministic subset of the last copy
+    out2 = C.source_mix_epochs(df, "source", "doc_id", base_rate=0.6, salt=11)
+    n_big2 = out2.filter(F.col("source") == "big").count()
+    assert 0 < n_big2 < 64  # 60% fractional copy of the dominant source
+    again = C.source_mix_epochs(df, "source", "doc_id", base_rate=0.6, salt=11)
+    assert sorted((r["doc_id"], r["copy"]) for r in out2.collect()) == sorted(
+        (r["doc_id"], r["copy"]) for r in again.collect()
+    )
