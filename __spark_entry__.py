@@ -2925,14 +2925,16 @@ FROM v LEFT JOIN fp ON v.user_id = fp.user_id
 def _q_r44_cohort_retention(spark, sf_dir):
     """Cohort retention: users grouped by first-activity week, counted by
     distinct active users per (cohort week, weeks-since) offset — two
-    stacked aggregations around a broadcast first-seen join."""
+    stacked aggregations around a shuffled first-seen join (the first-seen
+    table is one row per distinct user, unbounded at scale, so no
+    broadcast hint; both sides hash-partition on user_id)."""
     _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
     wk = F.floor(F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)).cast("long")
     base = ev.select("user_id", wk.alias("wk"))
     first = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (
-        base.join(F.broadcast(first), "user_id")
+        base.join(first, "user_id")
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
@@ -4234,7 +4236,75 @@ WHERE k NOT IN (SELECT k FROM old)
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DICT ORDER IS THE DRIVER'S VERIFICATION WINDOW: the round driver
+    # records oracle rows for only the FIRST 50 entries.  Rotation policy
+    # (see CLAUDE.md): each round, order the dict so queries with NO driver
+    # row in any CORRECTNESS_r*.json come first; already-recorded queries
+    # go last (they stay in the contract, unchanged, and re-enter the
+    # window in a later re-confirmation sweep).  Round-3 window: the 55
+    # never-recorded queries from r01/r02, minus r38-r42 (stock-Spark
+    # window/set-op/null queries whose operator families already have
+    # green rows via r5/r6/r8/r15) which are deferred to round 4.
     return {
+        # -- round-3 verification window (50): never driver-recorded ----
+        "r31_hopping_window": _q_r31_hopping_window,
+        "r32_session_window": _q_r32_session_window,
+        "r33_tpch_q4": _q_r33_tpch_q4,
+        "r34_tpch_q13": _q_r34_tpch_q13,
+        "r35_tpch_q17": _q_r35_tpch_q17,
+        "r36_tpch_q19": _q_r36_tpch_q19,
+        "r37_tpch_q22": _q_r37_tpch_q22,
+        "r43_funnel": _q_r43_funnel,
+        "r44_cohort_retention": _q_r44_cohort_retention,
+        "x8_embedding_pairs": _q_x8_embedding_pairs,
+        "x9_ivf_topk": _q_x9_ivf_topk,
+        "x9b_ivf_full_probe": _q_x9b_ivf_full_probe,
+        "x10_media_meta": _q_x10_media_meta,
+        "x11_decode_images": _q_x11_decode_images,
+        "x12_curate_corpus": _q_x12_curate_corpus,
+        "x13_tfidf": _q_x13_tfidf,
+        "x14_quality_quantile": _q_x14_quality_quantile,
+        "x15_label_centroids": _q_x15_label_centroids,
+        "x16_train_split": _q_x16_train_split,
+        "x17_winnow_fps": _q_x17_winnow_fps,
+        "x18_quantize": _q_x18_quantize,
+        "x19_chunk_docs": _q_x19_chunk_docs,
+        "x20_stratified_sample": _q_x20_stratified_sample,
+        "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
+        "x22_subword_tokens": _q_x22_subword_tokens,
+        "x23_dedup_clusters": _q_x23_dedup_clusters,
+        "x24_quality_checks": _q_x24_quality_checks,
+        "x25_fk_orphans": _q_x25_fk_orphans,
+        "x26_pii_scrub": _q_x26_pii_scrub,
+        "x27_pack_sequences": _q_x27_pack_sequences,
+        "x28_repetition": _q_x28_repetition,
+        "x29_decontaminate": _q_x29_decontaminate,
+        "x30_dedup_canonical": _q_x30_dedup_canonical,
+        "x31_c4_clean": _q_x31_c4_clean,
+        "x32_gopher_quality": _q_x32_gopher_quality,
+        "x33_domain_cap": _q_x33_domain_cap,
+        "x34_source_mix": _q_x34_source_mix,
+        "x35_salted_agg": _q_x35_salted_agg,
+        "x36_incremental_dedup": _q_x36_incremental_dedup,
+        "x37_pagerank": _q_x37_pagerank,
+        "x38_curation_pipeline": _q_x38_curation_pipeline,
+        "x39_dsir_importance": _q_x39_dsir_importance,
+        "x40_dedup_audit": _q_x40_dedup_audit,
+        "x41_source_mix_epochs": _q_x41_source_mix_epochs,
+        "s1_stream_daily": _q_s1_stream_daily,
+        "s3_stream_dedup": _q_s3_stream_dedup,
+        "s4_stream_join": _q_s4_stream_join,
+        "s5_stream_granules": _q_s5_stream_granules,
+        "s6_stream_screen": _q_s6_stream_screen,
+        "s7_stream_static_dedup": _q_s7_stream_static_dedup,
+        # -- deferred to the round-4 window (never recorded; operator
+        #    families already driver-green via r5/r6/r8/r15) ------------
+        "r38_window_navigation": _q_r38_window_navigation,
+        "r39_grouping_sets": _q_r39_grouping_sets,
+        "r40_range_frame": _q_r40_range_frame,
+        "r41_bag_setops": _q_r41_bag_setops,
+        "r42_null_semantics": _q_r42_null_semantics,
+        # -- already driver-recorded green in r01/r02 (stable core) -----
         "m1_bbox_cell_count": _q_m1_bbox_cell_count,
         "m2_cell_stats": _q_m2_cell_stats,
         "m3_cloud_fraction": _q_m3_cloud_fraction,
@@ -4285,20 +4355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r28_scd2": _q_r28_scd2,
         "r29_unpivot": _q_r29_unpivot,
         "r30_snapshot_diff": _q_r30_snapshot_diff,
-        "r31_hopping_window": _q_r31_hopping_window,
-        "r32_session_window": _q_r32_session_window,
-        "r33_tpch_q4": _q_r33_tpch_q4,
-        "r34_tpch_q13": _q_r34_tpch_q13,
-        "r35_tpch_q17": _q_r35_tpch_q17,
-        "r36_tpch_q19": _q_r36_tpch_q19,
-        "r37_tpch_q22": _q_r37_tpch_q22,
-        "r38_window_navigation": _q_r38_window_navigation,
-        "r39_grouping_sets": _q_r39_grouping_sets,
-        "r40_range_frame": _q_r40_range_frame,
-        "r41_bag_setops": _q_r41_bag_setops,
-        "r42_null_semantics": _q_r42_null_semantics,
-        "r43_funnel": _q_r43_funnel,
-        "r44_cohort_retention": _q_r44_cohort_retention,
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
         "x2_text_stats": _q_x2_text_stats,
@@ -4307,47 +4363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_minhash_pairs": _q_x5_minhash_pairs,
         "x6_simhash_pairs": _q_x6_simhash_pairs,
         "x7_cosine_topk": _q_x7_cosine_topk,
-        "x8_embedding_pairs": _q_x8_embedding_pairs,
-        "x9_ivf_topk": _q_x9_ivf_topk,
-        "x9b_ivf_full_probe": _q_x9b_ivf_full_probe,
-        "x10_media_meta": _q_x10_media_meta,
-        "x11_decode_images": _q_x11_decode_images,
-        "x12_curate_corpus": _q_x12_curate_corpus,
-        "x13_tfidf": _q_x13_tfidf,
-        "x14_quality_quantile": _q_x14_quality_quantile,
-        "x15_label_centroids": _q_x15_label_centroids,
-        "x16_train_split": _q_x16_train_split,
-        "x17_winnow_fps": _q_x17_winnow_fps,
-        "x18_quantize": _q_x18_quantize,
-        "x19_chunk_docs": _q_x19_chunk_docs,
-        "x20_stratified_sample": _q_x20_stratified_sample,
-        "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
-        "x22_subword_tokens": _q_x22_subword_tokens,
-        "x23_dedup_clusters": _q_x23_dedup_clusters,
-        "x24_quality_checks": _q_x24_quality_checks,
-        "x25_fk_orphans": _q_x25_fk_orphans,
-        "x26_pii_scrub": _q_x26_pii_scrub,
-        "x27_pack_sequences": _q_x27_pack_sequences,
-        "x28_repetition": _q_x28_repetition,
-        "x29_decontaminate": _q_x29_decontaminate,
-        "x30_dedup_canonical": _q_x30_dedup_canonical,
-        "x31_c4_clean": _q_x31_c4_clean,
-        "x32_gopher_quality": _q_x32_gopher_quality,
-        "x33_domain_cap": _q_x33_domain_cap,
-        "x34_source_mix": _q_x34_source_mix,
-        "x35_salted_agg": _q_x35_salted_agg,
-        "x36_incremental_dedup": _q_x36_incremental_dedup,
-        "x37_pagerank": _q_x37_pagerank,
-        "x38_curation_pipeline": _q_x38_curation_pipeline,
-        "x39_dsir_importance": _q_x39_dsir_importance,
-        "x40_dedup_audit": _q_x40_dedup_audit,
-        "x41_source_mix_epochs": _q_x41_source_mix_epochs,
-        "s1_stream_daily": _q_s1_stream_daily,
-        "s3_stream_dedup": _q_s3_stream_dedup,
-        "s4_stream_join": _q_s4_stream_join,
-        "s5_stream_granules": _q_s5_stream_granules,
-        "s6_stream_screen": _q_s6_stream_screen,
-        "s7_stream_static_dedup": _q_s7_stream_static_dedup,
     }
 
 

@@ -192,6 +192,18 @@ def compact_parquet(
     import math
     import os
 
+    for p in (src_path, dest_path):
+        scheme = p.split("://", 1)[0] if "://" in p else ""
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"compact_parquet sizes files via the local filesystem; "
+                f"got non-local URI {p!r}. For object stores (s3/hdfs/abfs) "
+                f"use the table format's rewrite-data-files action or size "
+                f"via the Hadoop FileSystem API."
+            )
+    src_path = src_path.removeprefix("file://")
+    dest_path = dest_path.removeprefix("file://")
+
     before = [
         os.path.join(r, f)
         for r, _, fs in os.walk(src_path)

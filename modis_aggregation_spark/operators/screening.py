@@ -186,8 +186,11 @@ def dsir_importance(
 
     Scale shape: two word-count aggregations (target counts broadcast —
     a target/eval set is MBs against the corpus), one explode of the raw
-    corpus to skinny (id, word) rows, a broadcast join onto the weight
-    table, one per-doc sum. Returns (id, n_tokens, score_micro).
+    corpus to skinny (id, word) rows, a shuffled join onto the weight
+    table (the weight table carries the FULL raw vocabulary, which is
+    unbounded at corpus scale — no broadcast hint; AQE may still elect
+    to broadcast when the vocabulary measures small), one per-doc sum.
+    Returns (id, n_tokens, score_micro).
     """
     raw_words = df.select(
         F.col(id_col).alias("id"),
@@ -225,7 +228,7 @@ def dsir_importance(
         )
     )
     return (
-        raw_words.join(F.broadcast(weights), "w")
+        raw_words.join(weights, "w")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_tokens"),

@@ -237,3 +237,14 @@ def test_compact_parquet_small_files(spark, tmp_path):
 
     with _pytest.raises(Exception):
         compact_parquet(spark, src, dest)
+
+
+def test_compact_parquet_rejects_object_store_uris(spark, tmp_path):
+    from modis_aggregation_spark.operators.merge import compact_parquet
+
+    with pytest.raises(ValueError, match="non-local URI"):
+        compact_parquet(spark, "s3a://bucket/frag", str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="non-local URI"):
+        compact_parquet(
+            spark, str(tmp_path / "frag"), "hdfs://nn/compacted"
+        )
