@@ -2144,11 +2144,73 @@ def _q_x8_embedding_pairs(spark, sf_dir):
 
 
 def _q_x9_ivf_topk(spark, sf_dir):
+    """IVF top-k at nprobe=2 (the approximate scale path). The centroid fit
+    is made exactly reproducible (sample ordered by vec_id), which lets the
+    oracle reimplement the WHOLE IVF pipeline — assignment argmin, probe
+    selection, per-list scoring, ranking — in DuckDB against the committed
+    centroid golden (tools/make_goldens.py, bit-identical lloyd_kmeans)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = ops_sim.kmeans_centroids(emb, nlist=8, sample_rows=2000, seed=5)
+    cents = ops_sim.kmeans_centroids(
+        emb, nlist=8, sample_rows=2000, seed=5, order_col="vec_id"
+    )
     assigned = ops_sim.ivf_assign(emb, cents)
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
     return ops_sim.ivf_topk(assigned, queries, cents, k=10, nprobe=2)
+
+
+# Full DuckDB reimplementation of the IVF pipeline (not a snapshot of the
+# answer): nearest-centroid assignment, nprobe=2 probe selection, per-list
+# cosine scoring, ranking. Only the fitted centroids come from the golden
+# (goldens/x9_centroids.parquet, built by tools/make_goldens.py with the
+# same numpy lloyd_kmeans core on the same vec_id-ordered sample — Spark
+# refits them at runtime and the floats are bit-identical). corpus_key
+# selects the right centroid set per sf dir: content-derived, recomputed
+# here from the embeddings view itself.
+_SQL_X9 = """
+WITH cent AS (
+  SELECT list_id, list(val ORDER BY pos) AS c
+  FROM read_parquet('/root/repo/goldens/x9_centroids.parquet')
+  WHERE corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+  )
+  GROUP BY list_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+asgn AS (
+  SELECT vec_id, emb, list_id FROM (
+    SELECT e.vec_id, e.emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.emb, cent.c), cent.list_id
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT query_id, qe, list_id FROM (
+    SELECT q.query_id, q.qe, cent.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(q.qe, cent.c), cent.list_id
+           ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(a.emb, p.qe) AS cos
+  FROM probe p JOIN asgn a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
 
 
 def _q_x9b_ivf_full_probe(spark, sf_dir):
@@ -2156,7 +2218,9 @@ def _q_x9b_ivf_full_probe(spark, sf_dir):
     path (centroid fit, assignment UDF, probe pruning, per-list scoring)
     is oracle-checked against the same brute-force SQL as x7."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = ops_sim.kmeans_centroids(emb, nlist=8, sample_rows=2000, seed=5)
+    cents = ops_sim.kmeans_centroids(
+        emb, nlist=8, sample_rows=2000, seed=5, order_col="vec_id"
+    )
     assigned = ops_sim.ivf_assign(emb, cents)
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
     return ops_sim.ivf_topk(assigned, queries, cents, k=10, nprobe=8)
@@ -2227,6 +2291,23 @@ def _q_x11_decode_images(spark, sf_dir):
     return out.select(
         "id", "height", "width", "channels", _r6(F.col("mean_pixel")).alias("mean_pixel")
     )
+
+
+# The fake decoder is deterministic per payload (sha256-seeded PCG64), so
+# its output is value-checkable: goldens/x11_decode.parquet holds the
+# per-distinct-payload decode recomputed WITHOUT Spark (tools/make_goldens.py,
+# pyarrow + numpy), keyed by payload sha256 — DuckDB's sha256(VARCHAR)
+# hashes the same utf-8 bytes Spark encodes, so the join reattaches the
+# decode to whichever documents view the driver runs against. An inner join
+# means a missing/mismatched digest drops rows and fails the row-count
+# check rather than passing silently.
+_SQL_X11 = """
+SELECT d.doc_id AS id, g.height, g.width, g.channels,
+       round(g.mean_pixel, 6) AS mean_pixel
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x11_decode.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
 
 
 def _q_x16_train_split(spark, sf_dir):
@@ -4431,16 +4512,18 @@ def oracle_sql() -> dict[str, str]:
         "r42_null_semantics": _SQL_R42,
         "r43_funnel": _SQL_R43,
         "r44_cohort_retention": _SQL_R44,
-        # x5/x6 (xxhash-seeded sketches), x8/x9 (LSH/IVF approximate) have
-        # no SQL equivalent — driver records the weaker rows-only check;
-        # exact pytest oracles cover them in tests/test_extensions.py
+        # x5/x6 (xxhash-seeded sketches), x8 (hyperplane LSH approximate)
+        # have no SQL equivalent — driver records the weaker rows-only
+        # check; exact pytest oracles cover them in tests/test_extensions.py
         "x1_exact_dedup": _SQL_X1,
         "x2_text_stats": _SQL_X2,
         "x3_lang_id": _SQL_X3,
         "x4_ngram_jaccard": _SQL_X4,
         "x7_cosine_topk": _SQL_X7,
+        "x9_ivf_topk": _SQL_X9,  # full IVF reimpl over the centroid golden
         "x9b_ivf_full_probe": _SQL_X7,  # full probe == exact == x7's oracle
         "x10_media_meta": _SQL_X10,
+        "x11_decode_images": _SQL_X11,  # fake-decode golden keyed by sha256
         "x12_curate_corpus": _SQL_X12,
         "x13_tfidf": _SQL_X13,
         "x14_quality_quantile": _SQL_X14,

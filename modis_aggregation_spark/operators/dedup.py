@@ -24,8 +24,10 @@ size cap.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modis_aggregation_spark.functions.text import char_shingles, fingerprint, tokens
@@ -161,10 +163,14 @@ def minhash_signatures(
     )
 
 
-# single-slot cache of the last inline-built signatures frame (see
-# minhash_lsh_pairs docstring): bounds executor-storage growth across
-# repeated inline calls in one session
-_INLINE_SIG_CACHE: list[DataFrame] = []
+# per-session single-slot cache of the last inline-built signatures frame
+# (see minhash_lsh_pairs docstring): bounds executor-storage growth across
+# repeated inline calls in one session. Weak-keyed by SparkSession so (a)
+# concurrent sessions cannot evict each other's persisted blocks and (b)
+# a stopped session's entry is dropped with the session object itself.
+_INLINE_SIG_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def minhash_lsh_pairs(
@@ -191,9 +197,10 @@ def minhash_lsh_pairs(
     Pass ``signatures`` (a ``minhash_signatures`` frame, ideally already
     materialized) to skip the shingle/signature computation; its
     ``num_hashes`` must match. Without it, the signatures are built inline
-    and persisted; the cache is single-slot — the NEXT inline call
-    unpersists this one's blocks, so repeated calls in a long-lived
-    session hold at most one signatures frame in executor storage. (A
+    and persisted; the cache holds one slot PER SparkSession (weak-keyed,
+    so concurrent sessions never evict each other) — the next inline call
+    on the same session unpersists this one's blocks, so a long-lived
+    session holds at most one signatures frame in executor storage. (A
     still-referenced earlier result keeps working after eviction — Spark
     recomputes its lineage — so the trade is recompute, never wrong
     results. Bulk pipelines should still materialize the signatures table
@@ -208,12 +215,14 @@ def minhash_lsh_pairs(
         # reused by the band branch and the candidate-verification branch —
         # persist so shingling/signatures run once per returned plan
         base = minhash_signatures(df, content_col, id_col, num_hashes, k).persist()
-        while _INLINE_SIG_CACHE:
+        session = df.sparkSession
+        prev = _INLINE_SIG_CACHE.pop(session, None)
+        if prev is not None:
             try:
-                _INLINE_SIG_CACHE.pop().unpersist()
+                prev.unpersist()
             except Exception:
                 pass
-        _INLINE_SIG_CACHE.append(base)
+        _INLINE_SIG_CACHE[session] = base
     # the band self-join shuffles ONLY (id, band, key) — the shingle arrays
     # (the wide payload) are fetched once per candidate pair below; at
     # corpus scale this is the difference between shuffling ~24 B/row×B

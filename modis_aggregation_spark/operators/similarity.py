@@ -142,27 +142,11 @@ def cosine_pairs_exact(
     )
 
 
-def kmeans_centroids(
-    df: DataFrame,
-    emb_col: str = "embedding",
-    nlist: int = 16,
-    sample_rows: int = 10_000,
-    iters: int = 10,
-    seed: int = 5,
-) -> np.ndarray:
-    """Fit IVF centroids with plain Lloyd k-means on a driver-side sample.
-
-    The sample (not the corpus) is collected — bounded memory regardless of
-    corpus size; at 100 TB you'd sample ~1e5 rows the same way.
-    """
-    sample = np.array(
-        [
-            r[0]
-            for r in df.select(F.col(emb_col).cast("array<double>"))
-            .limit(sample_rows)
-            .collect()
-        ]
-    )
+def lloyd_kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Plain Lloyd k-means on an in-memory sample (the numpy core of
+    ``kmeans_centroids``, shared with ``tools/make_goldens.py`` so the
+    committed centroid golden is bit-identical to what the Spark query
+    fits at runtime)."""
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
     for _ in range(iters):
@@ -173,6 +157,34 @@ def kmeans_centroids(
             if len(members):
                 cents[ci] = members.mean(0)
     return cents
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    nlist: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 5,
+    order_col: str | None = None,
+) -> np.ndarray:
+    """Fit IVF centroids with plain Lloyd k-means on a driver-side sample.
+
+    The sample (not the corpus) is collected — bounded memory regardless of
+    corpus size; at 100 TB you'd sample ~1e5 rows the same way. Pass
+    ``order_col`` to make the sample (a distributed top-k sort, still
+    bounded) — and hence the fitted centroids — exactly reproducible
+    across sessions and partition layouts; without it the sample is
+    whatever ``limit`` happens to take first.
+    """
+    proj = df.select(
+        F.col(emb_col).cast("array<double>"),
+        *([F.col(order_col)] if order_col else []),
+    )
+    if order_col:
+        proj = proj.orderBy(order_col)
+    sample = np.array([r[0] for r in proj.limit(sample_rows).collect()])
+    return lloyd_kmeans(sample, nlist, iters, seed)
 
 
 def ivf_assign(

@@ -180,6 +180,25 @@ def test_minhash_inline_cache_is_single_slot(spark):
     assert after - before <= 1
 
 
+def test_minhash_inline_cache_is_per_session(spark):
+    """Concurrent sessions must not evict each other's cached signature
+    frames: the cache is one slot PER SparkSession, not one slot global."""
+    other = spark.newSession()
+    D.minhash_lsh_pairs(_docs(spark), threshold=0.5).count()
+    mine = D._INLINE_SIG_CACHE[spark]
+    assert mine.storageLevel.useMemory
+    # a second session's inline call must leave the first session's slot alone
+    D.minhash_lsh_pairs(_docs(other), threshold=0.5).count()
+    assert D._INLINE_SIG_CACHE[spark] is mine
+    assert mine.storageLevel.useMemory
+    assert D._INLINE_SIG_CACHE[other].storageLevel.useMemory
+    # while a repeat call on the SAME session still evicts its own slot
+    D.minhash_lsh_pairs(_docs(spark), threshold=0.5).count()
+    assert D._INLINE_SIG_CACHE[spark] is not mine
+    assert not mine.storageLevel.useMemory
+    D._INLINE_SIG_CACHE.pop(other).unpersist()
+
+
 def test_simhash_pairs(spark):
     base = D.simhash(F.col("text"))
     hashes = {r["doc_id"]: r["h"] for r in _docs(spark).select("doc_id", base.alias("h")).collect()}

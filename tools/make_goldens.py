@@ -1,0 +1,120 @@
+"""Generate the committed oracle goldens under goldens/.
+
+Two queries in the driver contract exercise code whose math cannot be
+re-derived in pure SQL from the testdata views alone; for each, this script
+precomputes a small parquet the oracle SQL joins against. Both goldens are
+built WITHOUT Spark (pyarrow + numpy + duckdb only), so the driver-side
+comparison still pits two independent execution paths against each other —
+the Spark plan (mapInPandas / pandas-UDF / join pipeline) vs DuckDB over a
+locally recomputed table.
+
+* goldens/x11_decode.parquet — the deterministic fake image decoder
+  (operators/multimodal.py:_fake_decode: sha256(payload) seeds a PCG64,
+  8x8x3 uint8 pixels, mean). Keyed by the payload's sha256 hex so the
+  oracle can join it to ANY documents view (`sha256(text)` in DuckDB hashes
+  the same utf-8 bytes); rows for all three sf dirs are unioned and
+  deduped.
+
+* goldens/x9_centroids.parquet — the IVF centroids for nlist=8 /
+  sample_rows=2000 / iters=10 / seed=5 fitted on the vec_id-ordered sample
+  (exactly what _q_x9_ivf_topk fits at runtime via
+  similarity.lloyd_kmeans, which this script imports so the floats are
+  bit-identical). Keyed by `corpus_key` = DuckDB
+  bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) over the embeddings
+  table — content-derived, order-independent, and recomputable inside the
+  oracle SQL itself, so the right centroid set is selected no matter which
+  sf dir the driver runs against.
+
+Rerun after any testdata refresh: python tools/make_goldens.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from modis_aggregation_spark.operators.similarity import lloyd_kmeans  # noqa: E402
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
+
+CORPUS_KEY_SQL = (
+    "SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) "
+    "FROM read_parquet(?)"
+)
+
+
+def x11_decode_golden() -> pa.Table:
+    """Recompute _fake_decode's (height, width, channels, mean_pixel) per
+    distinct document payload, keyed by sha256 hex."""
+    seen: dict[str, float] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8")
+            digest = hashlib.sha256(payload)
+            key = digest.hexdigest()
+            if key in seen:
+                continue
+            rng = np.random.default_rng(int.from_bytes(digest.digest()[:8], "big"))
+            seen[key] = float(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8).mean())
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "height": pa.array([8] * len(keys), pa.int32()),
+            "width": pa.array([8] * len(keys), pa.int32()),
+            "channels": pa.array([3] * len(keys), pa.int32()),
+            "mean_pixel": pa.array([seen[k] for k in keys], pa.float64()),
+        }
+    )
+
+
+def x9_centroid_golden() -> pa.Table:
+    """Fit the x9 centroids per sf dir with the shared numpy core on the
+    vec_id-ordered sample; emit (corpus_key, list_id, pos, val) rows."""
+    con = duckdb.connect()
+    cols = {"corpus_key": [], "list_id": [], "pos": [], "val": []}
+    for sf in SF_DIRS:
+        path = os.path.join(sf, "embeddings.parquet")
+        key = int(con.execute(CORPUS_KEY_SQL, [path]).fetchone()[0])
+        emb = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+        emb = emb.sort_values("vec_id").head(2000)
+        sample = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        cents = lloyd_kmeans(sample, nlist=8, iters=10, seed=5)
+        for li, cent in enumerate(cents):
+            for pos, val in enumerate(cent):
+                cols["corpus_key"].append(key)
+                cols["list_id"].append(li)
+                cols["pos"].append(pos)
+                cols["val"].append(float(val))
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "list_id": pa.array(cols["list_id"], pa.int32()),
+            "pos": pa.array(cols["pos"], pa.int32()),
+            "val": pa.array(cols["val"], pa.float64()),
+        }
+    )
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    x11 = x11_decode_golden()
+    pq.write_table(x11, os.path.join(OUT_DIR, "x11_decode.parquet"))
+    print(f"x11_decode.parquet: {x11.num_rows} distinct payloads")
+    x9 = x9_centroid_golden()
+    pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
+    print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+
+
+if __name__ == "__main__":
+    main()
