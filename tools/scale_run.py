@@ -99,6 +99,101 @@ def run_minhash(spark, sf_dir: str) -> dict:
     }
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across all completed stages of the
+    app (AppStatusStore — works with the UI disabled). Deltas around a
+    phase isolate that phase's shuffle volume."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = sc._gateway.jvm
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    it, tot = stages.iterator(), 0
+    while it.hasNext():
+        tot += it.next().shuffleWriteBytes()
+    return tot
+
+
+def _permuted_corpus(spark, sf_dir: str, replicate: int):
+    """documents replicated ``replicate``× with DISTINCT content per
+    replica: each replica maps text through its own random alphanumeric
+    substitution cipher (literal ``translate`` — pure JVM). Same length,
+    same shingle counts, near-zero cross-replica Jaccard — i.e., a corpus
+    ``replicate``× the size with the same per-doc statistics, which is the
+    honest way to scale the LSH workload (naive replication makes every
+    replica an exact dup and measures output explosion, not join scaling).
+    """
+    import random
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    branches = []
+    for rep in range(replicate):
+        perm = list(alphabet)
+        random.Random(rep).shuffle(perm)
+        branches.append(
+            base.select(
+                (F.col("doc_id") * replicate + rep).alias("doc_id"),
+                F.translate("text", alphabet, "".join(perm)).alias("text"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.repartition(64).localCheckpoint()
+
+
+def run_minhash_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """The flagship dedup path at growing corpus size: one-time signature
+    build, then banded LSH pair join from the materialized table, with the
+    pair phase's shuffle-write bytes recorded. The 100 TB claim is that
+    docs/s holds (build: narrow CPU) and pair-join shuffle grows ~linearly
+    in docs (skinny (id, band, key) rows, never the corpus payload)."""
+    import shutil
+    import tempfile
+
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = docs.count()
+    # bulk-pipeline shape: the signatures table is MATERIALIZED (parquet),
+    # not memory-persisted — at this corpus size the shingle arrays exceed
+    # executor storage and a memory persist silently degrades to lineage
+    # recompute inside the pair join (measured 2× per-doc slowdown at 640k
+    # docs); a table is also what an incremental 100 TB pipeline keeps
+    sig_path = tempfile.mkdtemp(prefix="minhash_sigs_")
+    try:
+        t0 = time.perf_counter()
+        minhash_signatures(docs, "text", "doc_id").write.mode("overwrite").parquet(
+            sig_path
+        )
+        t_sigs = time.perf_counter() - t0
+        sigs = spark.read.parquet(sig_path)
+        sh0 = _shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        n_pairs = minhash_lsh_pairs(
+            id_col="doc_id", signatures=sigs, threshold=0.6
+        ).count()
+        t_pairs = time.perf_counter() - t0
+        sh1 = _shuffle_write_bytes(spark)
+    finally:
+        shutil.rmtree(sig_path, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "sig_build_sec": round(t_sigs, 2),
+        "docs_per_sec_sig": int(n_docs / t_sigs),
+        "pairs_sec": round(t_pairs, 2),
+        "docs_per_sec_pairs": int(n_docs / t_pairs),
+        "pairs": n_pairs,
+        "pair_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
 def run_screen(spark, sf_dir: str, replicate: int = 64) -> dict:
     """One-pass corpus screen (C4 line rules ∧ full Gopher battery ∧ PII
     counts) over the documents table — the map-only narrow stage that
@@ -175,6 +270,7 @@ def main() -> None:
     out = {
         "one_km": [run_1km(spark, n) for n in counts],
         "minhash": run_minhash(spark, sf_dir),
+        "minhash_curve": [run_minhash_curve(spark, sf_dir, r) for r in (8, 32, 128)],
         "screen": run_screen(spark, sf_dir),
         "pagerank": run_pagerank(spark, sf_dir),
     }
