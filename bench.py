@@ -64,7 +64,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         best = float("inf")
-        for _ in range(2):  # best-of-2: shed JIT/GC noise on tiny inputs
+        for _ in range(3):  # best-of-3: shed JIT/GC + VM-steal noise on tiny inputs
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -112,9 +112,12 @@ def main() -> None:
     # end-to-end CF grid including a real parquet sink
     out = tempfile.mkdtemp(prefix="bench_cf_")
     try:
-        t0 = time.perf_counter()
-        qs["m9_densify"](spark, SF_DIR).write.mode("overwrite").parquet(out)
-        timings["q_cf_grid"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs["m9_densify"](spark, SF_DIR).write.mode("overwrite").parquet(out)
+            best = min(best, time.perf_counter() - t0)
+        timings["q_cf_grid"] = round(best, 3)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
