@@ -4313,6 +4313,247 @@ WHERE k NOT IN (SELECT k FROM old)
 
 
 # --------------------------------------------------------------------------
+# round-3 additions: retrieval scoring, time-series, layout, sampling,
+# content-defined chunking, anomaly flagging
+# --------------------------------------------------------------------------
+
+
+def _q_x42_bm25(spark, sf_dir):
+    """Okapi BM25 scoring of every document against a fixed query bag
+    (operators/tfidf.py:bm25). Full-corpus output (zero scores kept via
+    left join) so the oracle checks idf, length normalization, and the
+    no-match branch."""
+    docs = _t(spark, sf_dir, "documents")
+    from modis_aggregation_spark.operators.tfidf import bm25
+
+    out = bm25(docs, ["table", "spark", "query"])
+    return out.select("doc_id", _r6(F.col("score")).alias("score"))
+
+
+_SQL_X42 = rf"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t
+), scalars AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN ('table', 'spark', 'query')
+  GROUP BY doc_id, term
+), df_ AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - df_.df + 0.5) / (df_.df + 0.5))
+             * tf.tf
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN df_ USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN scalars s
+  GROUP BY tf.doc_id
+)
+SELECT dl.doc_id, round(coalesce(scores.score, 0.0), 6) AS score
+FROM dl LEFT JOIN scores ON dl.doc_id = scores.doc_id
+"""
+
+
+def _q_x43_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (operators/temporal.py:ewma, adjusted
+    form, alpha=0.3). Positions are (ts, value)-sorted so duplicate
+    timestamps order deterministically in both engines."""
+    from modis_aggregation_spark.operators.temporal import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, "value", "ts", "user_id", alpha=0.3)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "pos",
+        "value",
+        _r6(F.col("ewma")).alias("ewma"),
+    )
+
+
+_SQL_X43 = r"""
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, value) AS vs
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY user_id
+), e AS (
+  SELECT user_id, vs,
+         [list_sum([vs[j] * (0.7 ** (i - j)) for j in generate_series(1, i)])
+          / list_sum([0.7 ** (i - j) for j in generate_series(1, i)])
+          for i in generate_series(1, len(vs))] AS ew
+  FROM s
+)
+SELECT user_id,
+       CAST(unnest(generate_series(1, len(vs))) AS BIGINT) AS pos,
+       unnest(vs) AS value,
+       round(unnest(ew), 6) AS ewma
+FROM e
+"""
+
+
+def _q_x44_zorder(spark, sf_dir):
+    """Morton (Z-order) layout key over min/max-quantized (user_id, value)
+    (functions/layout.py:zorder_key) — the data-skipping clustering key;
+    exact int64 shift/mask arithmetic, fully value-checked."""
+    from modis_aggregation_spark.functions.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder_key(ev, "user_id", "value").select("event_id", "zkey")
+
+
+_SQL_X44 = r"""
+WITH b AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS xlo, max(CAST(user_id AS DOUBLE)) AS xhi,
+         min(value) AS ylo, max(value) AS yhi
+  FROM events
+), q AS (
+  SELECT event_id,
+         CASE WHEN user_id IS NULL OR nullif(xhi - xlo, 0.0) IS NULL THEN 0
+              ELSE greatest(0, least(CAST(floor((CAST(user_id AS DOUBLE) - xlo)
+                   / nullif(xhi - xlo, 0.0) * 65535.0) AS BIGINT), 65535)) END AS qx,
+         CASE WHEN value IS NULL OR nullif(yhi - ylo, 0.0) IS NULL THEN 0
+              ELSE greatest(0, least(CAST(floor((value - ylo)
+                   / nullif(yhi - ylo, 0.0) * 65535.0) AS BIGINT), 65535)) END AS qy
+  FROM events CROSS JOIN b
+), s8 AS (
+  SELECT event_id,
+         ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y
+  FROM q
+), s4 AS (
+  SELECT event_id, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s8
+), s2 AS (
+  SELECT event_id, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s4
+), s1 AS (
+  SELECT event_id, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s2
+)
+SELECT event_id, CAST((y << 1) | x AS BIGINT) AS zkey FROM s1
+"""
+
+
+def _q_x45_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis A-ES weighted sample (k=50, weight=n_chars)
+    with the deterministic hash-derived uniform draw
+    (operators/curation.py:weighted_sample) — reproducible in any engine,
+    so the oracle re-derives the identical sample."""
+    from modis_aggregation_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 50, "n_chars")
+    return out.select("doc_id", _r6(F.col("rk")).alias("rk"))
+
+
+_SQL_X45 = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+            / 4294967296.0)
+         / CAST(n_chars AS DOUBLE) AS rk
+  FROM documents
+  WHERE n_chars > 0
+)
+-- top-k must rank the UNROUNDED key: in the flat form "ORDER BY rk"
+-- binds to the rounded output alias and resolves near-zero ties
+-- differently than Spark's unrounded sort
+, top AS (
+  SELECT doc_id, rk FROM keyed ORDER BY rk DESC, doc_id LIMIT 50
+)
+SELECT doc_id, round(rk, 6) AS rk FROM top
+"""
+
+
+def _q_x46_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/curation.py:cdc_chunks):
+    rolling exact-int64 k-gram hash boundaries (mod 32, min spacing 8),
+    per-chunk polynomial head hash — every boundary decision and hash is
+    bit-reproducible, so the whole chunking is value-checked."""
+    from modis_aggregation_spark.operators.curation import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cdc_chunks(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_hash", "chunk_len"
+    )
+
+
+# NB: list_reduce lambdas must always BUILD a new list — a CASE branch
+# returning the accumulator unchanged corrupts it in DuckDB 1.0 (hence the
+# list_concat(acc, CASE ... ELSE [] END) shape).
+_SQL_X46 = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id, norm, length(norm) AS n,
+         [ascii(norm[i:i]) * 4362470401 + ascii(norm[i+1:i+1]) * 16974593
+          + ascii(norm[i+2:i+2]) * 66049 + ascii(norm[i+3:i+3]) * 257
+          + ascii(norm[i+4:i+4])
+          for i in generate_series(1, greatest(length(norm) - 4, 1))] AS hs
+  FROM t
+  WHERE length(norm) > 0
+), bnd AS (
+  SELECT doc_id, norm, n,
+         list_reduce(
+           list_prepend([]::BIGINT[],
+                        [[i] for i in generate_series(1, len(hs)) if hs[i] % 32 = 0]),
+           (acc, x) -> list_concat(
+             acc,
+             CASE WHEN coalesce(acc[-1], 0) <= x[1] - 8
+                  THEN [x[1]] ELSE []::BIGINT[] END)
+         ) AS bounds
+  FROM h
+), st AS (
+  SELECT doc_id, norm, n,
+         list_concat([1]::BIGINT[],
+                     [b + 1 for b in bounds if b + 1 <= n]) AS starts
+  FROM bnd
+), ch AS (
+  SELECT doc_id,
+         CAST(j AS BIGINT) AS chunk_idx,
+         norm[CAST(starts[j] AS INT):CAST(coalesce(starts[j+1] - 1, n) AS INT)] AS chunk
+  FROM st, LATERAL unnest(generate_series(1, len(starts))) AS u(j)
+)
+SELECT doc_id, chunk_idx,
+       CAST(list_sum([ascii(chunk[j:j])
+                      * CAST(257 ** (least(length(chunk), 5) - j) AS BIGINT)
+                      for j in generate_series(1, least(length(chunk), 5))])
+            * 1000003 + length(chunk) AS BIGINT) AS chunk_hash,
+       length(chunk) AS chunk_len
+FROM ch
+"""
+
+
+def _q_x47_zscore_outliers(spark, sf_dir):
+    """Per-event-type z-score outliers, |z| > 2
+    (operators/temporal.py:zscore_outliers). Two-phase groupBy + join-back
+    shape (no full-table window)."""
+    from modis_aggregation_spark.operators.temporal import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = zscore_outliers(ev, "value", "event_type", threshold=2.0)
+    return out.select(
+        "event_id", "event_type", "value", _r6(F.col("z")).alias("z")
+    )
+
+
+_SQL_X47 = r"""
+WITH s AS (
+  SELECT event_type, avg(value) AS mean_v, stddev_pop(value) AS std_v
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       round((value - mean_v) / nullif(std_v, 0.0), 6) AS z
+FROM events e JOIN s ON e.event_type = s.event_type
+WHERE abs((value - mean_v) / nullif(std_v, 0.0)) > 2.0
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4378,6 +4619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_stream_granules": _q_s5_stream_granules,
         "s6_stream_screen": _q_s6_stream_screen,
         "s7_stream_static_dedup": _q_s7_stream_static_dedup,
+        # -- round-3 additions (never recorded; front of round-4 window) -
+        "x42_bm25": _q_x42_bm25,
+        "x43_ewma": _q_x43_ewma,
+        "x44_zorder": _q_x44_zorder,
+        "x45_weighted_sample": _q_x45_weighted_sample,
+        "x46_cdc_chunks": _q_x46_cdc_chunks,
+        "x47_zscore_outliers": _q_x47_zscore_outliers,
         # -- deferred to the round-4 window (never recorded; operator
         #    families already driver-green via r5/r6/r8/r15) ------------
         "r38_window_navigation": _q_r38_window_navigation,
@@ -4560,4 +4808,10 @@ def oracle_sql() -> dict[str, str]:
         "s5_stream_granules": _SQL_S5,
         "s6_stream_screen": _SQL_S6,
         "s7_stream_static_dedup": _SQL_S7,
+        "x42_bm25": _SQL_X42,
+        "x43_ewma": _SQL_X43,
+        "x44_zorder": _SQL_X44,
+        "x45_weighted_sample": _SQL_X45,
+        "x46_cdc_chunks": _SQL_X46,
+        "x47_zscore_outliers": _SQL_X47,
     }

@@ -441,3 +441,155 @@ def quantize_embedding(
         ).cast("int"),
     )
     return scale, codes
+
+
+# --------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spirakis A-ES) and content-defined chunking
+# --------------------------------------------------------------------------
+
+def weighted_sample_keys(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Append the Efraimidis–Spirakis A-ES sampling key: ``rk = ln(u)/w``
+    with ``u ∈ (0,1)`` derived DETERMINISTICALLY from the id (same
+    multiplicative hash as ``split_bucket``), so the "random" draw is
+    reproducible in any engine and stable across re-runs — the property
+    that makes a weighted corpus sample re-derivable instead of an
+    artifact you must archive.
+
+    Taking the k LARGEST ``rk`` yields a weighted sample without
+    replacement where P(i in sample) follows the A-ES scheme for weights
+    ``w_i`` (Efraimidis & Spirakis 2006: keys u^(1/w) — ln-transformed
+    here, order-preserving since ln is monotone). Rows with w ≤ 0 or NULL
+    get rk = NULL and never sample.
+
+    Scale shape: pure narrow projection; the subsequent top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    never a full sort.
+    """
+    h = ((F.col(id_col).cast("long") + F.lit(salt)) * F.lit(_MULT)) % F.lit(_MOD)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    w = F.col(weight_col).cast("double")
+    rk = F.log(u) / F.when(w > 0, w)
+    return df.withColumn("rk", rk)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """The k rows with the largest A-ES keys (weighted sample without
+    replacement); deterministic for a given (corpus, salt)."""
+    keyed = weighted_sample_keys(df, weight_col, id_col, salt)
+    return keyed.where(F.col("rk").isNotNull()).orderBy(
+        F.col("rk").desc(), F.col(id_col)
+    ).limit(k)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    divisor: int = 32,
+    min_len: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS-style): split each document at
+    positions where the rolling k-gram hash ≡ 0 (mod ``divisor``), then
+    fingerprint each chunk. Because boundaries depend only on LOCAL
+    content, an insertion early in a document shifts every fixed-size
+    block but leaves all later CDC chunks identical — the property that
+    lets chunk-level dedup find shared passages exact dedup misses.
+
+    ``min_len`` suppresses boundaries closer than that to the previous one
+    (the standard min-chunk guard; expected chunk ≈ ``min_len`` +
+    ``divisor`` chars). The k-gram hash is the exact-int64 polynomial of
+    ``winnow_fingerprints`` — every boundary decision and chunk hash is
+    bit-reproducible by any engine (oracle-checkable), unlike xxhash
+    sketches.
+
+    Pure higher-order-function pipeline over materialized columns: one
+    narrow projection computes hashes → boundary list → chunk substrings;
+    no UDF, no shuffle. Returns one row per chunk:
+    ``(id, chunk_idx, chunk_hash, chunk_len)`` where ``chunk_hash`` is the
+    polynomial hash of the chunk's first min(5, len) chars combined with
+    its length (collision-safe enough for audit; dedup joins re-verify on
+    content as elsewhere in this repo).
+    """
+    norm = F.regexp_replace(F.lower(F.col(content_col)), r"\s+", " ")
+    staged = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+    staged = staged.where(F.length("__norm") > 0)
+    n_grams = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _gram_hash(F.col("__norm"), i, k),
+    )
+    staged = staged.select("id", "__norm", hashes.alias("__h"))
+    # candidate boundaries: 1-based positions AFTER which we cut; enforce
+    # min_len spacing with a fold (state = kept boundary list; a candidate
+    # is kept only if it clears the last kept one by min_len)
+    cands = F.filter(
+        F.sequence(F.lit(1), F.size("__h")),
+        lambda i: F.element_at(F.col("__h"), i) % divisor == 0,
+    )
+    bounds = F.aggregate(
+        cands,
+        F.array().cast("array<int>"),
+        lambda acc, i: F.when(
+            # try_element_at: NULL (not an ANSI error) on the empty list
+            F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) <= i - min_len,
+            F.concat(acc, F.array(i)),
+        ).otherwise(acc),
+    )
+    # chunk start positions: 1, then each kept boundary+? — cut AFTER the
+    # gram start position i means next chunk starts at i+1… use starts =
+    # [1] ++ [b+1 for b in bounds where b+1 <= len]
+    staged = staged.select(
+        "id", "__norm", bounds.alias("__b"), F.length("__norm").alias("__len")
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.filter(F.col("__b"), lambda b: b + 1 <= F.col("__len")),
+            lambda b: b + 1,
+        ),
+    )
+    staged = staged.select("id", "__norm", "__len", starts.alias("__starts"))
+    n_chunks = F.size("__starts")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.col("__norm").substr(
+                F.element_at(F.col("__starts"), j),
+                F.coalesce(
+                    F.try_element_at(F.col("__starts"), j + 1) - 1,
+                    F.col("__len"),
+                )
+                - F.element_at(F.col("__starts"), j)
+                + 1,
+            ).alias("chunk"),
+        ),
+    )
+    out = staged.select("id", F.explode(chunks).alias("__c"))
+    chunk = F.col("__c.chunk")
+    # head capped at 5 chars so hash*1_000_003 stays exact in int64
+    # (255·Σ257^j for j<5 ≈ 1.1e12; ×1e6 ≈ 1.1e18 < 2^63) — ANSI-safe
+    head_len = F.least(F.length(chunk), F.lit(5))
+    head_hash = F.aggregate(
+        F.sequence(F.lit(1), head_len),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * F.lit(_B) + F.ascii(chunk.substr(j, F.lit(1))),
+    )
+    return out.select(
+        "id",
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        (head_hash * F.lit(1_000_003) + F.length(chunk)).alias("chunk_hash"),
+        F.length(chunk).alias("chunk_len"),
+    )

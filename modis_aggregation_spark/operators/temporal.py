@@ -169,3 +169,115 @@ def range_join_binned(
         .where((delta >= lower_us) & (delta <= upper_us))
         .drop(_BIN)
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (adjusted form).
+
+    ``ewma_i = Σ_{j≤i} x_j·β^(i−j) / Σ_{j≤i} β^(i−j)`` with ``β = 1−α``
+    (pandas ``ewm(alpha).mean()`` with ``adjust=True``). Computed entirely
+    JVM-side: one hash shuffle groups each key's series, ``sort_array``
+    orders it by timestamp, and a higher-order ``transform`` evaluates the
+    closed form per position. All exponents are NON-negative, so weights
+    only decay (no overflow for arbitrarily long series) — the naive
+    window-sum factorization ``β^i·Σ x_j·β^(−j)`` explodes at a few
+    hundred rows and is deliberately avoided.
+
+    O(n²) arithmetic per key (n = series length), O(n) state: correct for
+    event-series in the thousands per key. For million-row keys, window
+    the series by session/day first (the same bound every collect-based
+    sessionizer in this repo documents).
+
+    Returns one row per input observation:
+    ``(key, pos, ts, value, ewma)`` with ``pos`` 1-based in ts order.
+    No counterpart in the reference (its temporal axis is the
+    file-per-granule catalog, ``aggregate_functions.py:96-109``).
+    """
+    beta = 1.0 - alpha
+    series = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                        F.col(value_col).alias("value")))
+            ).alias("__s")
+        )
+    )
+    vals = F.col("__s.value")
+    n = F.size("__s")
+
+    def _at(i):
+        # Closed form at position i: weighted mean of the prefix 1..i.
+        prefix = F.slice(vals, 1, i)
+        num = F.aggregate(
+            F.zip_with(
+                prefix,
+                F.sequence(F.lit(1), i),
+                lambda x, j: x * F.pow(F.lit(beta), (i - j).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        den = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), i),
+                lambda j: F.pow(F.lit(beta), (i - j).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return num / den
+
+    rows = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.element_at(F.col("__s"), i)["ts"].alias("ts"),
+            F.element_at(F.col("__s"), i)["value"].alias("value"),
+            _at(i).alias("ewma"),
+        ),
+    )
+    out = series.select("key", F.explode(rows).alias("__r"))
+    return out.select(
+        "key",
+        F.col("__r.pos").alias("pos"),
+        F.col("__r.ts").alias("ts"),
+        F.col("__r.value").alias("value"),
+        F.col("__r.ewma").alias("ewma"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: ``|x − μ_k| / σ_k > threshold``.
+
+    Two-phase shape: a partial+final hash agg computes (μ, σ_pop) per key
+    (≤ |keys| rows), which joins back to the events — Spark broadcasts it
+    when small, AQE decides otherwise; no window over the full table, so
+    no per-key sort and no single-task hot key. Rows in groups with σ = 0
+    or a single observation are never outliers (z is NULL there).
+
+    Returns the input columns plus ``mean_v``, ``std_v``, ``z`` for the
+    flagged rows only.
+    """
+    stats = df.groupBy(F.col(key_col)).agg(
+        F.avg(F.col(value_col)).alias("mean_v"),
+        F.stddev_pop(F.col(value_col)).alias("std_v"),
+    )
+    z = (F.col(value_col) - F.col("mean_v")) / F.nullif(F.col("std_v"), F.lit(0.0))
+    return (
+        df.join(stats, key_col)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > threshold)
+    )

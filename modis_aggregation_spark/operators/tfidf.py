@@ -17,6 +17,7 @@ unavoidable and linear in corpus token count.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,3 +72,67 @@ def tf_idf(
 def idf_value(n_docs: int, df: int) -> float:
     """Driver-side reference of the idf formula (for tests)."""
     return math.log((n_docs + 1) / (df + 1)) + 1.0
+
+
+def bm25(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 keyword-retrieval scoring of every document against a
+    fixed bag of ``query_terms``.
+
+    ``score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))`` with the
+    standard robust idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    Scale shape: document length (dl) is a narrow projection; avgdl and N
+    are ONE scalar-row aggregate broadcast back (the repo's standard
+    scalar crossJoin); term frequencies explode only tokens ∈ query_terms
+    (the filter lands inside the explode's projection, so the (doc, term)
+    shuffle carries query-term rows only — |q|·N_docs at worst, not corpus
+    token count); the per-term df/idf table is ≤ |q| rows, broadcast into
+    the scoring join. Documents matching no query term score 0 via the
+    left join + coalesce, preserving corpus cardinality.
+
+    No counterpart in the reference; extends the TF-IDF family above for
+    retrieval-style corpus triage (e.g., topic-targeted data selection).
+    """
+    terms = [t.lower() for t in query_terms]
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+    )
+    dl = staged.select("doc_id", F.size("__toks").cast("double").alias("dl"))
+    scalars = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    tf = (
+        staged.select("doc_id", F.explode("__toks").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    parts = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") / denom
+    scores = parts.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
+    out = (
+        dl.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .select("doc_id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+    if top_k is None:
+        return out
+    return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top_k)

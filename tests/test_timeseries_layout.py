@@ -1,0 +1,192 @@
+"""EWMA / z-score outliers (operators/temporal.py), Z-order layout keys
+(functions/layout.py), A-ES weighted sampling and content-defined chunking
+(operators/curation.py)."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.functions.layout import zorder_key
+from modis_aggregation_spark.operators.curation import (
+    cdc_chunks,
+    weighted_sample,
+    weighted_sample_keys,
+)
+from modis_aggregation_spark.operators.temporal import ewma, zscore_outliers
+
+
+# ---------------------------------------------------------------- EWMA
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    pd = pytest.importorskip("pandas")
+    rows = [(1, float(i), v) for i, v in enumerate([10.0, 20.0, 5.0, 5.0, 40.0])]
+    rows += [(2, float(i), v) for i, v in enumerate([1.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = ewma(df, "v", "ts", "k", alpha=0.4).orderBy("key", "pos").collect()
+    for key in (1, 2):
+        vals = [r.value for r in out if r.key == key]
+        got = [r.ewma for r in out if r.key == key]
+        ref = pd.Series(vals).ewm(alpha=0.4, adjust=True).mean().tolist()
+        assert got == pytest.approx(ref, abs=1e-12)
+
+
+def test_ewma_single_point_and_tie_order(spark):
+    # one observation → ewma == value; duplicate ts ties break by value
+    df = spark.createDataFrame(
+        [(1, 0.0, 7.0), (2, 1.0, 3.0), (2, 1.0, 1.0)], ["k", "ts", "v"]
+    )
+    out = {(r.key, r.pos): (r.value, r.ewma) for r in ewma(df, "v", "ts", "k").collect()}
+    assert out[(1, 1)] == (7.0, 7.0)
+    # (ts, value) sort puts value 1.0 first deterministically
+    assert out[(2, 1)][0] == 1.0 and out[(2, 2)][0] == 3.0
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 50]] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = zscore_outliers(df, "v", "k", threshold=2.0).collect()
+    assert [(r.k, r.v) for r in out] == [("a", 50.0)]
+    # singleton group: std 0 → z NULL → never flagged (no row for 'b')
+
+
+# ------------------------------------------------------------- Z-order
+
+
+def _spread(v):
+    v &= 0xFFFF
+    for s, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        v = (v | (v << s)) & m
+    return v
+
+
+def test_zorder_key_matches_bit_reference(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * 7 % 13), float(i * 3 % 11)) for i in range(50)],
+        ["id", "x", "y"],
+    )
+    rows = zorder_key(df, "x", "y").collect()
+    xs = [r.x for r in rows]
+    ys = [r.y for r in rows]
+    xmin, xmax, ymin, ymax = min(xs), max(xs), min(ys), max(ys)
+
+    def q(v, lo, hi):
+        if hi == lo:
+            return 0
+        return max(0, min(65535, math.floor((v - lo) / (hi - lo) * 65535)))
+
+    for r in rows:
+        ref = (_spread(q(r.y, ymin, ymax)) << 1) | _spread(q(r.x, xmin, xmax))
+        assert r.zkey == ref
+
+
+def test_zorder_key_clusters_neighbors(spark):
+    # points on a 4x4 grid: the 2x2 sub-squares must occupy contiguous
+    # quarters of the Morton range (the locality property layout relies on)
+    pts = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)], ["id", "x", "y"]
+    )
+    rows = {(r.x, r.y): r.zkey for r in zorder_key(df, "x", "y").collect()}
+    ranked = sorted(pts, key=lambda p: rows[(float(p[0]), float(p[1]))])
+    first_quarter = set(ranked[:4])
+    assert first_quarter == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+# ---------------------------------------------- weighted sampling (A-ES)
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        # ids < 100 get 100x the weight of the rest
+        F.when(F.col("id") < 100, 1000.0).otherwise(10.0).alias("w"),
+    )
+    a = [r.doc_id for r in weighted_sample(df, 50, "w").collect()]
+    b = [r.doc_id for r in weighted_sample(df, 50, "w").collect()]
+    assert a == b  # deterministic
+    heavy = sum(1 for d in a if d < 100)
+    # heavy ids are 10% of the corpus but 100x weighted → dominate the sample
+    assert heavy > 25
+    c = [r.doc_id for r in weighted_sample(df, 50, "w", salt=7).collect()]
+    assert a != c  # salt changes the draw
+
+
+def test_weighted_sample_keys_null_weights_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], ["doc_id", "w"]
+    )
+    keyed = {r.doc_id: r.rk for r in weighted_sample_keys(df, "w").collect()}
+    assert keyed[1] is not None
+    assert keyed[2] is None and keyed[3] is None and keyed[4] is None
+    assert [r.doc_id for r in weighted_sample(df, 10, "w").collect()] == [1]
+
+
+# ------------------------------------------- content-defined chunking
+
+
+def _py_cdc(text, k=5, D=32, ml=8):
+    norm = re.sub(r"\s+", " ", text.lower())
+    n = len(norm)
+    ng = max(n - (k - 1), 1)
+    hs = []
+    for i in range(1, ng + 1):
+        s = 0
+        for j in range(k):
+            idx = i - 1 + j
+            s += (ord(norm[idx]) if idx < n else 0) * (257 ** (k - 1 - j))
+        hs.append(s)
+    bounds = []
+    for i in (i for i in range(1, len(hs) + 1) if hs[i - 1] % D == 0):
+        if (bounds[-1] if bounds else 0) <= i - ml:
+            bounds.append(i)
+    starts = [1] + [b + 1 for b in bounds if b + 1 <= n]
+    out = []
+    for j, s0 in enumerate(starts):
+        e = (starts[j + 1] - 1) if j + 1 < len(starts) else n
+        c = norm[s0 - 1 : e]
+        hh = 0
+        for ch in c[:5]:
+            hh = hh * 257 + ord(ch)
+        out.append((j + 1, hh * 1000003 + len(c), len(c)))
+    return out
+
+
+def test_cdc_chunks_match_reference_and_reassemble(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, "a b c"),
+        (3, "x" * 100),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r.id, r.chunk_idx): (r.chunk_hash, r.chunk_len)
+        for r in cdc_chunks(df).collect()
+    }
+    ref = {}
+    for doc_id, text in texts:
+        for idx, h, ln in _py_cdc(text):
+            ref[(doc_id, idx)] = (h, ln)
+    assert got == ref
+    # chunk lengths reassemble to the normalized doc length
+    for doc_id, text in texts:
+        norm_len = len(re.sub(r"\s+", " ", text.lower()))
+        total = sum(v[1] for k, v in got.items() if k[0] == doc_id)
+        assert total == norm_len
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    # prefix insertion changes early chunks but the tail chunks realign —
+    # the property fixed-size blocking lacks
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX " + base)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df).collect()
+    h1 = {r.chunk_hash for r in rows if r.id == 1}
+    h2 = {r.chunk_hash for r in rows if r.id == 2}
+    # most distinct content chunks survive the shift (only the boundary
+    # chunk touching the inserted prefix may differ)
+    assert len(h1 & h2) >= len(h1) - 1 >= 1
