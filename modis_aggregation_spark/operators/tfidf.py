@@ -89,50 +89,64 @@ def bm25(
     ``score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))`` with the
     standard robust idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
 
-    Scale shape: document length (dl) is a narrow projection; avgdl and N
-    are ONE scalar-row aggregate broadcast back (the repo's standard
-    scalar crossJoin); term frequencies explode only tokens ∈ query_terms
-    (the filter lands inside the explode's projection, so the (doc, term)
-    shuffle carries query-term rows only — |q|·N_docs at worst, not corpus
-    token count); the per-term df/idf table is ≤ |q| rows, broadcast into
-    the scoring join. Documents matching no query term score 0 via the
-    left join + coalesce, preserving corpus cardinality.
+    Scale shape — NO doc-keyed shuffle at all: the corpus-wide state is
+    two skinny aggregates (per-query-term document frequencies pivoted
+    into a one-row map, and the (avgdl, N) scalar row), both broadcast
+    back via crossJoin; scoring is then a single MAP-ONLY projection that
+    counts each query term inside the token array (|q| is a small
+    constant). The naive explode→groupBy(doc,term)→join-back plan
+    shuffles the corpus by doc_id three times; this one never does —
+    the difference between a pipeline stage and three at 100 TB.
+    Terms absent from the corpus contribute 0 (their tf is 0 everywhere).
 
     No counterpart in the reference; extends the TF-IDF family above for
     retrieval-style corpus triage (e.g., topic-targeted data selection).
     """
-    terms = [t.lower() for t in query_terms]
+    terms = sorted({t.lower() for t in query_terms})
     staged = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
     )
-    dl = staged.select("doc_id", F.size("__toks").cast("double").alias("dl"))
-    scalars = dl.agg(
-        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    # skinny corpus-wide state: df per query term (as a 1-row map) + scalars
+    qhits = staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.col("__toks"), lambda t: t.isin(*terms))
+            )
+        ).alias("term"),
     )
-    tf = (
-        staged.select("doc_id", F.explode("__toks").alias("term"))
-        .where(F.col("term").isin(*terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df_map = qhits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    ).agg(
+        F.map_from_arrays(
+            F.collect_list("term"), F.collect_list("df")
+        ).alias("__dfmap")
     )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
-    parts = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(scalars))
+    scalars = staged.agg(
+        F.avg(F.size("__toks").cast("double")).alias("__avgdl"),
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") / denom
-    scores = parts.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
-    out = (
-        dl.select("doc_id")
-        .join(scores, "doc_id", "left")
-        .select("doc_id", F.coalesce("score", F.lit(0.0)).alias("score"))
-    )
+    scored = staged.crossJoin(F.broadcast(df_map)).crossJoin(F.broadcast(scalars))
+    dl = F.size("__toks").cast("double")
+    contribs = []
+    for t in terms:
+
+        def _eq(term: str):
+            return lambda x: x == term
+
+        tf = F.size(F.filter(F.col("__toks"), _eq(t))).cast("double")
+        df_t = F.coalesce(
+            F.try_element_at(F.col("__dfmap"), F.lit(t)), F.lit(0.0)
+        )
+        idf = F.log(
+            F.lit(1.0) + (F.col("__n_docs") - df_t + 0.5) / (df_t + 0.5)
+        )
+        denom = tf + k1 * (1.0 - b + b * dl / F.col("__avgdl"))
+        contribs.append(F.when(tf > 0, idf * tf / denom).otherwise(F.lit(0.0)))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    out = scored.select("doc_id", total.alias("score"))
     if top_k is None:
         return out
     return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top_k)

@@ -177,3 +177,26 @@ def test_x34_source_mix_broadcasts_rates(spark):
     plan = _plan(spark, "x34_source_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_x42_bm25_no_doc_shuffle(spark):
+    """BM25 scoring must be map-only over the corpus: skinny df/scalar
+    aggregates broadcast back, never a doc_id-keyed join chain."""
+    plan = _plan(spark, "x42_bm25")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # two 1-row scalar crossJoins
+    # only the two skinny aggregates exchange; no hashpartitioning on doc_id
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_x43_ewma_single_shuffle(spark):
+    plan = _plan(spark, "x43_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1  # the per-key groupBy
+    assert "Join" not in plan
+
+
+def test_x44_zorder_map_only(spark):
+    """Z-order key: one 1-row bounds broadcast, then a pure projection."""
+    plan = _plan(spark, "x44_zorder")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar bounds
