@@ -263,6 +263,88 @@ def run_pagerank(spark, sf_dir: str, n_nodes: int = 50_000, replicate: int = 4) 
     }
 
 
+def _jittered_embeddings(spark, sf_dir: str, replicate: int):
+    """embeddings replicated ``replicate``× with per-replica deterministic
+    element-wise jitter (sin of position × replica — pure JVM), so replicas
+    are distinct vectors with the same scale/distribution instead of exact
+    copies. Distinct vectors matter: exact copies would give every IVF
+    list ``replicate`` identical members and understate per-list scoring
+    cost."""
+    base = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    branches = []
+    for rep in range(replicate):
+        jit = base.select(
+            (F.col("vec_id") * replicate + rep).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (v, p) -> "
+                f"v + 0.05 * sin(p * 2.39996 + {rep} * 1.61803))"
+            ).alias("embedding"),
+        )
+        branches.append(jit)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.repartition(64).localCheckpoint()
+
+
+def run_ann_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """IVF ANN at growing corpus size: centroid fit (bounded driver
+    sample), corpus assignment (Arrow-batched pandas UDF, map-only), then
+    top-k for a 32-query batch at nprobe=4/nlist=16. The 100 TB claims:
+    assignment throughput holds (narrow), and the scored candidate set is
+    ~nprobe/nlist of the corpus — probed_frac is the measured I/O+compute
+    reduction IVF buys over brute force, independent of corpus size."""
+    from modis_aggregation_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(corpus, nlist=16, sample_rows=4096, order_col="vec_id")
+    t_fit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    assigned = ivf_assign(corpus, cents).localCheckpoint()
+    list_sizes = {
+        r["list_id"]: r["n"]
+        for r in assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    t_assign = time.perf_counter() - t0
+    queries = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .orderBy("query_id")
+        .limit(32)
+    )
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    topk = ivf_topk(assigned, queries, cents, k=10, nprobe=4)
+    n_results = topk.count()
+    t_topk = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    # probe pruning: every query scores exactly its 4 probe lists; the
+    # mean list holds n_vecs/16 vectors, so the scored fraction is
+    # ≈ nprobe/nlist = 0.25 modulo skew (max_list_skew below bounds it)
+    mean_list = sum(list_sizes.values()) / max(len(list_sizes), 1)
+    return {
+        "vectors": n_vecs,
+        "fit_sec": round(t_fit, 2),
+        "assign_sec": round(t_assign, 2),
+        "vectors_per_sec_assign": int(n_vecs / t_assign),
+        "topk_sec": round(t_topk, 2),
+        "topk_results": n_results,
+        "nlist": 16,
+        "nprobe": 4,
+        "mean_list_size": int(mean_list),
+        "max_list_skew": round(max(list_sizes.values()) / mean_list, 2),
+        "topk_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
 def main() -> None:
     counts = [int(a) for a in sys.argv[1:]] or [4, 16, 32]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -273,6 +355,7 @@ def main() -> None:
         "minhash_curve": [run_minhash_curve(spark, sf_dir, r) for r in (8, 32, 128)],
         "screen": run_screen(spark, sf_dir),
         "pagerank": run_pagerank(spark, sf_dir),
+        "ann_curve": [run_ann_curve(spark, sf_dir, r) for r in (32, 128, 512)],
     }
     print(json.dumps(out))
     spark.stop()
