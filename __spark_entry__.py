@@ -2137,10 +2137,58 @@ WHERE rank <= 10
 
 
 def _q_x8_embedding_pairs(spark, sf_dir):
+    """Random-hyperplane LSH near-dup pairs. The hyperplanes are seeded
+    constants (operators/dedup.py:_hyperplanes), so the oracle can inline
+    them as a VALUES table and replay bit signatures, banding, and the
+    cosine verify exactly (sign/threshold boundaries sit ~1e-15 deep for
+    this data — same accepted ulp exposure as the x9 argmin oracle)."""
     emb = _t(spark, sf_dir, "embeddings")
     return ops_dedup.embedding_pairs(
         emb, "embedding", "vec_id", dim=64, threshold=0.4
     )
+
+
+def _sql_x8() -> str:
+    from modis_aggregation_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 17)
+    rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(float(x)) for x in planes[p])
+        )
+        for p in range(16)
+    )
+    return rf"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), p(pid, pv) AS (VALUES
+  {rows}
+), bits AS (
+  SELECT id, pid,
+         CASE WHEN list_sum([v[i] * pv[i] for i in generate_series(1, 64)]) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM e CROSS JOIN p
+), keys AS (
+  SELECT id, pid // 4 AS band, string_agg(bit, '' ORDER BY pid) AS key
+  FROM bits GROUP BY id, pid // 4
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         list_sum([va.v[i] * vb.v[i] for i in generate_series(1, 64)])
+         / nullif(sqrt(list_sum([va.v[i] * va.v[i] for i in generate_series(1, 64)]))
+                  * sqrt(list_sum([vb.v[i] * vb.v[i] for i in generate_series(1, 64)])),
+                  0) AS cos
+  FROM cand
+  JOIN e va ON cand.id_a = va.id
+  JOIN e vb ON cand.id_b = vb.id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4
+"""
+
+
+_SQL_X8 = _sql_x8()
 
 
 def _q_x9_ivf_topk(spark, sf_dir):
@@ -4768,6 +4816,7 @@ def oracle_sql() -> dict[str, str]:
         "x3_lang_id": _SQL_X3,
         "x4_ngram_jaccard": _SQL_X4,
         "x7_cosine_topk": _SQL_X7,
+        "x8_embedding_pairs": _SQL_X8,  # hyperplanes inlined as VALUES
         "x9_ivf_topk": _SQL_X9,  # full IVF reimpl over the centroid golden
         "x9b_ivf_full_probe": _SQL_X7,  # full probe == exact == x7's oracle
         "x10_media_meta": _SQL_X10,
