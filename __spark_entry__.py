@@ -4601,6 +4601,129 @@ WHERE abs((value - mean_v) / nullif(std_v, 0.0)) > 2.0
 """
 
 
+def _q_x48_resample_interp(spark, sf_dir):
+    """Time-bucket resample (6 h) with per-key gap filling and linear
+    interpolation of missing buckets (operators/temporal.py:resample,
+    interpolate_linear) — the hypertable-rollup primitive."""
+    from modis_aggregation_spark.operators.temporal import (
+        interpolate_linear,
+        resample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = interpolate_linear(resample(ev, "ts", "value", "user_id", 21600))
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket",
+        _r6(F.col("avg_v")).alias("avg_v"),
+        "n",
+        _r6(F.col("interp_v")).alias("interp_v"),
+    )
+
+
+_SQL_X48 = r"""
+WITH agg AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+         avg(value) AS avg_v, count(value) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM spans
+), filled AS (
+  SELECT g.user_id, g.bucket, a.avg_v, coalesce(a.n, 0) AS n
+  FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+), w AS (
+  SELECT user_id, bucket, avg_v, n,
+         last_value(avg_v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN avg_v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(avg_v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN avg_v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM filled
+)
+SELECT user_id, bucket, round(avg_v, 6) AS avg_v, n,
+       round(CASE WHEN avg_v IS NOT NULL THEN avg_v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
+             END, 6) AS interp_v
+FROM w
+"""
+
+
+def _q_x49_triangles(spark, sf_dir):
+    """Exact triangle enumeration (operators/graph.py:triangles,
+    degree-ordered compact-forward wedge join) over the same synthetic
+    97-node graph as x37. Output (a, b, c) sorted by id — one row per
+    triangle, orientation-independent."""
+    from modis_aggregation_spark.operators.graph import triangles
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.select(
+            (F.col("o_custkey") % 97).alias("src"),
+            (F.col("o_orderkey") % 97).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return triangles(edges)
+
+
+_SQL_X49 = r"""
+WITH und AS (
+  SELECT DISTINCT least(o_custkey % 97, o_orderkey % 97) AS u,
+         greatest(o_custkey % 97, o_orderkey % 97) AS v
+  FROM orders
+  WHERE o_custkey % 97 <> o_orderkey % 97
+)
+SELECT e1.u AS a, e1.v AS b, e2.v AS c
+FROM und e1
+JOIN und e2 ON e2.u = e1.v
+JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+def _q_x50_bigram_lm(spark, sf_dir):
+    """Add-k-smoothed bigram language model (operators/tfidf.py:
+    bigram_lm, k=0.5): corpus bigram/left-token counts and conditional
+    probabilities — the cheap perplexity-screen LM."""
+    from modis_aggregation_spark.operators.tfidf import bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm(docs, k_smooth=0.5)
+    return out.select("w1", "w2", "c12", "c1", _r6(F.col("p")).alias("p"))
+
+
+_SQL_X50 = rf"""
+WITH t AS (
+  SELECT {_D_TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT toks FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+), c1t AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), vt AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+  FROM (SELECT w1 AS w FROM pairs UNION ALL SELECT w2 AS w FROM pairs)
+)
+SELECT w1, w2, c12, c1, round((c12 + 0.5) / (c1 + 0.5 * v), 6) AS p
+FROM bg JOIN c1t USING (w1) CROSS JOIN vt
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4674,6 +4797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x45_weighted_sample": _q_x45_weighted_sample,
         "x46_cdc_chunks": _q_x46_cdc_chunks,
         "x47_zscore_outliers": _q_x47_zscore_outliers,
+        "x48_resample_interp": _q_x48_resample_interp,
+        "x49_triangles": _q_x49_triangles,
+        "x50_bigram_lm": _q_x50_bigram_lm,
         # -- deferred to the round-4 window (never recorded; operator
         #    families already driver-green via r5/r6/r8/r15) ------------
         "r38_window_navigation": _q_r38_window_navigation,
@@ -4863,4 +4989,7 @@ def oracle_sql() -> dict[str, str]:
         "x45_weighted_sample": _SQL_X45,
         "x46_cdc_chunks": _SQL_X46,
         "x47_zscore_outliers": _SQL_X47,
+        "x48_resample_interp": _SQL_X48,
+        "x49_triangles": _SQL_X49,
+        "x50_bigram_lm": _SQL_X50,
     }

@@ -86,3 +86,70 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle enumeration via the degree-ordered wedge join
+    (the MapReduce-classic compact-forward algorithm).
+
+    Edges are canonicalized undirected-distinct, then DIRECTED from the
+    lower to the higher endpoint under the (degree, id) total order.
+    That orientation bounds every node's out-degree by O(√m) on any
+    graph, so the wedge self-join (out-neighbors × out-neighbors per
+    node) — the only quadratic-risk step — generates O(m^{3/2}) wedge
+    candidates instead of Σ deg² (which a hub node makes quadratic).
+    A final semi-join against the directed edge set closes each wedge.
+
+    All three joins shuffle skinny (int, int) rows keyed by node/edge.
+    Returns one row per triangle with ``(a, b, c)`` sorted by id —
+    deterministic regardless of the internal orientation.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = withdeg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    # wedge (s; x, y) with rk(x) < rk(y): x→y is then the only possible
+    # closing orientation, so ONE edge join closes it
+    e1 = directed.select("s", F.col("d").alias("x"), F.col("dd").alias("dx"))
+    e2 = directed.select("s", F.col("d").alias("y"), F.col("dd").alias("dy"))
+    wedges = e1.join(e2, "s").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        directed.select(F.col("s").alias("x"), F.col("d").alias("y")),
+        ["x", "y"],
+    )
+    return closed.select(
+        F.least(F.col("s"), F.col("x"), F.col("y")).alias("a"),
+        F.greatest(
+            F.least(F.col("s"), F.col("x")),
+            F.least(F.col("s"), F.col("y")),
+            F.least(F.col("x"), F.col("y")),
+        ).alias("b"),
+        F.greatest(F.col("s"), F.col("x"), F.col("y")).alias("c"),
+    )

@@ -111,7 +111,9 @@ def asof_join(
 
 
 def _epoch_us(c: Column) -> Column:
-    return F.unix_micros(c)
+    # cast tolerates TIMESTAMP_NTZ inputs (raw parquet without the repo's
+    # session normalization); NTZ is interpreted in the session time zone
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def range_join_binned(
@@ -281,3 +283,92 @@ def zscore_outliers(
         .withColumn("z", z)
         .where(F.abs(F.col("z")) > threshold)
     )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    bucket_seconds: int = 3600,
+    gap_fill: bool = True,
+) -> DataFrame:
+    """Time-bucket resampling with per-key gap filling — the hypertable
+    rollup primitive (``time_bucket`` + ``generate_series`` in timescale
+    dialects).
+
+    One hash aggregation produces (key, bucket, avg/count); gap filling
+    generates each key's full bucket range from its own min/max (a
+    ``sequence``+``explode`` over the per-key agg — rows generated are
+    O(span/bucket) per key, no global calendar scan) and left-joins the
+    observed buckets back. Missing buckets carry NULL ``avg_v`` /
+    ``n = 0``.
+
+    Scale: both shuffles are keyed on (key[, bucket]) — skinny aggregate
+    rows, never raw events; the generated side is derived from the ≤|keys|
+    row summary. Reference has no time axis beyond the granule catalog
+    (aggregate_functions.py:96-109).
+    """
+    bucket = F.floor(
+        _epoch_us(F.col(ts_col)) / F.lit(int(bucket_seconds) * 1_000_000)
+    ).alias("bucket")
+    agg = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), bucket)
+        .agg(
+            F.avg(F.col(value_col)).alias("avg_v"),
+            F.count(F.col(value_col)).alias("n"),
+        )
+    )
+    if not gap_fill:
+        return agg
+    spans = agg.groupBy("key").agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket")
+    )
+    return grid.join(agg, ["key", "bucket"], "left").select(
+        "key", "bucket", "avg_v", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+def interpolate_linear(
+    resampled: DataFrame,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    value_col: str = "avg_v",
+) -> DataFrame:
+    """Linear interpolation of NULL buckets between observed neighbors.
+
+    Two ignore-nulls window passes per key (last-before carrying value AND
+    bucket forward, first-after carrying them backward), then the closed
+    form ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)``. Buckets
+    before the first / after the last observation stay NULL (no
+    extrapolation). Window state is one row — safe for arbitrarily long
+    keys. Adds ``interp_v``; observed buckets keep their value.
+    """
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    observed_b = F.when(v.isNotNull(), F.col(bucket_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_b = F.last(observed_b, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_b = F.first(observed_b, ignorenulls=True).over(w_fwd)
+    frac = (F.col(bucket_col) - prev_b) / (next_b - prev_b)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return resampled.withColumn("interp_v", interp)

@@ -150,3 +150,58 @@ def bm25(
     if top_k is None:
         return out
     return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top_k)
+
+
+def bigram_lm(
+    docs: DataFrame,
+    content_col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Add-k-smoothed bigram language model over the corpus:
+    ``p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` with V = unigram
+    vocabulary size. The cheap corpus-statistics LM used for perplexity
+    screens and domain scoring when a neural LM is too expensive per
+    token.
+
+    Scale shape: ONE pass forms bigrams inside the token array (zip of
+    the array with its tail — no per-token explode until after pairing),
+    then two hash aggregations (bigram counts, left-token totals) and a
+    shuffle join keyed on w1. The vocabulary is unbounded at corpus scale,
+    so neither count table gets a broadcast hint (AQE may still elect one
+    when small) — same rule as dsir_importance. V rides as a 1-row scalar
+    crossJoin. Only observed bigrams are returned (the smoothed mass of
+    unseen pairs is implied by the formula).
+    """
+    staged = docs.select(tokens(F.col(content_col)).alias("__toks")).where(
+        F.size("__toks") >= 2
+    )
+    pairs = staged.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    w1_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("double").alias("__v"))
+    )
+    return (
+        bg_counts.join(w1_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (
+                (F.col("c12") + F.lit(k_smooth))
+                / (F.col("c1") + F.lit(k_smooth) * F.col("__v"))
+            ).alias("p"),
+        )
+    )

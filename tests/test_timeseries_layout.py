@@ -190,3 +190,58 @@ def test_cdc_chunks_shift_resistant(spark):
     # most distinct content chunks survive the shift (only the boundary
     # chunk touching the inserted prefix may differ)
     assert len(h1 & h2) >= len(h1) - 1 >= 1
+
+
+# ------------------------------------------ resample / interpolate / LM
+
+
+def test_resample_gap_fill_and_interpolate(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, dt.datetime(2024, 1, 1, 0, 45), 20.0),  # bucket 0: avg 15
+        # buckets 1, 2 missing
+        (1, dt.datetime(2024, 1, 1, 3, 10), 45.0),  # bucket 3
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    from modis_aggregation_spark.operators.temporal import (
+        interpolate_linear,
+        resample,
+    )
+
+    out = {
+        r.bucket - 473352: (r.avg_v, r.n, r.interp_v)
+        for r in interpolate_linear(resample(df, "ts", "v", "k", 3600)).collect()
+    }
+    assert out[0] == (15.0, 2, 15.0)
+    assert out[1] == (None, 0, 25.0)  # 15 + (45-15)*1/3
+    assert out[2] == (None, 0, 35.0)
+    assert out[3] == (45.0, 1, 45.0)
+
+
+def test_triangles_small_graph(spark):
+    # square 1-2-3-4 with diagonal 1-3 → triangles (1,2,3) and (1,3,4);
+    # edges given in mixed orientation with a duplicate and a self-loop
+    edges = [(1, 2), (3, 2), (3, 4), (4, 1), (1, 3), (3, 1), (2, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from modis_aggregation_spark.operators.graph import triangles
+
+    got = sorted((r.a, r.b, r.c) for r in triangles(df).collect())
+    assert got == [(1, 2, 3), (1, 3, 4)]
+
+
+def test_bigram_lm_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    from modis_aggregation_spark.operators.tfidf import bigram_lm
+
+    # pairs: (a,b)x2 + (b,a) + (a,b) + (b,c); vocab {a,b,c}; doc 3 excluded
+    out = {(r.w1, r.w2): (r.c12, r.c1, r.p) for r in bigram_lm(df, k_smooth=0.5).collect()}
+    assert out[("a", "b")][0] == 3 and out[("a", "b")][1] == 3
+    assert out[("b", "a")][0] == 1 and out[("b", "a")][1] == 2
+    assert out[("b", "c")][0] == 1
+    v = 3.0
+    assert out[("a", "b")][2] == (3 + 0.5) / (3 + 0.5 * v)
+    assert out[("b", "c")][2] == (1 + 0.5) / (2 + 0.5 * v)
