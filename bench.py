@@ -56,6 +56,9 @@ def main() -> None:
         "q_cosine_topk": qs["x7_cosine_topk"],
         "q_asof_join": qs["r25_asof_join"],
         "q_merge_upsert": qs["r27_merge_upsert"],
+        "q_bm25": qs["x42_bm25"],
+        "q_resample": qs["x48_resample_interp"],
+        "q_triangles": qs["x49_triangles"],
     }
 
     # JVM/codegen warmup on a trivial plan

@@ -200,3 +200,36 @@ def test_x44_zorder_map_only(spark):
     plan = _plan(spark, "x44_zorder")
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar bounds
+
+
+def test_x48_resample_two_shuffles(spark):
+    """Resample+interpolate: the event agg and the window sort are the
+    only exchanges; gap-fill joins the per-key span summary (broadcast at
+    this scale), never a calendar scan."""
+    plan = _plan(spark, "x48_resample_interp")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x49_triangles_all_equi_joins(spark):
+    """Degree-ordered wedge join: every join must stay an equi-join —
+    a cartesian/nested-loop anywhere makes triangle counting quadratic."""
+    plan = _plan(spark, "x49_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x50_bigram_no_vocab_broadcast_hint(spark):
+    """Bigram LM: the only BNLJ is the 1-row vocabulary-size scalar; the
+    w1-counts join carries no broadcast HINT (vocabulary is unbounded at
+    corpus scale — AQE may still elect broadcast from runtime stats)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x50_bigram_lm"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    # exactly one user-supplied broadcast hint (the scalar crossJoin)
+    assert logical.count("ResolvedHint") <= 1
