@@ -4724,6 +4724,201 @@ FROM bg JOIN c1t USING (w1) CROSS JOIN vt
 """
 
 
+def _q_x51_dup_spans(spark, sf_dir):
+    """Per-document duplicated-span coverage at 8-token granularity
+    (operators/dedup.py:duplicate_window_profile) — the exact-substring
+    dedup signal (RefinedWeb style). Windows hash to 64-bit fingerprints
+    before any shuffle; fingerprints never reach the output, so the
+    oracle groups on the window strings themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_dedup.duplicate_window_profile(docs, window=8)
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        _r6(F.col("dup_ratio")).alias("dup_ratio"),
+    )
+
+
+_SQL_X51 = rf"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), w AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+), d AS (
+  SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM w JOIN d USING (win) GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(per.n_windows, 0) AS n_windows,
+       coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+       round(per.n_dup_windows * 1.0 / per.n_windows, 6) AS dup_ratio
+FROM t LEFT JOIN per USING (doc_id)
+"""
+
+
+def _q_x52_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py:semdedup): cluster by the same
+    reproducible k-means centroids as x9, flag within-cluster pairs with
+    cosine >= 0.4, drop the member nearer its centroid (ties: higher id).
+    The oracle reimplements the whole pipeline in DuckDB over the x9
+    centroid golden."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ops_sim.kmeans_centroids(
+        emb, nlist=8, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    out = ops_sim.semdedup(emb, cents, tau=0.4)
+    return out.select(
+        "vec_id", "list_id", _r6(F.col("cent_cos")).alias("cent_cos"), "keep"
+    )
+
+
+_SQL_X52 = """
+WITH cent AS (
+  SELECT list_id, list(val ORDER BY pos) AS c
+  FROM read_parquet('/root/repo/goldens/x9_centroids.parquet')
+  WHERE corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+  )
+  GROUP BY list_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+asgn AS (
+  SELECT vec_id, emb, list_id FROM (
+    SELECT e.vec_id, e.emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.emb, cent.c), cent.list_id
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+cc AS (
+  SELECT a.vec_id, a.list_id, a.emb,
+         list_cosine_similarity(a.emb, cent.c) AS cent_cos
+  FROM asgn a JOIN cent USING (list_id)
+),
+pr AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.cent_cos AS ca, b.cent_cos AS cb
+  FROM cc a JOIN cc b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+),
+dr AS (
+  SELECT DISTINCT CASE WHEN ca > cb THEN ia
+                       WHEN cb > ca THEN ib
+                       ELSE greatest(ia, ib) END AS vec_id
+  FROM pr
+)
+SELECT cc.vec_id, cc.list_id, round(cent_cos, 6) AS cent_cos,
+       dr.vec_id IS NULL AS keep
+FROM cc LEFT JOIN dr USING (vec_id)
+"""
+
+
+def _q_x53_lm_score(spark, sf_dir):
+    """Per-document perplexity under the corpus add-k bigram LM
+    (operators/tfidf.py:lm_doc_score, k=0.5) — the CCNet-style quality
+    screen built on the x50 LM."""
+    from modis_aggregation_spark.operators.tfidf import lm_doc_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_doc_score(docs, k_smooth=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _r6(F.col("avg_nll")).alias("avg_nll"),
+        _r6(F.col("ppl")).alias("ppl"),
+    )
+
+
+_SQL_X53 = rf"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+), c1t AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), vt AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+  FROM (SELECT w1 AS w FROM pairs UNION ALL SELECT w2 AS w FROM pairs)
+), p AS (
+  SELECT w1, w2, (c12 + 0.5) / (c1 + 0.5 * v) AS p
+  FROM bg JOIN c1t USING (w1) CROSS JOIN vt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(p.p)), 6) AS avg_nll,
+       round(exp(avg(-ln(p.p))), 6) AS ppl
+FROM pairs JOIN p USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+def _q_x54_editdist_join(spark, sf_dir):
+    """Approximate-string self-join, Levenshtein <= 1, via symmetric
+    deletion neighborhoods (operators/dedup.py:editdist_pairs —
+    SymSpell/FastSS blocking + exact verify). The probe set is bounded to
+    c_custkey <= 1500 because the ORACLE is an O(n²) brute-force
+    levenshtein join; the Spark operator itself is unbounded."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1500)
+    return ops_dedup.editdist_pairs(cust, "c_name", "c_custkey", max_dist=1)
+
+
+_SQL_X54 = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey <= 1500 AND b.c_custkey <= 1500
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def _q_x55_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining over adjacent token pairs
+    (operators/tfidf.py:pmi_collocations, min_count=5): positional
+    marginals derived from the bigram-count table, T as a broadcast
+    scalar."""
+    from modis_aggregation_spark.operators.tfidf import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, min_count=5)
+    return out.select("w1", "w2", "c12", _r6(F.col("pmi")).alias("pmi"))
+
+
+_SQL_X55 = rf"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT toks FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+), lm AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), rm AS (
+  SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY 1
+), tt AS (
+  SELECT CAST(sum(c12) AS DOUBLE) AS t FROM bg
+)
+SELECT w1, w2, c12,
+       round(ln(c12 * t / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+FROM bg JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt
+WHERE c12 >= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4800,6 +4995,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x48_resample_interp": _q_x48_resample_interp,
         "x49_triangles": _q_x49_triangles,
         "x50_bigram_lm": _q_x50_bigram_lm,
+        "x51_dup_spans": _q_x51_dup_spans,
+        "x52_semdedup": _q_x52_semdedup,
+        "x53_lm_score": _q_x53_lm_score,
+        "x54_editdist_join": _q_x54_editdist_join,
+        "x55_pmi_collocations": _q_x55_pmi_collocations,
         # -- deferred to the round-4 window (never recorded; operator
         #    families already driver-green via r5/r6/r8/r15) ------------
         "r38_window_navigation": _q_r38_window_navigation,
@@ -4992,4 +5192,9 @@ def oracle_sql() -> dict[str, str]:
         "x48_resample_interp": _SQL_X48,
         "x49_triangles": _SQL_X49,
         "x50_bigram_lm": _SQL_X50,
+        "x51_dup_spans": _SQL_X51,
+        "x52_semdedup": _SQL_X52,
+        "x53_lm_score": _SQL_X53,
+        "x54_editdist_join": _SQL_X54,
+        "x55_pmi_collocations": _SQL_X55,
     }

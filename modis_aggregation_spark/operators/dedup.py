@@ -270,6 +270,86 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_window_profile(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span coverage at ``window``-token
+    granularity — the exact-substring dedup signal (RefinedWeb/Falcon
+    style: what fraction of a document is verbatim-repeated elsewhere in
+    the corpus).
+
+    A *window* is ``window`` consecutive whitespace tokens; a window VALUE
+    is *duplicated* when it occurs in >= 2 distinct documents. Output one
+    row per input document:
+
+        (doc_id, n_windows, n_dup_windows, dup_ratio)
+
+    where ``n_dup_windows`` counts window POSITIONS whose value also
+    appears in another document and ``dup_ratio = n_dup_windows /
+    n_windows`` (NULL when the document has fewer than ``window`` tokens —
+    NULL, not NaN, per the repo missingness rule).
+
+    Scale shape: windows are hashed to 64 bits (xxhash64 of the joined
+    token span) at formation, so every shuffled row is a skinny
+    (doc_id, fp) pair — the text itself never shuffles. Then (1) a
+    two-phase hash agg counts distinct docs per fp, (2) the dup flag joins
+    back on fp — a shuffle join, never broadcast: the fp table is ~1 row
+    per corpus token, unbounded at 100 TB — and (3) the per-doc roll-up is
+    a final hash agg keyed by doc_id. Fingerprints never reach the output,
+    so 64-bit collisions only perturb counts (at ~1e-11 per pair), never
+    surface a hash value.
+
+    No counterpart in the reference (extension surface); complements
+    ``exact_dedup`` (whole-doc) and ``minhash_lsh_pairs`` (near-dup) with
+    the span-level third axis of the standard LLM dedup battery.
+    """
+    w = int(window)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+    )
+    # materialized __toks first (lambda inputs must be real columns; a
+    # single-param lambda only — see _shingle_hash_frame)
+    idx = F.sequence(F.lit(1), F.size("__toks") - (w - 1))
+    fps = (
+        staged.filter(F.size("__toks") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("__toks"), i, F.lit(w)))
+                    ),
+                )
+            ).alias("fp"),
+        )
+    )
+    per_fp = fps.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("__ndocs")
+    )
+    per_doc = (
+        fps.join(per_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__ndocs") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        staged.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            (F.col("n_dup_windows") / F.col("n_windows")).alias("dup_ratio"),
+        )
+    )
+
+
 def incremental_exact_dedup(
     new_batch: DataFrame,
     seen_fingerprints: DataFrame,
@@ -411,6 +491,101 @@ def minhash_dedup(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+
+def editdist_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Levenshtein distance <= ``max_dist`` —
+    the approximate-string join, via symmetric deletion neighborhoods
+    (SymSpell/FastSS): two strings within edit distance k always share a
+    string in their depth-k deletion neighborhoods, so generating the
+    ~C(L,k) single/multi-deletion variants per row and equi-joining on
+    them yields a complete candidate set, verified exactly with
+    ``levenshtein`` (shared keys can arise at distance up to 2k — e.g.
+    "ab"/"ba" share "a" at k=1 — so verification is load-bearing, not
+    belt-and-braces).
+
+    Output: (id_a, id_b, dist).
+
+    Scale shape: each variant is hashed to 64 bits at formation, so the
+    self-join shuffles skinny (id, fp) rows — never the strings (a hash
+    collision only adds a false candidate, which verification removes);
+    the two full strings are fetched per candidate pair by id
+    (payload-per-candidate rule) and compared JVM-side. ``max_bucket``
+    drops pathological variant buckets (mass-duplicated strings) via the
+    same broadcast anti-join cap as ``minhash_lsh_pairs`` — bounded join
+    fan-out at the cost of recall on >max_bucket-plicated values (exact
+    duplicates are better handled by ``exact_dedup`` first anyway).
+    Neighborhood size is C(L,k)·k!-ish per row — keep ``max_dist`` at 1–2
+    (SymSpell's own operating range).
+
+    No counterpart in the reference (extension surface): entity-resolution
+    blocking for identifier-like columns.
+    """
+    staged = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__s"))
+    # depth-k deletion neighborhood, built iteratively over MATERIALIZED
+    # array columns (lambda inputs staged per rule; single-param lambdas
+    # only — the nested (s, i) pair is two one-param lambdas)
+    neigh = staged.withColumn("__neigh", F.array(F.col("__s")))
+    for _ in range(int(max_dist)):
+        neigh = neigh.withColumn(
+            "__neigh",
+            F.array_union(
+                F.col("__neigh"),
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("__neigh"),
+                            lambda s: F.transform(
+                                F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+                                lambda i: F.concat(
+                                    s.substr(F.lit(1), i - 1),
+                                    s.substr(i + 1, F.length(s)),
+                                ),
+                            ),
+                        )
+                    )
+                ),
+            ),
+        )
+    keyed = neigh.select(
+        "id",
+        F.explode(
+            F.transform(F.col("__neigh"), lambda v: F.xxhash64(v))
+        ).alias("fp"),
+    ).dropDuplicates(["id", "fp"])
+
+    big = (
+        keyed.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > max_bucket)
+        .select("fp")
+    )
+    capped = keyed.join(F.broadcast(big), "fp", "left_anti")
+
+    lhs, rhs = capped.alias("l"), capped.alias("r")
+    cand = (
+        lhs.join(
+            rhs,
+            on=[F.col("l.fp") == F.col("r.fp"), F.col("l.id") < F.col("r.id")],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = staged.select(F.col("id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = staged.select(F.col("id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
 
 def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     """Assemble the SimHash from an ARRAY<BIGINT> of token hashes.

@@ -237,6 +237,101 @@ def mean_embedding(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    tau: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    corpus by nearest k-means centroid, find within-cluster pairs with
+    cosine >= ``tau``, and for each such pair DROP the member closer to
+    its cluster centroid (the paper's keep-low-centroid-similarity rule —
+    the retained example is the more "extreme" of the two; ties break by
+    dropping the higher id).
+
+    Output: one row per input vector — (vec_id, list_id, cent_cos, keep)
+    with ``cent_cos`` the cosine to the assigned centroid and ``keep``
+    false iff some same-cluster neighbor at >= tau dominates it. Zero-norm
+    vectors have no defined cosine and are dropped up front.
+
+    Scale shape: clustering makes the quadratic pair search LOCAL to each
+    cluster — Σ|cluster|² instead of n², controlled by nlist (the paper
+    runs n/nlist ≈ 1e4 per cluster at web scale). The self-join keys on
+    list_id and carries the (normalized) vector payload — candidate count
+    >> corpus size here, so carrying beats fetch-per-candidate (same call
+    as ``cosine_pairs_exact``); per-pair work is one JVM dot product.
+    The drop set is per-vector booleans via a left anti-ish flag join
+    keyed by id — never collected.
+    """
+    cents = centroids.astype(np.float64)
+    unit = (
+        ivf_assign(df, cents, emb_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            "list_id",
+            F.col(emb_col).cast("array<double>").alias("__e"),
+        )
+        .withColumn(
+            "__n",
+            F.sqrt(F.aggregate(F.col("__e"), F.lit(0.0), lambda acc, v: acc + v * v)),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            "__id",
+            "list_id",
+            F.transform(F.col("__e"), lambda v: v / F.col("__n")).alias("__u"),
+        )
+    )
+    # cosine to own centroid: per-list literal centroid arrays (nlist is
+    # small by construction), dispatched with a when-chain — JVM-side, no
+    # second pass through the Python assign UDF
+    cent_cos = None
+    for ci, cent in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(x)) for x in cent])
+        expr = cosine(F.col("__u"), lit_c)
+        cent_cos = (
+            F.when(F.col("list_id") == ci, expr)
+            if cent_cos is None
+            else cent_cos.when(F.col("list_id") == ci, expr)
+        )
+    scored = unit.withColumn("cent_cos", cent_cos)
+
+    dot = F.aggregate(
+        F.zip_with(F.col("l.__u"), F.col("r.__u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lhs, rhs = scored.alias("l"), scored.alias("r")
+    pairs = (
+        lhs.join(
+            rhs,
+            on=[
+                F.col("l.list_id") == F.col("r.list_id"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .withColumn("__cos", dot)
+        .where(F.col("__cos") >= tau)
+    )
+    drops = pairs.select(
+        F.when(F.col("l.cent_cos") > F.col("r.cent_cos"), F.col("l.__id"))
+        .when(F.col("r.cent_cos") > F.col("l.cent_cos"), F.col("r.__id"))
+        .otherwise(F.greatest(F.col("l.__id"), F.col("r.__id")))
+        .alias("__id")
+    ).distinct()
+    return (
+        scored.join(drops.withColumn("__dropped", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "list_id",
+            "cent_cos",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     centroids: np.ndarray,

@@ -152,6 +152,114 @@ def bm25(
     return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top_k)
 
 
+def _doc_bigrams(
+    docs: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram OCCURRENCE (not distinct
+    pairs), formed inside the token array (zip with tail, no per-token
+    explode until after pairing)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+    ).where(F.size("__toks") >= 2)
+    return staged.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def lm_doc_score(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus add-k
+    bigram LM — the CCNet-style perplexity screen (documents whose
+    ``ppl = exp(avg_nll)`` is far above the corpus norm are boilerplate /
+    gibberish candidates; far below are templated duplicates).
+
+    Output: (doc_id, n_bigrams, avg_nll, ppl), one row per document with
+    >= 1 bigram. Every in-corpus bigram has been observed at least once,
+    so the join to the probability table is total (smoothing still shapes
+    p via the k·V denominator mass).
+
+    Scale shape: three skinny shuffles — bigram counts keyed (w1, w2),
+    left-token totals keyed w1, and the occurrence→probability join keyed
+    (w1, w2); neither count table is broadcast (vocabulary² is unbounded
+    at corpus scale — same rule as dsir_importance); the final roll-up is
+    a hash agg keyed by doc_id. Token text shuffles once (the occurrence
+    rows); documents never do.
+
+    No counterpart in the reference (extension surface); composes
+    ``bigram_lm`` into the per-document quality-screen shape.
+    """
+    occ = _doc_bigrams(docs, content_col, id_col)
+    lm = bigram_lm(docs, content_col, k_smooth).select("w1", "w2", "p")
+    nll = -F.log(F.col("p"))
+    return (
+        occ.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(nll).alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_nll",
+            F.exp(F.col("avg_nll")).alias("ppl"),
+        )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — collocation
+    mining (``pmi = ln(c12·T / (c1·c2))`` with c1/c2 the left/right
+    positional marginals and T the total bigram count). Pairs below
+    ``min_count`` occurrences are dropped (PMI is noise at low counts).
+
+    Output: (w1, w2, c12, pmi).
+
+    Scale shape: one bigram-count hash agg keyed (w1, w2), then two
+    skinny marginal aggs DERIVED from the counts table (keyed w1 / w2 —
+    never re-reading the corpus), joined back by shuffle (marginals are
+    |vocabulary| rows, unbounded — no broadcast hint; AQE may still elect
+    one when small). T rides as a broadcast 1-row scalar.
+    """
+    pairs = _doc_bigrams(docs, content_col, id_col)
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = bg.agg(F.sum("c12").cast("double").alias("__t"))
+    return (
+        bg.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                F.col("c12").cast("double")
+                * F.col("__t")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("pmi"),
+        )
+    )
+
+
 def bigram_lm(
     docs: DataFrame,
     content_col: str = "text",

@@ -533,3 +533,125 @@ def test_dedup_by_pairs_exact_and_greedy(spark):
     greedy = {r["doc_id"] for r in
               D.dedup_by_pairs(docs, pairs, exact_components=False).collect()}
     assert greedy == {1, 4, 6}  # same here; chains differ only when non-transitive
+
+
+# --------------------------------------------------------------------------
+# round-3 additions: span dedup, fuzzy join, SemDeDup, LM scoring, PMI
+# --------------------------------------------------------------------------
+
+def test_duplicate_window_profile(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),        # 3 windows, [a..h] shared
+            (2, "z a b c d e f g h"),          # 2 windows, [a..h] shared
+            (3, "p q r s t u v w x"),          # 2 windows, none shared
+            (4, "x y"),                        # too short: NULL ratio
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           D.duplicate_window_profile(docs, window=8).collect()}
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 1
+    assert out[1]["dup_ratio"] == pytest.approx(1 / 3)
+    assert out[2]["n_windows"] == 2 and out[2]["n_dup_windows"] == 1
+    assert out[3]["n_windows"] == 2 and out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_ratio"] is None
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_pairs_matches_brute_force(spark):
+    names = ["abc", "abd", "ab", "xabc", "zzz", "ba", "abcd", "acbd"]
+    rows = [(i + 1, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in D.editdist_pairs(df, "name", "id", max_dist=1).collect()}
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and _lev(a, b) <= 1:
+                want[(i, j)] = _lev(a, b)
+    assert got == want
+    # "ab"/"ba" share a deletion key but sit at distance 2 — verification
+    # must have removed them
+    assert (3, 6) not in got and _lev("ab", "ba") == 2
+
+
+def test_editdist_pairs_depth_two(spark):
+    names = ["kitten", "sitten", "sittin", "mitten", "banana"]
+    df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(names)], ["id", "name"]
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in D.editdist_pairs(df, "name", "id", max_dist=2).collect()}
+    want = {}
+    for i, a in enumerate(names, 1):
+        for j, b in enumerate(names, 1):
+            if i < j and _lev(a, b) <= 2:
+                want[(i, j)] = _lev(a, b)
+    assert got == want and (1, 3) in got  # kitten→sittin = 2
+
+
+def test_semdedup_drop_rule(spark):
+    import numpy as np
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),     # cluster 0, cent_cos 1.0
+            (2, [0.99, 0.14]),   # cluster 0, cos(1,2) ≈ 0.99
+            (3, [0.0, 1.0]),     # cluster 1, alone
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in S.semdedup(df, cents, tau=0.95).collect()}
+    # pair (1,2) is a dup; 1 is CLOSER to the centroid, so 1 is dropped
+    # (SemDeDup keeps the low-centroid-similarity member)
+    assert out[1]["keep"] is False and out[2]["keep"] is True
+    assert out[3]["keep"] is True
+    assert out[1]["cent_cos"] == pytest.approx(1.0)
+    assert out[1]["list_id"] == 0 and out[3]["list_id"] == 1
+
+
+def test_lm_doc_score(spark):
+    import math
+
+    from modis_aggregation_spark.operators.tfidf import lm_doc_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in lm_doc_score(docs, k_smooth=0.5).collect()}
+    # c12: (a,b)=3, (b,a)=1; c1: a=3, b=1; V=2
+    p_ab = (3 + 0.5) / (3 + 0.5 * 2)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+    d1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_nll"] == pytest.approx(d1)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_nll"] == pytest.approx(-math.log(p_ab))
+    assert out[2]["ppl"] == pytest.approx(1 / p_ab)
+
+
+def test_pmi_collocations(spark):
+    import math
+
+    from modis_aggregation_spark.operators.tfidf import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {(r["w1"], r["w2"]): r["pmi"]
+           for r in pmi_collocations(docs, min_count=1).collect()}
+    # T=4; (a,b): c12=3, c1=3, c2=3 → ln(12/9); (b,a): c12=1, c1=1, c2=1
+    assert out[("a", "b")] == pytest.approx(math.log(3 * 4 / 9))
+    assert out[("b", "a")] == pytest.approx(math.log(4))

@@ -233,3 +233,41 @@ def test_x50_bigram_no_vocab_broadcast_hint(spark):
     assert "CartesianProduct" not in plan
     # exactly one user-supplied broadcast hint (the scalar crossJoin)
     assert logical.count("ResolvedHint") <= 1
+
+
+def test_x51_dup_spans_skinny_fp_shuffles(spark):
+    """Duplicated-span profile: the text column must never shuffle — only
+    64-bit window fingerprints do; the per-fp flag join carries no
+    broadcast hint (fp cardinality ~ corpus tokens)."""
+    df = entry.queries()["x51_dup_spans"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("text" not in l for l in exch)
+    assert logical.count("ResolvedHint") == 0
+
+
+def test_x54_editdist_no_cartesian_hashed_keys(spark):
+    """Edit-distance join: candidate generation must stay an equi-join on
+    hashed variant keys (never the O(n²) brute force the oracle runs) and
+    the only broadcast hint is the max_bucket cap's anti-join side."""
+    df = entry.queries()["x54_editdist_join"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan          # bucket cap present
+    assert "rightHint=(strategy=broadcast)" in logical  # cap side broadcast
+    # the self-join shuffles hashed keys, not name strings
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("c_name" not in l for l in exch)
+
+
+def test_x52_semdedup_pair_join_keyed_on_list(spark):
+    """SemDeDup: the quadratic pair search must be LOCAL to a cluster —
+    an equi-join keyed on list_id, never a cartesian across clusters."""
+    df = entry.queries()["x52_semdedup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
