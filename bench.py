@@ -59,6 +59,9 @@ def main() -> None:
         "q_bm25": qs["x42_bm25"],
         "q_resample": qs["x48_resample_interp"],
         "q_triangles": qs["x49_triangles"],
+        "q_dup_spans": qs["x51_dup_spans"],
+        "q_lm_score": qs["x53_lm_score"],
+        "q_editdist_join": qs["x54_editdist_join"],
     }
 
     # JVM/codegen warmup on a trivial plan

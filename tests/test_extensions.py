@@ -655,3 +655,69 @@ def test_pmi_collocations(spark):
     # T=4; (a,b): c12=3, c1=3, c2=3 → ln(12/9); (b,a): c12=1, c1=1, c2=1
     assert out[("a", "b")] == pytest.approx(math.log(3 * 4 / 9))
     assert out[("b", "a")] == pytest.approx(math.log(4))
+
+
+# --------------------------------------------------------------------------
+# property-based differentials for the fuzzy-join and span-dedup operators
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    names=st.lists(st.text(alphabet="abc", min_size=0, max_size=5),
+                   min_size=2, max_size=10),
+    k=st.sampled_from([1, 2]),
+)
+def test_editdist_pairs_complete_vs_brute_force(spark, names, k):
+    """SymSpell candidate generation must be COMPLETE: every pair within
+    levenshtein <= k appears (verification already guarantees soundness)."""
+    rows = [(i + 1, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in D.editdist_pairs(df, "name", "id", max_dist=k).collect()}
+    want = {(i, j): _lev(a, b)
+            for i, a in rows for j, b in rows
+            if i < j and _lev(a, b) <= k}
+    assert got == want
+
+
+def _dup_profile_ref(docs: dict[int, str], w: int):
+    """Python reference for duplicate_window_profile."""
+    wins = {}
+    for did, text in docs.items():
+        toks = text.split()
+        for i in range(max(0, len(toks) - w + 1)):
+            wins.setdefault(" ".join(toks[i:i + w]), set()).add(did)
+    out = {}
+    for did, text in docs.items():
+        toks = text.split()
+        spans = [" ".join(toks[i:i + w])
+                 for i in range(max(0, len(toks) - w + 1))]
+        n = len(spans)
+        nd = sum(1 for s in spans if len(wins[s]) >= 2)
+        out[did] = (n, nd, nd / n if n else None)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=8).map(" ".join),
+        min_size=1, max_size=8),
+    w=st.sampled_from([2, 3]),
+)
+def test_duplicate_window_profile_vs_reference(spark, corpus, w):
+    docs = dict(enumerate(corpus))
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+           for r in D.duplicate_window_profile(df, window=w).collect()}
+    want = _dup_profile_ref(docs, w)
+    for did, (n, nd, ratio) in want.items():
+        gn, gnd, gr = got[did]
+        assert (gn, gnd) == (n, nd)
+        assert gr == pytest.approx(ratio) if ratio is not None else gr is None

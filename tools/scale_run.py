@@ -194,6 +194,40 @@ def run_minhash_curve(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def run_dupspan_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Duplicated-span coverage (x51 shape) at growing corpus size: the
+    100 TB claim is that docs/s holds (the three shuffles move only
+    skinny (doc_id, fp) rows / fp-keyed aggregates — never text) and
+    total shuffle grows ~linearly in corpus tokens. The permuted corpus
+    keeps per-replica dup structure constant, so output statistics stay
+    comparable across sizes."""
+    from modis_aggregation_spark.operators.dedup import duplicate_window_profile
+
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = docs.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = duplicate_window_profile(docs, window=8)
+    # a bare count() lets Catalyst ELIMINATE the flag join (the right side
+    # is an aggregate keyed on doc_id, provably duplicate-free) and with it
+    # the whole fp pipeline — aggregate the computed columns instead so the
+    # measured plan is the real one
+    row = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_dup_windows").alias("dups"),
+    ).first()
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    return {
+        "docs": n_docs,
+        "rows": row["rows"],
+        "dup_windows": row["dups"],
+        "sec": round(t, 2),
+        "docs_per_sec": int(n_docs / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
 def run_screen(spark, sf_dir: str, replicate: int = 64) -> dict:
     """One-pass corpus screen (C4 line rules ∧ full Gopher battery ∧ PII
     counts) over the documents table — the map-only narrow stage that
@@ -353,6 +387,7 @@ def main() -> None:
         "one_km": [run_1km(spark, n) for n in counts],
         "minhash": run_minhash(spark, sf_dir),
         "minhash_curve": [run_minhash_curve(spark, sf_dir, r) for r in (8, 32, 128)],
+        "dupspan_curve": [run_dupspan_curve(spark, sf_dir, r) for r in (8, 32, 128)],
         "screen": run_screen(spark, sf_dir),
         "pagerank": run_pagerank(spark, sf_dir),
         "ann_curve": [run_ann_curve(spark, sf_dir, r) for r in (32, 128, 512)],
