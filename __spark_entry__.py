@@ -4919,6 +4919,113 @@ WHERE c12 >= 5
 """
 
 
+def _q_x56_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py:pq_assign,
+    m=8 subspaces x k=16 codes over the 64-dim embeddings — a 32x
+    compression of the vector store). The fit is exactly reproducible
+    (vec_id-ordered sample), so the oracle reimplements assignment —
+    per-subspace argmin with ties to the lowest code — in DuckDB over the
+    committed codebook golden (tools/make_goldens.py, same pq_fit_sample
+    floats). One row per (vec_id, sub): arrays can't be driver-hashed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ops_sim.pq_codebooks(
+        emb, m=8, k=16, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    out = ops_sim.pq_assign(emb, books)
+    return out.select(
+        "vec_id", "sub", "code", _r6(F.col("sub_dist")).alias("sub_dist")
+    )
+
+
+_SQL_X56 = """
+WITH cb AS (
+  SELECT sub, code, list(val ORDER BY pos) AS w
+  FROM read_parquet('/root/repo/goldens/x56_codebooks.parquet')
+  WHERE corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+  )
+  GROUP BY sub, code
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sv AS (
+  SELECT vec_id, cb.sub, cb.code,
+         list_distance(emb[cb.sub * 8 + 1 : cb.sub * 8 + 8], cb.w) AS d
+  FROM e CROSS JOIN cb
+),
+r AS (
+  SELECT vec_id, sub, code, d,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+  FROM sv
+)
+SELECT vec_id, sub, code, round(d, 6) AS sub_dist FROM r WHERE rn = 1
+"""
+
+
+def _q_x57_pq_adc_topk(spark, sf_dir):
+    """ADC top-10 over PQ codes (operators/similarity.py:pq_adc_topk) for
+    the same 8 queries as x9 — the compressed-search half of IVF-PQ. The
+    oracle reimplements the whole path (code assignment, per-query LUT,
+    summed lookups, ranking) in DuckDB over the x56 codebook golden; the
+    squared distances are computed as direct Σ(a−b)² folds on BOTH sides
+    (never sqrt-then-square) so the floats agree."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ops_sim.pq_codebooks(
+        emb, m=8, k=16, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    codes = ops_sim.pq_assign(emb, books).select("vec_id", "sub", "code")
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ops_sim.pq_adc_topk(codes, books, queries, k=10)
+
+
+_SQL_X57 = """
+WITH cb AS (
+  SELECT sub, code, list(val ORDER BY pos) AS w
+  FROM read_parquet('/root/repo/goldens/x56_codebooks.parquet')
+  WHERE corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+  )
+  GROUP BY sub, code
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sv AS (
+  SELECT vec_id, cb.sub, cb.code,
+         list_distance(emb[cb.sub * 8 + 1 : cb.sub * 8 + 8], cb.w) AS d
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM sv
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         list_sum([ (q.qe[cb.sub * 8 + j] - cb.w[j])
+                    * (q.qe[cb.sub * 8 + j] - cb.w[j])
+                    for j in generate_series(1, 8)]) AS d2
+  FROM q CROSS JOIN cb
+),
+sc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d2) AS adist
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, round(adist, 6) AS adist, rank
+FROM (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, neighbor_id) AS rank
+  FROM sc
+)
+WHERE rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5000,6 +5107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x53_lm_score": _q_x53_lm_score,
         "x54_editdist_join": _q_x54_editdist_join,
         "x55_pmi_collocations": _q_x55_pmi_collocations,
+        "x56_pq_codes": _q_x56_pq_codes,
+        "x57_pq_adc_topk": _q_x57_pq_adc_topk,
         # -- deferred to the round-4 window (never recorded; operator
         #    families already driver-green via r5/r6/r8/r15) ------------
         "r38_window_navigation": _q_r38_window_navigation,
@@ -5197,4 +5306,6 @@ def oracle_sql() -> dict[str, str]:
         "x53_lm_score": _SQL_X53,
         "x54_editdist_join": _SQL_X54,
         "x55_pmi_collocations": _SQL_X55,
+        "x56_pq_codes": _SQL_X56,
+        "x57_pq_adc_topk": _SQL_X57,
     }

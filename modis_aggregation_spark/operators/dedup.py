@@ -270,11 +270,43 @@ def minhash_lsh_pairs(
     )
 
 
+def window_fingerprints(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """(doc_id, fp) — one 64-bit fingerprint per ``window``-token span
+    position (xxhash64 of the space-joined tokens). The reusable skinny
+    artifact for span-level dedup: materialize it once per corpus and
+    every downstream pass (profile, cross-corpus contamination checks)
+    reads ~16 B/token instead of re-tokenizing text."""
+    w = int(window)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+    )
+    # materialized __toks first (lambda inputs must be real columns; a
+    # single-param lambda only — see _shingle_hash_frame)
+    idx = F.sequence(F.lit(1), F.size("__toks") - (w - 1))
+    return staged.filter(F.size("__toks") >= w).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, F.lit(w)))
+                ),
+            )
+        ).alias("fp"),
+    )
+
+
 def duplicate_window_profile(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage at ``window``-token
     granularity — the exact-substring dedup signal (RefinedWeb/Falcon
@@ -302,30 +334,22 @@ def duplicate_window_profile(
     so 64-bit collisions only perturb counts (at ~1e-11 per pair), never
     surface a hash value.
 
+    The Catalyst plan consumes the fingerprint frame THREE times (distinct-
+    doc agg, flag join, per-doc base) and the subtrees differ, so no
+    ReusedExchange applies — the corpus is scanned and windowed up to
+    three times. Fine at test scale; a 100 TB pipeline should materialize
+    ``window_fingerprints`` once (a parquet table, same pattern as
+    ``minhash_signatures``) and pass it via ``fingerprints=``, making
+    every pass read the skinny fp table instead.
+
     No counterpart in the reference (extension surface); complements
     ``exact_dedup`` (whole-doc) and ``minhash_lsh_pairs`` (near-dup) with
     the span-level third axis of the standard LLM dedup battery.
     """
-    w = int(window)
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
-    )
-    # materialized __toks first (lambda inputs must be real columns; a
-    # single-param lambda only — see _shingle_hash_frame)
-    idx = F.sequence(F.lit(1), F.size("__toks") - (w - 1))
     fps = (
-        staged.filter(F.size("__toks") >= w)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice(F.col("__toks"), i, F.lit(w)))
-                    ),
-                )
-            ).alias("fp"),
-        )
+        window_fingerprints(df, content_col, id_col, window)
+        if fingerprints is None
+        else fingerprints
     )
     per_fp = fps.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("__ndocs")
@@ -339,7 +363,7 @@ def duplicate_window_profile(
         )
     )
     return (
-        staged.select("doc_id")
+        df.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",

@@ -237,6 +237,186 @@ def mean_embedding(
     )
 
 
+def pq_fit_sample(
+    sample: np.ndarray, m: int = 8, k: int = 16, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Product-quantization codebooks from an in-memory sample: the dim
+    axis splits into ``m`` contiguous subspaces and each gets its own
+    k-means codebook via the shared ``lloyd_kmeans`` core (so
+    tools/make_goldens.py reproduces the floats bit-identically).
+    Returns shape (m, k, dim//m)."""
+    dsub = sample.shape[1] // m
+    return np.stack(
+        [
+            lloyd_kmeans(
+                np.ascontiguousarray(sample[:, s * dsub : (s + 1) * dsub]),
+                k,
+                iters,
+                seed,
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 2000,
+    iters: int = 10,
+    seed: int = 5,
+    order_col: str | None = None,
+) -> np.ndarray:
+    """Fit PQ codebooks on a bounded driver-side sample (same sampling
+    contract as ``kmeans_centroids``: pass ``order_col`` for exact
+    reproducibility across sessions/partitionings)."""
+    proj = df.select(
+        F.col(emb_col).cast("array<double>"),
+        *([F.col(order_col)] if order_col else []),
+    )
+    if order_col:
+        proj = proj.orderBy(order_col)
+    sample = np.array([r[0] for r in proj.limit(sample_rows).collect()])
+    return pq_fit_sample(sample, m, k, iters, seed)
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding: each vector becomes ``m`` codes
+    (nearest codeword per subspace — ties to the lowest code, matching
+    numpy argmin) plus the per-subspace Euclidean residual. Output is one
+    row per (vec_id, sub) — ``(vec_id, sub, code, sub_dist)`` — because
+    the driver's canonicalizer cannot hash array cells.
+
+    At 64-dim float32 → 8×4-bit-to-8-bit codes this is a 32× compression
+    of the embedding store; asymmetric-distance search then scans codes
+    with per-query lookup tables instead of raw vectors.
+
+    Scale shape: the fit is a bounded driver sample (constant in corpus
+    size); encoding is MAP-ONLY — a vectorized Pandas UDF over Arrow
+    batches (one (n, k) distance matrix per subspace per batch), no
+    shuffle at all until the caller aggregates. The codebook (m·k·dsub
+    doubles) rides inside the UDF closure — KBs, broadcast with the task.
+    """
+    m, k, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+
+    @pandas_udf("array<struct<sub:int,code:int,sub_dist:double>>")
+    def _enc(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)
+        n = len(X)
+        codes = np.empty((n, m), dtype=np.int32)
+        dists = np.empty((n, m), dtype=np.float64)
+        for s in range(m):
+            xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+            c = d2.argmin(1)
+            codes[:, s] = c
+            dists[:, s] = np.sqrt(d2[np.arange(n), c])
+        return pd.Series(
+            [
+                [
+                    {"sub": int(s), "code": int(codes[i, s]),
+                     "sub_dist": float(dists[i, s])}
+                    for s in range(m)
+                ]
+                for i in range(n)
+            ]
+        )
+
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            _enc(F.col(emb_col).cast("array<double>")).alias("__pq"),
+        )
+        .select("vec_id", F.explode("__pq").alias("e"))
+        .select(
+            "vec_id",
+            F.col("e.sub").alias("sub"),
+            F.col("e.code").alias("code"),
+            F.col("e.sub_dist").alias("sub_dist"),
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
+    m×k lookup table ``lut[sub][code] = ||q_sub − codeword||²``, then the
+    approximate squared distance to a database vector is the sum of m
+    table lookups over its codes — the database vectors themselves are
+    never touched.
+
+    ``codes``: (vec_id, sub, code) rows from ``pq_assign``. Output:
+    (query_id, neighbor_id, adist, rank) ascending by approximate
+    distance (ties by neighbor id), self-matches excluded.
+
+    Scale shape: the LUT side is |queries|·m·k rows — built by
+    crossJoining the (tiny, literal) codebook frame against the query set
+    and BROADCAST into the codes join, so the 32×-compressed codes table
+    never shuffles for scoring; per-(query, vector) summation is a hash
+    agg whose map-side combine collapses the m rows immediately; the
+    final top-k is a per-query window (WindowGroupLimit pushes rank ≤ k
+    below the exchange). This is the search half of the standard IVF-PQ
+    layout — compose with ``ivf_build``'s list_id partition pruning to
+    also bound WHICH codes are scanned.
+    """
+    m, kk, dsub = codebooks.shape
+    spark = codes.sparkSession
+    cb_rows = [
+        (int(s), int(c), [float(v) for v in codebooks[s, c]])
+        for s in range(m)
+        for c in range(kk)
+    ]
+    cb = spark.createDataFrame(cb_rows, ["sub", "code", "__w"])
+    qa = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    # per-(query, sub, code) squared distance, all JVM-side: slice the
+    # query vector by the codebook row's sub index and fold the squared
+    # difference (single-param lambdas over materialized columns)
+    qsub = F.slice(F.col("__qe"), F.col("sub") * dsub + 1, dsub)
+    luts = (
+        qa.crossJoin(F.broadcast(cb))
+        .withColumn("__qs", qsub)
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with(F.col("__qs"), F.col("__w"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__d2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(luts), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("__d2").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank")
+    )
+
+
 def semdedup(
     df: DataFrame,
     centroids: np.ndarray,

@@ -721,3 +721,84 @@ def test_duplicate_window_profile_vs_reference(spark, corpus, w):
         gn, gnd, gr = got[did]
         assert (gn, gnd) == (n, nd)
         assert gr == pytest.approx(ratio) if ratio is not None else gr is None
+
+
+def test_pq_assign_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((40, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        ["vec_id", "embedding"],
+    )
+    books = S.pq_fit_sample(X, m=2, k=4, iters=5, seed=5)
+    assert books.shape == (2, 4, 4)
+    got = {(r["vec_id"], r["sub"]): (r["code"], r["sub_dist"])
+           for r in S.pq_assign(df, books).collect()}
+    assert len(got) == 80  # one row per (vec, subspace)
+    for i in range(len(X)):
+        for s in range(2):
+            xs = X[i, s * 4:(s + 1) * 4]
+            d = np.sqrt(((xs[None, :] - books[s]) ** 2).sum(1))
+            code = int(d.argmin())
+            assert got[(i, s)][0] == code
+            assert got[(i, s)][1] == pytest.approx(float(d[code]))
+
+
+def test_pq_fit_is_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((100, 16))
+    a = S.pq_fit_sample(X, m=4, k=8)
+    b = S.pq_fit_sample(X.copy(), m=4, k=8)
+    assert np.array_equal(a, b)
+
+
+def test_duplicate_window_profile_with_materialized_fps(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "z a b c d e f g h"),
+         (3, "p q r s t u v w x")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "fps.parquet")
+    D.window_fingerprints(docs, window=8).write.parquet(path)
+    fps = spark.read.parquet(path)
+    out = {r["doc_id"]: r
+           for r in D.duplicate_window_profile(
+               docs, window=8, fingerprints=fps).collect()}
+    assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0
+
+
+def test_pq_adc_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((60, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        ["vec_id", "embedding"],
+    )
+    books = S.pq_fit_sample(X, m=2, k=8, iters=5, seed=5)
+    codes = S.pq_assign(df, books).select("vec_id", "sub", "code")
+    queries = df.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+           for r in S.pq_adc_topk(codes, books, queries, k=5).collect()}
+    # numpy ADC reference
+    m, k, dsub = books.shape
+    cds = np.empty((len(X), m), dtype=int)
+    for s in range(m):
+        d2 = ((X[:, s*dsub:(s+1)*dsub][:, None, :] - books[s][None]) ** 2).sum(-1)
+        cds[:, s] = d2.argmin(1)
+    for q in range(3):
+        lut = np.stack([((X[q, s*dsub:(s+1)*dsub][None, :] - books[s]) ** 2).sum(-1)
+                        for s in range(m)])
+        adist = np.array([lut[s][cds[i, s]] for i in range(len(X))
+                          for s in range(m)]).reshape(len(X), m).sum(1)
+        order = sorted((float(adist[i]), i) for i in range(len(X)) if i != q)
+        for rank in range(1, 6):
+            d, i = order[rank - 1]
+            assert got[(q, rank)][0] == i
+            assert got[(q, rank)][1] == pytest.approx(d, abs=1e-6)

@@ -271,3 +271,15 @@ def test_x52_semdedup_pair_join_keyed_on_list(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x57_adc_codes_never_shuffle_for_scoring(spark):
+    """ADC top-k: the code table joins the per-query LUT via BROADCAST
+    (codes never shuffle for scoring); the per-(query, vec) sum is a
+    partial+final hash agg; the top-k window prunes below the exchange."""
+    df = entry.queries()["x57_pq_adc_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan          # map-side combine of the m rows
+    assert "WindowGroupLimit" in plan     # rank <= k pushed below exchange

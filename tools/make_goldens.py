@@ -41,7 +41,10 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from modis_aggregation_spark.operators.similarity import lloyd_kmeans  # noqa: E402
+from modis_aggregation_spark.operators.similarity import (  # noqa: E402
+    lloyd_kmeans,
+    pq_fit_sample,
+)
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
@@ -106,6 +109,39 @@ def x9_centroid_golden() -> pa.Table:
     )
 
 
+def x56_codebook_golden() -> pa.Table:
+    """Fit the x56 PQ codebooks per sf dir (m=8, k=16, iters=10, seed=5 on
+    the vec_id-ordered 2000-row sample — exactly what _q_x56_pq_codes fits
+    at runtime via pq_fit_sample, imported above so the floats are
+    bit-identical); emit (corpus_key, sub, code, pos, val) rows."""
+    con = duckdb.connect()
+    cols = {"corpus_key": [], "sub": [], "code": [], "pos": [], "val": []}
+    for sf in SF_DIRS:
+        path = os.path.join(sf, "embeddings.parquet")
+        key = int(con.execute(CORPUS_KEY_SQL, [path]).fetchone()[0])
+        emb = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+        emb = emb.sort_values("vec_id").head(2000)
+        sample = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        books = pq_fit_sample(sample, m=8, k=16, iters=10, seed=5)
+        for sub in range(books.shape[0]):
+            for code in range(books.shape[1]):
+                for pos, val in enumerate(books[sub, code]):
+                    cols["corpus_key"].append(key)
+                    cols["sub"].append(sub)
+                    cols["code"].append(code)
+                    cols["pos"].append(pos)
+                    cols["val"].append(float(val))
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "sub": pa.array(cols["sub"], pa.int32()),
+            "code": pa.array(cols["code"], pa.int32()),
+            "pos": pa.array(cols["pos"], pa.int32()),
+            "val": pa.array(cols["val"], pa.float64()),
+        }
+    )
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     x11 = x11_decode_golden()
@@ -114,6 +150,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x56 = x56_codebook_golden()
+    pq.write_table(x56, os.path.join(OUT_DIR, "x56_codebooks.parquet"))
+    print(f"x56_codebooks.parquet: {x56.num_rows} rows ({x56.num_rows // (8 * 16 * 8)} corpora)")
 
 
 if __name__ == "__main__":
