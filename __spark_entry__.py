@@ -5026,6 +5026,106 @@ WHERE rank <= 10
 """
 
 
+def _q_s8_stream_sessions(spark, sf_dir):
+    """Streaming gap sessionization via the custom stateful operator
+    (operators/sessions.py:sessionize_stream, applyInPandasWithState,
+    6 h gap, 1 h watermark) run to completion with availableNow.
+
+    Emission of a session CLOSED BY A SUCCESSOR EVENT is deterministic
+    (closed inline when the later event arrives); timeout-closed finals
+    depend on whether a watermark-advancing batch runs after the last
+    file, so BOTH sides restrict to successor-closed sessions — the
+    stream by semi-joining its output against the static events table
+    (a later event for the user exists), the oracle by dropping each
+    user's last session. Values then match the r16 batch rewrite
+    exactly (same µs columns)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from modis_aggregation_spark.operators.sessions import sessionize_stream
+
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    src_dir = tempfile.mkdtemp(prefix="s8_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s8_ckpt_")
+    name = f"s8_sessions_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.repartition(4, "user_id").write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = sessionize_stream(stream, gap_minutes=360.0, watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s8_stream_sessions: stream did not finish in 300s")
+        emitted = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+        later = spark.read.parquet(src_dir).select(
+            "user_id", F.col("ts").alias("__ts")
+        )
+        closed = emitted.join(
+            later,
+            on=[
+                emitted.user_id == later.user_id,
+                F.col("__ts") > emitted.session_end,
+            ],
+            how="left_semi",
+        )
+        start_us = F.unix_micros(F.col("session_start"))
+        end_us = F.unix_micros(F.col("session_end"))
+        rows = closed.select(
+            "user_id",
+            start_us.alias("start_us"),
+            end_us.alias("end_us"),
+            (end_us - start_us).alias("duration_us"),
+            "n_events",
+        )
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_SQL_S8 = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 21600
+              THEN 1 ELSE 0 END AS ns
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
+  FROM f
+), g AS (
+  SELECT user_id, session_id,
+         epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts)) AS end_us,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+         count(*) AS n_events,
+         max(session_id) OVER (PARTITION BY user_id) AS last_sid
+  FROM s
+  GROUP BY 1, 2
+)
+SELECT user_id, start_us, end_us, duration_us, n_events
+FROM g WHERE session_id < last_sid
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5109,6 +5209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x55_pmi_collocations": _q_x55_pmi_collocations,
         "x56_pq_codes": _q_x56_pq_codes,
         "x57_pq_adc_topk": _q_x57_pq_adc_topk,
+        "s8_stream_sessions": _q_s8_stream_sessions,
         # -- deferred to the round-4 window (never recorded; operator
         #    families already driver-green via r5/r6/r8/r15) ------------
         "r38_window_navigation": _q_r38_window_navigation,
@@ -5308,4 +5409,5 @@ def oracle_sql() -> dict[str, str]:
         "x55_pmi_collocations": _SQL_X55,
         "x56_pq_codes": _SQL_X56,
         "x57_pq_adc_topk": _SQL_X57,
+        "s8_stream_sessions": _SQL_S8,
     }

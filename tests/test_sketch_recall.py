@@ -123,3 +123,82 @@ def test_embedding_lsh_recall_floor(spark):
     # theory: ≥0.954 for pairs at cos=0.90, rising to ~1 near cos=1;
     # floor leaves margin for the band-geometry tail
     assert recall >= 0.85, f"embedding-LSH recall {recall:.3f} < 0.85 floor"
+
+
+def _clustered_embedding_fixture(spark):
+    """6 well-separated gaussian clusters of 30 vectors each (dim 16),
+    plus 20 planted near-dup pairs inside clusters (cos >= ~0.95)."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((6, 16)) * 4.0
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(30):
+            v = centers[c] + rng.standard_normal(16) * 0.4
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for p in range(20):  # planted dup: tiny perturbation of an existing vec
+        base = np.array(rows[p * 9][1])
+        u = base + rng.standard_normal(16) * 0.01
+        rows.append((10_000 + p, [float(x) for x in u]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semdedup_localization_recall_floor(spark):
+    """SemDeDup's approximation is cluster LOCALIZATION (pairs straddling
+    a k-means boundary are missed). On well-separated clusters the
+    measured recall of exact tau-pairs must clear a committed floor, and
+    every detected duplicate must correspond to a true exact pair."""
+    from modis_aggregation_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup,
+    )
+
+    emb = _clustered_embedding_fixture(spark)
+    tau = 0.95
+    true_pairs = {
+        (r["id1"], r["id2"])
+        for r in cosine_pairs_exact(emb, threshold=tau, block_size=64).collect()
+    }
+    assert len(true_pairs) >= 20, "fixture must plant enough true pairs"
+    cents = kmeans_centroids(emb, nlist=6, sample_rows=500, order_col="vec_id")
+    out = {r["vec_id"]: r["keep"] for r in semdedup(emb, cents, tau=tau).collect()}
+    dropped = {v for v, keep in out.items() if not keep}
+    # every true pair whose two members are co-clustered loses exactly one
+    # member; recall = fraction of true pairs with at least one member dropped
+    covered = sum(1 for a, b in true_pairs if a in dropped or b in dropped)
+    recall = covered / len(true_pairs)
+    assert recall >= 0.9, f"semdedup localization recall {recall:.3f} < 0.9"
+    # soundness: a dropped vector must appear in some true exact pair
+    in_true = {v for p in true_pairs for v in p}
+    assert dropped <= in_true
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC ranks by quantized distance; on clustered data recall@10
+    against exact L2 top-10 must clear a committed floor (PQ with m=8,
+    k=16 over dim 16 is a coarse 2-dim-per-sub quantizer — the floor is
+    deliberately conservative)."""
+    from modis_aggregation_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+        pq_fit_sample,
+    )
+
+    emb = _clustered_embedding_fixture(spark)
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    ids = sorted(X)
+    sample = np.stack([X[i] for i in ids])
+    books = pq_fit_sample(sample, m=8, k=16)
+    codes = pq_assign(emb, books).select("vec_id", "sub", "code")
+    queries = emb.filter("vec_id < 10").withColumnRenamed("vec_id", "query_id")
+    got = {}
+    for r in pq_adc_topk(codes, books, queries, k=10).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for q in range(10):
+        d = sorted((np.linalg.norm(X[i] - X[q]), i) for i in ids if i != q)
+        exact10 = {i for _, i in d[:10]}
+        recalls.append(len(got[q] & exact10) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"ADC recall@10 {mean_recall:.3f} < 0.6"

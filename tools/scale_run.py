@@ -323,6 +323,100 @@ def _jittered_embeddings(spark, sf_dir: str, replicate: int):
     return out.repartition(64).localCheckpoint()
 
 
+def run_pq_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """PQ encode + ADC search at growing corpus size: codebook fit is a
+    bounded driver sample (constant), encoding is the map-only Arrow
+    stage (vec/s must hold or rise), and ADC top-k for a 32-query batch
+    scans only the code table through a broadcast LUT — adc shuffle is
+    the per-(query, vec) partial-agg output, ~|q|·vecs skinny rows before
+    map-side combine collapses the m subspace rows."""
+    from modis_aggregation_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+        pq_codebooks,
+    )
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    t0 = time.perf_counter()
+    books = pq_codebooks(corpus, m=8, k=16, sample_rows=4096, order_col="vec_id")
+    t_fit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    codes = pq_assign(corpus, books).select("vec_id", "sub", "code").localCheckpoint()
+    n_code_rows = codes.count()
+    t_enc = time.perf_counter() - t0
+    queries = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .orderBy("query_id")
+        .limit(32)
+    )
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    n_results = pq_adc_topk(codes, books, queries, k=10).count()
+    t_adc = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    return {
+        "vectors": n_vecs,
+        "fit_sec": round(t_fit, 2),
+        "encode_sec": round(t_enc, 2),
+        "vectors_per_sec_encode": int(n_vecs / t_enc),
+        "code_rows": n_code_rows,
+        "adc_sec": round(t_adc, 2),
+        "adc_results": n_results,
+        "adc_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
+def _suffixed_names(spark, sf_dir: str, replicate: int):
+    """customer names replicated ``replicate``× with a per-replica suffix
+    whose digits are DOUBLED (#0707, #0808, …) so any two replica
+    suffixes differ by >= 2 edits — replicas of the same base name are
+    never lev-1 pairs of each other. Distinct strings with the same
+    length/structure: the deletion-neighborhood key distribution (and
+    true pair density per replica) is preserved while the input grows."""
+    base = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name"
+    )
+    branches = [
+        base.select(
+            (F.col("c_custkey") * replicate + rep).alias("id"),
+            F.concat(
+                F.col("c_name"), F.lit(f"#{rep:02d}{rep:02d}")
+            ).alias("name"),
+        )
+        for rep in range(replicate)
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.repartition(64).localCheckpoint()
+
+
+def run_editdist_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """SymSpell edit-distance join at growing input: keys/row is constant
+    (L+1 hashed deletion variants), so the candidate join shuffles
+    ~16(L+1) B/row and strings/s should hold — the curve certifies the
+    blocking never degrades toward the O(n²) brute force the oracle
+    runs."""
+    from modis_aggregation_spark.operators.dedup import editdist_pairs
+
+    names = _suffixed_names(spark, sf_dir, replicate)
+    n = names.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    n_pairs = editdist_pairs(names, "name", "id", max_dist=1).count()
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    return {
+        "strings": n,
+        "pairs": n_pairs,
+        "sec": round(t, 2),
+        "strings_per_sec": int(n / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
 def run_ann_curve(spark, sf_dir: str, replicate: int) -> dict:
     """IVF ANN at growing corpus size: centroid fit (bounded driver
     sample), corpus assignment (Arrow-batched pandas UDF, map-only), then
@@ -391,6 +485,8 @@ def main() -> None:
         "screen": run_screen(spark, sf_dir),
         "pagerank": run_pagerank(spark, sf_dir),
         "ann_curve": [run_ann_curve(spark, sf_dir, r) for r in (32, 128, 512)],
+        "pq_curve": [run_pq_curve(spark, sf_dir, r) for r in (32, 128, 512)],
+        "editdist_curve": [run_editdist_curve(spark, sf_dir, r) for r in (4, 16, 64)],
     }
     print(json.dumps(out))
     spark.stop()
