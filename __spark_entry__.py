@@ -4788,7 +4788,10 @@ WITH cent AS (
   )
   GROUP BY list_id
 ),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE list_sum([x * x for x in embedding::DOUBLE[]]) > 0
+),
 asgn AS (
   SELECT vec_id, emb, list_id FROM (
     SELECT e.vec_id, e.emb, cent.list_id,
@@ -4976,7 +4979,10 @@ def _q_x57_pq_adc_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
         "vec_id", "query_id"
     )
-    return ops_sim.pq_adc_topk(codes, books, queries, k=10)
+    out = ops_sim.pq_adc_topk(codes, books, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("adist")).alias("adist"), "rank"
+    )
 
 
 _SQL_X57 = """

@@ -244,7 +244,13 @@ def pq_fit_sample(
     axis splits into ``m`` contiguous subspaces and each gets its own
     k-means codebook via the shared ``lloyd_kmeans`` core (so
     tools/make_goldens.py reproduces the floats bit-identically).
-    Returns shape (m, k, dim//m)."""
+    Returns shape (m, k, dim//m). ``dim`` must divide evenly by ``m`` —
+    a silent ``//`` would drop the trailing dimensions from every
+    distance."""
+    if sample.shape[1] % m:
+        raise ValueError(
+            f"embedding dim {sample.shape[1]} is not divisible by m={m}"
+        )
     dsub = sample.shape[1] // m
     return np.stack(
         [
@@ -310,6 +316,10 @@ def pq_assign(
     @pandas_udf("array<struct<sub:int,code:int,sub_dist:double>>")
     def _enc(embs: pd.Series) -> pd.Series:
         X = np.stack(embs.to_numpy()).astype(np.float64)
+        if X.shape[1] != m * dsub:
+            raise ValueError(
+                f"embedding dim {X.shape[1]} != codebook dim {m * dsub}"
+            )
         n = len(X)
         codes = np.empty((n, m), dtype=np.int32)
         dists = np.empty((n, m), dtype=np.float64)
@@ -410,10 +420,11 @@ def pq_adc_topk(
         .agg(F.sum("__d2").alias("adist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    # full-precision adist — contract rounding belongs to the query layer
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank")
+        .select("query_id", "neighbor_id", "adist", "rank")
     )
 
 
@@ -431,10 +442,11 @@ def semdedup(
     the retained example is the more "extreme" of the two; ties break by
     dropping the higher id).
 
-    Output: one row per input vector — (vec_id, list_id, cent_cos, keep)
-    with ``cent_cos`` the cosine to the assigned centroid and ``keep``
-    false iff some same-cluster neighbor at >= tau dominates it. Zero-norm
-    vectors have no defined cosine and are dropped up front.
+    Output: one row per NON-ZERO-NORM input vector — (vec_id, list_id,
+    cent_cos, keep) with ``cent_cos`` the cosine to the assigned centroid
+    and ``keep`` false iff some same-cluster neighbor at >= tau dominates
+    it. Zero-norm vectors have no defined cosine and are dropped up front
+    (the x52 oracle applies the same filter).
 
     Scale shape: clustering makes the quadratic pair search LOCAL to each
     cluster — Σ|cluster|² instead of n², controlled by nlist (the paper
@@ -446,11 +458,24 @@ def semdedup(
     keyed by id — never collected.
     """
     cents = centroids.astype(np.float64)
-    unit = (
-        ivf_assign(df, cents, emb_col)
-        .select(
+
+    # one vectorized pass assigns the list AND computes the cosine to the
+    # assigned centroid (a literal per-list when-chain would embed nlist
+    # full centroid arrays in the plan — fine at nlist=8, codegen death at
+    # the paper's web-scale nlist ~ n/1e4; this scales to any nlist)
+    @pandas_udf("struct<list_id:int,cent_cos:double>")
+    def _assign_cos(embs: pd.Series) -> pd.DataFrame:
+        x = np.stack(embs.to_numpy()).astype(np.float64)
+        d = (cents**2).sum(1)[None, :] - 2.0 * x @ cents.T
+        li = d.argmin(1)
+        csel = cents[li]
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(csel, axis=1)
+        cc = (x * csel).sum(1) / den
+        return pd.DataFrame({"list_id": li.astype(np.int32), "cent_cos": cc})
+
+    scored = (
+        df.select(
             F.col(id_col).alias("__id"),
-            "list_id",
             F.col(emb_col).cast("array<double>").alias("__e"),
         )
         .withColumn(
@@ -458,25 +483,14 @@ def semdedup(
             F.sqrt(F.aggregate(F.col("__e"), F.lit(0.0), lambda acc, v: acc + v * v)),
         )
         .where(F.col("__n") > 0)
+        .withColumn("__ac", _assign_cos(F.col("__e")))
         .select(
             "__id",
-            "list_id",
+            F.col("__ac.list_id").alias("list_id"),
+            F.col("__ac.cent_cos").alias("cent_cos"),
             F.transform(F.col("__e"), lambda v: v / F.col("__n")).alias("__u"),
         )
     )
-    # cosine to own centroid: per-list literal centroid arrays (nlist is
-    # small by construction), dispatched with a when-chain — JVM-side, no
-    # second pass through the Python assign UDF
-    cent_cos = None
-    for ci, cent in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(x)) for x in cent])
-        expr = cosine(F.col("__u"), lit_c)
-        cent_cos = (
-            F.when(F.col("list_id") == ci, expr)
-            if cent_cos is None
-            else cent_cos.when(F.col("list_id") == ci, expr)
-        )
-    scored = unit.withColumn("cent_cos", cent_cos)
 
     dot = F.aggregate(
         F.zip_with(F.col("l.__u"), F.col("r.__u"), lambda x, y: x * y),

@@ -153,16 +153,21 @@ def bm25(
 
 
 def _doc_bigrams(
-    docs: DataFrame, content_col: str, id_col: str
+    docs: DataFrame, content_col: str, id_col: str | None
 ) -> DataFrame:
-    """(doc_id, w1, w2) — one row per bigram OCCURRENCE (not distinct
+    """(doc_id?, w1, w2) — one row per bigram OCCURRENCE (not distinct
     pairs), formed inside the token array (zip with tail, no per-token
-    explode until after pairing)."""
+    explode until after pairing). The single definition of bigram
+    formation: ``bigram_lm`` (no id) and ``lm_doc_score``/
+    ``pmi_collocations`` (id-carrying) all derive from it, so a tokenizer
+    tweak can never drift between the LM and its consumers. Pass
+    ``id_col=None`` to omit the id column."""
+    ids = [F.col(id_col).alias("doc_id")] if id_col else []
     staged = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+        *ids, tokens(F.col(content_col)).alias("__toks")
     ).where(F.size("__toks") >= 2)
     return staged.select(
-        "doc_id",
+        *(["doc_id"] if id_col else []),
         F.explode(
             F.zip_with(
                 F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
@@ -170,7 +175,11 @@ def _doc_bigrams(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select(
+        *(["doc_id"] if id_col else []),
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
 
 
 def lm_doc_score(
@@ -280,18 +289,7 @@ def bigram_lm(
     crossJoin. Only observed bigrams are returned (the smoothed mass of
     unseen pairs is implied by the formula).
     """
-    staged = docs.select(tokens(F.col(content_col)).alias("__toks")).where(
-        F.size("__toks") >= 2
-    )
-    pairs = staged.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = _doc_bigrams(docs, content_col, None)
     bg_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     w1_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
