@@ -19,7 +19,10 @@ Packing rules replicated exactly (quirk Q10):
   (``:438-444``).
 
 h5py is not in this container: the numeric packing is pure NumPy (tested),
-and the actual file write is gated behind an import-try.
+and the physical write goes through the bundled pure-Python classic-format
+HDF5 writer (``hdf5lite`` — reader validated against the reference's own
+h5py-produced sample file, writer round-trip-verified through it); h5py is
+used instead when importable.
 """
 
 from __future__ import annotations
@@ -178,19 +181,41 @@ def export_netcdf_cfa(
     fraction dataset on the grid, the shape of the reference's sample
     product ``resources/data/sample_output_data/
     MYD08_D3.A2008001CloudFraction.nc`` (180×360 DataArray written by the
-    compiled-only ``cfa`` module's ``displayOutput``). Requires xarray
-    (gated — not in this container)."""
-    try:
-        import xarray as xr
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "netCDF export needs xarray; use write_grid_parquet"
-        ) from e
+    compiled-only ``cfa`` module's ``displayOutput``).
+
+    With xarray present this writes a fully-attributed netCDF-4 file;
+    without it (this container) it falls back to ``hdf5lite`` and emits
+    the same HDF5-inside structure the sample product has — the data
+    variable plus DIMENSION_SCALE-classed coordinate datasets — minus
+    the netCDF4 reference-typed bookkeeping attrs (DIMENSION_LIST /
+    REFERENCE_LIST), which generic HDF5 readers ignore."""
     if os.path.exists(path) and not overwrite:
         raise FileExistsError(path)
     arrays = grid_to_arrays(grid_df.select("cell", "lat_idx", "lon_idx", cf_col), spec)
     lat_bnd, lon_bnd = axis_bounds(spec)
     centers = lambda b: (b[:-1] + b[1:]) / 2.0  # noqa: E731
+    try:
+        import xarray as xr
+    except ImportError:
+        from modis_aggregation_spark.sinks.hdf5lite import write_hdf5
+
+        write_hdf5(
+            path,
+            {
+                cf_col: (arrays[cf_col], {"_FillValue": float("nan")}),
+                "lat": (
+                    centers(lat_bnd),
+                    {"CLASS": "DIMENSION_SCALE", "NAME": "lat",
+                     "units": "degrees_north", "_Netcdf4Dimid": 0},
+                ),
+                "lon": (
+                    centers(lon_bnd),
+                    {"CLASS": "DIMENSION_SCALE", "NAME": "lon",
+                     "units": "degrees_east", "_Netcdf4Dimid": 1},
+                ),
+            },
+        )
+        return path
     da = xr.DataArray(  # pragma: no cover - env-dependent
         arrays[cf_col],
         coords={"lat": centers(lat_bnd), "lon": centers(lon_bnd)},
@@ -206,20 +231,34 @@ def export_hdf5(
     path: str,
     overwrite: bool = False,
 ) -> str:
-    """Write the MYD08-style HDF5 file. Requires h5py (not in this
-    container — gated; the packing math above is what matters and is
-    tested without it)."""
-    try:
-        import h5py
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "HDF5 export needs h5py; install it or use write_grid_parquet"
-        ) from e
+    """Write the MYD08-style HDF5 file (reference
+    ``aggregate_functions.py:413-453,724-757``).
+
+    Uses h5py when importable; otherwise writes the file with the
+    bundled pure-Python classic-format writer (``hdf5lite`` — reader
+    validated against the reference's own h5py-produced sample output,
+    writer round-trip-verified through that reader), so the physical
+    HDF5 product exists in h5py-free environments too."""
     if os.path.exists(path) and not overwrite:
         raise FileExistsError(path)  # S13 output-exists guard
     arrays = grid_to_arrays(grid_df, spec)
     packed = pack_grid(arrays, spec)
     lat_bnd, lon_bnd = axis_bounds(spec)
+    try:
+        import h5py
+    except ImportError:
+        from modis_aggregation_spark.sinks.hdf5lite import write_hdf5
+
+        out = {
+            "lat_bnd": (lat_bnd, {"units": "degrees",
+                                  "long_name": "Latitude_boundaries"}),
+            "lon_bnd": (lon_bnd, {"units": "degrees",
+                                  "long_name": "Longitude_boundaries"}),
+        }
+        for name, (data, attrs) in packed.items():
+            out[name] = (data, attrs)
+        write_hdf5(path, out)
+        return path
     with h5py.File(path, "w") as f:  # pragma: no cover - env-dependent
         f.create_dataset("lat_bnd", data=lat_bnd)
         f.create_dataset("lon_bnd", data=lon_bnd)

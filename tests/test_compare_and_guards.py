@@ -79,18 +79,22 @@ def test_pipeline_validates_before_job(spark):
         daily_grid(spark, spec, px, gr)
 
 
-def test_export_netcdf_gated(spark, tmp_path):
-    try:
-        import xarray  # noqa: F401
-        pytest.skip("xarray unexpectedly present")
-    except ImportError:
-        pass
+def test_export_netcdf_writes_hdf5_fallback(spark, tmp_path):
+    """Without xarray the cfa sink writes the sample product's
+    HDF5-inside structure (data variable + DIMENSION_SCALE coords) via
+    hdf5lite."""
+    from modis_aggregation_spark.sinks.hdf5lite import read_hdf5
+
     df = spark.createDataFrame(
         [(0, 0, 0, 0.5)], "cell long, lat_idx int, lon_idx int, cf_mean double"
     )
     spec = AggregationSpec(lat_bounds=(-0.5, 0.5), lon_bounds=(-0.5, 0.5))
-    with pytest.raises(NotImplementedError):
-        writers.export_netcdf_cfa(df, spec, str(tmp_path / "cf.nc"))
+    out = writers.export_netcdf_cfa(df, spec, str(tmp_path / "cf.nc"))
+    back = read_hdf5(out)
+    assert back["cf_mean"].data.shape == (1, 1)
+    assert back["cf_mean"].data[0, 0] == 0.5
+    assert back["lat"].attrs["CLASS"] == "DIMENSION_SCALE"
+    assert back["lat"].data[0] == 0.0 and back["lon"].data[0] == 0.0
 
 
 def test_salted_agg_matches_plain(spark):

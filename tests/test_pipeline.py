@@ -221,18 +221,29 @@ def test_pack_grid_and_axes(spark, grid):
     assert lat_bnd[0] == -20.0 and lat_bnd[-1] == 20.0 and len(lat_bnd) == SPEC.nlat + 1
 
 
-def test_export_hdf5_gated(spark, grid, tmp_path):
-    try:
-        import h5py  # noqa: F401
-        has_h5py = True
-    except ImportError:
-        has_h5py = False
-    if has_h5py:
-        out = writers.export_hdf5(grid, SPEC, str(tmp_path / "l3.h5"))
-        assert os.path.exists(out)
-    else:
-        with pytest.raises(NotImplementedError):
-            writers.export_hdf5(grid, SPEC, str(tmp_path / "l3.h5"))
+def test_export_hdf5_writes_real_file(spark, grid, tmp_path):
+    """The physical MYD08-style HDF5 product is written even without
+    h5py (hdf5lite fallback) and round-trips through the reader that is
+    validated against the reference's own sample output."""
+    from modis_aggregation_spark.sinks.hdf5lite import read_hdf5
+
+    out = writers.export_hdf5(grid, SPEC, str(tmp_path / "l3.h5"))
+    assert os.path.exists(out)
+    back = read_hdf5(out)
+    assert back["lat_bnd"].data[0] == SPEC.lat_bounds[0]
+    assert back["lat_bnd"].attrs["long_name"] == "Latitude_boundaries"
+    # packed datasets carry their scale/offset/fill attrs and int payloads
+    arrays = writers.grid_to_arrays(grid, SPEC)
+    packed = writers.pack_grid(arrays, SPEC)
+    for name, (data, attrs) in packed.items():
+        ds = back[name]
+        assert np.array_equal(ds.data, data), name
+        for k, v in attrs.items():
+            got = ds.attrs[k]
+            assert got == pytest.approx(v) if isinstance(v, float) else got == v
+    # S13 guard still enforced
+    with pytest.raises(FileExistsError):
+        writers.export_hdf5(grid, SPEC, out)
 
 
 def test_cli_end_to_end(spark, tmp_path):
