@@ -55,6 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strict-compat", action="store_true")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--hdf5", help="also export MYD08-style HDF5 to this path")
+    p.add_argument("--png", help="also export a cf_mean quick-look PNG to this path")
     return p
 
 
@@ -89,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     from modis_aggregation_spark.plans.pipeline import daily_grid
     from modis_aggregation_spark.sinks.writers import (
         export_hdf5,
+        export_png,
         write_grid_parquet,
     )
 
@@ -99,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
     write_grid_parquet(grid, args.output, overwrite=args.overwrite)
     if args.hdf5:
         export_hdf5(grid, spec, args.hdf5, overwrite=args.overwrite)
+    if args.png:
+        export_png(grid, spec, args.png, overwrite=args.overwrite)
     print(f"wrote {spec.nlat}x{spec.nlon} grid to {args.output}")
     return 0
 

@@ -225,6 +225,31 @@ def export_netcdf_cfa(
     return path
 
 
+def export_png(
+    grid_df: DataFrame,
+    spec: AggregationSpec,
+    path: str,
+    value_col: str = "cf_mean",
+    vmin: float = 0.0,
+    vmax: float = 1.0,
+    overwrite: bool = False,
+) -> str:
+    """Quick-look PNG of one grid variable (the reference's comparison-
+    plot product family, ``resources/data/sample_output_data/*.png``)
+    without PIL/matplotlib: pure-Python PNG encoder (``pnglite``),
+    procedural blue→yellow ramp, NaN/unoccupied cells transparent. Rows
+    are flipped so north is up. Driver-side and bounded by the grid size
+    like every export here."""
+    from modis_aggregation_spark.sinks.pnglite import colorize, write_png
+
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(path)
+    arrays = grid_to_arrays(grid_df.select("cell", "lat_idx", "lon_idx", value_col), spec)
+    img = colorize(arrays[value_col][::-1, :], vmin, vmax)
+    write_png(path, img)
+    return path
+
+
 def export_hdf5(
     grid_df: DataFrame,
     spec: AggregationSpec,

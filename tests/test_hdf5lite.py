@@ -103,3 +103,70 @@ def test_writer_structural_invariants(tmp_path):
     # symbol-table entries are name-sorted: "a" precedes "b" in the SNOD
     back = read_hdf5(path)
     assert list(back) == ["a", "b"]
+
+
+# --------------------------------------------------------------------------
+# pnglite
+# --------------------------------------------------------------------------
+
+def test_png_roundtrip_gray_rgb_rgba(tmp_path):
+    from modis_aggregation_spark.sinks.pnglite import read_png, write_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(9, 13), (9, 13, 3), (9, 13, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        p = str(tmp_path / f"t{len(shape)}.png")
+        write_png(p, img)
+        back = read_png(p)
+        assert np.array_equal(back.reshape(img.shape), img)
+
+
+def test_png_colorize_nan_transparent():
+    from modis_aggregation_spark.sinks.pnglite import colorize
+
+    v = np.array([[0.0, 0.5], [1.0, np.nan]])
+    rgba = colorize(v, 0.0, 1.0)
+    assert rgba.shape == (2, 2, 4)
+    assert rgba[1, 1, 3] == 0 and rgba[0, 0, 3] == 255  # NaN transparent
+    # ramp is monotone in red, anti-monotone in blue
+    assert rgba[0, 0, 2] > rgba[1, 0, 2] and rgba[1, 0, 0] > rgba[0, 0, 0]
+
+
+def test_export_png_writes_grid(spark, tmp_path):
+    from modis_aggregation_spark.config import AggregationSpec
+    from modis_aggregation_spark.sinks import writers
+    from modis_aggregation_spark.sinks.pnglite import read_png
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0.2), (1, 0, 1, None), (2, 1, 0, None), (3, 1, 1, 0.9)],
+        "cell long, lat_idx int, lon_idx int, cf_mean double",
+    )
+    spec = AggregationSpec(lat_bounds=(-1.0, 1.0), lon_bounds=(-1.0, 1.0))
+    out = writers.export_png(df, spec, str(tmp_path / "cf.png"))
+    img = read_png(out)
+    assert img.shape == (2, 2, 4)
+    # occupied cells opaque, unoccupied transparent; north-up flip puts
+    # lat_idx 1 in image row 0
+    assert img[0, 1, 3] == 255 and img[1, 0, 3] == 255
+    assert img[0, 0, 3] == 0 and img[1, 1, 3] == 0
+
+
+def test_png_decodes_in_jvm_imageio(spark, tmp_path):
+    """Cross-validation by an INDEPENDENT decoder: the JVM's
+    javax.imageio must decode pnglite's output with matching pixels."""
+    from modis_aggregation_spark.sinks.pnglite import write_png
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(5, 7, 4), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    jvm = spark.sparkContext._gateway.jvm
+    decoded = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert decoded is not None, "ImageIO failed to decode pnglite output"
+    assert decoded.getWidth() == 7 and decoded.getHeight() == 5
+    for y in range(5):
+        for x in range(7):
+            argb = decoded.getRGB(x, y) & 0xFFFFFFFF
+            a, r = (argb >> 24) & 0xFF, (argb >> 16) & 0xFF
+            g, b = (argb >> 8) & 0xFF, argb & 0xFF
+            assert (r, g, b, a) == tuple(int(v) for v in img[y, x]), (x, y)
