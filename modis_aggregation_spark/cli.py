@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     pixels = spark.read.parquet(args.pixels)
     granules = spark.read.parquet(args.granules)
     grid = daily_grid(spark, spec, pixels, granules)
+    if args.hdf5 or args.png:
+        # each export collects the (bounded, ~MB) grid on the driver —
+        # persist so the extra jobs re-read cached partitions instead of
+        # recomputing the aggregation per sink
+        grid = grid.persist()
     write_grid_parquet(grid, args.output, overwrite=args.overwrite)
     if args.hdf5:
         export_hdf5(grid, spec, args.hdf5, overwrite=args.overwrite)

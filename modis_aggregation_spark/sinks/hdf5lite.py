@@ -38,6 +38,28 @@ import numpy as np
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
 
+def _fletcher32(data: bytes) -> int:
+    """HDF5's fletcher32 (public H5checksum algorithm): the stream is
+    summed as big-endian 16-bit words (odd trailing byte high-aligned),
+    two mod-65535 accumulators, result (sum2 << 16) | sum1."""
+    sum1 = sum2 = 0
+    n = len(data) // 2
+    i = 0
+    while n:
+        block = min(n, 360)
+        for _ in range(block):
+            sum1 += (data[i] << 8) | data[i + 1]
+            sum2 += sum1
+            i += 2
+        sum1 %= 65535
+        sum2 %= 65535
+        n -= block
+    if len(data) % 2:
+        sum1 = (sum1 + (data[-1] << 8)) % 65535
+        sum2 = (sum2 + sum1) % 65535
+    return (sum2 << 16) | sum1
+
+
 # ==========================================================================
 # reader
 # ==========================================================================
@@ -361,7 +383,10 @@ class _Reader:
             if fid == 1:
                 data = zlib.decompress(data)
             elif fid == 3:
-                data = data[:-4]  # fletcher32 checksum suffix
+                payload, stored = data[:-4], struct.unpack("<I", data[-4:])[0]
+                if _fletcher32(payload) != stored:
+                    raise ValueError("fletcher32 checksum mismatch in chunk")
+                data = payload
             elif fid == 2:  # shuffle: bytes grouped by byte position
                 arr = np.frombuffer(data, dtype=np.uint8)
                 n = len(arr) // elem
@@ -380,7 +405,20 @@ class _Reader:
 
     def _ingest_group(self, msgs, prefix: str) -> None:
         """Register children from a group's messages — old-style (symbol
-        table, 0x11) or new-style compact (hard link messages, 0x06)."""
+        table, 0x11) or new-style compact (hard link messages, 0x06).
+        Dense link storage (Link Info with a defined fractal heap) is
+        refused LOUDLY rather than silently returning no children."""
+        for t, b in msgs:
+            if t == 0x0002:  # Link Info: check for dense storage
+                flags = b[1]
+                off = 2 + (8 if flags & 0x01 else 0)
+                heap_addr = struct.unpack_from("<Q", b, off)[0]
+                if heap_addr != UNDEF and not any(
+                    mt in (0x0006, 0x0011) for mt, _ in msgs
+                ):
+                    raise NotImplementedError(
+                        "dense (fractal-heap) group links not supported"
+                    )
         for t, b in msgs:
             if t == 0x0011:
                 btree, heap = struct.unpack_from("<QQ", b, 0)
@@ -434,10 +472,17 @@ class _Reader:
         pos = 8 if ver == 1 else 2
         out = []
         for _ in range(nf):
-            fid, namelen = struct.unpack_from("<HH", body, pos)
-            _flags, ncdv = struct.unpack_from("<HH", body, pos + 4)
-            pos += 8
-            if ver == 1 or namelen:
+            fid = struct.unpack_from("<H", body, pos)[0]
+            pos += 2
+            # v2 OMITS the Name Length field entirely for ids < 256
+            if ver == 1 or fid >= 256:
+                namelen = struct.unpack_from("<H", body, pos)[0]
+                pos += 2
+            else:
+                namelen = 0
+            _flags, ncdv = struct.unpack_from("<HH", body, pos)
+            pos += 4
+            if namelen:
                 pos += (namelen + 7) & ~7 if ver == 1 else namelen
             cdv = struct.unpack_from("<" + "I" * ncdv, body, pos)
             pos += 4 * ncdv

@@ -113,7 +113,8 @@ def read_png(path: str) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    assert meta is not None
+    if meta is None:
+        raise ValueError("PNG has no IHDR chunk")
     h, w, ch = meta
     arr = _unfilter(zlib.decompress(idat), h, w, ch).reshape(h, w, ch)
     return arr[:, :, 0] if ch == 1 else arr

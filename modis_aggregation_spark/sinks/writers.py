@@ -269,25 +269,26 @@ def export_hdf5(
     arrays = grid_to_arrays(grid_df, spec)
     packed = pack_grid(arrays, spec)
     lat_bnd, lon_bnd = axis_bounds(spec)
+    # one dataset->(array, attrs) plan shared by BOTH writers, so the file
+    # contents cannot diverge by environment (the reference sample carries
+    # units/long_name on the bounds vectors — both paths must too)
+    out = {
+        "lat_bnd": (lat_bnd, {"units": "degrees",
+                              "long_name": "Latitude_boundaries"}),
+        "lon_bnd": (lon_bnd, {"units": "degrees",
+                              "long_name": "Longitude_boundaries"}),
+    }
+    for name, (data, attrs) in packed.items():
+        out[name] = (data, attrs)
     try:
         import h5py
     except ImportError:
         from modis_aggregation_spark.sinks.hdf5lite import write_hdf5
 
-        out = {
-            "lat_bnd": (lat_bnd, {"units": "degrees",
-                                  "long_name": "Latitude_boundaries"}),
-            "lon_bnd": (lon_bnd, {"units": "degrees",
-                                  "long_name": "Longitude_boundaries"}),
-        }
-        for name, (data, attrs) in packed.items():
-            out[name] = (data, attrs)
         write_hdf5(path, out)
         return path
     with h5py.File(path, "w") as f:  # pragma: no cover - env-dependent
-        f.create_dataset("lat_bnd", data=lat_bnd)
-        f.create_dataset("lon_bnd", data=lon_bnd)
-        for name, (data, attrs) in packed.items():
+        for name, (data, attrs) in out.items():
             ds = f.create_dataset(name, data=data)
             for k, v in attrs.items():
                 ds.attrs[k] = v

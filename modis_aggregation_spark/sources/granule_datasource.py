@@ -189,17 +189,18 @@ class GranuleReader(DataSourceReader):
         self.decoder = options.get("decoder", "fake")
         self.path = options.get("path", "")
         if self.decoder == "hdf":
-            try:
-                import netCDF4  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "decoder=hdf reads HDF4 MYD06/MYD03 granules and needs "
-                    "netCDF4/pyhdf (absent here, and no HDF4 ground-truth "
-                    "file exists in this environment to validate a pure-"
-                    "Python codec against); use decoder=hdf5 for real "
-                    "binary-container granules or decoder=fake for the "
-                    "plumbing path"
-                ) from e
+            # unconditional: no HDF4 codec is implemented at all, so this
+            # must raise even where netCDF4/pyhdf happen to be importable
+            # (a conditional gate would silently serve synthetic data from
+            # a "real" decode path — CLAUDE.md rule 5)
+            raise NotImplementedError(
+                "decoder=hdf (HDF4 MYD06/MYD03 container) is not "
+                "implemented: netCDF4/pyhdf are absent here and no HDF4 "
+                "ground-truth file exists in this environment to validate "
+                "a pure-Python codec against; use decoder=hdf5 for real "
+                "binary-container granules or decoder=fake for the "
+                "plumbing path"
+            )
         if self.decoder == "hdf5" and not self.path:
             raise ValueError("decoder=hdf5 requires the 'path' option "
                              "(directory of granule_<id>.h5 files)")

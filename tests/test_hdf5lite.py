@@ -170,3 +170,61 @@ def test_png_decodes_in_jvm_imageio(spark, tmp_path):
             a, r = (argb >> 24) & 0xFF, (argb >> 16) & 0xFF
             g, b = (argb >> 8) & 0xFF, argb & 0xFF
             assert (r, g, b, a) == tuple(int(v) for v in img[y, x]), (x, y)
+
+
+def test_v2_filter_pipeline_message_parses():
+    """Version-2 filter pipeline omits the Name Length field for filter
+    ids < 256 — a spec-compliant v2 deflate message must parse to
+    [(1, level)]."""
+    from modis_aggregation_spark.sinks.hdf5lite import _Reader
+
+    r = _Reader.__new__(_Reader)
+    # ver=2, nfilters=1 | id=1 (deflate), flags=0, ncdv=1, cdv=[6]
+    body = bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6)
+    r._decode_filters(body)
+    assert r.filters == [(1, 6)]
+    # id >= 256 keeps the name-length field (unpadded name in v2)
+    body = bytes([2, 1]) + struct.pack("<HHHH", 300, 2, 0, 1) + b"nm" \
+        + struct.pack("<I", 9)
+    r._decode_filters(body)
+    assert r.filters == [(300, 9)]
+
+
+def test_fletcher32_verifies_and_rejects():
+    from modis_aggregation_spark.sinks.hdf5lite import _Reader, _fletcher32
+
+    payload = bytes(range(256)) * 3 + b"\x07"  # odd length
+    good = payload + struct.pack("<I", _fletcher32(payload))
+    r = _Reader.__new__(_Reader)
+    r.filters = [(3, 0)]
+    assert r._apply_filters(good, 0) == payload
+    bad = bytearray(good)
+    bad[5] ^= 0xFF
+    with pytest.raises(ValueError, match="fletcher32"):
+        r._apply_filters(bytes(bad), 0)
+
+
+def test_hdf_decoder_raises_unconditionally(spark):
+    """decoder=hdf must raise even where netCDF4 might be importable —
+    there is no HDF4 codec, and a conditional gate would silently serve
+    synthetic data from a 'real' path."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    spark.dataSource.register(GranuleDataSource)
+    with pytest.raises(Exception, match="HDF4|not .*implemented|hdf"):
+        (
+            spark.read.format("modis_granules")
+            .option("granule_ids", "1")
+            .option("decoder", "hdf")
+            .load()
+            .count()
+        )
+
+
+def test_png_without_ihdr_raises_value_error(tmp_path):
+    from modis_aggregation_spark.sinks.pnglite import _SIG, _chunk, read_png
+
+    p = tmp_path / "bad.png"
+    p.write_bytes(_SIG + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR"):
+        read_png(str(p))
