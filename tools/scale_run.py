@@ -194,6 +194,56 @@ def run_minhash_curve(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def run_hdf5_scan(spark, n_granules: int, tmp_dir: str | None = None) -> dict:
+    """REAL-file granule scan anchor: write ``n_granules`` physical HDF5
+    granules (5-km swath, hdf5lite), then run the m16-ish shape over a
+    ``decoder=hdf5`` scan — decode px/s for the binary-container path
+    (pure-Python parse per file, Arrow batch out). The fake-decoder curve
+    measures synthesis; this one measures an actual read+parse."""
+    import shutil
+    import tempfile
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        GranuleDataSource,
+        write_granule_hdf5,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GranuleDataSource)
+    d = tmp_dir or tempfile.mkdtemp(prefix="h5granules_")
+    try:
+        ids = [5000 + i for i in range(n_granules)]
+        for g in ids:
+            write_granule_hdf5(d, g, ["ctp"])
+        df = (
+            spark.read.format("modis_granules")
+            .option("granule_ids", ",".join(map(str, ids)))
+            .option("decoder", "hdf5")
+            .option("path", d)
+            .option("variables", "ctp")
+            .load()
+        )
+        spec = default_spec(lat_bounds=(-90.0, 90.0), lon_bounds=(-180.0, 180.0))
+        t0 = time.perf_counter()
+        n_cells = (
+            ops_stats.cell_stats(
+                ops_stats.with_cloud_mask(ops_stats.with_cell(df, spec)), ["ctp"]
+            ).count()
+        )
+        t = time.perf_counter() - t0
+        n_px = n_granules * 406 * 270
+        return {
+            "granules": n_granules,
+            "pixels": n_px,
+            "cells": n_cells,
+            "sec": round(t, 2),
+            "px_per_sec": int(n_px / t),
+        }
+    finally:
+        if tmp_dir is None:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def run_dupspan_curve(spark, sf_dir: str, replicate: int) -> dict:
     """Duplicated-span coverage (x51 shape) at growing corpus size: the
     100 TB claim is that docs/s holds (the three shuffles move only
@@ -481,6 +531,7 @@ def main() -> None:
         "one_km": [run_1km(spark, n) for n in counts],
         "minhash": run_minhash(spark, sf_dir),
         "minhash_curve": [run_minhash_curve(spark, sf_dir, r) for r in (8, 32, 128)],
+        "hdf5_scan": [run_hdf5_scan(spark, n) for n in (8, 32)],
         "dupspan_curve": [run_dupspan_curve(spark, sf_dir, r) for r in (8, 32, 128)],
         "screen": run_screen(spark, sf_dir),
         "pagerank": run_pagerank(spark, sf_dir),
