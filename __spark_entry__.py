@@ -5132,6 +5132,32 @@ FROM g WHERE session_id < last_sid
 """
 
 
+def _q_x58_overlap_matrix(spark, sf_dir):
+    """Cross-source span-contamination matrix
+    (operators/dedup.py:source_overlap_matrix, 8-token spans): distinct
+    shared windows per source pair — the corpus-mix leak report. Spans
+    hash to 64-bit fps Spark-side; the oracle pairs the window STRINGS
+    (fingerprints never reach the output, same discipline as x51)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_dedup.source_overlap_matrix(docs, window=8)
+    return out.select("source_a", "source_b", "shared_windows")
+
+
+_SQL_X58 = rf"""
+WITH t AS (
+  SELECT doc_id, source, {_D_TOKS} AS toks FROM documents
+), w AS (
+  SELECT DISTINCT source, array_to_string(toks[i:i+7], ' ') AS win
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_windows
+FROM w a JOIN w b ON a.win = b.win AND a.source <= b.source
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5215,6 +5241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x55_pmi_collocations": _q_x55_pmi_collocations,
         "x56_pq_codes": _q_x56_pq_codes,
         "x57_pq_adc_topk": _q_x57_pq_adc_topk,
+        "x58_overlap_matrix": _q_x58_overlap_matrix,
         "s8_stream_sessions": _q_s8_stream_sessions,
         # -- deferred to the round-4 window (never recorded; operator
         #    families already driver-green via r5/r6/r8/r15) ------------
@@ -5415,5 +5442,6 @@ def oracle_sql() -> dict[str, str]:
         "x55_pmi_collocations": _SQL_X55,
         "x56_pq_codes": _SQL_X56,
         "x57_pq_adc_topk": _SQL_X57,
+        "x58_overlap_matrix": _SQL_X58,
         "s8_stream_sessions": _SQL_S8,
     }

@@ -374,6 +374,47 @@ def duplicate_window_profile(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    window: int = 8,
+) -> DataFrame:
+    """Cross-source contamination matrix over span fingerprints: for each
+    pair of sources (a <= b), how many DISTINCT ``window``-token spans
+    occur in both — the train/eval (or source/source) overlap report that
+    decides whether a corpus mix leaks.
+
+    Output: (source_a, source_b, shared_windows), one row per source
+    pair with >= 1 shared span (the diagonal counts a source's own
+    distinct spans).
+
+    Scale shape: builds on ``window_fingerprints`` (pass the corpus once;
+    spans hash to 64 bits before any shuffle), reduced to DISTINCT
+    (group, fp) rows — bounded by sources × distinct spans; the pair join
+    keys on fp (skinny self-join, same posture as the LSH buckets) and
+    the final count is a hash agg on the ~|sources|² pair key. Never
+    broadcast: the fp table is unbounded at corpus scale.
+    """
+    fps = window_fingerprints(df, content_col, id_col, window)
+    gsrc = df.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("__g")
+    )
+    gfp = fps.join(gsrc, "doc_id").select("__g", "fp").distinct()
+    lhs, rhs = gfp.alias("l"), gfp.alias("r")
+    return (
+        lhs.join(
+            rhs,
+            on=[F.col("l.fp") == F.col("r.fp"), F.col("l.__g") <= F.col("r.__g")],
+        )
+        .groupBy(
+            F.col("l.__g").alias("source_a"), F.col("r.__g").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
 def incremental_exact_dedup(
     new_batch: DataFrame,
     seen_fingerprints: DataFrame,

@@ -802,3 +802,19 @@ def test_pq_adc_topk_matches_numpy(spark):
             d, i = order[rank - 1]
             assert got[(q, rank)][0] == i
             assert got[(q, rank)][1] == pytest.approx(d, abs=1e-6)
+
+
+def test_source_overlap_matrix(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i", "train"),   # spans [a..h],[b..i]
+            (2, "z a b c d e f g h", "eval"),    # shares [a..h] with train
+            (3, "p q r s t u v w x", "eval"),    # no overlap
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {(r["source_a"], r["source_b"]): r["shared_windows"]
+           for r in D.source_overlap_matrix(docs, window=8).collect()}
+    assert out[("eval", "train")] == 1          # the leaked span
+    assert out[("train", "train")] == 2          # diagonal = own distinct spans
+    assert out[("eval", "eval")] == 4
