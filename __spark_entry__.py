@@ -5158,6 +5158,45 @@ GROUP BY 1, 2
 """
 
 
+def _q_x59_hash_embed(spark, sf_dir):
+    """Feature-hashing document embeddings (operators/tfidf.py:
+    hash_embed, dim=64, exact-int64 token hash): L2-normalized sparse
+    (doc_id, dim, val) rows — the model-free text→vector bridge for the
+    ANN/PQ family. Oracle recomputes the identical polynomial hash,
+    bucket, sign, sums, and norms in DuckDB."""
+    from modis_aggregation_spark.operators.tfidf import hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_embed(docs, dim=64)
+    return out.select("doc_id", "dim", _r6(F.col("val")).alias("val"))
+
+
+_SQL_X59 = rf"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN length(w) >= j THEN ascii(w[j:j]) ELSE 0 END
+                        * CAST(257 ** (7 - j) AS BIGINT)
+                        for j in generate_series(1, 7)]) AS BIGINT) AS hv
+  FROM tok
+), b AS (
+  SELECT doc_id, CAST(hv % 64 AS BIGINT) AS dim,
+         CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sg
+  FROM h
+), s AS (
+  SELECT doc_id, dim, CAST(sum(sg) AS BIGINT) AS sv
+  FROM b GROUP BY 1, 2 HAVING sum(sg) <> 0
+), n AS (
+  SELECT doc_id, sqrt(sum(sv * sv)) AS nr FROM s GROUP BY 1
+)
+SELECT s.doc_id, s.dim, round(sv / nr, 6) AS val
+FROM s JOIN n USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5242,6 +5281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x56_pq_codes": _q_x56_pq_codes,
         "x57_pq_adc_topk": _q_x57_pq_adc_topk,
         "x58_overlap_matrix": _q_x58_overlap_matrix,
+        "x59_hash_embed": _q_x59_hash_embed,
         "s8_stream_sessions": _q_s8_stream_sessions,
         # -- deferred to the round-4 window (never recorded; operator
         #    families already driver-green via r5/r6/r8/r15) ------------
@@ -5443,5 +5483,6 @@ def oracle_sql() -> dict[str, str]:
         "x56_pq_codes": _SQL_X56,
         "x57_pq_adc_topk": _SQL_X57,
         "x58_overlap_matrix": _SQL_X58,
+        "x59_hash_embed": _SQL_X59,
         "s8_stream_sessions": _SQL_S8,
     }

@@ -269,6 +269,65 @@ def pmi_collocations(
     )
 
 
+def hash_embed(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick, Weinberger
+    et al. 2009): each token maps to ``bucket = h(token) mod dim`` with a
+    ±1 sign from the next hash bit; per-doc bucket sums are L2-normalized.
+    The model-free text→vector bridge that makes the ANN/PQ family
+    (cosine_topk, semdedup, pq_assign) applicable to raw text.
+
+    Output: sparse rows (doc_id, dim, val) — only non-zero components
+    (cancelled buckets are dropped), ||v||₂ = 1 per doc.
+
+    The token hash is the exact-int64 polynomial over the first 7 chars
+    (missing chars contribute 0): Σ ascii(c_j)·257^(6-j) — bounded below
+    2⁶³ so ANY engine computing the same sum matches bit-for-bit (same
+    oracle-portability trade as ``_gram_hash``/``cdc_chunks``; xxhash
+    would be stronger but unverifiable).
+
+    Scale shape: tokenize → explode → pure-Catalyst hash/bucket/sign →
+    ONE hash agg keyed (doc_id, bucket) (map-side combine collapses
+    repeated tokens) → per-doc norm agg + shuffle join keyed doc_id.
+    No UDFs, no vocabulary state, nothing broadcast.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+    )
+    tok = staged.select("doc_id", F.explode("__toks").alias("__w"))
+    h = None
+    for j in range(7):
+        term = F.when(
+            F.length("__w") > j,
+            F.ascii(F.col("__w").substr(j + 1, 1)) * F.lit(257 ** (6 - j)),
+        ).otherwise(F.lit(0))
+        h = term if h is None else h + term
+    hashed = tok.select(
+        "doc_id", h.cast("long").alias("__h")
+    ).select(
+        "doc_id",
+        F.pmod(F.col("__h"), F.lit(dim)).cast("long").alias("dim"),
+        F.when(
+            F.pmod(F.expr(f"__h div {dim}"), F.lit(2)) == 0, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("__sg"),
+    )
+    sums = (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("__sg").alias("__sv"))
+        .filter(F.col("__sv") != 0)
+    )
+    norms = sums.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("__sv") * F.col("__sv"))).alias("__nr")
+    )
+    return sums.join(norms, "doc_id").select(
+        "doc_id", "dim", (F.col("__sv") / F.col("__nr")).alias("val")
+    )
+
+
 def bigram_lm(
     docs: DataFrame,
     content_col: str = "text",

@@ -818,3 +818,31 @@ def test_source_overlap_matrix(spark):
     assert out[("eval", "train")] == 1          # the leaked span
     assert out[("train", "train")] == 2          # diagonal = own distinct spans
     assert out[("eval", "eval")] == 4
+
+
+def test_hash_embed_properties(spark):
+    import math
+
+    from modis_aggregation_spark.operators.tfidf import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple"), (3, "zebra yak")],
+        ["doc_id", "text"],
+    )
+    rows = hash_embed(docs, dim=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["val"]
+    # unit norm per doc
+    for d, v in by_doc.items():
+        assert math.isqrt(0) == 0 and abs(sum(x * x for x in v.values()) - 1) < 1e-9
+    # same token -> same bucket: doc 2's single component is doc 1's
+    # dominant direction (apple count 2 vs banana 1)
+    (b2, v2), = by_doc[2].items()
+    assert b2 in by_doc[1]
+    assert abs(abs(by_doc[1][b2]) - 2 / math.sqrt(5)) < 1e-9 or \
+        abs(abs(by_doc[1][b2]) - 1 / math.sqrt(2)) < 1e-9  # unless banana collides
+    # deterministic
+    again = {(r["doc_id"], r["dim"]): r["val"]
+             for r in hash_embed(docs, dim=16).collect()}
+    assert again == {(r["doc_id"], r["dim"]): r["val"] for r in rows}
