@@ -5178,7 +5178,8 @@ WITH t AS (
   SELECT doc_id, unnest(toks) AS w FROM t
 ), h AS (
   SELECT doc_id,
-         CAST(list_sum([CASE WHEN length(w) >= j THEN ascii(w[j:j]) ELSE 0 END
+         CAST(list_sum([CASE WHEN length(w) >= j
+                             THEN ascii(w[j:j]) % 257 ELSE 0 END
                         * CAST(257 ** (7 - j) AS BIGINT)
                         for j in generate_series(1, 7)]) AS BIGINT) AS hv
   FROM tok

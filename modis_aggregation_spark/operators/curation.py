@@ -81,8 +81,15 @@ def _gram_hash(norm: Column, i, k: int) -> Column:
     exactly, so ANY engine computing the same sum matches bit-for-bit
     (the reason this fingerprint family is oracle-checkable while
     xxhash-based MinHash is not)."""
+    # ascii() is cast to LONG before the multiply: small powers of 257 are
+    # IntegerType literals, and an int32 product overflows (ANSI error /
+    # silent wrap) for codepoints >= 127 — the sum itself is unchanged for
+    # the ASCII range the recorded oracles cover. Astral-plane codepoints
+    # (> 0xFFFF) can still exceed int64 at high coefficients; hash_embed
+    # uses the clamped variant for full-Unicode inputs.
     terms = [
-        F.ascii(norm.substr(i + j, F.lit(1))) * F.lit(_B ** (k - 1 - j))
+        F.ascii(norm.substr(i + j, F.lit(1))).cast("long")
+        * F.lit(_B ** (k - 1 - j))
         for j in range(k)
     ]
     return reduce(lambda a, b: a + b, terms).cast("long")

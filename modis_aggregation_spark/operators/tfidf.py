@@ -285,10 +285,15 @@ def hash_embed(
     (cancelled buckets are dropped), ||v||₂ = 1 per doc.
 
     The token hash is the exact-int64 polynomial over the first 7 chars
-    (missing chars contribute 0): Σ ascii(c_j)·257^(6-j) — bounded below
-    2⁶³ so ANY engine computing the same sum matches bit-for-bit (same
-    oracle-portability trade as ``_gram_hash``/``cdc_chunks``; xxhash
-    would be stronger but unverifiable).
+    (missing chars contribute 0): Σ (codepoint(c_j) mod 257)·257^(6-j).
+    The mod-257 CLAMP bounds every term below 256·257⁶ so the sum stays
+    under 2⁶³ for ANY Unicode input (unclamped, an astral-plane codepoint
+    at a high coefficient overflows int64 — the reason this deliberately
+    differs from ``curation._gram_hash``, whose unclamped form is frozen
+    by recorded oracles and safe on its normalized-ASCII domain). All
+    arithmetic is LONG; any engine computing the same sum matches
+    bit-for-bit (same oracle-portability trade as the gram-hash family;
+    xxhash would be stronger but unverifiable).
 
     Scale shape: tokenize → explode → pure-Catalyst hash/bucket/sign →
     ONE hash agg keyed (doc_id, bucket) (map-side combine collapses
@@ -301,10 +306,10 @@ def hash_embed(
     tok = staged.select("doc_id", F.explode("__toks").alias("__w"))
     h = None
     for j in range(7):
+        cp = F.pmod(F.ascii(F.col("__w").substr(j + 1, 1)).cast("long"), F.lit(257))
         term = F.when(
-            F.length("__w") > j,
-            F.ascii(F.col("__w").substr(j + 1, 1)) * F.lit(257 ** (6 - j)),
-        ).otherwise(F.lit(0))
+            F.length("__w") > j, cp * F.lit(257 ** (6 - j)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         h = term if h is None else h + term
     hashed = tok.select(
         "doc_id", h.cast("long").alias("__h")

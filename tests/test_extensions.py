@@ -820,29 +820,44 @@ def test_source_overlap_matrix(spark):
     assert out[("eval", "eval")] == 4
 
 
-def test_hash_embed_properties(spark):
+def _py_hash_embed(texts: dict, dim: int):
+    """Python reference of hash_embed's clamped polynomial + signing."""
     import math
 
+    out = {}
+    for did, text in texts.items():
+        sums: dict = {}
+        for w in text.lower().split():
+            h = sum(
+                (ord(w[j]) % 257) * 257 ** (6 - j)
+                for j in range(min(len(w), 7))
+            )
+            b, sg = h % dim, 1 if (h // dim) % 2 == 0 else -1
+            sums[b] = sums.get(b, 0) + sg
+        sums = {b: s for b, s in sums.items() if s != 0}
+        nr = math.sqrt(sum(s * s for s in sums.values()))
+        out[did] = {b: s / nr for b, s in sums.items()}
+    return out
+
+
+def test_hash_embed_matches_python_reference(spark):
     from modis_aggregation_spark.operators.tfidf import hash_embed
 
-    docs = spark.createDataFrame(
-        [(1, "apple banana apple"), (2, "apple"), (3, "zebra yak")],
-        ["doc_id", "text"],
-    )
-    rows = hash_embed(docs, dim=16).collect()
-    by_doc = {}
-    for r in rows:
-        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["val"]
-    # unit norm per doc
-    for d, v in by_doc.items():
-        assert math.isqrt(0) == 0 and abs(sum(x * x for x in v.values()) - 1) < 1e-9
-    # same token -> same bucket: doc 2's single component is doc 1's
-    # dominant direction (apple count 2 vs banana 1)
-    (b2, v2), = by_doc[2].items()
-    assert b2 in by_doc[1]
-    assert abs(abs(by_doc[1][b2]) - 2 / math.sqrt(5)) < 1e-9 or \
-        abs(abs(by_doc[1][b2]) - 1 / math.sqrt(2)) < 1e-9  # unless banana collides
-    # deterministic
-    again = {(r["doc_id"], r["dim"]): r["val"]
-             for r in hash_embed(docs, dim=16).collect()}
-    assert again == {(r["doc_id"], r["dim"]): r["val"] for r in rows}
+    texts = {
+        1: "apple banana apple",
+        2: "apple",
+        3: "zebra yak",
+        4: "café naïve \U0001f600token",  # non-ASCII + astral plane
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {}
+    for r in hash_embed(docs, dim=16).collect():
+        got.setdefault(r["doc_id"], {})[r["dim"]] = r["val"]
+    want = _py_hash_embed(texts, 16)
+    assert set(got) == set(want)
+    for did in want:
+        assert set(got[did]) == set(want[did]), did
+        for b, v in want[did].items():
+            assert got[did][b] == pytest.approx(v), (did, b)
+        # unit norm
+        assert sum(x * x for x in got[did].values()) == pytest.approx(1.0)

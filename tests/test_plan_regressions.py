@@ -283,3 +283,30 @@ def test_x57_adc_codes_never_shuffle_for_scoring(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan          # map-side combine of the m rows
     assert "WindowGroupLimit" in plan     # rank <= k pushed below exchange
+
+
+def test_x58_overlap_fp_join_never_broadcast(spark):
+    """Span-contamination matrix: the (source, fp) pair join keys on fp
+    with NO broadcast hint — the fp table is unbounded at corpus scale —
+    and the text column never shuffles."""
+    df = entry.queries()["x58_overlap_matrix"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert logical.count("ResolvedHint") == 0
+    assert "strategy=broadcast" not in logical
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("text" not in l for l in exch)
+
+
+def test_x59_hash_embed_pure_catalyst(spark):
+    """Feature hashing: no Python boundary (no Arrow/batch eval nodes),
+    no broadcast hints, no cartesian — one (doc, bucket) agg plus the
+    doc-keyed norm join."""
+    df = entry.queries()["x59_hash_embed"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert logical.count("ResolvedHint") == 0
+    assert "partial_sum" in plan  # map-side combine of repeated tokens
