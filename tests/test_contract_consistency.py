@@ -19,18 +19,25 @@ def test_oracle_keys_subset_of_queries():
     assert set(qs) - set(osql) == ROWS_ONLY
 
 
-def test_rotation_window_has_no_recorded_queries():
-    """CLAUDE.md rule 7: the first 50 dict entries must all be queries
-    with no row in any committed CORRECTNESS_r*.json."""
+def test_rotation_orders_unrecorded_queries_first():
+    """CLAUDE.md rule 7: every query with no row in any committed
+    CORRECTNESS_r*.json must precede every already-recorded query in
+    queries() dict order, so the driver's 50-slot window always captures
+    all unrecorded queries before spending slots on re-confirmation.
+    (Once fewer than 50 unrecorded remain, recorded queries legitimately
+    fill the window's tail.)"""
     import glob
     import json
 
     recorded = set()
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         recorded |= set(json.load(open(path)))
-    window = list(entry.queries())[:50]
-    overlap = recorded & set(window)
-    assert not overlap, f"recorded queries inside the window: {sorted(overlap)}"
+    qs = list(entry.queries())
+    first_recorded = next((i for i, q in enumerate(qs) if q in recorded), len(qs))
+    stragglers = [q for q in qs[first_recorded:] if q not in recorded]
+    assert not stragglers, (
+        f"unrecorded queries ordered after recorded ones: {stragglers}"
+    )
 
 
 def test_coverage_mentions_every_extension_query():
