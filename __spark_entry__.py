@@ -4790,6 +4790,57 @@ FROM t LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_x60_dup_spans_materialized(spark, sf_dir):
+    """Materialized-fingerprint variant of x51: ``window_fingerprints``
+    is written once to parquet (the 100 TB posture — the skinny ~16 B/
+    token fp table is the reusable artifact, same pattern as
+    ``minhash_signatures``) and ``duplicate_window_profile`` consumes it
+    via ``fingerprints=``, so the profile plan scans the documents table
+    exactly ONCE (locked in tests/test_plan_regressions.py) instead of
+    re-tokenizing the corpus up to three times. window=6 so the recorded
+    rows differ from x51's window=8."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    fp_path = tempfile.mkdtemp(prefix="x60_fps_") + "/fps.parquet"
+    ops_dedup.window_fingerprints(docs, window=6).write.mode(
+        "overwrite"
+    ).parquet(fp_path)
+    fps = spark.read.parquet(fp_path)
+    out = ops_dedup.duplicate_window_profile(
+        docs, window=6, fingerprints=fps
+    )
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        _r6(F.col("dup_ratio")).alias("dup_ratio"),
+    )
+
+
+_SQL_X60 = rf"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), w AS (
+  SELECT doc_id, array_to_string(toks[i:i+5], ' ') AS win
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 5)) AS u(i)
+  WHERE len(toks) >= 6
+), d AS (
+  SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM w JOIN d USING (win) GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(per.n_windows, 0) AS n_windows,
+       coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+       round(per.n_dup_windows * 1.0 / per.n_windows, 6) AS dup_ratio
+FROM t LEFT JOIN per USING (doc_id)
+"""
+
+
 def _q_x52_semdedup(spark, sf_dir):
     """SemDeDup (operators/similarity.py:semdedup): cluster by the same
     reproducible k-means centroids as x9, flag within-cluster pairs with
@@ -5267,6 +5318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r40_range_frame": _q_r40_range_frame,
         "r41_bag_setops": _q_r41_bag_setops,
         "r42_null_semantics": _q_r42_null_semantics,
+        # -- round-4 additions (never recorded) -------------------------
+        "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -5514,4 +5567,5 @@ def oracle_sql() -> dict[str, str]:
         "x58_overlap_matrix": _SQL_X58,
         "x59_hash_embed": _SQL_X59,
         "s8_stream_sessions": _SQL_S8,
+        "x60_dup_spans_materialized": _SQL_X60,
     }

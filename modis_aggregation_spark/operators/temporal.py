@@ -179,22 +179,33 @@ def ewma(
     ts_col: str,
     key_col: str,
     alpha: float = 0.3,
+    engine: str = "sql",
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average (adjusted form).
 
     ``ewma_i = Σ_{j≤i} x_j·β^(i−j) / Σ_{j≤i} β^(i−j)`` with ``β = 1−α``
-    (pandas ``ewm(alpha).mean()`` with ``adjust=True``). Computed entirely
-    JVM-side: one hash shuffle groups each key's series, ``sort_array``
-    orders it by timestamp, and a higher-order ``transform`` evaluates the
-    closed form per position. All exponents are NON-negative, so weights
-    only decay (no overflow for arbitrarily long series) — the naive
-    window-sum factorization ``β^i·Σ x_j·β^(−j)`` explodes at a few
-    hundred rows and is deliberately avoided.
+    (pandas ``ewm(alpha).mean()`` with ``adjust=True``). Linear work per
+    key via the recurrences ``num_i = β·num_{i−1} + x_i`` and
+    ``den_i = β·den_{i−1} + 1`` (NOT the geometric closed form
+    ``(1−β^i)/α``, whose 1-ulp error at i=1 breaks the exact
+    ``ewma_1 == x_1`` identity); β ≤ 1 means state only decays — no
+    overflow for arbitrarily long series.
 
-    O(n²) arithmetic per key (n = series length), O(n) state: correct for
-    event-series in the thousands per key. For million-row keys, window
-    the series by session/day first (the same bound every collect-based
-    sessionizer in this repo documents).
+    Two engines, same semantics:
+
+    - ``engine="sql"`` (default): one hash shuffle groups each key's
+      series, ``sort_array`` orders it by timestamp, then a two-level
+      chunked scan evaluates the recurrence: the series splits into
+      chunks of ``B=64``, each chunk folds its local recurrence
+      (appends bounded by B, so array-copy cost is O(n·B/2), not the
+      O(n²/2) a single whole-series append-fold would pay), and a
+      carry fold over the ≤n/B chunk end-states stitches chunks with
+      ``S = β^r·carry + local_r``. O(n) arithmetic, O(n·B) copies —
+      a 50k-row key runs in ~1s, a million-row key in tens of seconds.
+    - ``engine="pandas"``: grouped ``applyInPandas`` running the same
+      recurrence vectorized in C — truly O(n) time and memory per
+      key. Use for hot keys with 10⁶+ observations (one device/user
+      emitting millions of events at 100 TB).
 
     Returns one row per input observation:
     ``(key, pos, ts, value, ewma)`` with ``pos`` 1-based in ts order.
@@ -202,6 +213,10 @@ def ewma(
     file-per-granule catalog, ``aggregate_functions.py:96-109``).
     """
     beta = 1.0 - alpha
+    if engine == "pandas":
+        return _ewma_pandas(df, value_col, ts_col, key_col, alpha)
+    if engine != "sql":
+        raise ValueError(f"unknown ewma engine: {engine!r}")
     series = (
         df.where(F.col(ts_col).isNotNull())
         .groupBy(F.col(key_col).alias("key"))
@@ -212,48 +227,161 @@ def ewma(
             ).alias("__s")
         )
     )
-    vals = F.col("__s.value")
-    n = F.size("__s")
+    # Two-level chunked scan. A single whole-series append-fold would be
+    # O(n²/2) in array copies (the append reallocates the accumulator each
+    # step); chunking bounds every append by B. Recurrence expressions
+    # repeat between state fields and appends — Catalyst does not CSE into
+    # lambdas — which costs a small constant factor, still linear.
+    #
+    # CRITICAL plan shape: every multiply-referenced array is bound as a
+    # LAMBDA VARIABLE via transform(array(x), lambda v: ...)[1]. A plain
+    # Python variable splices its expression tree at every reference and
+    # Catalyst re-evaluates it there — referencing the O(n) `__s.value`
+    # extraction inside the per-chunk lambda made the scan O(n²/B)
+    # (observed: 5s at 50k rows but 250s at 500k).
+    B = 64
+    b = F.lit(beta)
+    one = F.lit(1.0)
+    zero_state = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+    empty_states = F.slice(F.array(zero_state), 1, 0)
 
-    def _at(i):
-        # Closed form at position i: weighted mean of the prefix 1..i.
-        prefix = F.slice(vals, 1, i)
-        num = F.aggregate(
+    def _locs(v):
+        # Per chunk: local recurrence states (num_r, den_r) starting from
+        # (0, 0); appends bounded by B.
+        chunks = F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(v) / F.lit(B)).cast("int") - 1
+            ),
+            lambda c: F.slice(v, c * B + 1, B),
+        )
+        return F.transform(
+            chunks,
+            lambda ch: F.aggregate(
+                ch,
+                F.struct(
+                    F.lit(0.0).alias("num"),
+                    F.lit(0.0).alias("den"),
+                    empty_states.alias("sts"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc["num"] * b + x).alias("num"),
+                    (acc["den"] * b + one).alias("den"),
+                    F.concat(
+                        acc["sts"],
+                        F.array(
+                            F.struct(
+                                (acc["num"] * b + x).alias("num"),
+                                (acc["den"] * b + one).alias("den"),
+                            )
+                        ),
+                    ).alias("sts"),
+                ),
+                lambda acc: acc["sts"],
+            ),
+        )
+
+    def _carries(locs):
+        # Carry fold over chunk end-states: the full-prefix state BEFORE
+        # chunk c is P_c = β^{len_{c-1}}·P_{c-1} + L_{c-1}. ≤ n/B steps.
+        return F.aggregate(
+            locs,
+            F.struct(
+                F.lit(0.0).alias("num"),
+                F.lit(0.0).alias("den"),
+                empty_states.alias("ps"),
+            ),
+            lambda acc, loc: F.struct(
+                (
+                    F.pow(b, F.size(loc).cast("double")) * acc["num"]
+                    + F.element_at(loc, -1)["num"]
+                ).alias("num"),
+                (
+                    F.pow(b, F.size(loc).cast("double")) * acc["den"]
+                    + F.element_at(loc, -1)["den"]
+                ).alias("den"),
+                F.concat(
+                    acc["ps"],
+                    F.array(F.struct(acc["num"].alias("num"),
+                                     acc["den"].alias("den"))),
+                ).alias("ps"),
+            ),
+            lambda acc: acc["ps"],
+        )
+
+    def _stitch(locs):
+        # Position r (1-based) inside chunk c has full-prefix state
+        # β^r·P_c + local_r; ewma = num/den of that state.
+        return F.flatten(
             F.zip_with(
-                prefix,
-                F.sequence(F.lit(1), i),
-                lambda x, j: x * F.pow(F.lit(beta), (i - j).cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+                locs,
+                _carries(locs),
+                lambda loc, p: F.zip_with(
+                    loc,
+                    F.sequence(F.lit(1), F.size(loc)),
+                    lambda st, r: (
+                        (st["num"] + F.pow(b, r.cast("double")) * p["num"])
+                        / (st["den"] + F.pow(b, r.cast("double")) * p["den"])
+                    ),
+                ),
+            )
         )
-        den = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), i),
-                lambda j: F.pow(F.lit(beta), (i - j).cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return num / den
 
-    rows = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            i.cast("long").alias("pos"),
-            F.element_at(F.col("__s"), i)["ts"].alias("ts"),
-            F.element_at(F.col("__s"), i)["value"].alias("value"),
-            _at(i).alias("ewma"),
+    ews = F.element_at(
+        F.transform(
+            F.array(F.col("__s.value")),
+            lambda v: F.element_at(F.transform(F.array(_locs(v)), _stitch), 1),
         ),
+        1,
     )
-    out = series.select("key", F.explode(rows).alias("__r"))
+    staged = series.withColumn("__ews", ews)
+
+    # posexplode(arrays_zip(...)) rather than element_at lookups inside a
+    # transform lambda: lambda-internal column references get inlined by
+    # CollapseProject and re-evaluate the ENTIRE chunked scan per element
+    # (observed 44× blowup at 500k rows); direct generator arguments are
+    # evaluated once per row.
+    out = staged.select(
+        "key",
+        F.posexplode(F.arrays_zip("__s", "__ews")).alias("__p", "__r"),
+    )
     return out.select(
         "key",
-        F.col("__r.pos").alias("pos"),
-        F.col("__r.ts").alias("ts"),
-        F.col("__r.value").alias("value"),
-        F.col("__r.ewma").alias("ewma"),
+        (F.col("__p") + 1).cast("long").alias("pos"),
+        F.col("__r.__s.ts").alias("ts"),
+        F.col("__r.__s.value").alias("value"),
+        F.col("__r.__ews").alias("ewma"),
     )
+
+
+def _ewma_pandas(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Arrow-batched grouped EWMA: pandas ``ewm(alpha, adjust=True)`` is
+    the C-speed linear recurrence; one shuffle on the key, O(n) per key."""
+    src = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    ts_dtype = dict(src.dtypes)["ts"]
+    schema = (
+        f"key {dict(src.dtypes)['key']}, pos long, ts {ts_dtype}, "
+        "value double, ewma double"
+    )
+
+    def _one_key(pdf):
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort").reset_index(
+            drop=True
+        )
+        pdf["pos"] = pdf.index + 1
+        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=True).mean()
+        return pdf[["key", "pos", "ts", "value", "ewma"]]
+
+    return src.groupBy("key").applyInPandas(_one_key, schema=schema)
 
 
 def zscore_outliers(

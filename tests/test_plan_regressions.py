@@ -299,6 +299,21 @@ def test_x58_overlap_fp_join_never_broadcast(spark):
     assert exch and all("text" not in l for l in exch)
 
 
+def test_x60_materialized_fps_single_corpus_scan(spark):
+    """Materialized-fingerprint span profile: passing ``fingerprints=``
+    from parquet must collapse the 3× corpus scan (x51's documented
+    caveat) to exactly ONE documents scan — the final doc_id roll-up —
+    with every other input read from the skinny fp table."""
+    df = entry.queries()["x60_dup_spans_materialized"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("fps.parquet") >= 1  # profile feeds off the artifact
+    assert "CartesianProduct" not in plan
+    # the fp-count join stays a shuffle join (fp table unbounded at scale)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("ResolvedHint") == 0
+
+
 def test_x59_hash_embed_pure_catalyst(spark):
     """Feature hashing: no Python boundary (no Arrow/batch eval nodes),
     no broadcast hints, no cartesian — one (doc, bucket) agg plus the

@@ -44,6 +44,52 @@ def test_ewma_single_point_and_tie_order(spark):
     assert out[(2, 1)][0] == 1.0 and out[(2, 2)][0] == 3.0
 
 
+def test_ewma_pandas_engine_matches_sql_engine(spark):
+    rows = [(1, float(i), v) for i, v in enumerate([10.0, 20.0, 5.0, 5.0, 40.0])]
+    rows += [(2, float(i), v) for i, v in enumerate([1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    a = {(r.key, r.pos): r.ewma
+         for r in ewma(df, "v", "ts", "k", alpha=0.4).collect()}
+    b = {(r.key, r.pos): r.ewma
+         for r in ewma(df, "v", "ts", "k", alpha=0.4, engine="pandas").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+    with pytest.raises(ValueError, match="engine"):
+        ewma(df, "v", "ts", "k", engine="nope")
+
+
+def test_ewma_linear_complexity_50k_single_key(spark):
+    """Scale regression: the pre-round-4 closed form was O(n²) arithmetic
+    per key (2.5e9 pow() calls at n=50k — minutes); the recurrence fold
+    must push a 50k-row single-key series through in seconds. The answer
+    is cross-checked against pandas at both ends of the series."""
+    import time
+
+    pd = pytest.importorskip("pandas")
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit(1).alias("k"),
+        F.col("id").cast("double").alias("ts"),
+        (F.sin(F.col("id").cast("double")) * 10.0).alias("v"),
+    )
+    t0 = time.monotonic()
+    out = (
+        ewma(df, "v", "ts", "k", alpha=0.3)
+        .orderBy("pos")
+        .select("pos", "value", "ewma")
+        .collect()
+    )
+    wall = time.monotonic() - t0
+    assert len(out) == n
+    assert wall < 30.0, f"50k-row EWMA took {wall:.1f}s — quadratic regression?"
+    ref = (
+        pd.Series([r.value for r in out]).ewm(alpha=0.3, adjust=True).mean()
+    )
+    for pos in (0, 1, 2, n // 2, n - 1):
+        assert out[pos].ewma == pytest.approx(ref.iloc[pos], abs=1e-9)
+
+
 def test_zscore_outliers_flags_only_extremes(spark):
     rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 50]] + [("b", 5.0)]
     df = spark.createDataFrame(rows, ["k", "v"])
