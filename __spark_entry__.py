@@ -3397,6 +3397,105 @@ GROUP BY 1
 """
 
 
+_HDF4_IDS = list(range(4000, 4006))
+_HDF4_DIR = "/tmp/spark_graft_hdf4_granules_4000_4005"
+_FIXTURE_S9 = "/tmp/spark_graft_hdf4_twin_4000_4005.parquet"
+
+
+def _ensure_s9_fixture() -> str:
+    """Materialize 6 REAL HDF4 granule files (classic-DFTAG containers
+    written by ``sinks/hdf4lite.py`` in the MYD06 shape) plus a parquet
+    twin of the same content so the DuckDB oracle reads byte-identical
+    rows to what ``decoder=hdf`` physically decodes (the decode is proven
+    row-identical to ``synth_granule`` in tests/test_hdf4_codec.py)."""
+    if os.path.exists(_FIXTURE_S9) and os.path.isdir(_HDF4_DIR):
+        return _HDF4_DIR
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        synth_granule,
+        write_granule_hdf4,
+    )
+
+    tmp_dir = f"{_HDF4_DIR}.{os.getpid()}.tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    tables = []
+    for gid in _HDF4_IDS:
+        write_granule_hdf4(tmp_dir, gid, ["ctp"])
+        data = synth_granule(gid, ["ctp"])
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S9}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S9)
+    try:
+        os.replace(tmp_dir, _HDF4_DIR)
+    except OSError:
+        pass  # concurrent creator won the rename; its files are identical
+    return _HDF4_DIR
+
+
+def _q_s9_hdf4_scan(spark, sf_dir):
+    """The original-container scan path end-to-end: REAL HDF4 granule
+    files (the MYD06/MYD03 container format, reference
+    ``aggregate_functions.py:124-223``) decoded per file by the bundled
+    classic-DFTAG codec — fill→NaN + ``(raw − add_offset) ×
+    scale_factor`` calibration — then the daily-grid cell aggregation.
+    Oracle reads the parquet twin of the same granule content."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    hdf_dir = _ensure_s9_fixture()
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _HDF4_IDS))
+        .option("decoder", "hdf")
+        .option("path", hdf_dir)
+        .option("variables", "ctp")
+        .load()
+    )
+    spec = default_spec()
+    px = ops_stats.with_cloud_mask(ops_stats.with_cell(df, spec))
+    cm = F.col("cm")
+    return px.groupBy("cell").agg(
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        F.count("ctp").alias("ctp_count"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        F.sum(F.when(cm.between(0, 1), 1).otherwise(0)).cast("long").alias("cld_pix"),
+        F.sum(F.when(cm.between(0, 3), 1).otherwise(0)).cast("long").alias("tot_pix"),
+    )
+
+
+_SQL_S9 = f"""
+WITH t AS (
+  SELECT * FROM read_parquet('{_FIXTURE_S9}')
+  WHERE lat > -90.0 AND lat < 90.0 AND lon > -180.0 AND lon < 180.0
+)
+SELECT CAST(FLOOR((lat - -90.0) / 1.0) AS BIGINT) * 360
+         + CAST(FLOOR((lon - -180.0) / 1.0) AS BIGINT) AS cell,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       count(ctp) AS ctp_count,
+       round(avg(ctp), 6) AS ctp_mean,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+       CAST(sum(CASE WHEN {_CM} BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix
+FROM t
+GROUP BY 1
+"""
+
+
 def _q_x30_dedup_canonical(spark, sf_dir):
     """End-to-end near-dup dedup: the x4 n-gram-Jaccard pair graph →
     exact connected components (x23) → keep the minimum doc_id of every
@@ -5320,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r42_null_semantics": _q_r42_null_semantics,
         # -- round-4 additions (never recorded) -------------------------
         "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
+        "s9_hdf4_scan": _q_s9_hdf4_scan,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -5568,4 +5668,5 @@ def oracle_sql() -> dict[str, str]:
         "x59_hash_embed": _SQL_X59,
         "s8_stream_sessions": _SQL_S8,
         "x60_dup_spans_materialized": _SQL_X60,
+        "s9_hdf4_scan": _SQL_S9,
     }

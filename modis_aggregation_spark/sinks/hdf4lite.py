@@ -1,0 +1,451 @@
+"""Minimal pure-Python HDF4 (classic DFTAG format) reader + writer.
+
+Why this exists: the reference's ACTUAL inputs are HDF4-EOS granules
+(``MYD06_L2*.hdf`` / ``MYD03*.hdf``, read via netCDF4's HDF4 support at
+reference ``MODIS_Aggregation/aggregate_functions.py:124-223``), but this
+container has no pyhdf/netCDF4, so the engine's ``decoder=hdf`` scan path
+was gated behind a NotImplementedError through round 3. This module
+implements the subset of the public HDF4 specification the reference
+actually touches — named SDS arrays plus their per-variable attributes
+(``units``, ``scale_factor``, ``add_offset``, ``long_name``,
+``_FillValue`` — ``readEntry``, reference ``aggregate_functions.py:99-122``)
+— and un-gates that path:
+
+* the 4-byte magic + chained data-descriptor (DD) blocks;
+* number-type records (DFTAG_NT): IEEE floats, big-endian ints, char8;
+* scientific datasets: DFTAG_SDD dimension records + DFTAG_SD raw data,
+  grouped by DFTAG_NDG numeric data groups;
+* the SD-API (netCDF-model) metadata layer: Vgroups (DFTAG_VG, classes
+  ``Var0.0`` / ``CDF0.0``) naming each SDS, and attributes stored as
+  one-record Vdatas (DFTAG_VH/DFTAG_VS, class ``Attr0.0``, single
+  ``VALUES`` field) — the layout libmfhdf reads variables/attributes from;
+* old-style DFSD fallback on read: an NDG outside any ``Var0.0`` vgroup
+  is named from its DFTAG_SDL label when present.
+
+Deliberately NOT implemented (honest gate, raises with a clear message):
+extended/special elements (tag bit 0x4000 — linked-block, external,
+compressed, and chunked storage). Archived NASA MODIS granules are
+usually chunked+deflated; there is no such ground-truth file in this
+environment to validate those layouts against, and a guessed decoder
+that silently mis-parses real data would be worse than a loud gate.
+Contiguous classic layout — what this writer emits — round-trips fully.
+
+Validation: no HDF4 sample ships with the reference (only HDF5/netCDF
+outputs, which ``sinks/hdf5lite.py`` reads against ground truth), so the
+proof pattern is the same as the round-3 HDF5 path: writer→reader
+round-trip plus a ``decoder=hdf`` granule scan proven row-identical to
+the parquet/fake decoder on identical content, and MYD06-style
+int16+scale/offset calibration decoded through ``functions/decode.py``.
+The emitted structures follow the public spec byte-for-byte and are
+intended to be readable by pyhdf/libmfhdf, but that cross-read is not
+verifiable in this container (no pyhdf) — mirrored from the hdf5lite
+caveat in ADVICE.md.
+
+No code is derived from pyhdf, libmfhdf, or the reference — written from
+the public HDF4 Specification and File Format document
+(https://support.hdfgroup.org/documentation/ → HDF 4.2 File Format).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAGIC = b"\x0e\x03\x13\x01"
+
+TAG_NULL = 1
+TAG_VERSION = 30
+TAG_NT = 106
+TAG_SDD = 701
+TAG_SD = 702
+TAG_SDL = 704
+TAG_SDU = 705
+TAG_NDG = 720
+TAG_CAL = 731
+TAG_VH = 1962
+TAG_VS = 1963
+TAG_VG = 1965
+
+SPECIAL_BIT = 0x4000  # extended tag: special (linked/external/comp/chunked)
+
+# DFNT number-type codes → (numpy big-endian dtype, bit width, class).
+# Classes per the spec: IEEE=1 for floats, MBO (big-endian)=1 for ints,
+# ASCII=1 for char8.
+_DFNT = {
+    3: ">u1",   # DFNT_UCHAR8
+    4: "S1",    # DFNT_CHAR8
+    5: ">f4",   # DFNT_FLOAT32
+    6: ">f8",   # DFNT_FLOAT64
+    20: ">i1",  # DFNT_INT8
+    21: ">u1",  # DFNT_UINT8
+    22: ">i2",  # DFNT_INT16
+    23: ">u2",  # DFNT_UINT16
+    24: ">i4",  # DFNT_INT32
+    25: ">u4",  # DFNT_UINT32
+}
+_NP_TO_DFNT = {
+    "f4": 5, "f8": 6, "i1": 20, "u1": 21,
+    "i2": 22, "u2": 23, "i4": 24, "u4": 25,
+}
+
+_VAR_CLASS = b"Var0.0"
+_ATTR_CLASS = b"Attr0.0"
+_CDF_CLASS = b"CDF0.0"
+_DIM_CLASS = b"Dim0.0"
+_ATTR_FIELD = b"VALUES"
+_VSET_VERSION = 3
+
+
+def _dfnt_of(dt: np.dtype) -> int:
+    key = f"{dt.kind}{dt.itemsize}"
+    if key not in _NP_TO_DFNT:
+        raise TypeError(f"unsupported dtype for HDF4 SDS: {dt}")
+    return _NP_TO_DFNT[key]
+
+
+@dataclass
+class H4Dataset:
+    """One SDS: raw (uncalibrated) data + its attribute dict. Scale/offset
+    calibration is left to the caller (``functions/decode.py`` implements
+    the reference's ``(raw − add_offset) × scale_factor`` HDF convention,
+    reference ``aggregate_functions.py:103-105,137-139``)."""
+
+    name: str
+    shape: tuple[int, ...]
+    dfnt: int
+    attrs: dict = field(default_factory=dict)
+    data: np.ndarray | None = None
+
+
+# ==========================================================================
+# reader
+# ==========================================================================
+
+
+class _H4Reader:
+    def __init__(self, buf: bytes):
+        if buf[:4] != MAGIC:
+            raise ValueError("not an HDF4 file (bad magic)")
+        self.buf = buf
+        # (tag, ref) -> (offset, length); chained DD blocks
+        self.dds: dict[tuple[int, int], tuple[int, int]] = {}
+        pos = 4
+        while pos:
+            ndd, nxt = struct.unpack_from(">hI", buf, pos)
+            for k in range(ndd):
+                tag, ref, off, ln = struct.unpack_from(
+                    ">HHII", buf, pos + 6 + 12 * k
+                )
+                if tag == TAG_NULL:
+                    continue
+                if tag & SPECIAL_BIT:
+                    raise NotImplementedError(
+                        f"HDF4 special element (extended tag {tag:#x}, base "
+                        f"{tag & ~SPECIAL_BIT}): linked-block/external/"
+                        "compressed/chunked storage is not implemented — "
+                        "only contiguous classic layout is supported (see "
+                        "module docstring)"
+                    )
+                self.dds[(tag, ref)] = (off, ln)
+            pos = nxt
+
+    def elt(self, tag: int, ref: int) -> bytes:
+        off, ln = self.dds[(tag, ref)]
+        return self.buf[off : off + ln]
+
+    # -- Vdata / Vgroup ----------------------------------------------------
+
+    def _vdata(self, ref: int):
+        """Decode a (VH, VS) pair → (name, class, list-of-field-dicts,
+        nvert, raw VS bytes)."""
+        b = self.elt(TAG_VH, ref)
+        interlace, nvert, ivsize, nfields = struct.unpack_from(">HIHH", b, 0)
+        p = 10
+        ftypes = struct.unpack_from(f">{nfields}H", b, p); p += 2 * nfields
+        fsizes = struct.unpack_from(f">{nfields}H", b, p); p += 2 * nfields
+        foffs = struct.unpack_from(f">{nfields}H", b, p); p += 2 * nfields
+        forders = struct.unpack_from(f">{nfields}H", b, p); p += 2 * nfields
+        fnames = []
+        for _ in range(nfields):
+            (ln,) = struct.unpack_from(">H", b, p); p += 2
+            fnames.append(b[p : p + ln]); p += ln
+        (ln,) = struct.unpack_from(">H", b, p); p += 2
+        name = b[p : p + ln]; p += ln
+        (ln,) = struct.unpack_from(">H", b, p); p += 2
+        vclass = b[p : p + ln]; p += ln
+        fields = [
+            {"name": fnames[i], "type": ftypes[i], "size": fsizes[i],
+             "off": foffs[i], "order": forders[i]}
+            for i in range(nfields)
+        ]
+        vs = self.elt(TAG_VS, ref) if (TAG_VS, ref) in self.dds else b""
+        return name, vclass, fields, nvert, vs
+
+    def _attr_value(self, ref: int):
+        """Attribute Vdata (class Attr0.0): one VALUES field, nvert
+        records of ``order`` elements each."""
+        name, _cls, fields, nvert, vs = self._vdata(ref)
+        f = fields[0]
+        count = nvert * f["order"]
+        dt = np.dtype(_DFNT[f["type"]])
+        if f["type"] in (3, 4):  # char → string (strip trailing NUL/pad)
+            return name.decode("ascii"), vs[:count].rstrip(b"\x00").decode(
+                "latin-1"
+            )
+        arr = np.frombuffer(vs, dtype=dt, count=count)
+        vals = arr.astype(arr.dtype.newbyteorder("="))
+        if count == 1:
+            v = vals[0]
+            return name.decode("ascii"), (
+                float(v) if dt.kind == "f" else int(v)
+            )
+        return name.decode("ascii"), vals
+
+    def _vgroup(self, ref: int):
+        b = self.elt(TAG_VG, ref)
+        (nelt,) = struct.unpack_from(">H", b, 0)
+        tags = struct.unpack_from(f">{nelt}H", b, 2)
+        refs = struct.unpack_from(f">{nelt}H", b, 2 + 2 * nelt)
+        p = 2 + 4 * nelt
+        (ln,) = struct.unpack_from(">H", b, p); p += 2
+        name = b[p : p + ln]; p += ln
+        (ln,) = struct.unpack_from(">H", b, p); p += 2
+        vclass = b[p : p + ln]; p += ln
+        return name, vclass, list(zip(tags, refs))
+
+    # -- SDS ---------------------------------------------------------------
+
+    def _read_ndg(self, ref: int, name: str, attrs: dict) -> H4Dataset:
+        body = self.elt(TAG_NDG, ref)
+        members = [
+            struct.unpack_from(">HH", body, 4 * k)
+            for k in range(len(body) // 4)
+        ]
+        sdd_ref = next(r for t, r in members if t == TAG_SDD)
+        sd_ref = next(r for t, r in members if t == TAG_SD)
+        sdd = self.elt(TAG_SDD, sdd_ref)
+        (rank,) = struct.unpack_from(">H", sdd, 0)
+        dims = struct.unpack_from(f">{rank}I", sdd, 2)
+        nt_tag, nt_ref = struct.unpack_from(">HH", sdd, 2 + 4 * rank)
+        ver, dfnt, width, ntclass = struct.unpack_from(
+            ">BBBB", self.elt(nt_tag, nt_ref), 0
+        )
+        dt = np.dtype(_DFNT[dfnt])
+        raw = self.elt(TAG_SD, sd_ref)
+        n = int(np.prod(dims)) if rank else 0
+        data = (
+            np.frombuffer(raw, dtype=dt, count=n)
+            .reshape(dims)
+            .astype(dt.newbyteorder("="))
+        )
+        # calibration record, if the writer used DFTAG_CAL instead of
+        # scale_factor/add_offset attributes (both spellings end up in
+        # attrs; the Vdata attributes win on clash)
+        cal_ref = next((r for t, r in members if t == TAG_CAL), None)
+        if cal_ref is not None:
+            cal, cal_err, ioff, ioff_err, cal_nt = struct.unpack(
+                ">ddddh", self.elt(TAG_CAL, cal_ref)
+            )
+            attrs.setdefault("scale_factor", cal)
+            attrs.setdefault("add_offset", ioff)
+        return H4Dataset(name, tuple(int(d) for d in dims), dfnt, attrs, data)
+
+    def read(self) -> dict[str, H4Dataset]:
+        out: dict[str, H4Dataset] = {}
+        claimed: set[int] = set()
+        for (tag, ref) in sorted(self.dds):
+            if tag != TAG_VG:
+                continue
+            name, vclass, members = self._vgroup(ref)
+            if vclass != _VAR_CLASS:
+                continue
+            attrs = {}
+            ndg_ref = None
+            for t, r in members:
+                if t == TAG_NDG:
+                    ndg_ref = r
+                elif t == TAG_VH:
+                    try:
+                        k, v = self._attr_value(r)
+                    except Exception:
+                        continue
+                    attrs[k] = v
+            if ndg_ref is None:
+                continue
+            claimed.add(ndg_ref)
+            ds = self._read_ndg(ndg_ref, name.decode("ascii"), attrs)
+            out[ds.name] = ds
+        # old-style DFSD fallback: NDGs outside any Var0.0 vgroup, named
+        # from their DFTAG_SDL label when one exists
+        for (tag, ref) in sorted(self.dds):
+            if tag != TAG_NDG or ref in claimed:
+                continue
+            label = None
+            body = self.elt(TAG_NDG, ref)
+            members = [
+                struct.unpack_from(">HH", body, 4 * k)
+                for k in range(len(body) // 4)
+            ]
+            sdl = next((r for t, r in members if t == TAG_SDL), None)
+            if sdl is not None and (TAG_SDL, sdl) in self.dds:
+                label = (
+                    self.elt(TAG_SDL, sdl).split(b"\x00")[0].decode("latin-1")
+                )
+            ds = self._read_ndg(ref, label or f"SDS_{ref}", {})
+            out[ds.name] = ds
+        return out
+
+    def file_attrs(self) -> dict:
+        """Global attributes: Attr0.0 Vdatas that are members of the
+        top-level CDF0.0 vgroup."""
+        out: dict = {}
+        for (tag, ref) in sorted(self.dds):
+            if tag != TAG_VG:
+                continue
+            _name, vclass, members = self._vgroup(ref)
+            if vclass != _CDF_CLASS:
+                continue
+            for t, r in members:
+                if t == TAG_VH:
+                    try:
+                        k, v = self._attr_value(r)
+                    except Exception:
+                        continue
+                    out[k] = v
+        return out
+
+
+def read_hdf4(path: str) -> dict[str, H4Dataset]:
+    with open(path, "rb") as fh:
+        return _H4Reader(fh.read()).read()
+
+
+def read_hdf4_file_attrs(path: str) -> dict:
+    with open(path, "rb") as fh:
+        return _H4Reader(fh.read()).file_attrs()
+
+
+# ==========================================================================
+# writer
+# ==========================================================================
+
+
+def _vh_bytes(
+    name: bytes, vclass: bytes, fname: bytes, dfnt: int, order: int, nvert: int
+) -> bytes:
+    esize = np.dtype(_DFNT[dfnt]).itemsize
+    isize = esize * order
+    out = struct.pack(">HIHH", 0, nvert, isize, 1)        # FULL_INTERLACE
+    out += struct.pack(">H", dfnt)                        # field type
+    out += struct.pack(">H", isize)                       # field size
+    out += struct.pack(">H", 0)                           # field offset
+    out += struct.pack(">H", order)                       # field order
+    out += struct.pack(">H", len(fname)) + fname
+    out += struct.pack(">H", len(name)) + name
+    out += struct.pack(">H", len(vclass)) + vclass
+    out += struct.pack(">HHHH", 0, 0, _VSET_VERSION, 0)   # ext, version, more
+    return out
+
+
+def _vg_bytes(name: bytes, vclass: bytes, members: list[tuple[int, int]]) -> bytes:
+    out = struct.pack(">H", len(members))
+    out += b"".join(struct.pack(">H", t) for t, _ in members)
+    out += b"".join(struct.pack(">H", r) for _, r in members)
+    out += struct.pack(">H", len(name)) + name
+    out += struct.pack(">H", len(vclass)) + vclass
+    out += struct.pack(">HHHH", 0, 0, _VSET_VERSION, 0)
+    return out
+
+
+def _attr_elements(
+    ref: int, key: str, value
+) -> tuple[list[tuple[int, int, bytes]], tuple[int, int]]:
+    """One attribute → (VH, VS) elements sharing ``ref``; returns the
+    (tag, ref) the owning vgroup lists (the VH)."""
+    if isinstance(value, str):
+        payload = value.encode("latin-1")
+        dfnt, order = 4, len(payload)
+    else:
+        arr = np.atleast_1d(np.asarray(value))
+        if arr.dtype.kind == "f":
+            arr = arr.astype(">f8")
+        elif arr.dtype.kind in "iu":
+            arr = arr.astype(f">{arr.dtype.kind}{min(arr.dtype.itemsize, 4)}")
+        else:
+            raise TypeError(f"unsupported attribute type for {key!r}: {arr.dtype}")
+        dfnt = _dfnt_of(np.dtype(arr.dtype.newbyteorder("=")))
+        order = arr.size
+        payload = arr.tobytes()
+    vh = _vh_bytes(
+        key.encode("ascii"), _ATTR_CLASS, _ATTR_FIELD, dfnt, order, 1
+    )
+    return [(TAG_VH, ref, vh), (TAG_VS, ref, payload)], (TAG_VH, ref)
+
+
+def write_hdf4(
+    path: str,
+    datasets: dict[str, tuple[np.ndarray, dict]],
+    file_attrs: dict | None = None,
+) -> None:
+    """Write ``{name: (array, attrs)}`` as a classic contiguous HDF4 file
+    using the SD-API metadata layout (Var0.0 vgroups + Attr0.0 vdatas
+    under a CDF0.0 root) so variables keep their names and per-variable
+    attributes — the structures the reference's reader consumes
+    (``readEntry``, reference ``aggregate_functions.py:99-122``)."""
+    elements: list[tuple[int, int, bytes]] = []
+    ref = 1
+    elements.append(
+        (TAG_VERSION, ref, struct.pack(">III", 4, 2, 0) + b"hdf4lite\x00")
+    )
+    root_members: list[tuple[int, int]] = []
+
+    for name, (arr, attrs) in datasets.items():
+        arr = np.asarray(arr)
+        dfnt = _dfnt_of(arr.dtype)
+        be = arr.astype(_DFNT[dfnt])
+        ref += 1
+        sds_ref = ref
+        nt = struct.pack(">BBBB", 1, dfnt, be.dtype.itemsize * 8, 1)
+        elements.append((TAG_NT, sds_ref, nt))
+        sdd = struct.pack(">H", arr.ndim)
+        sdd += struct.pack(f">{arr.ndim}I", *arr.shape)
+        sdd += struct.pack(">HH", TAG_NT, sds_ref)        # data NT
+        sdd += struct.pack(">HH", TAG_NT, sds_ref) * arr.ndim  # scale NTs
+        elements.append((TAG_SDD, sds_ref, sdd))
+        elements.append((TAG_SD, sds_ref, be.tobytes()))
+        ndg = struct.pack(">HHHH", TAG_SDD, sds_ref, TAG_SD, sds_ref)
+        elements.append((TAG_NDG, sds_ref, ndg))
+        vg_members: list[tuple[int, int]] = [(TAG_NDG, sds_ref)]
+        for key, value in (attrs or {}).items():
+            ref += 1
+            elts, handle = _attr_elements(ref, key, value)
+            elements.extend(elts)
+            vg_members.append(handle)
+        ref += 1
+        elements.append(
+            (TAG_VG, ref, _vg_bytes(name.encode("ascii"), _VAR_CLASS, vg_members))
+        )
+        root_members.append((TAG_VG, ref))
+
+    for key, value in (file_attrs or {}).items():
+        ref += 1
+        elts, handle = _attr_elements(ref, key, value)
+        elements.extend(elts)
+        root_members.append(handle)
+    ref += 1
+    elements.append((TAG_VG, ref, _vg_bytes(b"CDF0.0", _CDF_CLASS, root_members)))
+
+    ndd = len(elements)
+    data_start = 4 + 6 + 12 * ndd
+    dd, payload, pos = [], [], data_start
+    for tag, r, body in elements:
+        dd.append(struct.pack(">HHII", tag, r, pos, len(body)))
+        payload.append(body)
+        pos += len(body)
+    blob = (
+        MAGIC + struct.pack(">hI", ndd, 0) + b"".join(dd) + b"".join(payload)
+    )
+    with open(path, "wb") as fh:
+        fh.write(blob)

@@ -26,10 +26,13 @@ Spark-side integration:
   (``granule_<id>.h5`` under the ``path`` option) through the bundled
   pure-Python classic-format codec (``sinks/hdf5lite.py``) — the
   physical binary-container scan path, proven row-identical to the fake
-  decoder on the same content; ``decoder=hdf`` (the pre-HDF5 HDF4
-  container of the original MYD06/MYD03 files) stays gated — netCDF4/
-  pyhdf are absent AND no HDF4 ground-truth file exists in this
-  environment to validate a pure-Python codec against.
+  decoder on the same content; ``decoder=hdf`` reads REAL HDF4 granule
+  files (``granule_<id>.hdf``) through the bundled classic-DFTAG codec
+  (``sinks/hdf4lite.py``) — the container format of the original
+  MYD06/MYD03 inputs — applying the reference's fill→NaN +
+  ``(raw − add_offset) × scale_factor`` calibration per variable
+  (contiguous classic layout; chunked/compressed special elements
+  raise, see ``hdf4lite`` docstring).
 
 Usage::
 
@@ -172,6 +175,99 @@ def load_granule_hdf5(
     return out
 
 
+def write_granule_hdf4(
+    dir_path: str,
+    granule_id: int,
+    variables: Sequence[str],
+    rows: int = SWATH_ROWS,
+    cols: int = SWATH_COLS,
+) -> str:
+    """Materialize a granule as a REAL HDF4 file (``granule_<id>.hdf``)
+    in the MYD06 container shape the reference actually reads: named 2-D
+    SDS arrays carrying ``units`` / ``long_name`` / ``scale_factor`` /
+    ``add_offset`` / ``_FillValue`` attributes (the exact attribute set
+    ``readEntry`` pulls, reference ``aggregate_functions.py:108-112``),
+    written with the bundled pure-Python classic-DFTAG codec
+    (``sinks/hdf4lite.py``). Content matches ``synth_granule`` exactly
+    (identity calibration; NaN holes stored as the fill value), so a
+    ``decoder=hdf`` scan must equal a ``decoder=fake`` scan row-for-row."""
+    import os
+
+    from modis_aggregation_spark.sinks.hdf4lite import write_hdf4
+
+    data = synth_granule(granule_id, variables, rows, cols)
+    dsets: dict = {
+        "Latitude": (
+            data["lat"].reshape(rows, cols),
+            {"units": "degrees_north", "_FillValue": -999.9},
+        ),
+        "Longitude": (
+            data["lon"].reshape(rows, cols),
+            {"units": "degrees_east", "_FillValue": -999.9},
+        ),
+        "Cloud_Mask_Byte0": (
+            data["cm_raw"].reshape(rows, cols),
+            {"long_name": "first byte of the cloud-mask status flags"},
+        ),
+    }
+    for v in variables:
+        vals = data[v].reshape(rows, cols).copy()
+        vals[np.isnan(vals)] = -9999.0
+        dsets[v] = (
+            vals,
+            {
+                "units": "none",
+                "long_name": v,
+                "scale_factor": 1.0,
+                "add_offset": 0.0,
+                "_FillValue": -9999.0,
+            },
+        )
+    path = os.path.join(dir_path, f"granule_{granule_id}.hdf")
+    write_hdf4(path, dsets, file_attrs={"granule_id": int(granule_id)})
+    return path
+
+
+def load_granule_hdf4(
+    dir_path: str, granule_id: int, variables: Sequence[str]
+) -> dict[str, np.ndarray]:
+    """Decode ``granule_<id>.hdf`` back into the scan's flat row layout,
+    applying the reference's HDF calibration convention per variable:
+    fill → NaN first, then ``(raw − add_offset) × scale_factor``
+    (reference ``aggregate_functions.py:103-113,137-139``)."""
+    import os
+
+    from modis_aggregation_spark.sinks.hdf4lite import read_hdf4
+
+    ds = read_hdf4(os.path.join(dir_path, f"granule_{granule_id}.hdf"))
+    lat = ds["Latitude"].data
+    rows, cols = lat.shape
+    i = np.repeat(np.arange(rows, dtype=np.int32), cols)
+    j = np.tile(np.arange(cols, dtype=np.int32), rows)
+    out = {
+        "granule_id": np.full(i.size, granule_id, dtype=np.int64),
+        "i": i,
+        "j": j,
+        "lat": lat.ravel(),
+        "lon": ds["Longitude"].data.ravel(),
+        "cm_raw": ds["Cloud_Mask_Byte0"].data.ravel().astype(np.int8),
+    }
+    for v in variables:
+        if v not in ds:
+            raise KeyError(f"variable {v!r} not in granule_{granule_id}.hdf")
+        raw = ds[v].data.ravel().astype(np.float64)
+        attrs = ds[v].attrs
+        fill = attrs.get("_FillValue")
+        if fill is not None:
+            raw[raw == float(fill)] = np.nan
+        scale = float(attrs.get("scale_factor", 1.0))
+        offst = float(attrs.get("add_offset", 0.0))
+        if (scale, offst) != (1.0, 0.0):
+            raw = (raw - offst) * scale
+        out[v] = raw
+    return out
+
+
 class GranuleReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
@@ -188,22 +284,12 @@ class GranuleReader(DataSourceReader):
         self.swath_shape = PRODUCT_SHAPES[product]
         self.decoder = options.get("decoder", "fake")
         self.path = options.get("path", "")
-        if self.decoder == "hdf":
-            # unconditional: no HDF4 codec is implemented at all, so this
-            # must raise even where netCDF4/pyhdf happen to be importable
-            # (a conditional gate would silently serve synthetic data from
-            # a "real" decode path — CLAUDE.md rule 5)
-            raise NotImplementedError(
-                "decoder=hdf (HDF4 MYD06/MYD03 container) is not "
-                "implemented: netCDF4/pyhdf are absent here and no HDF4 "
-                "ground-truth file exists in this environment to validate "
-                "a pure-Python codec against; use decoder=hdf5 for real "
-                "binary-container granules or decoder=fake for the "
-                "plumbing path"
+        if self.decoder in ("hdf", "hdf5") and not self.path:
+            raise ValueError(
+                f"decoder={self.decoder} requires the 'path' option "
+                "(directory of granule_<id>"
+                f".{'hdf' if self.decoder == 'hdf' else 'h5'} files)"
             )
-        if self.decoder == "hdf5" and not self.path:
-            raise ValueError("decoder=hdf5 requires the 'path' option "
-                             "(directory of granule_<id>.h5 files)")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Prune granule partitions from granule_id predicates; hand every
@@ -239,7 +325,11 @@ class GranuleReader(DataSourceReader):
     def read(self, partition: GranulePartition):
         import pyarrow as pa
 
-        if self.decoder == "hdf5":
+        if self.decoder == "hdf":
+            data = load_granule_hdf4(
+                self.path, partition.granule_id, self.variables
+            )
+        elif self.decoder == "hdf5":
             data = load_granule_hdf5(
                 self.path, partition.granule_id, self.variables
             )

@@ -204,14 +204,14 @@ def test_fletcher32_verifies_and_rejects():
         r._apply_filters(bytes(bad), 0)
 
 
-def test_hdf_decoder_raises_unconditionally(spark):
-    """decoder=hdf must raise even where netCDF4 might be importable —
-    there is no HDF4 codec, and a conditional gate would silently serve
-    synthetic data from a 'real' path."""
+def test_hdf_decoder_requires_path(spark):
+    """decoder=hdf is REAL since round 4 (sinks/hdf4lite.py); like
+    decoder=hdf5 it must demand a granule directory rather than silently
+    serving synthetic data from a 'real' path."""
     from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
 
     spark.dataSource.register(GranuleDataSource)
-    with pytest.raises(Exception, match="HDF4|not .*implemented|hdf"):
+    with pytest.raises(Exception, match="path"):
         (
             spark.read.format("modis_granules")
             .option("granule_ids", "1")
