@@ -2380,6 +2380,49 @@ JOIN read_parquet('/root/repo/goldens/x11_decode.parquet') g
 """
 
 
+def _q_x61_decode_png(spark, sf_dir):
+    """REAL image decode (no fake): each document's utf-8 bytes are
+    cyclically tiled into a 12×9 grayscale image, PNG-encoded with the
+    bundled pure-stdlib codec (``sinks/pnglite.py`` — cross-validated vs
+    javax.imageio), then ``decode_images(decoder="png")`` physically
+    parses/unfilters the PNG back and nearest-neighbor-resamples to
+    8×8×3. Oracle: goldens/x61_png_decode.parquet computes the expected
+    mean WITHOUT the PNG codec (pure index arithmetic over the tiled
+    bytes, tools/make_goldens.py), keyed by sha256(text) — a codec
+    mis-parse anywhere diverges the join values."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_png(it):
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(np.frombuffer(data, np.uint8), (12, 9))
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(to_png, "id BIGINT, payload BINARY")
+    out = ops_mm.decode_images(imgs, decoder="png", out_hw=(8, 8))
+    return out.select(
+        "id", "height", "width", "channels",
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X61 = """
+SELECT d.doc_id AS id, g.height, g.width, g.channels,
+       round(g.mean_pixel, 6) AS mean_pixel
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x61_png_decode.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x16_train_split(spark, sf_dir):
     """Deterministic hash train/val/test split (stable across re-runs and
     corpus growth — documents never migrate between splits). Multiplicative
@@ -5420,6 +5463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions (never recorded) -------------------------
         "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
         "s9_hdf4_scan": _q_s9_hdf4_scan,
+        "x61_decode_png": _q_x61_decode_png,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -5669,4 +5713,5 @@ def oracle_sql() -> dict[str, str]:
         "s8_stream_sessions": _SQL_S8,
         "x60_dup_spans_materialized": _SQL_X60,
         "s9_hdf4_scan": _SQL_S9,
+        "x61_decode_png": _SQL_X61,
     }

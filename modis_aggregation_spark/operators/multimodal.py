@@ -2,11 +2,12 @@
 
 Design: media payloads are opaque ``BINARY`` columns with a typed metadata
 struct alongside; all Spark-side plumbing (schemas, pruning, Arrow batch
-shapes, partitioning) is real and tested. The actual codec work is a
-Pandas-UDF boundary: the image/audio libraries are NOT in this container,
-so decode is STUBBED — ``decoder="fake"`` produces a deterministic
-payload-derived result (for plumbing tests); ``decoder="real"`` raises
-``NotImplementedError`` unless PIL/soundfile are importable.
+shapes, partitioning) is real and tested. The codec work is a Pandas-UDF
+boundary: ``decoder="png"`` is a REAL image decode path (the bundled
+pure-stdlib PNG codec, ``sinks/pnglite.py``); the general image/audio
+libraries (PIL/soundfile) are NOT in this container, so ``decoder="real"``
+raises ``NotImplementedError`` and ``decoder="fake"`` produces a
+deterministic payload-derived result (for plumbing tests).
 
 At scale the pattern is: `binaryFile` source (or parquet with binary cols)
 → `repartition` to spread large blobs → `mapInPandas` decode with small
@@ -76,24 +77,65 @@ def decode_images(
 ) -> DataFrame:
     """Decode image payloads to fixed-size pixel arrays via mapInPandas.
 
-    ``decoder="real"`` requires PIL (not in this container -> raises
-    NotImplementedError at plan-build time, by design). ``decoder="fake"``
-    exercises the identical Arrow batch path with deterministic output.
+    Three decoders:
+
+    * ``decoder="png"`` — REAL decode for PNG payloads via the bundled
+      pure-stdlib codec (``sinks/pnglite.py``, cross-validated against
+      the JVM's javax.imageio): parse → unfilter → nearest-neighbor
+      resample to ``out_hw`` → normalize to 3 channels (grayscale
+      replicated, alpha dropped). A non-PNG payload raises ValueError —
+      filter on ``media_meta.mime = 'image/png'`` first
+      (``attach_media_metadata``); no silent fallback.
+    * ``decoder="real"`` — the general JPEG/GIF/... path requires PIL
+      (not in this container → raises NotImplementedError at plan-build
+      time, by design; never silently falls back).
+    * ``decoder="fake"`` — deterministic payload-derived output
+      exercising the identical Arrow batch path (plumbing tests).
     """
     if decoder == "real":
-        # the real codec is not wired in this build — raise regardless of
-        # whether PIL happens to be importable, never silently fall back
-        # to the fake decoder
+        # the general codec is not wired in this build — raise regardless
+        # of whether PIL happens to be importable, never silently fall
+        # back to the fake decoder
         raise NotImplementedError(
-            "real image decode is not implemented in this build (PIL-based "
-            "codec stub); use decoder='fake' — the Arrow batch path, schema "
-            "and partitioning are identical"
+            "general image decode is not implemented in this build "
+            "(PIL-based codec stub); decoder='png' is a REAL pure-stdlib "
+            "path for PNG payloads, decoder='fake' exercises the identical "
+            "Arrow batch path deterministically"
         )
+    if decoder not in ("png", "fake"):
+        raise ValueError(f"unknown image decoder: {decoder!r}")
     h, w = out_hw
 
+    def _resample(img: np.ndarray) -> np.ndarray:
+        """Nearest-neighbor to (h, w, 3): deterministic, pure numpy."""
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3]  # drop alpha
+        ih, iw = img.shape[:2]
+        ridx = (np.arange(h) * ih) // h
+        cidx = (np.arange(w) * iw) // w
+        return img[ridx][:, cidx]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "png":
+            from modis_aggregation_spark.sinks.pnglite import decode_png
+
         for pdf in it:
-            arrs = [_fake_decode(bytes(b), h, w) for b in pdf[payload_col]]
+            if decoder == "png":
+                arrs = []
+                for b in pdf[payload_col]:
+                    payload = bytes(b)
+                    if not payload.startswith(b"\x89PNG"):
+                        raise ValueError(
+                            "decoder='png' got a non-PNG payload; filter "
+                            "on media_meta.mime = 'image/png' first"
+                        )
+                    arrs.append(_resample(decode_png(payload)))
+            else:
+                arrs = [_fake_decode(bytes(b), h, w) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),

@@ -28,12 +28,12 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def write_png(path: str, img: np.ndarray) -> None:
+def encode_png(img: np.ndarray) -> bytes:
     """``img``: uint8 array (H, W) grayscale, (H, W, 3) RGB or
-    (H, W, 4) RGBA."""
+    (H, W, 4) RGBA → PNG bytes."""
     img = np.ascontiguousarray(img)
     if img.dtype != np.uint8:
-        raise ValueError("write_png wants uint8")
+        raise ValueError("encode_png wants uint8")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -43,9 +43,12 @@ def write_png(path: str, img: np.ndarray) -> None:
     # filter byte 0 (None) before every scanline
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     out = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw, 9))
-    out += _chunk(b"IEND", b"")
+    return out + _chunk(b"IEND", b"")
+
+
+def write_png(path: str, img: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(encode_png(img))
 
 
 def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
@@ -89,7 +92,10 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
 
 def read_png(path: str) -> np.ndarray:
     with open(path, "rb") as f:
-        buf = f.read()
+        return decode_png(f.read())
+
+
+def decode_png(buf: bytes) -> np.ndarray:
     if buf[:8] != _SIG:
         raise ValueError("not a PNG")
     pos, idat, meta = 8, b"", None

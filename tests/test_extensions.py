@@ -387,6 +387,52 @@ def test_decode_images_real_is_gated(spark):
         M.decode_images(_media_df(spark), decoder="real")
 
 
+def test_decode_images_png_real_path(spark):
+    """decoder='png' is a REAL decode: PNG bytes built by pnglite round-trip
+    through parse/unfilter/resample with exact pixel values — grayscale
+    replicates to 3 channels, RGBA drops alpha, RGB passes through."""
+    import numpy as np
+
+    from modis_aggregation_spark.sinks.pnglite import encode_png
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (10, 6, 4), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(gray))),
+         (2, bytearray(encode_png(rgb))),
+         (3, bytearray(encode_png(rgba)))],
+        "id LONG, payload BINARY",
+    )
+    out = {r["id"]: r for r in M.decode_images(df, decoder="png").collect()}
+    assert all((r["height"], r["width"], r["channels"]) == (8, 8, 3)
+               for r in out.values())
+    # gray 16x16 → stride-2 nearest-neighbor sample, replicated ×3
+    want_gray = np.repeat(gray[::2, ::2][:, :, None], 3, axis=2)
+    assert np.frombuffer(out[1]["pixels"], np.uint8).reshape(8, 8, 3).tolist() \
+        == want_gray.tolist()
+    # rgb 8x8 → identity
+    assert np.frombuffer(out[2]["pixels"], np.uint8).reshape(8, 8, 3).tolist() \
+        == rgb.tolist()
+    # rgba 10x6 → alpha dropped, nearest-neighbor indices
+    ridx = (np.arange(8) * 10) // 8
+    cidx = (np.arange(8) * 6) // 8
+    want_rgba = rgba[:, :, :3][ridx][:, cidx]
+    assert np.frombuffer(out[3]["pixels"], np.uint8).reshape(8, 8, 3).tolist() \
+        == want_rgba.tolist()
+
+
+def test_decode_images_png_rejects_non_png(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a png at all"))], "id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="non-PNG"):
+        M.decode_images(df, decoder="png").collect()
+    with pytest.raises(ValueError, match="unknown image decoder"):
+        M.decode_images(df, decoder="bmp")
+
+
 def test_sample_frames(spark):
     out = M.sample_frames(_media_df(spark), n_frames=3, every_n=10).collect()
     assert len(out) == 9

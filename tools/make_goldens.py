@@ -81,6 +81,40 @@ def x11_decode_golden() -> pa.Table:
     )
 
 
+def x61_png_golden() -> pa.Table:
+    """Recompute the x61 REAL-PNG-decode expectation per distinct document
+    payload WITHOUT touching the PNG codec: the query builds a 12×9
+    grayscale image by cyclically tiling the text's utf-8 bytes, encodes
+    it as PNG (pnglite), decodes it back (decoder='png') and
+    nearest-neighbor-resamples to 8×8×3. Gray replication and
+    nearest-neighbor selection are pure index arithmetic, so the expected
+    mean is computable straight from the tiled bytes — if decode_png
+    mis-parsed anything the Spark side would diverge. Keyed by
+    sha256(text)."""
+    ridx = (np.arange(8) * 12) // 8
+    cidx = (np.arange(8) * 9) // 8
+    seen: dict[str, float] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            img = np.resize(np.frombuffer(payload, np.uint8), (12, 9))
+            seen[key] = float(img[ridx][:, cidx].mean())
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "height": pa.array([8] * len(keys), pa.int32()),
+            "width": pa.array([8] * len(keys), pa.int32()),
+            "channels": pa.array([3] * len(keys), pa.int32()),
+            "mean_pixel": pa.array([seen[k] for k in keys], pa.float64()),
+        }
+    )
+
+
 def x9_centroid_golden() -> pa.Table:
     """Fit the x9 centroids per sf dir with the shared numpy core on the
     vec_id-ordered sample; emit (corpus_key, list_id, pos, val) rows."""
@@ -147,6 +181,9 @@ def main() -> None:
     x11 = x11_decode_golden()
     pq.write_table(x11, os.path.join(OUT_DIR, "x11_decode.parquet"))
     print(f"x11_decode.parquet: {x11.num_rows} distinct payloads")
+    x61 = x61_png_golden()
+    pq.write_table(x61, os.path.join(OUT_DIR, "x61_png_decode.parquet"))
+    print(f"x61_png_decode.parquet: {x61.num_rows} distinct payloads")
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
