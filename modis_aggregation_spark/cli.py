@@ -13,6 +13,13 @@ Usage:
         --lat0 -20 --lat1 20 --lon0 0 --lon1 35 --dlat 1 --dlon 1 \
         --start 2008-01-01 --end 2008-01-02 \
         --variables examples_input.csv --output /tmp/l3_daily
+
+The ``compare`` verb closes the reference's comparison-notebook surface
+(``examples/result_comparison/plot_comparison_abs.ipynb`` cells 3-7):
+two exported product files → unpack → cell-aligned diff grid (+ PNGs):
+
+    python -m modis_aggregation_spark.cli compare \
+        --left a.h5 --right b.h5 --output /tmp/diff --png-prefix /tmp/cmp_
 """
 
 from __future__ import annotations
@@ -82,7 +89,75 @@ def spec_from_args(args: argparse.Namespace) -> AggregationSpec:
     )
 
 
+def build_compare_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="modis_aggregation_spark compare",
+        description="Compare two exported product files cell-by-cell "
+        "(diff grids + quick-look PNGs) — the executable form of the "
+        "reference's plot_comparison_abs.ipynb cells 3-7",
+    )
+    p.add_argument("--left", required=True, help="first product HDF5 path")
+    p.add_argument("--right", required=True, help="second product HDF5 path")
+    p.add_argument(
+        "--vars", nargs="*", default=[],
+        help="datasets to compare (default: every 2-D dataset in both)",
+    )
+    p.add_argument("--output", help="write the diff grid as parquet here")
+    p.add_argument(
+        "--png-prefix",
+        help="write {prefix}{var}_absdiff.png quick-looks per compared var",
+    )
+    p.add_argument("--round-dp", type=int, default=4,
+                   help="round both sides before differencing (notebook: 4)")
+    p.add_argument("--overwrite", action="store_true")
+    return p
+
+
+def compare_main(argv: list[str]) -> int:
+    args = build_compare_parser().parse_args(argv)
+
+    from modis_aggregation_spark import get_spark
+    from modis_aggregation_spark.operators.compare import (
+        compare_products,
+        diff_to_array,
+        max_abs_diff,
+    )
+    from modis_aggregation_spark.sinks.writers import write_grid_parquet
+
+    spark = get_spark("modis_aggregation_compare")
+    cmp, cols, shape = compare_products(
+        spark, args.left, args.right,
+        value_cols=args.vars or None, round_dp=args.round_dp,
+    )
+    if args.output:
+        cmp = cmp.persist()
+        write_grid_parquet(cmp, args.output, overwrite=args.overwrite)
+    summary = max_abs_diff(cmp, cols)
+    if args.png_prefix:
+        import os as _os
+
+        import numpy as np
+
+        from modis_aggregation_spark.sinks.pnglite import colorize, write_png
+
+        for c in cols:
+            path = f"{args.png_prefix}{c}_absdiff.png"
+            if _os.path.exists(path) and not args.overwrite:
+                raise FileExistsError(path)
+            arr = diff_to_array(cmp, c, shape)
+            vmax = max(summary[c], 1e-12)
+            # north up, same orientation as export_png
+            write_png(path, colorize(arr[::-1, :], 0.0, vmax))
+    for c in cols:
+        print(f"max|diff| {c} = {summary[c]:.6g}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "compare":
+        return compare_main(argv[1:])
     args = build_parser().parse_args(argv)
     spec = spec_from_args(args)
 

@@ -48,3 +48,101 @@ def max_abs_diff(cmp: DataFrame, value_cols: Sequence[str]) -> dict[str, float]:
         *[F.max(F.col(f"{c}_absdiff")).alias(c) for c in value_cols]
     ).first()
     return {c: (0.0 if row[c] is None else float(row[c])) for c in value_cols}
+
+
+def load_product_hdf5(spark, path: str):
+    """Load an exported MYD08-style product file (``export_hdf5``) back
+    into a grid DataFrame — the inverse of the packing rules, exactly what
+    the reference's comparison notebook does to each product before
+    differencing (``plot_comparison_abs.ipynb`` cells 3-5: fill→NaN, then
+    the MODIS unpack ``(raw − add_offset) × scale_factor``).
+
+    Returns ``(df, (nlat, nlon))``: one row per grid cell with
+    ``lat_idx``/``lon_idx`` keys and one DOUBLE column per 2-D dataset
+    (counts, which pack raw with no calibration attrs, pass through
+    unscaled; bounds vectors and >2-D histograms are skipped — the
+    notebook compares the scalar-per-cell products). The grid is bounded
+    (≤ 64,800 cells/variable at 1°), so the driver-side materialization
+    is the documented ≤MB exception, same as every export."""
+    import numpy as np
+
+    from modis_aggregation_spark.sinks.hdf5lite import read_hdf5
+
+    dsets = read_hdf5(path)
+    grids: dict[str, np.ndarray] = {}
+    shape = None
+    for name, ds in dsets.items():
+        if ds.data is None or ds.data.ndim != 2:
+            continue
+        if shape is None:
+            shape = ds.data.shape
+        elif ds.data.shape != shape:
+            raise ValueError(
+                f"dataset {name!r} shape {ds.data.shape} != grid {shape}"
+            )
+        vals = ds.data.astype(np.float64)
+        fill = ds.attrs.get("_FillValue")
+        scale = float(ds.attrs.get("scale_factor", 1.0))
+        offset = float(ds.attrs.get("add_offset", 0.0))
+        if "scale_factor" in ds.attrs:
+            # calibrated dataset: fill is a sentinel outside the valid
+            # range; counts (no scale attr) keep fill=0 as a REAL zero
+            if fill is not None:
+                vals[vals == float(fill)] = np.nan
+            vals = (vals - offset) * scale
+        grids[name] = vals
+    if shape is None:
+        raise ValueError(f"no 2-D grid datasets in {path}")
+    nlat, nlon = shape
+    cols = sorted(grids)
+    rows = []
+    for i in range(nlat):
+        for j in range(nlon):
+            rows.append(
+                (i, j)
+                + tuple(
+                    None if np.isnan(grids[c][i, j]) else float(grids[c][i, j])
+                    for c in cols
+                )
+            )
+    schema = "lat_idx INT, lon_idx INT, " + ", ".join(
+        f"{c} DOUBLE" for c in cols
+    )
+    return spark.createDataFrame(rows, schema), (nlat, nlon)
+
+
+def compare_products(
+    spark,
+    left_path: str,
+    right_path: str,
+    value_cols: Sequence[str] | None = None,
+    round_dp: int = 4,
+):
+    """Compare two exported product files cell-by-cell: load + unpack both
+    (``load_product_hdf5``), then ``compare_grids`` on the requested
+    columns (default: every 2-D dataset present in BOTH files). Returns
+    ``(cmp_df, value_cols, (nlat, nlon))`` — the executable version of the
+    reference's ``plot_comparison_abs.ipynb`` cells 3-7."""
+    left, shape_l = load_product_hdf5(spark, left_path)
+    right, shape_r = load_product_hdf5(spark, right_path)
+    if shape_l != shape_r:
+        raise ValueError(f"grid shapes differ: {shape_l} vs {shape_r}")
+    keys = {"lat_idx", "lon_idx"}
+    common = sorted((set(left.columns) & set(right.columns)) - keys)
+    cols = list(value_cols) if value_cols else common
+    missing = [c for c in cols if c not in common]
+    if missing:
+        raise ValueError(f"columns not in both products: {missing}")
+    return compare_grids(left, right, cols, round_dp=round_dp), cols, shape_l
+
+
+def diff_to_array(cmp: DataFrame, col: str, shape: tuple[int, int]):
+    """Materialize one ``{col}_absdiff`` plane as a (nlat, nlon) float
+    array (NaN where either side is missing) for quick-look rendering."""
+    import numpy as np
+
+    arr = np.full(shape, np.nan)
+    for r in cmp.select("lat_idx", "lon_idx", f"{col}_absdiff").collect():
+        if r[2] is not None:
+            arr[r[0], r[1]] = r[2]
+    return arr

@@ -37,6 +37,66 @@ def test_compare_grids_identical_and_perturbed(spark):
     assert rows[(1, 0)]["cf_mean_absdiff"] is None
 
 
+def test_compare_products_cli_diff_grid_and_png(spark, tmp_path):
+    """The compare verb end-to-end (notebook-parity closure): two REAL
+    export_hdf5 product files → load/unpack both → diff grid parquet +
+    per-variable absdiff PNGs + printed max|diff| summary."""
+    import numpy as np
+
+    from modis_aggregation_spark.cli import main
+    from modis_aggregation_spark.plans.pipeline import daily_grid
+    from modis_aggregation_spark.sinks.pnglite import read_png
+
+    spec = AggregationSpec(
+        lat_bounds=(-20.0, 20.0),
+        lon_bounds=(0.0, 35.0),
+        variables=(VariableSpec(name="ctp"),),
+    )
+    pixels = spark.read.parquet(os.path.join(FIXTURES, "pixels.parquet"))
+    granules = spark.read.parquet(os.path.join(FIXTURES, "granules.parquet"))
+    grid = daily_grid(spark, spec, pixels, granules).cache()
+    a = str(tmp_path / "a.h5")
+    b = str(tmp_path / "b.h5")
+    writers.export_hdf5(grid, spec, a)
+    # +2 hPa on ctp_mean only: survives int packing exactly (positive
+    # values truncate the same direction on both sides)
+    writers.export_hdf5(
+        grid.withColumn(
+            "ctp_mean",
+            F.when(F.col("ctp_mean").isNotNull(), F.col("ctp_mean") + 2.0),
+        ),
+        spec,
+        b,
+    )
+    out = str(tmp_path / "diff.parquet")
+    prefix = str(tmp_path / "cmp_")
+    rc = main([
+        "compare", "--left", a, "--right", b,
+        "--vars", "ctp_mean", "cf_mean",
+        "--output", out, "--png-prefix", prefix,
+    ])
+    assert rc == 0
+    diff = spark.read.parquet(out)
+    assert diff.count() == spec.ncells
+    vals = diff.agg(
+        F.max("ctp_mean_absdiff").alias("ctp"), F.max("cf_mean_absdiff").alias("cf")
+    ).first()
+    assert vals["ctp"] == pytest.approx(2.0)
+    assert vals["cf"] == pytest.approx(0.0, abs=1e-9)
+    # PNGs exist and decode; the ctp diff plane has at least one opaque px
+    img = read_png(prefix + "ctp_mean_absdiff.png")
+    assert img.shape == (spec.nlat, spec.nlon, 4)
+    assert (img[:, :, 3] == 255).any()
+    img_cf = read_png(prefix + "cf_mean_absdiff.png")
+    assert img_cf.shape == (spec.nlat, spec.nlon, 4)
+    # S13 guard applies to the verb's outputs too
+    with pytest.raises(Exception, match="png|exists|Exists"):
+        main([
+            "compare", "--left", a, "--right", b, "--vars", "ctp_mean",
+            "--png-prefix", prefix,
+        ])
+
+
 def test_compare_round4_matches_notebook_semantics(spark):
     # diffs below 1e-4 vanish after the notebook's round(4)
     a = spark.createDataFrame([(0, 0, 0.123411)], "lat_idx int, lon_idx int, v double")
