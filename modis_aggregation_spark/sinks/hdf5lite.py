@@ -583,9 +583,13 @@ def write_hdf5(path: str, datasets: dict[str, tuple[np.ndarray, dict]]) -> None:
     Emits superblock v0, a v1-object-header root group with a symbol
     table (one B-tree node + one SNOD + local heap), and per-dataset v1
     object headers with contiguous little-endian data — the same
-    structures libhdf5/h5py produce for this shape of file, so h5py can
-    read it back; round-trip-verified through ``read_hdf5`` (which is
-    itself validated against h5py/netCDF4-produced ground truth).
+    structures libhdf5/h5py produce for this shape of file, INTENDED to
+    be h5py-readable. That cross-read is not verifiable in this
+    container (no h5py); what IS verified: round-trip through
+    ``read_hdf5`` (itself validated against h5py/netCDF4-produced ground
+    truth), plus byte-level structural tests, so the emitted field
+    layouts match the h5py-produced sample's. Environments with h5py
+    should round-trip once as a CI check.
     """
     names = sorted(datasets)
     n = len(names)
