@@ -244,6 +244,83 @@ def run_hdf5_scan(spark, n_granules: int, tmp_dir: str | None = None) -> dict:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def run_hdf4_scan(spark, n_granules: int, tmp_dir: str | None = None) -> dict:
+    """REAL-file HDF4 granule scan anchor (round 4): write ``n_granules``
+    physical classic-DFTAG granules (hdf4lite, the original MYD06/MYD03
+    container format), scan with ``decoder=hdf`` — per-file parse +
+    fill→NaN + calibration, Arrow batch out — into the same grid-stats
+    shape as the HDF5 anchor for a like-for-like px/s comparison."""
+    import shutil
+    import tempfile
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        GranuleDataSource,
+        write_granule_hdf4,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GranuleDataSource)
+    d = tmp_dir or tempfile.mkdtemp(prefix="h4granules_")
+    try:
+        ids = [6000 + i for i in range(n_granules)]
+        for g in ids:
+            write_granule_hdf4(d, g, ["ctp"])
+        df = (
+            spark.read.format("modis_granules")
+            .option("granule_ids", ",".join(map(str, ids)))
+            .option("decoder", "hdf")
+            .option("path", d)
+            .option("variables", "ctp")
+            .load()
+        )
+        spec = default_spec(lat_bounds=(-90.0, 90.0), lon_bounds=(-180.0, 180.0))
+        t0 = time.perf_counter()
+        n_cells = (
+            ops_stats.cell_stats(
+                ops_stats.with_cloud_mask(ops_stats.with_cell(df, spec)), ["ctp"]
+            ).count()
+        )
+        t = time.perf_counter() - t0
+        n_px = n_granules * 406 * 270
+        return {
+            "granules": n_granules,
+            "pixels": n_px,
+            "cells": n_cells,
+            "sec": round(t, 2),
+            "px_per_sec": int(n_px / t),
+        }
+    finally:
+        if tmp_dir is None:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def run_ewma_curve(spark, n_rows: int, n_keys: int = 4) -> dict:
+    """Linear-EWMA scale check (round 4): ``n_rows`` observations over
+    ``n_keys`` hot keys through the chunked-recurrence SQL engine AND the
+    pandas engine. The pre-round-4 closed form was O(n²) per key — 50k
+    rows/key took minutes; linear means sec/row stays flat as rows grow."""
+    from modis_aggregation_spark.operators.temporal import ewma
+
+    df = (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") % n_keys).alias("k"),
+            F.col("id").cast("double").alias("ts"),
+            (F.sin(F.col("id").cast("double")) * 10.0).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    out = {"rows": n_rows, "keys": n_keys}
+    for engine in ("sql", "pandas"):
+        t0 = time.perf_counter()
+        n = ewma(df, "v", "ts", "k", alpha=0.3, engine=engine).count()
+        t = time.perf_counter() - t0
+        assert n == n_rows
+        out[f"{engine}_sec"] = round(t, 2)
+        out[f"{engine}_rows_per_sec"] = int(n_rows / t)
+    return out
+
+
 def run_dupspan_curve(spark, sf_dir: str, replicate: int) -> dict:
     """Duplicated-span coverage (x51 shape) at growing corpus size: the
     100 TB claim is that docs/s holds (the three shuffles move only
