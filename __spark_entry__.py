@@ -2453,6 +2453,57 @@ JOIN read_parquet('/root/repo/goldens/x61_png_decode.parquet') g
 """
 
 
+def _q_x62_wav_features(spark, sf_dir):
+    """REAL audio decode (no fake): each document's utf-8 bytes map to
+    1600 exact dyadic samples ((b−128)/128), are written as real RIFF/
+    PCM16 WAV bytes (stdlib ``wave`` via ``encode_wav``), then
+    ``extract_audio_features(decoder="wav")`` physically parses the RIFF
+    container back and computes RMS / zero-crossings on the decoded
+    samples. Oracle: goldens/x62_wav_decode.parquet computes the
+    expectation WITHOUT the wave codec (both byte→sample mappings are
+    exact in float64; tools/make_goldens.py), keyed by sha256(text)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wav(it):
+        from modis_aggregation_spark.operators.multimodal import encode_wav
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                x = (
+                    np.resize(np.frombuffer(data, np.uint8), 1600).astype(
+                        np.float64
+                    )
+                    - 128.0
+                ) / 128.0
+                payloads.append(encode_wav(x, sample_rate=8000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(to_wav, "id BIGINT, payload BINARY")
+    out = ops_mm.extract_audio_features(wavs, decoder="wav")
+    return out.select(
+        "id", "sample_rate", "n_samples",
+        _r6(F.col("duration_sec")).alias("duration_sec"),
+        _r6(F.col("rms")).alias("rms"),
+        "zero_crossings",
+    )
+
+
+_SQL_X62 = """
+SELECT d.doc_id AS id, g.sample_rate, g.n_samples,
+       round(g.duration_sec, 6) AS duration_sec,
+       round(g.rms, 6) AS rms,
+       g.zero_crossings
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x62_wav_decode.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x16_train_split(spark, sf_dir):
     """Deterministic hash train/val/test split (stable across re-runs and
     corpus growth — documents never migrate between splits). Multiplicative
@@ -5496,6 +5547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
         "s9_hdf4_scan": _q_s9_hdf4_scan,
         "x61_decode_png": _q_x61_decode_png,
+        "x62_wav_features": _q_x62_wav_features,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -5746,4 +5798,5 @@ def oracle_sql() -> dict[str, str]:
         "x60_dup_spans_materialized": _SQL_X60,
         "s9_hdf4_scan": _SQL_S9,
         "x61_decode_png": _SQL_X61,
+        "x62_wav_features": _SQL_X62,
     }

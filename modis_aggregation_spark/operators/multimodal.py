@@ -156,6 +156,49 @@ AUDIO_SCHEMA = (
 )
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE bytes from float samples in [-1, 1) —
+    stdlib ``wave`` module, no deps. ``s_i16 = round(s · 32768)`` clipped
+    to int16; exact for dyadic-rational samples (k/32768)."""
+    import io
+    import wave
+
+    s = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 32767 / 32768)
+    pcm = np.round(s * 32768.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL WAV decode (stdlib ``wave``): RIFF/PCM 8- or 16-bit, any
+    channel count (downmixed to mono by mean). Returns
+    ``(sample_rate, float64 samples)`` with 16-bit mapped to
+    ``s/32768`` and 8-bit (unsigned) to ``(s−128)/128`` — both exact
+    dyadic rationals in float64."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, "u1").astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width * 8}-bit")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return sr, arr
+
+
 def extract_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -165,37 +208,55 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction over BINARY payloads via mapInPandas.
 
-    ``decoder="real"`` needs soundfile/librosa (not in this container →
-    NotImplementedError); ``decoder="fake"`` deterministically synthesizes
-    a waveform from the payload digest and computes REAL features on it
-    (RMS, zero crossings) — the Arrow batch path and schema contract are
-    identical to a real codec's.
+    Three decoders:
+
+    * ``decoder="wav"`` — REAL decode for RIFF/PCM WAV payloads via the
+      stdlib ``wave`` module (``decode_wav``): actual sample rate from
+      the container, features (RMS, zero crossings) computed on the
+      decoded samples. A non-WAV payload raises — filter on
+      ``media_meta.mime = 'audio/wav'`` first; no silent fallback.
+    * ``decoder="real"`` — the general MP3/FLAC/... path needs
+      soundfile/librosa (not in this container → NotImplementedError).
+    * ``decoder="fake"`` — deterministically synthesizes a waveform from
+      the payload digest and computes the same feature math on it (the
+      Arrow batch path and schema contract are identical).
     """
     if decoder == "real":
         raise NotImplementedError(
-            "real audio decode is not implemented in this build (soundfile-"
-            "based codec stub); use decoder='fake' — the feature math and "
-            "batch path are identical"
+            "general audio decode is not implemented in this build "
+            "(soundfile-based codec stub); decoder='wav' is a REAL "
+            "stdlib path for RIFF/PCM payloads, decoder='fake' exercises "
+            "the identical batch path deterministically"
         )
+    if decoder not in ("wav", "fake"):
+        raise ValueError(f"unknown audio decoder: {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, ns, durs, rmss, zcs = [], [], [], [], []
+            ids, srs, ns, durs, rmss, zcs = [], [], [], [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(b)
-                seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                n = 1000 + (len(payload) % 1000)
-                wave = rng.standard_normal(n).astype(np.float32)
+                if decoder == "wav":
+                    sr, wave = decode_wav(payload)
+                    n = wave.size
+                else:
+                    seed = int.from_bytes(
+                        hashlib.sha256(payload).digest()[:8], "big"
+                    )
+                    rng = np.random.default_rng(seed)
+                    sr = sample_rate
+                    n = 1000 + (len(payload) % 1000)
+                    wave = rng.standard_normal(n).astype(np.float32)
                 ids.append(i)
+                srs.append(sr)
                 ns.append(n)
-                durs.append(n / sample_rate)
-                rmss.append(float(np.sqrt(np.mean(wave**2))))
+                durs.append(n / sr)
+                rmss.append(float(np.sqrt(np.mean(wave**2))) if n else 0.0)
                 zcs.append(int(np.count_nonzero(np.diff(np.signbit(wave)))))
             yield pd.DataFrame(
                 {
                     "id": ids,
-                    "sample_rate": sample_rate,
+                    "sample_rate": srs,
                     "n_samples": ns,
                     "duration_sec": durs,
                     "rms": rmss,

@@ -433,6 +433,45 @@ def test_decode_images_png_rejects_non_png(spark):
         M.decode_images(df, decoder="bmp")
 
 
+def test_audio_wav_real_path(spark):
+    """decoder='wav' is a REAL decode: stdlib-wave RIFF/PCM16 bytes round
+    trip with exact sample recovery (dyadic rationals), the sample rate
+    comes from the container, and stereo downmixes by mean."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from modis_aggregation_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    x = (np.arange(64, dtype=np.float64) - 32.0) / 32768.0 * 256
+    payload = encode_wav(x, sample_rate=12_345)
+    sr, back = decode_wav(payload)
+    assert sr == 12_345 and back.tolist() == x.tolist()  # bit-exact
+    # stereo 8-bit → mono mean
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(4000)
+        w.writeframes(bytes([128, 192, 64, 128]))
+    sr2, mono = decode_wav(buf.getvalue())
+    assert sr2 == 4000
+    assert mono.tolist() == [(0.0 + 0.5) / 2, (-0.5 + 0.0) / 2]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "id LONG, payload BINARY"
+    )
+    out = M.extract_audio_features(df, decoder="wav").collect()[0]
+    assert out["sample_rate"] == 12_345 and out["n_samples"] == 64
+    assert out["rms"] == pytest.approx(float(np.sqrt(np.mean(x**2))))
+    with pytest.raises(ValueError, match="unknown audio decoder"):
+        M.extract_audio_features(df, decoder="mp3")
+
+
 def test_sample_frames(spark):
     out = M.sample_frames(_media_df(spark), n_frames=3, every_n=10).collect()
     assert len(out) == 9

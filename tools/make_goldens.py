@@ -115,6 +115,41 @@ def x61_png_golden() -> pa.Table:
     )
 
 
+def x62_wav_golden() -> pa.Table:
+    """Recompute the x62 REAL-WAV-decode expectation per distinct document
+    payload WITHOUT the wave codec: the query maps the text's utf-8 bytes
+    to 1600 exact dyadic samples ((b−128)/128), writes real RIFF/PCM16
+    bytes (stdlib wave), decodes them back and computes RMS / zero
+    crossings on the decoded samples. Both mappings are exact in float64,
+    so the expectation comes straight from the bytes — a RIFF mis-parse
+    anywhere diverges. Keyed by sha256(text)."""
+    seen: dict[str, tuple[float, int]] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            x = (np.resize(np.frombuffer(payload, np.uint8), 1600).astype(
+                np.float64
+            ) - 128.0) / 128.0
+            rms = float(np.sqrt(np.mean(x**2)))
+            zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+            seen[key] = (rms, zc)
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "sample_rate": pa.array([8000] * len(keys), pa.int32()),
+            "n_samples": pa.array([1600] * len(keys), pa.int64()),
+            "duration_sec": pa.array([0.2] * len(keys), pa.float64()),
+            "rms": pa.array([seen[k][0] for k in keys], pa.float64()),
+            "zero_crossings": pa.array([seen[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
 def x9_centroid_golden() -> pa.Table:
     """Fit the x9 centroids per sf dir with the shared numpy core on the
     vec_id-ordered sample; emit (corpus_key, list_id, pos, val) rows."""
@@ -184,6 +219,9 @@ def main() -> None:
     x61 = x61_png_golden()
     pq.write_table(x61, os.path.join(OUT_DIR, "x61_png_decode.parquet"))
     print(f"x61_png_decode.parquet: {x61.num_rows} distinct payloads")
+    x62 = x62_wav_golden()
+    pq.write_table(x62, os.path.join(OUT_DIR, "x62_wav_decode.parquet"))
+    print(f"x62_wav_decode.parquet: {x62.num_rows} distinct payloads")
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
