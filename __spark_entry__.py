@@ -4001,6 +4001,151 @@ def _q_r37_tpch_q22(spark, sf_dir):
     return out
 
 
+def _q_r45_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape: TWO correlated subqueries over the SAME fact
+    table — EXISTS (another supplier on the order: LEFT SEMI with an
+    inequality correlation ``l2.suppkey <> l1.suppkey``) and NOT EXISTS
+    (no OTHER supplier also returned: LEFT ANTI, same inequality) — then
+    the supplier roll-up. Both joins shuffle on the skinny orderkey with
+    the <> predicate as a post-match filter; supplier is a broadcast dim.
+    Deterministic top-20 via the unique s_name tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    t = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2"))
+        & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3"))
+        & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        t.join(F.broadcast(supplier), t.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_SQL_R45 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def _q_r46_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape: a revenue "view" (per-supplier quarter revenue)
+    filtered to the suppliers achieving the GLOBAL max — the scalar-max
+    subquery as a broadcast 1-row join, with the equality comparison on
+    EXACT integer-scaled revenue (long-staged sums) so the max test is
+    engine-deterministic; ties all survive."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((price_c * (100 - disc_c)).cast("decimal(38,0)")).alias(
+                "rev_s"
+            )
+        )
+    )
+    top = rev.agg(F.max("rev_s").alias("max_s"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_s") == F.col("max_s"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            _r6(F.col("rev_s").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+_SQL_R46 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_s
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(rev_s AS DOUBLE) / 10000.0, 6) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_s = (SELECT max(rev_s) FROM rev)
+"""
+
+
+_R47_TEXT = """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM {part} JOIN {lineitem} ON p_partkey = l_partkey
+WHERE p_size IN (1, 5, 9, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM {supplier}
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def _q_r47_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN (subquery) — Spark plans the null-aware
+    anti join — feeding a count(DISTINCT) over a dimension join. Via
+    ``spark.sql`` so the declared surface is the identical ANSI text the
+    oracle runs (the r39 pattern); the excluded-supplier set is tiny and
+    broadcast by AQE, the distinct agg is the usual two-phase expand."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__part_r47")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__lineitem_r47")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__supplier_r47")
+    return spark.sql(
+        _R47_TEXT.format(
+            part="__part_r47",
+            lineitem="__lineitem_r47",
+            supplier="__supplier_r47",
+        )
+    )
+
+
+_SQL_R47 = _R47_TEXT.format(
+    part="part", lineitem="lineitem", supplier="supplier"
+)
+
+
 _SQL_R37 = """
 WITH c AS (
   SELECT *, substring(c_name, -2, 2) AS cntrycode,
@@ -5548,6 +5693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_hdf4_scan": _q_s9_hdf4_scan,
         "x61_decode_png": _q_x61_decode_png,
         "x62_wav_features": _q_x62_wav_features,
+        "r45_tpch_q21": _q_r45_tpch_q21,
+        "r46_tpch_q15": _q_r46_tpch_q15,
+        "r47_tpch_q16": _q_r47_tpch_q16,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -5799,4 +5947,7 @@ def oracle_sql() -> dict[str, str]:
         "s9_hdf4_scan": _SQL_S9,
         "x61_decode_png": _SQL_X61,
         "x62_wav_features": _SQL_X62,
+        "r45_tpch_q21": _SQL_R45,
+        "r46_tpch_q15": _SQL_R46,
+        "r47_tpch_q16": _SQL_R47,
     }

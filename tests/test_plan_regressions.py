@@ -299,6 +299,26 @@ def test_x58_overlap_fp_join_never_broadcast(spark):
     assert exch and all("text" not in l for l in exch)
 
 
+def test_r45_q21_semi_and_anti_no_cartesian(spark):
+    """Q21 shape: the two same-table correlated subqueries must stay a
+    LEFT SEMI + LEFT ANTI pair keyed on orderkey (the <> correlation is a
+    join-condition filter, never a cartesian); supplier broadcasts."""
+    plan = _plan(spark, "r45_tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, not a full sort
+
+
+def test_r47_q16_not_in_stays_anti_join(spark):
+    """Q16 shape: NOT IN (subquery) must plan as an anti join (null-aware
+    or plain — never a per-row nested loop over the full supplier set)."""
+    plan = _plan(spark, "r47_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count(distinct " in plan or "count(distinct" in plan
+
+
 def test_x60_materialized_fps_single_corpus_scan(spark):
     """Materialized-fingerprint span profile: passing ``fingerprints=``
     from parquet must collapse the 3× corpus scan (x51's documented
