@@ -33,6 +33,7 @@ from modis_aggregation_spark.operators import similarity as ops_sim
 from modis_aggregation_spark.functions.histogram import hist_bucket_sql
 from modis_aggregation_spark.functions.dayrules import day_definition_null, day_definition_sql
 from modis_aggregation_spark.operators import stats as ops_stats
+from modis_aggregation_spark.operators import tfidf as ops_tfidf
 from modis_aggregation_spark.operators import hist as ops_hist
 from modis_aggregation_spark.operators.densify import densify
 from modis_aggregation_spark.sources.catalog import (
@@ -5619,6 +5620,43 @@ def _q_x59_hash_embed(spark, sf_dir):
     return out.select("doc_id", "dim", _r6(F.col("val")).alias("val"))
 
 
+def _q_x63_inverted_index(spark, sf_dir):
+    """Posting-list index build (operators/tfidf.py:inverted_index):
+    distinct (term, doc) pairs → document frequency → [min_df,
+    max_df_ratio·N] band filter (stopword/noise exclusion) → per-term
+    doc_id-ordered postings capped at max_postings via a rank window
+    (WindowGroupLimit below the exchange). Exploded (term, df, rank,
+    doc_id) rows; oracle reimplements the whole pipeline over the same
+    whitespace tokenizer."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops_tfidf.inverted_index(
+        docs, min_df=2, max_df_ratio=0.9, max_postings=25
+    )
+
+
+_SQL_X63 = rf"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), p AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t
+), d AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), k AS (
+  SELECT term, df FROM d, n
+  WHERE df >= 2 AND df <= 0.9 * n_docs
+), r AS (
+  SELECT p.term, k.df,
+         CAST(row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id)
+              AS BIGINT) AS rank,
+         p.doc_id
+  FROM p JOIN k USING (term)
+)
+SELECT term, df, rank, doc_id FROM r WHERE rank <= 25
+"""
+
+
 _SQL_X59 = rf"""
 WITH t AS (
   SELECT doc_id, {_D_TOKS} AS toks FROM documents
@@ -5696,6 +5734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r45_tpch_q21": _q_r45_tpch_q21,
         "r46_tpch_q15": _q_r46_tpch_q15,
         "r47_tpch_q16": _q_r47_tpch_q16,
+        "x63_inverted_index": _q_x63_inverted_index,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -5950,4 +5989,5 @@ def oracle_sql() -> dict[str, str]:
         "r45_tpch_q21": _SQL_R45,
         "r46_tpch_q15": _SQL_R46,
         "r47_tpch_q16": _SQL_R47,
+        "x63_inverted_index": _SQL_X63,
     }

@@ -39,6 +39,65 @@ def term_frequencies(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+    max_postings: int = 100,
+) -> DataFrame:
+    """Posting-list construction — the retrieval-side index a BM25/search
+    stack sits on, emitted as EXPLODED rows:
+
+        (term, df, rank, doc_id)   rank = 1-based position in the
+                                   doc_id-ordered posting list
+
+    Terms outside ``[min_df, max_df_ratio · n_docs]`` are dropped (rare
+    noise and stopwords — standard IR practice), and each surviving
+    posting list is capped at ``max_postings`` entries (lowest doc_ids),
+    so no single hot term materializes an unbounded list.
+
+    Scale shape: the term/doc pairs reduce to DISTINCT before anything
+    else (skinny string+id rows); document frequency is a hash agg on
+    term; the corpus size is a broadcast 1-row scalar; the cap is a
+    rank-window on the term partition — Spark pushes ``rank <=
+    max_postings`` below the exchange as WindowGroupLimit, so at most
+    ``max_postings`` rows per term ever shuffle to the window sort. No
+    collect, no per-term driver loops; output rows are bounded by
+    |kept terms| × max_postings.
+
+    No counterpart in the reference (extension surface); complements
+    ``bm25``/``tf_idf`` (scoring) with the index-build half of the IR
+    pair.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+    )
+    pairs = (
+        staged.select("doc_id", F.explode("__toks").alias("term")).distinct()
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
+    kept = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (F.col("df") <= F.lit(float(max_df_ratio)) * F.col("__n_docs"))
+        )
+        .select("term", "df")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        pairs.join(kept, "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.lit(int(max_postings)))
+        .select("term", "df", "rank", "doc_id")
+    )
+
+
 def tf_idf(
     docs: DataFrame,
     content_col: str = "text",

@@ -525,6 +525,30 @@ def test_ivf_build_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:120]
 
 
+def test_inverted_index_band_and_cap(spark):
+    from modis_aggregation_spark.operators.tfidf import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "the apple"), (2, "the banana apple"), (3, "the cherry"),
+         (4, "the apple"), (5, "unique")],
+        ["doc_id", "text"],
+    )
+    # min_df=2 drops banana/cherry/unique; max_df_ratio=0.7 drops "the"
+    # (df 4 > 0.7·5); apple (df 3) survives
+    rows = inverted_index(
+        df, min_df=2, max_df_ratio=0.7, max_postings=2
+    ).collect()
+    got = {(r["term"], r["rank"]): (r["df"], r["doc_id"]) for r in rows}
+    assert set(r["term"] for r in rows) == {"apple"}
+    # cap=2 keeps the two LOWEST doc_ids of apple's {1, 2, 4}
+    assert got[("apple", 1)] == (3, 1) and got[("apple", 2)] == (3, 2)
+    assert len(rows) == 2
+    # no cap/band: full postings in doc_id order
+    allrows = inverted_index(df, min_df=1, max_df_ratio=1.0).collect()
+    the = sorted(r["doc_id"] for r in allrows if r["term"] == "the")
+    assert the == [1, 2, 3, 4]
+
+
 def test_tf_idf(spark):
     from modis_aggregation_spark.operators.tfidf import idf_value, tf_idf
 

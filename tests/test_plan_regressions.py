@@ -319,6 +319,16 @@ def test_r47_q16_not_in_stays_anti_join(spark):
     assert "partial_count(distinct " in plan or "count(distinct" in plan
 
 
+def test_x63_inverted_index_window_cap_pruned(spark):
+    """Posting cap: the rank<=k filter must prune as WindowGroupLimit
+    (bounded rows per term reach the window sort); the only BNLJ is the
+    1-row corpus-size scalar; no cartesian."""
+    plan = _plan(spark, "x63_inverted_index")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # n_docs scalar
+
+
 def test_x60_materialized_fps_single_corpus_scan(spark):
     """Materialized-fingerprint span profile: passing ``fingerprints=``
     from parquet must collapse the 3× corpus scan (x51's documented
