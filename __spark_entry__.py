@@ -2494,6 +2494,55 @@ def _q_x62_wav_features(spark, sf_dir):
     )
 
 
+def _q_x64_gif_frames(spark, sf_dir):
+    """REAL animated-media frame sampling (no fake): each document's
+    utf-8 bytes tile into three 6×8 frames under an identity grayscale
+    palette, get encoded as a real animated GIF (``sinks/giflite.py`` —
+    LZW, cross-validated vs javax.imageio), and
+    ``sample_frames(decoder="gif")`` physically decodes and composites
+    all three frames back. Oracle: goldens/x64_gif_frames.parquet
+    computes each frame's mean straight from the byte windows (palette
+    identity ⇒ no codec involved), keyed by sha256(text)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_gif(it):
+        from modis_aggregation_spark.sinks.giflite import encode_gif
+
+        gray = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                tiled = np.resize(np.frombuffer(data, np.uint8), 3 * 48)
+                frames = [
+                    tiled[fi * 48 : (fi + 1) * 48].reshape(6, 8)
+                    for fi in range(3)
+                ]
+                payloads.append(encode_gif(frames, palette=gray, delay_cs=7))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    gifs = docs.mapInPandas(to_gif, "id BIGINT, payload BINARY")
+    out = ops_mm.sample_frames(gifs, every_n=1, n_frames=3, decoder="gif")
+    return out.select(
+        "id", "frame_idx", "height", "width", "delay_cs",
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X64 = """
+SELECT d.doc_id AS id, g.frame_idx, g.height, g.width, g.delay_cs,
+       round(g.mean_pixel, 6) AS mean_pixel
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x64_gif_frames.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 _SQL_X62 = """
 SELECT d.doc_id AS id, g.sample_rate, g.n_samples,
        round(g.duration_sec, 6) AS duration_sec,
@@ -5735,6 +5784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r46_tpch_q15": _q_r46_tpch_q15,
         "r47_tpch_q16": _q_r47_tpch_q16,
         "x63_inverted_index": _q_x63_inverted_index,
+        "x64_gif_frames": _q_x64_gif_frames,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -5990,4 +6040,5 @@ def oracle_sql() -> dict[str, str]:
         "r46_tpch_q15": _SQL_R46,
         "r47_tpch_q16": _SQL_R47,
         "x63_inverted_index": _SQL_X63,
+        "x64_gif_frames": _SQL_X64,
     }

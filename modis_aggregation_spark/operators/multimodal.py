@@ -86,9 +86,14 @@ def decode_images(
       replicated, alpha dropped). A non-PNG payload raises ValueError —
       filter on ``media_meta.mime = 'image/png'`` first
       (``attach_media_metadata``); no silent fallback.
-    * ``decoder="real"`` — the general JPEG/GIF/... path requires PIL
-      (not in this container → raises NotImplementedError at plan-build
-      time, by design; never silently falls back).
+    * ``decoder="gif"`` — REAL decode for (possibly animated) GIF
+      payloads via ``sinks/giflite.py`` (LZW + palette, cross-validated
+      against javax.imageio): the FIRST composited frame, resampled like
+      the PNG path. Use ``sample_frames(decoder="gif")`` for the full
+      animation.
+    * ``decoder="real"`` — the general JPEG path requires PIL (not in
+      this container → raises NotImplementedError at plan-build time, by
+      design; never silently falls back).
     * ``decoder="fake"`` — deterministic payload-derived output
       exercising the identical Arrow batch path (plumbing tests).
     """
@@ -102,7 +107,7 @@ def decode_images(
             "path for PNG payloads, decoder='fake' exercises the identical "
             "Arrow batch path deterministically"
         )
-    if decoder not in ("png", "fake"):
+    if decoder not in ("png", "gif", "fake"):
         raise ValueError(f"unknown image decoder: {decoder!r}")
     h, w = out_hw
 
@@ -122,6 +127,8 @@ def decode_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "png":
             from modis_aggregation_spark.sinks.pnglite import decode_png
+        elif decoder == "gif":
+            from modis_aggregation_spark.sinks.giflite import decode_gif
 
         for pdf in it:
             if decoder == "png":
@@ -134,6 +141,11 @@ def decode_images(
                             "on media_meta.mime = 'image/png' first"
                         )
                     arrs.append(_resample(decode_png(payload)))
+            elif decoder == "gif":
+                # first frame of the (possibly animated) image
+                arrs = [
+                    _resample(decode_gif(bytes(b))[0][0]) for b in pdf[payload_col]
+                ]
             else:
                 arrs = [_fake_decode(bytes(b), h, w) for b in pdf[payload_col]]
             yield pd.DataFrame(
@@ -270,16 +282,68 @@ def extract_audio_features(
 FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame BINARY"
 
 
+GIF_FRAME_SCHEMA = (
+    "id BIGINT, frame_idx INT, height INT, width INT, delay_cs INT, "
+    "mean_pixel DOUBLE, frame BINARY"
+)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "id",
     every_n: int = 10,
     n_frames: int = 3,
+    decoder: str = "fake",
 ) -> DataFrame:
-    """Video frame sampling stub: emits ``n_frames`` deterministic fake
-    frames per payload (one row per frame — the explode shape a real
-    ffmpeg-backed decoder would produce)."""
+    """Animation/video frame sampling, one output row per sampled frame
+    (the explode shape an ffmpeg-backed decoder would produce).
+
+    * ``decoder="gif"`` — REAL frame extraction from animated GIF
+      payloads via the bundled pure-stdlib codec (``sinks/giflite.py``,
+      cross-validated against javax.imageio): frames are LZW-decoded and
+      composited (disposal 0/1/2, transparency), then every
+      ``every_n``-th frame is kept up to ``n_frames`` rows; ``frame`` is
+      the raw (H, W, 3) RGB bytes plus typed height/width/delay columns
+      (``GIF_FRAME_SCHEMA``). Frame indexes past the animation are
+      dropped, not padded.
+    * ``decoder="fake"`` — deterministic payload-derived 4×4 frames over
+      the original ``FRAME_SCHEMA`` (plumbing tests).
+    """
+    if decoder == "gif":
+
+        def gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from modis_aggregation_spark.sinks.giflite import decode_gif
+
+            for pdf in it:
+                rows: dict[str, list] = {
+                    k: []
+                    for k in (
+                        "id", "frame_idx", "height", "width",
+                        "delay_cs", "mean_pixel", "frame",
+                    )
+                }
+                for i, b in zip(pdf[id_col], pdf[payload_col]):
+                    frames, delays = decode_gif(bytes(b))
+                    for fi in range(n_frames):
+                        fidx = fi * every_n
+                        if fidx >= len(frames):
+                            break
+                        fr = frames[fidx]
+                        rows["id"].append(i)
+                        rows["frame_idx"].append(fidx)
+                        rows["height"].append(fr.shape[0])
+                        rows["width"].append(fr.shape[1])
+                        rows["delay_cs"].append(delays[fidx])
+                        rows["mean_pixel"].append(float(fr.mean()))
+                        rows["frame"].append(fr.tobytes())
+                yield pd.DataFrame(rows)
+
+        return df.select(id_col, payload_col).mapInPandas(
+            gif_batches, GIF_FRAME_SCHEMA
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown frame decoder: {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -150,6 +150,48 @@ def x62_wav_golden() -> pa.Table:
     )
 
 
+def x64_gif_golden() -> pa.Table:
+    """Recompute the x64 REAL-GIF-frame expectation per distinct document
+    payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
+    into three 6×8 frames under an identity grayscale palette, encodes a
+    real animated GIF (giflite) and samples all three frames back through
+    LZW decode + palette + compositing. Palette identity makes each
+    frame's mean equal the mean of its byte window — pure arithmetic, so
+    a codec mis-parse anywhere diverges. Keyed by sha256(text); 3 rows
+    per digest."""
+    cols: dict[str, list] = {k: [] for k in (
+        "sha256", "frame_idx", "height", "width", "delay_cs", "mean_pixel"
+    )}
+    seen: set[str] = set()
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            seen.add(key)
+            tiled = np.resize(np.frombuffer(payload, np.uint8), 3 * 48)
+            for fi in range(3):
+                frame = tiled[fi * 48 : (fi + 1) * 48]
+                cols["sha256"].append(key)
+                cols["frame_idx"].append(fi)
+                cols["height"].append(6)
+                cols["width"].append(8)
+                cols["delay_cs"].append(7)
+                cols["mean_pixel"].append(float(frame.astype(np.float64).mean()))
+    return pa.table(
+        {
+            "sha256": pa.array(cols["sha256"], pa.string()),
+            "frame_idx": pa.array(cols["frame_idx"], pa.int32()),
+            "height": pa.array(cols["height"], pa.int32()),
+            "width": pa.array(cols["width"], pa.int32()),
+            "delay_cs": pa.array(cols["delay_cs"], pa.int32()),
+            "mean_pixel": pa.array(cols["mean_pixel"], pa.float64()),
+        }
+    )
+
+
 def x9_centroid_golden() -> pa.Table:
     """Fit the x9 centroids per sf dir with the shared numpy core on the
     vec_id-ordered sample; emit (corpus_key, list_id, pos, val) rows."""
@@ -219,6 +261,9 @@ def main() -> None:
     x61 = x61_png_golden()
     pq.write_table(x61, os.path.join(OUT_DIR, "x61_png_decode.parquet"))
     print(f"x61_png_decode.parquet: {x61.num_rows} distinct payloads")
+    x64 = x64_gif_golden()
+    pq.write_table(x64, os.path.join(OUT_DIR, "x64_gif_frames.parquet"))
+    print(f"x64_gif_frames.parquet: {x64.num_rows} rows")
     x62 = x62_wav_golden()
     pq.write_table(x62, os.path.join(OUT_DIR, "x62_wav_decode.parquet"))
     print(f"x62_wav_decode.parquet: {x62.num_rows} distinct payloads")
