@@ -310,7 +310,6 @@ def decode_gif(buf: bytes):
                 "implemented — no ground-truth renderer here to validate "
                 "the frame stack against"
             )
-        before = canvas.copy()
         region = canvas[iy : iy + ih, ix : ix + iw]
         rgb = pal[np.clip(idx, 0, len(pal) - 1)]
         if transparent is not None:
@@ -323,9 +322,7 @@ def decode_gif(buf: bytes):
         if disposal == 2:  # restore region to background
             bgc = gct[bg] if (gct is not None and bg < len(gct)) else 0
             canvas[iy : iy + ih, ix : ix + iw] = bgc
-        elif disposal == 0 or disposal == 1:
-            pass  # leave composited
-        del before
+        # disposal 0/1: leave composited
         transparent = None
         disposal = 0
     if not frames:
