@@ -3670,6 +3670,67 @@ GROUP BY 1
 """
 
 
+def _q_s10_stream_hdf4(spark, sf_dir):
+    """Streaming source × REAL binary container: the granule
+    streamReader lands 2 HDF4 granules per micro-batch, each physically
+    decoded by the classic-DFTAG codec (``decoder=hdf``) inside its
+    partition, aggregated to the daily grid in complete mode. Replay is
+    exactly-once (id-range offsets; decode is a pure function of the
+    on-disk file). Oracle: the same parquet twin as s9 — the streamed
+    grid must equal the batch grid over identical granule content."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    hdf_dir = _ensure_s9_fixture()
+    stream = (
+        spark.readStream.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _HDF4_IDS))
+        .option("granules_per_batch", "2")
+        .option("decoder", "hdf")
+        .option("path", hdf_dir)
+        .option("variables", "ctp")
+        .load()
+    )
+    spec = default_spec()
+    px = ops_stats.with_cloud_mask(ops_stats.with_cell(stream, spec))
+    cm = F.col("cm")
+    agg = px.groupBy("cell").agg(
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        F.count("ctp").alias("ctp_count"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        F.sum(F.when(cm.between(0, 1), 1).otherwise(0)).cast("long").alias("cld_pix"),
+        F.sum(F.when(cm.between(0, 3), 1).otherwise(0)).cast("long").alias("tot_pix"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="s10_ckpt_")
+    name = f"s10_grid_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return rows_df
+
+
 def _q_x30_dedup_canonical(spark, sf_dir):
     """End-to-end near-dup dedup: the x4 n-gram-Jaccard pair graph →
     exact connected components (x23) → keep the minimum doc_id of every
@@ -5785,6 +5846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r47_tpch_q16": _q_r47_tpch_q16,
         "x63_inverted_index": _q_x63_inverted_index,
         "x64_gif_frames": _q_x64_gif_frames,
+        "s10_stream_hdf4": _q_s10_stream_hdf4,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -6041,4 +6103,5 @@ def oracle_sql() -> dict[str, str]:
         "r47_tpch_q16": _SQL_R47,
         "x63_inverted_index": _SQL_X63,
         "x64_gif_frames": _SQL_X64,
+        "s10_stream_hdf4": _SQL_S9,  # stream ≡ batch over identical granules
     }
