@@ -321,6 +321,62 @@ def run_ewma_curve(spark, n_rows: int, n_keys: int = 4) -> dict:
     return out
 
 
+def run_gif_frames(spark, n_docs: int, frames_per: int = 8) -> dict:
+    """Real-codec frame-sampling anchor (round 4): ``n_docs`` animated
+    GIFs (``frames_per`` 32×24 frames each) decoded by giflite inside
+    mapInPandas partitions; throughput in composited frames/s. The
+    decode is per-payload independent — the 100× dimension is payload
+    count, embarrassingly parallel like the granule scans."""
+    import numpy as np
+    import pandas as pd
+
+    from modis_aggregation_spark.sinks.giflite import encode_gif
+    from modis_aggregation_spark.operators.multimodal import sample_frames
+
+    gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    rng = np.random.default_rng(0)
+    payload = encode_gif(
+        [rng.integers(0, 256, (32, 24)).astype(np.uint8) for _ in range(frames_per)],
+        palette=gray,
+    )
+    df = spark.range(n_docs).select(
+        F.col("id"), F.lit(bytearray(payload)).alias("payload")
+    ).repartition(32).localCheckpoint()
+    t0 = time.perf_counter()
+    out = sample_frames(df, every_n=1, n_frames=frames_per, decoder="gif")
+    n = out.agg(F.sum("mean_pixel")).collect()[0][0] is not None and out.count()
+    t = time.perf_counter() - t0
+    return {
+        "docs": n_docs,
+        "frames": n,
+        "sec": round(t, 2),
+        "frames_per_sec": int(n / t),
+    }
+
+
+def run_inverted_index(spark, sf_dir: str, replicate: int) -> dict:
+    """Inverted-index anchor (round 4): posting-list build over the
+    replicated corpus; docs/s plus the shuffle-byte bill (skinny
+    (term, doc) rows only — text never shuffles past the explode)."""
+    from modis_aggregation_spark.operators.tfidf import inverted_index
+
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = docs.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = inverted_index(docs, min_df=2, max_df_ratio=0.9, max_postings=100)
+    n_rows = out.count()
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    return {
+        "docs": n_docs,
+        "posting_rows": n_rows,
+        "sec": round(t, 2),
+        "docs_per_sec": int(n_docs / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
 def run_dupspan_curve(spark, sf_dir: str, replicate: int) -> dict:
     """Duplicated-span coverage (x51 shape) at growing corpus size: the
     100 TB claim is that docs/s holds (the three shuffles move only
