@@ -1,0 +1,137 @@
+"""Property-based round-trip tests (hypothesis) for the pure-Python
+codecs added in rounds 3-4: arbitrary shapes/dtypes/attribute sets must
+survive write→read bit-exactly. These are driver-side (no Spark) — pure
+codec hardening."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def _hdf4_datasets(draw):
+    n = draw(st.integers(1, 3))
+    out = {}
+    for i in range(n):
+        dt = draw(
+            st.sampled_from(
+                [np.float64, np.float32, np.int16, np.int32, np.uint8, np.int8]
+            )
+        )
+        ndim = draw(st.integers(1, 3))
+        shape = tuple(draw(st.integers(1, 5)) for _ in range(ndim))
+        seed = draw(st.integers(0, 2**31))
+        rng = np.random.default_rng(seed)
+        if np.issubdtype(dt, np.floating):
+            arr = rng.normal(scale=1e3, size=shape).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            arr = rng.integers(info.min, info.max, size=shape, dtype=dt)
+        attrs = {}
+        if draw(st.booleans()):
+            attrs["units"] = draw(
+                st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    min_size=1,
+                    max_size=12,
+                )
+            )
+        if draw(st.booleans()):
+            attrs["scale_factor"] = draw(
+                st.floats(0.001, 100, allow_nan=False)
+            )
+        if draw(st.booleans()):
+            attrs["_FillValue"] = int(draw(st.integers(-32768, 32767)))
+        out[f"var{i}"] = (arr, attrs)
+    return out
+
+
+@given(dsets=_hdf4_datasets())
+@settings(**_SETTINGS)
+def test_hdf4_roundtrip_property(tmp_path_factory, dsets):
+    from modis_aggregation_spark.sinks.hdf4lite import read_hdf4, write_hdf4
+
+    p = str(tmp_path_factory.mktemp("h4") / "t.hdf")
+    write_hdf4(p, dsets)
+    back = read_hdf4(p)
+    assert set(back) == set(dsets)
+    for name, (arr, attrs) in dsets.items():
+        ds = back[name]
+        assert ds.shape == arr.shape
+        assert ds.data.dtype == arr.dtype
+        assert np.array_equal(ds.data, arr)
+        for k, v in attrs.items():
+            got = ds.attrs[k]
+            if isinstance(v, float):
+                assert got == v  # float64 attrs round-trip bit-exactly
+            else:
+                assert got == v
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    nframes=st.integers(1, 4),
+    ncolors=st.integers(2, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(**_SETTINGS)
+def test_gif_roundtrip_property(h, w, nframes, ncolors, interlace, seed):
+    from modis_aggregation_spark.sinks.giflite import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    frames = [
+        rng.integers(0, ncolors, (h, w)).astype(np.uint8)
+        for _ in range(nframes)
+    ]
+    buf = encode_gif(frames, palette=pal, delay_cs=2, interlace=interlace)
+    back, delays = decode_gif(buf)
+    assert len(back) == nframes and delays == [2] * nframes
+    for f, b in zip(frames, back):
+        assert np.array_equal(b, pal[f])
+
+
+@given(
+    n=st.integers(1, 400),
+    sr=st.integers(1000, 48000),
+    seed=st.integers(0, 2**31),
+)
+@settings(**_SETTINGS)
+def test_wav_roundtrip_property(n, sr, seed):
+    from modis_aggregation_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    # dyadic rationals k/32768 round-trip exactly through PCM16
+    pcm = rng.integers(-32768, 32768, n)
+    x = pcm.astype(np.float64) / 32768.0
+    sr2, back = decode_wav(encode_wav(x, sample_rate=sr))
+    assert sr2 == sr
+    assert back.tolist() == x.tolist()
+
+
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+@settings(**_SETTINGS)
+def test_png_roundtrip_property(h, w, ch, seed):
+    from modis_aggregation_spark.sinks.pnglite import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    back = decode_png(encode_png(img))
+    assert np.array_equal(back, img)
