@@ -372,7 +372,16 @@ def _attr_elements(
         if arr.dtype.kind == "f":
             arr = arr.astype(">f8")
         elif arr.dtype.kind in "iu":
-            arr = arr.astype(f">{arr.dtype.kind}{min(arr.dtype.itemsize, 4)}")
+            # HDF4 number types cap at 32-bit ints — refuse values that
+            # would silently wrap instead of truncating them
+            kind = arr.dtype.kind
+            lo, hi = (np.iinfo(f"{kind}4").min, np.iinfo(f"{kind}4").max)
+            if arr.min() < lo or arr.max() > hi:
+                raise OverflowError(
+                    f"attribute {key!r} value outside 32-bit range "
+                    f"(HDF4 has no 64-bit NT): {value!r}"
+                )
+            arr = arr.astype(f">{kind}{min(arr.dtype.itemsize, 4)}")
         else:
             raise TypeError(f"unsupported attribute type for {key!r}: {arr.dtype}")
         dfnt = _dfnt_of(np.dtype(arr.dtype.newbyteorder("=")))
