@@ -3731,6 +3731,75 @@ def _q_s10_stream_hdf4(spark, sf_dir):
     return rows_df
 
 
+def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
+    """Materialize the documents table as two REAL archives — a zip (even
+    doc_ids) and a tar (odd) with one ``doc_<id>.txt`` member each — so
+    the archive DataSource scans physical containers whose content is
+    byte-derivable from the table the oracle reads."""
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    zpath = f"/tmp/spark_graft_s11_{tag}.zip"
+    tpath = f"/tmp/spark_graft_s11_{tag}.tar"
+    if os.path.exists(zpath) and os.path.exists(tpath):
+        return zpath, tpath
+    from modis_aggregation_spark.sources.archive_datasource import (
+        write_text_archive,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    even = {f"doc_{r['doc_id']}.txt": r["text"] for r in rows if r["doc_id"] % 2 == 0}
+    odd = {f"doc_{r['doc_id']}.txt": r["text"] for r in rows if r["doc_id"] % 2 == 1}
+    write_text_archive(f"{zpath}.{os.getpid()}.tmp.zip", even)
+    write_text_archive(f"{tpath}.{os.getpid()}.tmp", odd)
+    os.replace(f"{zpath}.{os.getpid()}.tmp.zip", zpath)
+    os.replace(f"{tpath}.{os.getpid()}.tmp", tpath)
+    return zpath, tpath
+
+
+def _q_s11_archive_scan(spark, sf_dir):
+    """Corpus-archive SOURCE end-to-end: the documents table packed into
+    REAL zip + tar containers (one text member per doc), scanned back by
+    the archive Python DataSource (one partition per archive, members
+    decoded in-partition, Arrow batches out — the LLM-ingestion shape for
+    WET/dump-style corpora). Oracle recomputes member name / byte size /
+    char length straight from the documents table."""
+    from modis_aggregation_spark.sources.archive_datasource import (
+        ArchiveDataSource,
+    )
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(ArchiveDataSource)
+    zpath, tpath = _ensure_s11_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("text_archive")
+        .option("paths", f"{zpath},{tpath}")
+        .load()
+    )
+    return df.select(
+        F.regexp_extract("member", r"doc_(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.element_at(F.split("archive", r"\."), -1).alias("container"),
+        "size_bytes",
+        F.length("text").alias("n_chars"),
+    )
+
+
+_SQL_S11 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS container,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def _q_x30_dedup_canonical(spark, sf_dir):
     """End-to-end near-dup dedup: the x4 n-gram-Jaccard pair graph →
     exact connected components (x23) → keep the minimum doc_id of every
@@ -5847,6 +5916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x63_inverted_index": _q_x63_inverted_index,
         "x64_gif_frames": _q_x64_gif_frames,
         "s10_stream_hdf4": _q_s10_stream_hdf4,
+        "s11_archive_scan": _q_s11_archive_scan,
         # -- re-confirmation tail of the window: DECIMAL-staged sums ----
         "r2_tpch_q1": _q_r2_tpch_q1,
         "r3_join_chain": _q_r3_join_chain,
@@ -6104,4 +6174,5 @@ def oracle_sql() -> dict[str, str]:
         "x63_inverted_index": _SQL_X63,
         "x64_gif_frames": _SQL_X64,
         "s10_stream_hdf4": _SQL_S9,  # stream ≡ batch over identical granules
+        "s11_archive_scan": _SQL_S11,
     }
