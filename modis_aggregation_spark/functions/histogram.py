@@ -29,7 +29,11 @@ def _is_uniform(edges: Sequence[float], rel_tol: float = 1e-12) -> bool:
         return True
     steps = [edges[i + 1] - edges[i] for i in range(len(edges) - 1)]
     lo, hi = min(steps), max(steps)
-    return hi - lo <= rel_tol * max(abs(hi), abs(lo), 1.0)
+    # tolerance relative to the STEP SIZE only — flooring the scale at 1.0
+    # (pre-round-4 bug, found by hypothesis) classified ANY sub-1e-12-scale
+    # edge set as uniform, sending genuinely irregular tiny-magnitude edges
+    # down the arithmetic path
+    return hi - lo <= rel_tol * max(abs(hi), abs(lo))
 
 
 def hist_bucket(value: Column, edges: Sequence[float]) -> Column:
@@ -42,8 +46,20 @@ def hist_bucket(value: Column, edges: Sequence[float]) -> Column:
     if _is_uniform(edges):
         width = (eN - e0) / nbins
         raw = F.floor((value - F.lit(e0)) / F.lit(width)).cast("int")
-        # value == eN maps to bucket nbins → clamp into the closed last bin
-        bucket = F.when(raw >= nbins, F.lit(nbins - 1)).otherwise(raw)
+        # clamp (value == eN maps to nbins), then a ±1 correction against
+        # the REAL edge values: floor((v−e0)/width) can land one bucket
+        # low/high when v sits exactly on an interior edge whose quotient
+        # rounds just below an integer — np.histogram compares against the
+        # actual edges (searchsorted), so we must too
+        arr = F.array(*[F.lit(float(e)) for e in edges])
+        raw = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+        above = F.element_at(arr, raw + 2)   # edges[raw+1] (1-based)
+        below = F.element_at(arr, raw + 1)   # edges[raw]
+        bucket = (
+            F.when(value >= above, F.least(raw + 1, F.lit(nbins - 1)))
+            .when(value < below, raw - 1)
+            .otherwise(raw)
+        )
     else:
         # CASE chain over the irregular interior edges; last bin closed below
         bucket = F.lit(nbins - 1)
