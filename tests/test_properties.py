@@ -195,3 +195,27 @@ def test_day_rules_preserve_rows(spark):
     before = df.filter(F.col("hour") >= 3).agg(F.sum("ctp")).first()[0]
     after = out.filter(F.col("hour") >= 3).agg(F.sum("ctp")).first()[0]
     assert before == after
+
+
+def test_hist_bucket_boundary_regressions(spark):
+    """Deterministic falsifiers for the two round-4 uniform-path bugs:
+    (1) irregular tiny-magnitude edges mis-classified as uniform by the
+    1.0-floored tolerance; (2) a value exactly on an interior edge whose
+    (v−e0)/width quotient rounds just below an integer."""
+    import numpy as np
+
+    cases = [
+        ([-1.3642420526593924e-12, 6.928410972168408e-39,
+          9.166001291305292e-13], [0.0]),
+        ([0.0, 0.1, 0.2, 0.3], [0.2, 0.1, 0.0, 0.3, 0.15]),
+        ([0.0, 0.2, 0.4, 0.6, 0.8, 1.0], [0.4, 0.6, 1.0, 0.8, 0.79999]),
+    ]
+    for edges, vals in cases:
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        got = df.select(hist_bucket(F.col("v"), edges).alias("b")).collect()
+        counts = np.zeros(len(edges) - 1, dtype=int)
+        for r in got:
+            if r["b"] is not None:
+                counts[r["b"]] += 1
+        want, _ = np.histogram(np.array(vals), bins=np.array(edges))
+        assert counts.tolist() == want.tolist(), edges
