@@ -148,3 +148,18 @@ def test_decode_images_gif_first_frame(spark):
     assert np.frombuffer(out["pixels"], np.uint8).reshape(8, 8, 3).tolist() \
         == np.broadcast_to(pal[0], (8, 8, 3)).tolist()
     assert out["mean_pixel"] == pytest.approx(float(pal[0].mean()))
+
+
+def test_lzw_table_reset_roundtrip():
+    """Frames large/noisy enough to push the LZW dictionary past 4096
+    codes exercise the encoder's clear/reset branch and the decoder's
+    table cap — both must stay bit-exact (also long repetitive runs,
+    which build deep dictionary chains)."""
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    noisy = rng.integers(0, 256, (120, 130)).astype(np.uint8)
+    frames, _ = decode_gif(encode_gif([noisy], palette=pal))
+    assert np.array_equal(frames[0], pal[noisy])
+    runs = np.tile(np.arange(130, dtype=np.uint8) % 7, (120, 1))
+    frames2, _ = decode_gif(encode_gif([runs], palette=pal))
+    assert np.array_equal(frames2[0], pal[runs])
