@@ -107,6 +107,15 @@ def _px_cell(spark: SparkSession, sampling: int = 1) -> DataFrame:
     return ops_stats.with_cell(_px(spark), spec)
 
 
+def _cents(col):
+    """Exact scaled-long staging for a 2-dp money/rate column:
+    ``floor(x·100 + 0.5)`` as a LONG in pure codegen arithmetic — the
+    shared building block of every exact-sum query (see the
+    ``_q_r2_tpch_q1`` docstring; DuckDB twins spell it
+    ``CAST(floor(x * 100 + 0.5) AS BIGINT)``)."""
+    return (col * 100 + F.lit(0.5)).cast("long")
+
+
 def _r6(c, dp: int = 6):
     return F.round(c, dp)
 
@@ -428,9 +437,9 @@ def _q_r2_tpch_q1(spark, sf_dir):
     # Spark's fast sum path, so this is ~4× cheaper than the round-3
     # decimal(28,x) staging while still exact at any SF.
     D = "decimal(38,0)"
-    price_c = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    tax_c = (F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
+    tax_c = _cents(F.col("l_tax"))
     qty_i = F.col("l_quantity").cast("long")
     disc_s = price_c * (100 - disc_c)       # disc_price × 10⁴, exact
     charge_s = disc_s * (100 + tax_c)       # charge × 10⁶, exact
@@ -498,8 +507,7 @@ def _q_r3_join_chain(spark, sf_dir):
             # long-staged exact sum (see _q_r2_tpch_q1 docstring)
             _r6(
                 F.sum(
-                    (F.col("o_totalprice") * 100 + F.lit(0.5))
-                    .cast("long")
+                    _cents(F.col("o_totalprice"))
                     .cast("decimal(38,0)")
                 ).cast("double")
                 / F.lit(100.0)
@@ -551,8 +559,7 @@ def _q_r5_rollup(spark, sf_dir):
             # long-staged exact sum (see _q_r2_tpch_q1 docstring)
             _r6(
                 F.sum(
-                    (F.col("o_totalprice") * 100 + F.lit(0.5))
-                    .cast("long")
+                    _cents(F.col("o_totalprice"))
                     .cast("decimal(38,0)")
                 ).cast("double")
                 / F.lit(100.0)
@@ -3743,17 +3750,30 @@ def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     tpath = f"/tmp/spark_graft_s11_{tag}.tar"
     if os.path.exists(zpath) and os.path.exists(tpath):
         return zpath, tpath
-    from modis_aggregation_spark.sources.archive_datasource import (
-        write_text_archive,
-    )
+    # stream rows and append members incrementally — an archive is
+    # inherently one sequential file, but the corpus never materializes
+    # in driver memory (toLocalIterator + per-member writes; CLAUDE.md
+    # rule 4: no collect beyond ≤MB)
+    import io
+    import tarfile
+    import zipfile
 
-    rows = (
-        _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
-    )
-    even = {f"doc_{r['doc_id']}.txt": r["text"] for r in rows if r["doc_id"] % 2 == 0}
-    odd = {f"doc_{r['doc_id']}.txt": r["text"] for r in rows if r["doc_id"] % 2 == 1}
-    write_text_archive(f"{zpath}.{os.getpid()}.tmp.zip", even)
-    write_text_archive(f"{tpath}.{os.getpid()}.tmp", odd)
+    ztmp, ttmp = f"{zpath}.{os.getpid()}.tmp.zip", f"{tpath}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(ztmp, "w", zipfile.ZIP_DEFLATED) as zf, \
+            tarfile.open(ttmp, "w") as tf:
+        for r in (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .toLocalIterator()
+        ):
+            name = f"doc_{r['doc_id']}.txt"
+            data = r["text"].encode("utf-8")
+            if r["doc_id"] % 2 == 0:
+                zf.writestr(name, data)
+            else:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
     os.replace(f"{zpath}.{os.getpid()}.tmp.zip", zpath)
     os.replace(f"{tpath}.{os.getpid()}.tmp", tpath)
     return zpath, tpath
@@ -4120,8 +4140,8 @@ def _q_r36_tpch_q19(spark, sf_dir):
             & F.col("l_quantity").between(10, 60)
         )
     )
-    price_c = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
     return j.filter(cond).agg(
         # long-staged exact sum (see _q_r2_tpch_q1 docstring)
         _r6(
@@ -4246,8 +4266,8 @@ def _q_r46_tpch_q15(spark, sf_dir):
     EXACT integer-scaled revenue (long-staged sums) so the max test is
     engine-deterministic; ties all survive."""
     li = _t(spark, sf_dir, "lineitem")
-    price_c = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
     rev = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -5349,13 +5369,25 @@ def _q_x60_dup_spans_materialized(spark, sf_dir):
     exactly ONCE (locked in tests/test_plan_regressions.py) instead of
     re-tokenizing the corpus up to three times. window=6 so the recorded
     rows differ from x51's window=8."""
-    import tempfile
+    import hashlib
 
     docs = _t(spark, sf_dir, "documents")
-    fp_path = tempfile.mkdtemp(prefix="x60_fps_") + "/fps.parquet"
-    ops_dedup.window_fingerprints(docs, window=6).write.mode(
-        "overwrite"
-    ).parquet(fp_path)
+    # deterministic per-corpus cache (the s9/s11 fixture pattern): repeat
+    # invocations reuse the materialized fp table instead of leaking a
+    # fresh tempdir per run
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    fp_path = f"/tmp/spark_graft_x60_fps_{tag}/fps.parquet"
+    if not os.path.exists(fp_path):
+        ops_dedup.window_fingerprints(docs, window=6).write.mode(
+            "overwrite"
+        ).parquet(f"{fp_path}.{os.getpid()}.tmp")
+        try:
+            os.replace(f"{fp_path}.{os.getpid()}.tmp", fp_path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(f"{fp_path}.{os.getpid()}.tmp", ignore_errors=True)
+            # concurrent creator won; content is identical
     fps = spark.read.parquet(fp_path)
     out = ops_dedup.duplicate_window_profile(
         docs, window=6, fingerprints=fps

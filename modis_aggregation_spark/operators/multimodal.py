@@ -200,6 +200,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         ch = w.getnchannels()
         width = w.getsampwidth()
         raw = w.readframes(w.getnframes())
+    if sr <= 0:
+        # stdlib wave accepts a zeroed fmt-chunk rate; surface it as a
+        # malformed container, not a downstream ZeroDivisionError
+        raise ValueError(f"malformed WAV: non-positive sample rate {sr}")
     if width == 2:
         arr = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
     elif width == 1:

@@ -207,8 +207,11 @@ def ewma(
       key. Use for hot keys with 10⁶+ observations (one device/user
       emitting millions of events at 100 TB).
 
-    Returns one row per input observation:
-    ``(key, pos, ts, value, ewma)`` with ``pos`` 1-based in ts order.
+    Returns one row per NON-NULL observation (rows with a NULL timestamp
+    or value are dropped before positioning — the NULL-skipping
+    convention every aggregate in this repo follows, and identical
+    across BOTH engines): ``(key, pos, ts, value, ewma)`` with ``pos``
+    1-based in ts order.
     No counterpart in the reference (its temporal axis is the
     file-per-granule catalog, ``aggregate_functions.py:96-109``).
     """
@@ -218,7 +221,7 @@ def ewma(
     if engine != "sql":
         raise ValueError(f"unknown ewma engine: {engine!r}")
     series = (
-        df.where(F.col(ts_col).isNotNull())
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(key_col).alias("key"))
         .agg(
             F.sort_array(
@@ -362,7 +365,9 @@ def _ewma_pandas(
 ) -> DataFrame:
     """Arrow-batched grouped EWMA: pandas ``ewm(alpha, adjust=True)`` is
     the C-speed linear recurrence; one shuffle on the key, O(n) per key."""
-    src = df.where(F.col(ts_col).isNotNull()).select(
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),

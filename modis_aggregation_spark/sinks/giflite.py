@@ -277,6 +277,11 @@ def decode_gif(buf: bytes):
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", buf, pos + 1)
         pos += 10
+        if ix + iw > w or iy + ih > h:
+            raise ValueError(
+                f"malformed GIF: image descriptor {iw}x{ih}@({ix},{iy}) "
+                f"exceeds the {w}x{h} logical screen"
+            )
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 7)

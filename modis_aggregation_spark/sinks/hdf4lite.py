@@ -337,6 +337,14 @@ def _vh_bytes(
 ) -> bytes:
     esize = np.dtype(_DFNT[dfnt]).itemsize
     isize = esize * order
+    if order > 0xFFFF or isize > 0xFFFF or len(name) > 0xFFFF:
+        # Vdata field order/size and name lengths are 16-bit in the
+        # container — refuse loudly (MODIS CoreMetadata-style multi-MB
+        # text attributes exceed this) instead of dying in struct.pack
+        raise OverflowError(
+            f"attribute {name!r}: {order} elements / {isize} bytes exceed "
+            "the 16-bit Vdata field limits of the HDF4 container"
+        )
     out = struct.pack(">HIHH", 0, nvert, isize, 1)        # FULL_INTERLACE
     out += struct.pack(">H", dfnt)                        # field type
     out += struct.pack(">H", isize)                       # field size

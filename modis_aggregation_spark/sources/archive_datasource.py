@@ -67,7 +67,10 @@ def iter_archive_members(path: str) -> Iterator[tuple[str, int, bytes]]:
 
     with open(path, "rb") as fh:
         magic = fh.read(4)
-    if magic[:2] == b"PK":
+    # full 4-byte zip signatures (local header / empty archive / spanned):
+    # a bare "PK" prefix would misroute a tar whose first member name
+    # starts with "PK" (e.g. an sdist's PKG-INFO) to zipfile
+    if magic in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         with zipfile.ZipFile(path) as zf:
             for info in zf.infolist():
                 if info.is_dir():

@@ -73,3 +73,15 @@ def test_missing_paths_option_raises(spark):
     spark.dataSource.register(ArchiveDataSource)
     with pytest.raises(Exception, match="paths"):
         spark.read.format("text_archive").load().count()
+
+
+def test_tar_with_pk_prefixed_member_not_misrouted(spark, tmp_path):
+    """Container sniffing must use the FULL 4-byte zip signature: a tar
+    whose first member is named 'PKG-INFO' starts with the bytes 'PK'
+    and must still route to tarfile."""
+    t = write_text_archive(
+        str(tmp_path / "sdist.tar"), {"PKG-INFO": "Name: pkg", "x.txt": "hi"}
+    )
+    assert [m for m, _, _ in iter_archive_members(t)] == ["PKG-INFO", "x.txt"]
+    rows = _load(spark, [t]).collect()
+    assert {r["member"] for r in rows} == {"PKG-INFO", "x.txt"}

@@ -163,3 +163,20 @@ def test_lzw_table_reset_roundtrip():
     runs = np.tile(np.arange(130, dtype=np.uint8) % 7, (120, 1))
     frames2, _ = decode_gif(encode_gif([runs], palette=pal))
     assert np.array_equal(frames2[0], pal[runs])
+
+
+def test_oob_image_descriptor_raises():
+    """A frame rectangle outside the logical screen is a malformed
+    stream → named ValueError, not a numpy broadcast error."""
+    import struct
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    base = np.zeros((2, 2), dtype=np.uint8)
+    stream = bytearray(encode_gif([base], palette=pal)[:-1])
+    from modis_aggregation_spark.sinks.giflite import _lzw_encode, _sub_blocks
+
+    stream += b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0)  # 2x2 @ (1,1) on 2x2
+    stream += bytes([2]) + _sub_blocks(_lzw_encode(base.ravel(), 2))
+    stream += b"\x3b"
+    with pytest.raises(ValueError, match="logical screen"):
+        decode_gif(bytes(stream))

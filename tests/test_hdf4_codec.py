@@ -197,3 +197,14 @@ def test_hdf4_decoder_pushdown_prunes_files(spark, tmp_path):
         .filter("granule_id = 3")
     )
     assert df.count() == 30
+
+
+def test_oversized_attribute_raises_loudly(tmp_path):
+    """Vdata field order/size are 16-bit in the container; a
+    CoreMetadata-style multi-64KB attribute must raise OverflowError,
+    not die inside struct.pack."""
+    p = str(tmp_path / "big.hdf")
+    with pytest.raises(OverflowError, match="16-bit"):
+        write_hdf4(
+            p, {"v": (np.zeros((2, 2)), {"meta": "x" * 70_000})}
+        )

@@ -291,3 +291,22 @@ def test_bigram_lm_hand_counts(spark):
     v = 3.0
     assert out[("a", "b")][2] == (3 + 0.5) / (3 + 0.5 * v)
     assert out[("b", "c")][2] == (1 + 0.5) / (2 + 0.5 * v)
+
+
+def test_ewma_null_values_dropped_identically_both_engines(spark):
+    """NULL observations are skipped (repo missingness rule), and BOTH
+    engines must agree — the round-4 review found the SQL engine
+    poisoning every position after a NULL while pandas skipped it."""
+    rows = [(1, 0.0, 10.0), (1, 1.0, None), (1, 2.0, 30.0), (1, 3.0, None)]
+    df = spark.createDataFrame(rows, "k int, ts double, v double")
+    a = {(r.pos): (r.ts, r.value, r.ewma)
+         for r in ewma(df, "v", "ts", "k", alpha=0.5).collect()}
+    b = {(r.pos): (r.ts, r.value, r.ewma)
+         for r in ewma(df, "v", "ts", "k", alpha=0.5, engine="pandas").collect()}
+    assert set(a) == set(b) == {1, 2}          # NULL rows dropped, re-numbered
+    assert a[1][0] == b[1][0] == 0.0 and a[2][0] == b[2][0] == 2.0
+    for p in a:
+        assert a[p][2] == pytest.approx(b[p][2], abs=1e-12)
+    # adjusted EWMA over [10, 30] with alpha=.5: (0.5*10·... ) second pos:
+    # (30 + 0.5*10)/(1 + 0.5) = 23.333...
+    assert a[2][2] == pytest.approx(35.0 / 1.5)
