@@ -34,8 +34,18 @@ SUBWORD_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens (empty strings removed)."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    """Lowercased whitespace tokens (empty strings removed).
+
+    The split class is spelled out as ``[ \\t\\n\\f\\r]+`` rather than
+    ``\\s+`` because Java's ``\\s`` includes vertical tab (\\x0b) while
+    RE2's (the DuckDB oracle side, ``string_split_regex(..., '\\s+')``)
+    does not — a document containing \\x0b would tokenize differently on
+    the two engines and hash-mismatch every token-derived contract
+    query. Both engines agree exactly on this explicit class.
+    """
+    return F.filter(
+        F.split(F.lower(text), r"[ \t\n\f\r]+"), lambda t: t != ""
+    )
 
 
 def token_count(text: Column) -> Column:

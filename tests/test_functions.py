@@ -175,3 +175,23 @@ def test_gopher_line_fractions(spark):
     r = gopher_quality(spark.createDataFrame([(1, doc)], ["doc_id", "text"])).first()
     assert abs(r["bullet_frac"] - 2 / 3) < 1e-9
     assert abs(r["ellipsis_frac"] - 1 / 3) < 1e-9
+
+
+def test_tokens_cross_engine_whitespace_parity(spark):
+    """Java \\s includes vertical tab, RE2's (DuckDB oracle) does not —
+    tokens() must use the explicit shared class so a \\x0b document can
+    never hash-mismatch a token-derived contract query."""
+    import duckdb
+
+    from modis_aggregation_spark.functions.text import tokens
+
+    cases = ["a\x0bb", "a\tb  c", "x y", "a\x1cb", "a b", "tabs\t\tend "]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    sp = [list(r[0]) for r in df.select(tokens(F.col("text"))).collect()]
+    con = duckdb.connect()
+    dt = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    dk = [
+        con.execute(f"SELECT {dt} FROM (SELECT ? AS text)", [c]).fetchone()[0]
+        for c in cases
+    ]
+    assert sp == dk
