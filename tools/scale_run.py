@@ -377,6 +377,62 @@ def run_inverted_index(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def run_archive_scan(spark, sf_dir: str, replicate: int, n_archives: int = 8) -> dict:
+    """Archive-source anchor (round 4): the documents corpus replicated
+    ``replicate``× and packed into ``n_archives`` zip shards, then scanned
+    by the text_archive DataSource with a tokens+length aggregation —
+    members/s and MB/s for the WET/dump ingestion path."""
+    import os as _os
+    import tempfile
+
+    from modis_aggregation_spark.sources.archive_datasource import (
+        ArchiveDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ArchiveDataSource)
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    d = tempfile.mkdtemp(prefix="arch_scan_")
+    import io
+    import zipfile
+
+    paths = [f"{d}/shard{i}.zip" for i in range(n_archives)]
+    writers = [zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) for p in paths]
+    n_members = 0
+    total_bytes = 0
+    for r in docs.toLocalIterator():
+        data = r["text"].encode("utf-8")
+        writers[r["doc_id"] % n_archives].writestr(f"doc_{r['doc_id']}.txt", data)
+        n_members += 1
+        total_bytes += len(data)
+    for w in writers:
+        w.close()
+    try:
+        df = (
+            spark.read.format("text_archive")
+            .option("paths", ",".join(paths))
+            .load()
+        )
+        t0 = time.perf_counter()
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("chars")
+        ).collect()[0]
+        t = time.perf_counter() - t0
+        assert agg["n"] == n_members
+        return {
+            "archives": n_archives,
+            "members": n_members,
+            "mb": round(total_bytes / 1e6, 1),
+            "sec": round(t, 2),
+            "members_per_sec": int(n_members / t),
+            "mb_per_sec": round(total_bytes / 1e6 / t, 1),
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def run_dupspan_curve(spark, sf_dir: str, replicate: int) -> dict:
     """Duplicated-span coverage (x51 shape) at growing corpus size: the
     100 TB claim is that docs/s holds (the three shuffles move only
