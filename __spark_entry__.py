@@ -3619,7 +3619,11 @@ def _ensure_s9_fixture() -> str:
     try:
         os.replace(tmp_dir, _HDF4_DIR)
     except OSError:
-        pass  # concurrent creator won the rename; its files are identical
+        # concurrent creator won the rename; its files are identical —
+        # drop ours instead of orphaning a per-pid dir in /tmp
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return _HDF4_DIR
 
 
@@ -3738,14 +3742,132 @@ def _q_s10_stream_hdf4(spark, sf_dir):
     return rows_df
 
 
+def _corpus_tag(sf_dir: str, table: str = "documents") -> str:
+    """Cache tag for /tmp fixtures DERIVED from a testdata table: keyed on
+    the table's parquet file identity (path + size + mtime), not just the
+    sf_dir path, so a driver testdata refresh under the same path can
+    never serve a stale fixture against a fresh live oracle (ADVICE.md
+    round 4)."""
+    import hashlib
+
+    key = sf_dir
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st_ = os.stat(p)
+        key += f"|{st_.st_size}|{st_.st_mtime_ns}"
+    except OSError:
+        # directory-style parquet: fold in member names + sizes
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                key += f"|{f}|{os.path.getsize(os.path.join(p, f))}"
+    return hashlib.sha1(key.encode()).hexdigest()[:8]
+
+
+_HDF4C_IDS = list(range(4100, 4106))
+_HDF4C_DIR = "/tmp/spark_graft_hdf4c_granules_4100_4105"
+_FIXTURE_S12 = "/tmp/spark_graft_hdf4c_twin_4100_4105.parquet"
+
+
+def _ensure_s12_fixture() -> str:
+    """Materialize 6 REAL chunked+deflated HDF4 granule files (the
+    storage layout archived NASA MYD06/MYD03 granules actually use —
+    chunked SDS with per-chunk deflate special elements, which the
+    reference reads via netCDF4, reference ``aggregate_functions.py:
+    99-122``) plus a parquet twin of the same content. Content is a pure
+    function of the granule ids (``synth_granule``), so path keying is
+    staleness-safe here."""
+    if os.path.exists(_FIXTURE_S12) and os.path.isdir(_HDF4C_DIR):
+        return _HDF4C_DIR
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        synth_granule,
+        write_granule_hdf4,
+    )
+
+    tmp_dir = f"{_HDF4C_DIR}.{os.getpid()}.tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    tables = []
+    for gid in _HDF4C_IDS:
+        write_granule_hdf4(tmp_dir, gid, ["ctp"], layout="chunked")
+        data = synth_granule(gid, ["ctp"])
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S12}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S12)
+    try:
+        os.replace(tmp_dir, _HDF4C_DIR)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent creator won
+    return _HDF4C_DIR
+
+
+def _q_s12_hdf4_chunked_scan(spark, sf_dir):
+    """The REAL-archive-layout scan path: granule files stored as
+    chunked+deflated HDF4 special elements (SPECIAL_CHUNKED chunk table +
+    per-chunk SPECIAL_COMP deflate — the layout of archived NASA granules)
+    physically decoded per file by ``sinks/hdf4lite.py`` inside each scan
+    partition, then a per-granule decode audit. Oracle reads the parquet
+    twin of the same content; the codec round-trip and the
+    chunked≡compressed≡contiguous scan equality are locked in
+    tests/test_hdf4_codec.py."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    hdf_dir = _ensure_s12_fixture()
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _HDF4C_IDS))
+        .option("decoder", "hdf")
+        .option("path", hdf_dir)
+        .option("variables", "ctp")
+        .load()
+    )
+    return df.groupBy("granule_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.count("ctp").alias("n_ctp"),
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        _r6(F.min("lat")).alias("lat_min"),
+        _r6(F.max("lat")).alias("lat_max"),
+    )
+
+
+_SQL_S12 = f"""
+SELECT granule_id,
+       count(*) AS n_px,
+       count(ctp) AS n_ctp,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       round(avg(ctp), 6) AS ctp_mean,
+       round(min(lat), 6) AS lat_min,
+       round(max(lat), 6) AS lat_max
+FROM read_parquet('{_FIXTURE_S12}')
+GROUP BY granule_id
+"""
+
+
 def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     """Materialize the documents table as two REAL archives — a zip (even
     doc_ids) and a tar (odd) with one ``doc_<id>.txt`` member each — so
     the archive DataSource scans physical containers whose content is
     byte-derivable from the table the oracle reads."""
-    import hashlib
-
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tag = _corpus_tag(sf_dir)
     zpath = f"/tmp/spark_graft_s11_{tag}.zip"
     tpath = f"/tmp/spark_graft_s11_{tag}.tar"
     if os.path.exists(zpath) and os.path.exists(tpath):
@@ -5369,13 +5491,11 @@ def _q_x60_dup_spans_materialized(spark, sf_dir):
     exactly ONCE (locked in tests/test_plan_regressions.py) instead of
     re-tokenizing the corpus up to three times. window=6 so the recorded
     rows differ from x51's window=8."""
-    import hashlib
-
     docs = _t(spark, sf_dir, "documents")
     # deterministic per-corpus cache (the s9/s11 fixture pattern): repeat
     # invocations reuse the materialized fp table instead of leaking a
-    # fresh tempdir per run
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # fresh tempdir per run; content-keyed tag (ADVICE.md round 4)
+    tag = _corpus_tag(sf_dir)
     fp_path = f"/tmp/spark_graft_x60_fps_{tag}/fps.parquet"
     if not os.path.exists(fp_path):
         ops_dedup.window_fingerprints(docs, window=6).write.mode(
@@ -5912,6 +6032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted by the five queries whose sums were DECIMAL-staged this
     # round to kill the sf0.1 one-ulp fragility (r2, r3, r5, r36, r39).
     return {
+        # -- round-5 additions (never recorded; front of the window) ----
+        "s12_hdf4_chunked_scan": _q_s12_hdf4_chunked_scan,
         # -- never driver-recorded (front of the round-4 window) --------
         "x42_bm25": _q_x42_bm25,
         "x43_ewma": _q_x43_ewma,
@@ -6207,4 +6329,5 @@ def oracle_sql() -> dict[str, str]:
         "x64_gif_frames": _SQL_X64,
         "s10_stream_hdf4": _SQL_S9,  # stream ≡ batch over identical granules
         "s11_archive_scan": _SQL_S11,
+        "s12_hdf4_chunked_scan": _SQL_S12,
     }

@@ -20,15 +20,31 @@ actually touches — named SDS arrays plus their per-variable attributes
   one-record Vdatas (DFTAG_VH/DFTAG_VS, class ``Attr0.0``, single
   ``VALUES`` field) — the layout libmfhdf reads variables/attributes from;
 * old-style DFSD fallback on read: an NDG outside any ``Var0.0`` vgroup
-  is named from its DFTAG_SDL label when present.
+  is named from its DFTAG_SDL label when present;
+* special elements (extended tag, bit 0x4000), round 5: **compressed**
+  (SPECIAL_COMP=18, deflate via stdlib zlib; the DFTAG_COMPRESSED=40
+  data element holds the codestream) and **chunked** (SPECIAL_CHUNKED=6:
+  a ``_HDF_CHK_TBL_`` Vdata maps each chunk origin — in chunk
+  coordinates — to a DFTAG_CHUNK=61 element, itself optionally a
+  compressed special element; edge chunks are stored full-size and
+  cropped on read; chunks absent from the table read as the header's
+  fill value). This is the storage layout archived NASA MYD06/MYD03
+  granules actually use (chunked+deflated SDS), which the reference
+  reads via netCDF4 (reference ``aggregate_functions.py:99-122``).
 
-Deliberately NOT implemented (honest gate, raises with a clear message):
-extended/special elements (tag bit 0x4000 — linked-block, external,
-compressed, and chunked storage). Archived NASA MODIS granules are
-usually chunked+deflated; there is no such ground-truth file in this
-environment to validate those layouts against, and a guessed decoder
-that silently mis-parses real data would be worse than a loud gate.
-Contiguous classic layout — what this writer emits — round-trips fully.
+Deliberately still NOT implemented (honest gate, raises with a clear
+message): linked-block (1) and external (2) special elements, and
+non-deflate compression codes (RLE=1, NBIT=2, Skipping-Huffman=3,
+SZIP=5) — no ground-truth files for those layouts exist in this
+environment, and a guessed decoder that silently mis-parses real data
+would be worse than a loud gate.
+
+Validation caveat for the special-element layouts: no pyhdf/libmfhdf is
+present to cross-read, so the byte layouts follow the public HDF4
+Specification ("Extended Tags and Special Elements") and are proven by
+writer→reader round-trip plus cross-container equality (chunked+deflated
+file ≡ compressed file ≡ contiguous file ≡ in-memory content on
+identical data — the s9 contract pattern).
 
 Validation: no HDF4 sample ships with the reference (only HDF5/netCDF
 outputs, which ``sinks/hdf5lite.py`` reads against ground truth), so the
@@ -49,6 +65,7 @@ the public HDF4 Specification and File Format document
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -57,6 +74,8 @@ MAGIC = b"\x0e\x03\x13\x01"
 
 TAG_NULL = 1
 TAG_VERSION = 30
+TAG_COMPRESSED = 40  # DFTAG_COMPRESSED: codestream of a compressed element
+TAG_CHUNK = 61       # DFTAG_CHUNK: one chunk of a chunked element
 TAG_NT = 106
 TAG_SDD = 701
 TAG_SD = 702
@@ -69,6 +88,20 @@ TAG_VS = 1963
 TAG_VG = 1965
 
 SPECIAL_BIT = 0x4000  # extended tag: special (linked/external/comp/chunked)
+
+# Special-element kind codes (first 16 bits of a special element's body,
+# per the HDF4 spec "Extended Tags and Special Elements")
+SPECIAL_LINKED = 1
+SPECIAL_EXT = 2
+SPECIAL_CHUNKED = 6
+SPECIAL_COMP = 18
+
+COMP_HEADER_VERSION = 0
+COMP_MODEL_STDIO = 0
+COMP_CODE_DEFLATE = 4
+_COMP_CODE_NAMES = {1: "RLE", 2: "NBIT", 3: "Skipping-Huffman", 5: "SZIP"}
+
+_CHK_TBL_NAME = b"_HDF_CHK_TBL_"  # chunk-table Vdata name AND class
 
 # DFNT number-type codes → (numpy big-endian dtype, bit width, class).
 # Classes per the spec: IEEE=1 for floats, MBO (big-endian)=1 for ints,
@@ -129,8 +162,11 @@ class _H4Reader:
         if buf[:4] != MAGIC:
             raise ValueError("not an HDF4 file (bad magic)")
         self.buf = buf
-        # (tag, ref) -> (offset, length); chained DD blocks
+        # (tag, ref) -> (offset, length); chained DD blocks. Special
+        # (extended-tag) elements are kept under their BASE tag in a
+        # separate map and resolved lazily by ``elt``.
         self.dds: dict[tuple[int, int], tuple[int, int]] = {}
+        self.special: dict[tuple[int, int], tuple[int, int]] = {}
         pos = 4
         while pos:
             ndd, nxt = struct.unpack_from(">hI", buf, pos)
@@ -141,19 +177,143 @@ class _H4Reader:
                 if tag == TAG_NULL:
                     continue
                 if tag & SPECIAL_BIT:
-                    raise NotImplementedError(
-                        f"HDF4 special element (extended tag {tag:#x}, base "
-                        f"{tag & ~SPECIAL_BIT}): linked-block/external/"
-                        "compressed/chunked storage is not implemented — "
-                        "only contiguous classic layout is supported (see "
-                        "module docstring)"
-                    )
-                self.dds[(tag, ref)] = (off, ln)
+                    self.special[(tag & ~SPECIAL_BIT, ref)] = (off, ln)
+                else:
+                    self.dds[(tag, ref)] = (off, ln)
             pos = nxt
 
+    def has(self, tag: int, ref: int) -> bool:
+        return (tag, ref) in self.dds or (tag, ref) in self.special
+
     def elt(self, tag: int, ref: int) -> bytes:
-        off, ln = self.dds[(tag, ref)]
-        return self.buf[off : off + ln]
+        if (tag, ref) in self.dds:
+            off, ln = self.dds[(tag, ref)]
+            return self.buf[off : off + ln]
+        return self._special_elt(*self.special[(tag, ref)])
+
+    # -- special elements ----------------------------------------------------
+
+    def _special_elt(self, off: int, ln: int) -> bytes:
+        """Resolve an extended-tag element to its logical bytes. Layouts
+        per the HDF4 spec "Extended Tags and Special Elements"."""
+        (kind,) = struct.unpack_from(">H", self.buf, off)
+        if kind == SPECIAL_COMP:
+            return self._read_compressed(off)
+        if kind == SPECIAL_CHUNKED:
+            return self._read_chunked(off)
+        name = {SPECIAL_LINKED: "linked-block", SPECIAL_EXT: "external"}.get(
+            kind, f"kind {kind}"
+        )
+        raise NotImplementedError(
+            f"HDF4 special element ({name}) is not implemented — only "
+            "contiguous, deflate-compressed, and chunked(+deflate) layouts "
+            "are supported (see module docstring)"
+        )
+
+    def _read_compressed(self, off: int) -> bytes:
+        """Compressed special element: sp_code(u16)=18, header version
+        (u16), uncompressed length (i32), ref of the DFTAG_COMPRESSED
+        codestream element (u16), model type (u16, 0=stdio), compression
+        code (u16); coder-specific info follows (deflate: level, u16)."""
+        _kind, _ver, raw_len, comp_ref, _model, code = struct.unpack_from(
+            ">HHiHHH", self.buf, off
+        )
+        if code != COMP_CODE_DEFLATE:
+            raise NotImplementedError(
+                "HDF4 compressed element uses codec "
+                f"{_COMP_CODE_NAMES.get(code, code)!r}; only deflate "
+                f"(code {COMP_CODE_DEFLATE}) is implemented"
+            )
+        out = zlib.decompress(self.elt(TAG_COMPRESSED, comp_ref))
+        if len(out) != raw_len:
+            raise ValueError(
+                f"HDF4 compressed element: decompressed to {len(out)} bytes, "
+                f"header says {raw_len}"
+            )
+        return out
+
+    def _read_chunked(self, off: int) -> bytes:
+        """Chunked special element: header carries the element dims +
+        chunk dims; a ``_HDF_CHK_TBL_`` Vdata maps each chunk's origin (in
+        chunk coordinates, field ``origin``) to the (tag, ref) of its
+        DFTAG_CHUNK element (fields ``chk_tag``/``chk_ref``), each chunk
+        itself possibly a compressed special element. Edge chunks are
+        stored full-size; the logical element is the row-major crop.
+        Chunks absent from the table read as the header's fill value."""
+        p = off
+        _kind, _ver = struct.unpack_from(">HB", self.buf, p); p += 3
+        _flag, total_len, chunk_size, nt_size = struct.unpack_from(
+            ">iiii", self.buf, p
+        ); p += 16
+        tbl_tag, tbl_ref, _sp_tag, _sp_ref = struct.unpack_from(
+            ">HHHH", self.buf, p
+        ); p += 8
+        (ndims,) = struct.unpack_from(">i", self.buf, p); p += 4
+        dims, cdims = [], []
+        for _ in range(ndims):
+            _dflag, dlen, clen = struct.unpack_from(">iii", self.buf, p)
+            p += 12
+            dims.append(dlen)
+            cdims.append(clen)
+        (fill_len,) = struct.unpack_from(">i", self.buf, p); p += 4
+        fill = self.buf[p : p + fill_len]; p += fill_len
+        # embedded per-chunk compression header (when low byte says the
+        # chunks are compressed) is length-prefixed — each chunk element
+        # is self-describing, so skip it by length
+        grid = [-(-d // c) for d, c in zip(dims, cdims)]
+        padded_shape = [g * c for g, c in zip(grid, cdims)] + [nt_size]
+        if fill_len == nt_size and fill_len > 0:
+            cell = np.frombuffer(fill, dtype=np.uint8)
+            padded = np.broadcast_to(cell, padded_shape).copy()
+        else:
+            padded = np.zeros(padded_shape, dtype=np.uint8)
+        for origin, chk_tag, chk_ref in self._chunk_table(tbl_tag, tbl_ref):
+            raw = self.elt(chk_tag & ~SPECIAL_BIT, chk_ref)
+            if len(raw) != chunk_size:
+                raise ValueError(
+                    f"HDF4 chunk at origin {origin}: {len(raw)} bytes, "
+                    f"header chunk_size is {chunk_size}"
+                )
+            block = np.frombuffer(raw, dtype=np.uint8).reshape(
+                list(cdims) + [nt_size]
+            )
+            sl = tuple(
+                slice(o * c, (o + 1) * c) for o, c in zip(origin, cdims)
+            )
+            padded[sl] = block
+        crop = tuple(slice(0, d) for d in dims)
+        out = padded[crop].tobytes()
+        if len(out) != total_len:
+            raise ValueError(
+                f"HDF4 chunked element: assembled {len(out)} bytes, header "
+                f"says {total_len}"
+            )
+        return out
+
+    def _chunk_table(self, tag: int, ref: int):
+        """Decode the chunk-table Vdata → [(origin tuple, chk_tag,
+        chk_ref)] via the generic field layout (robust to field order)."""
+        if tag != TAG_VH:
+            raise NotImplementedError(
+                f"HDF4 chunk table stored under tag {tag}; only Vdata "
+                f"(tag {TAG_VH}) tables are implemented"
+            )
+        _name, _cls, fields, nvert, vs = self._vdata(ref)
+        ivsize = sum(f["size"] for f in fields)
+        by_name = {f["name"]: f for f in fields}
+        fo = by_name[b"origin"]
+        ft = by_name[b"chk_tag"]
+        fr = by_name[b"chk_ref"]
+        out = []
+        for i in range(nvert):
+            base = i * ivsize
+            origin = struct.unpack_from(
+                f">{fo['order']}i", vs, base + fo["off"]
+            )
+            (chk_tag,) = struct.unpack_from(">H", vs, base + ft["off"])
+            (chk_ref,) = struct.unpack_from(">H", vs, base + fr["off"])
+            out.append((origin, chk_tag, chk_ref))
+        return out
 
     # -- Vdata / Vgroup ----------------------------------------------------
 
@@ -180,7 +340,7 @@ class _H4Reader:
              "off": foffs[i], "order": forders[i]}
             for i in range(nfields)
         ]
-        vs = self.elt(TAG_VS, ref) if (TAG_VS, ref) in self.dds else b""
+        vs = self.elt(TAG_VS, ref) if self.has(TAG_VS, ref) else b""
         return name, vclass, fields, nvert, vs
 
     def _attr_value(self, ref: int):
@@ -332,29 +492,48 @@ def read_hdf4_file_attrs(path: str) -> dict:
 # ==========================================================================
 
 
-def _vh_bytes(
-    name: bytes, vclass: bytes, fname: bytes, dfnt: int, order: int, nvert: int
+def _vh_multi(
+    name: bytes,
+    vclass: bytes,
+    fields: list[tuple[bytes, int, int]],
+    nvert: int,
 ) -> bytes:
-    esize = np.dtype(_DFNT[dfnt]).itemsize
-    isize = esize * order
-    if order > 0xFFFF or isize > 0xFFFF or len(name) > 0xFFFF:
+    """VH header for a Vdata of ``fields`` = [(fname, dfnt, order)]."""
+    sizes = [np.dtype(_DFNT[d]).itemsize * o for _, d, o in fields]
+    ivsize = sum(sizes)
+    offs, acc = [], 0
+    for s in sizes:
+        offs.append(acc)
+        acc += s
+    if (
+        max(o for _, _, o in fields) > 0xFFFF
+        or max(sizes) > 0xFFFF
+        or len(name) > 0xFFFF
+    ):
         # Vdata field order/size and name lengths are 16-bit in the
         # container — refuse loudly (MODIS CoreMetadata-style multi-MB
         # text attributes exceed this) instead of dying in struct.pack
         raise OverflowError(
-            f"attribute {name!r}: {order} elements / {isize} bytes exceed "
-            "the 16-bit Vdata field limits of the HDF4 container"
+            f"attribute {name!r}: field order/size exceeds the 16-bit "
+            "Vdata field limits of the HDF4 container"
         )
-    out = struct.pack(">HIHH", 0, nvert, isize, 1)        # FULL_INTERLACE
-    out += struct.pack(">H", dfnt)                        # field type
-    out += struct.pack(">H", isize)                       # field size
-    out += struct.pack(">H", 0)                           # field offset
-    out += struct.pack(">H", order)                       # field order
-    out += struct.pack(">H", len(fname)) + fname
+    out = struct.pack(">HIHH", 0, nvert, ivsize, len(fields))  # FULL_INTERLACE
+    out += b"".join(struct.pack(">H", d) for _, d, _ in fields)
+    out += b"".join(struct.pack(">H", s) for s in sizes)
+    out += b"".join(struct.pack(">H", o) for o in offs)
+    out += b"".join(struct.pack(">H", o) for _, _, o in fields)
+    for fname, _, _ in fields:
+        out += struct.pack(">H", len(fname)) + fname
     out += struct.pack(">H", len(name)) + name
     out += struct.pack(">H", len(vclass)) + vclass
     out += struct.pack(">HHHH", 0, 0, _VSET_VERSION, 0)   # ext, version, more
     return out
+
+
+def _vh_bytes(
+    name: bytes, vclass: bytes, fname: bytes, dfnt: int, order: int, nvert: int
+) -> bytes:
+    return _vh_multi(name, vclass, [(fname, dfnt, order)], nvert)
 
 
 def _vg_bytes(name: bytes, vclass: bytes, members: list[tuple[int, int]]) -> bytes:
@@ -401,16 +580,52 @@ def _attr_elements(
     return [(TAG_VH, ref, vh), (TAG_VS, ref, payload)], (TAG_VH, ref)
 
 
+def _comp_header(raw_len: int, comp_ref: int, level: int) -> bytes:
+    return struct.pack(
+        ">HHiHHH",
+        SPECIAL_COMP,
+        COMP_HEADER_VERSION,
+        raw_len,
+        comp_ref,
+        COMP_MODEL_STDIO,
+        COMP_CODE_DEFLATE,
+    ) + struct.pack(">H", level)
+
+
 def write_hdf4(
     path: str,
     datasets: dict[str, tuple[np.ndarray, dict]],
     file_attrs: dict | None = None,
+    *,
+    compress: bool | int = False,
+    chunks: dict[str, tuple[int, ...]] | None = None,
 ) -> None:
-    """Write ``{name: (array, attrs)}`` as a classic contiguous HDF4 file
-    using the SD-API metadata layout (Var0.0 vgroups + Attr0.0 vdatas
-    under a CDF0.0 root) so variables keep their names and per-variable
+    """Write ``{name: (array, attrs)}`` as a classic HDF4 file using the
+    SD-API metadata layout (Var0.0 vgroups + Attr0.0 vdatas under a
+    CDF0.0 root) so variables keep their names and per-variable
     attributes — the structures the reference's reader consumes
-    (``readEntry``, reference ``aggregate_functions.py:99-122``)."""
+    (``readEntry``, reference ``aggregate_functions.py:99-122``).
+
+    Storage layout per SDS (round 5 — the layouts real archived NASA
+    granules use):
+
+    * default: contiguous classic DFTAG_SD;
+    * ``compress`` (True → deflate level 6, or an int level 1-9): the SD
+      data becomes a compressed special element (SPECIAL_COMP header +
+      DFTAG_COMPRESSED zlib codestream);
+    * ``chunks[name] = chunk_shape``: chunked special element — a
+      ``_HDF_CHK_TBL_`` Vdata chunk table + one DFTAG_CHUNK element per
+      chunk (edge chunks padded full-size with zero bytes), each chunk
+      deflated when ``compress`` is also set (the chunked+deflated SDS
+      layout of archived MYD06/MYD03 granules).
+    """
+    level = 6 if compress is True else int(compress or 0)
+    if not 0 <= level <= 9:
+        raise ValueError(f"deflate level must be 1-9, got {compress!r}")
+    chunks = chunks or {}
+    unknown = set(chunks) - set(datasets)
+    if unknown:
+        raise KeyError(f"chunks given for unknown datasets: {sorted(unknown)}")
     elements: list[tuple[int, int, bytes]] = []
     ref = 1
     elements.append(
@@ -431,7 +646,87 @@ def write_hdf4(
         sdd += struct.pack(">HH", TAG_NT, sds_ref)        # data NT
         sdd += struct.pack(">HH", TAG_NT, sds_ref) * arr.ndim  # scale NTs
         elements.append((TAG_SDD, sds_ref, sdd))
-        elements.append((TAG_SD, sds_ref, be.tobytes()))
+        if name in chunks:
+            cdims = tuple(int(c) for c in chunks[name])
+            if len(cdims) != arr.ndim or any(c < 1 for c in cdims):
+                raise ValueError(
+                    f"chunk shape {cdims} invalid for {name!r} with shape "
+                    f"{arr.shape}"
+                )
+            nt_size = be.dtype.itemsize
+            chunk_size = int(np.prod(cdims)) * nt_size
+            grid = [-(-d // c) for d, c in zip(arr.shape, cdims)]
+            padded = np.zeros(
+                [g * c for g, c in zip(grid, cdims)], dtype=be.dtype
+            )
+            padded[tuple(slice(0, d) for d in arr.shape)] = be
+            records = b""
+            for origin in np.ndindex(*grid):
+                sl = tuple(
+                    slice(o * c, (o + 1) * c) for o, c in zip(origin, cdims)
+                )
+                body = padded[sl].tobytes()
+                ref += 1
+                chk_ref = ref
+                if level:
+                    ref += 1
+                    elements.append(
+                        (TAG_COMPRESSED, ref, zlib.compress(body, level))
+                    )
+                    elements.append((
+                        TAG_CHUNK | SPECIAL_BIT,
+                        chk_ref,
+                        _comp_header(len(body), ref, level),
+                    ))
+                    chk_tag = TAG_CHUNK | SPECIAL_BIT
+                else:
+                    elements.append((TAG_CHUNK, chk_ref, body))
+                    chk_tag = TAG_CHUNK
+                records += struct.pack(f">{arr.ndim}i", *origin)
+                records += struct.pack(">HH", chk_tag, chk_ref)
+            ref += 1
+            tbl_ref = ref
+            vh = _vh_multi(
+                _CHK_TBL_NAME,
+                _CHK_TBL_NAME,
+                [(b"origin", 24, arr.ndim), (b"chk_tag", 23, 1),
+                 (b"chk_ref", 23, 1)],
+                int(np.prod(grid)),
+            )
+            elements.append((TAG_VH, tbl_ref, vh))
+            elements.append((TAG_VS, tbl_ref, records))
+            hdr = struct.pack(">HB", SPECIAL_CHUNKED, 0)
+            hdr += struct.pack(
+                ">iiii",
+                SPECIAL_COMP if level else 0,
+                be.nbytes,
+                chunk_size,
+                nt_size,
+            )
+            hdr += struct.pack(">HHHH", TAG_VH, tbl_ref, TAG_NULL, 0)
+            hdr += struct.pack(">i", arr.ndim)
+            for d, c in zip(arr.shape, cdims):
+                hdr += struct.pack(">iii", 0, d, c)
+            fill = b"\x00" * nt_size
+            hdr += struct.pack(">i", len(fill)) + fill
+            if level:
+                chdr = struct.pack(
+                    ">HHH", COMP_MODEL_STDIO, COMP_CODE_DEFLATE, level
+                )
+                hdr += struct.pack(">H", len(chdr)) + chdr
+            elements.append((TAG_SD | SPECIAL_BIT, sds_ref, hdr))
+        elif level:
+            ref += 1
+            elements.append(
+                (TAG_COMPRESSED, ref, zlib.compress(be.tobytes(), level))
+            )
+            elements.append((
+                TAG_SD | SPECIAL_BIT,
+                sds_ref,
+                _comp_header(be.nbytes, ref, level),
+            ))
+        else:
+            elements.append((TAG_SD, sds_ref, be.tobytes()))
         ndg = struct.pack(">HHHH", TAG_SDD, sds_ref, TAG_SD, sds_ref)
         elements.append((TAG_NDG, sds_ref, ndg))
         vg_members: list[tuple[int, int]] = [(TAG_NDG, sds_ref)]

@@ -181,6 +181,7 @@ def write_granule_hdf4(
     variables: Sequence[str],
     rows: int = SWATH_ROWS,
     cols: int = SWATH_COLS,
+    layout: str = "contiguous",
 ) -> str:
     """Materialize a granule as a REAL HDF4 file (``granule_<id>.hdf``)
     in the MYD06 container shape the reference actually reads: named 2-D
@@ -190,11 +191,20 @@ def write_granule_hdf4(
     written with the bundled pure-Python classic-DFTAG codec
     (``sinks/hdf4lite.py``). Content matches ``synth_granule`` exactly
     (identity calibration; NaN holes stored as the fill value), so a
-    ``decoder=hdf`` scan must equal a ``decoder=fake`` scan row-for-row."""
+    ``decoder=hdf`` scan must equal a ``decoder=fake`` scan row-for-row.
+
+    ``layout`` selects the SDS storage: ``contiguous`` (classic DFTAG_SD),
+    ``compressed`` (deflate special elements), or ``chunked`` (chunked +
+    deflated special elements — the layout real archived NASA granules
+    use, reference ``aggregate_functions.py:99-122`` reads it via
+    netCDF4). All three decode identically; the chunk shape deliberately
+    does NOT divide the swath so edge-chunk cropping is exercised."""
     import os
 
     from modis_aggregation_spark.sinks.hdf4lite import write_hdf4
 
+    if layout not in ("contiguous", "compressed", "chunked"):
+        raise ValueError(f"unknown HDF4 layout {layout!r}")
     data = synth_granule(granule_id, variables, rows, cols)
     dsets: dict = {
         "Latitude": (
@@ -224,7 +234,15 @@ def write_granule_hdf4(
             },
         )
     path = os.path.join(dir_path, f"granule_{granule_id}.hdf")
-    write_hdf4(path, dsets, file_attrs={"granule_id": int(granule_id)})
+    kw: dict = {}
+    if layout == "compressed":
+        kw["compress"] = 6
+    elif layout == "chunked":
+        # non-divisor chunk shape → edge chunks padded+cropped on read
+        cshape = (max(1, rows // 3 + 1), max(1, cols // 2 + 1))
+        kw["compress"] = 6
+        kw["chunks"] = {name: cshape for name in dsets}
+    write_hdf4(path, dsets, file_attrs={"granule_id": int(granule_id)}, **kw)
     return path
 
 

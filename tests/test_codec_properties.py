@@ -49,16 +49,33 @@ def _hdf4_datasets(draw):
         if draw(st.booleans()):
             attrs["_FillValue"] = int(draw(st.integers(-32768, 32767)))
         out[f"var{i}"] = (arr, attrs)
-    return out
+    # storage layout: contiguous, deflate special element, or chunked
+    # (+deflate) with an arbitrary (often non-divisor) chunk shape —
+    # all three must be read-indistinguishable (round-5 layouts)
+    kwargs = {}
+    layout = draw(st.sampled_from(["contiguous", "compressed", "chunked"]))
+    if layout == "compressed":
+        kwargs["compress"] = draw(st.integers(1, 9))
+    elif layout == "chunked":
+        if draw(st.booleans()):
+            kwargs["compress"] = draw(st.integers(1, 9))
+        kwargs["chunks"] = {
+            name: tuple(
+                draw(st.integers(1, d + 2)) for d in arr.shape
+            )
+            for name, (arr, _attrs) in out.items()
+        }
+    return out, kwargs
 
 
-@given(dsets=_hdf4_datasets())
+@given(drawn=_hdf4_datasets())
 @settings(**_SETTINGS)
-def test_hdf4_roundtrip_property(tmp_path_factory, dsets):
+def test_hdf4_roundtrip_property(tmp_path_factory, drawn):
     from modis_aggregation_spark.sinks.hdf4lite import read_hdf4, write_hdf4
 
+    dsets, kwargs = drawn
     p = str(tmp_path_factory.mktemp("h4") / "t.hdf")
-    write_hdf4(p, dsets)
+    write_hdf4(p, dsets, **kwargs)
     back = read_hdf4(p)
     assert set(back) == set(dsets)
     for name, (arr, attrs) in dsets.items():

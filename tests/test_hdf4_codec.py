@@ -84,15 +84,133 @@ def test_myd06_style_calibration_attrs(tmp_path):
     assert cal[1, 1] == pytest.approx(1100.0)
 
 
-def test_special_element_tags_raise(tmp_path):
-    """Extended tags (bit 0x4000: linked/compressed/chunked storage) must
-    raise loudly — a guessed decode of layouts with no local ground truth
-    would be worse than a gate (CLAUDE.md rule 5)."""
-    p = tmp_path / "special.hdf"
-    dd = struct.pack(">HHII", 702 | 0x4000, 1, 34, 4)
-    p.write_bytes(MAGIC + struct.pack(">hI", 1, 0) + dd + b"\x00" * 4)
-    with pytest.raises(NotImplementedError, match="special element"):
-        read_hdf4(str(p))
+def _write_raw(path, elements):
+    ndd = len(elements)
+    start = 4 + 6 + 12 * ndd
+    dd, payload, pos = [], [], start
+    for tag, ref, body in elements:
+        dd.append(struct.pack(">HHII", tag, ref, pos, len(body)))
+        payload.append(body)
+        pos += len(body)
+    with open(path, "wb") as fh:
+        fh.write(
+            MAGIC + struct.pack(">hI", ndd, 0) + b"".join(dd) + b"".join(payload)
+        )
+
+
+def _minimal_sds_elements(h4, special_sd_body):
+    """One float32 SDS whose SD data element is the given SPECIAL body."""
+    nt = struct.pack(">BBBB", 1, 5, 32, 1)
+    sdd = struct.pack(">H", 1) + struct.pack(">I", 2)
+    sdd += struct.pack(">HH", h4.TAG_NT, 2) * 2
+    ndg = struct.pack(">HHHH", h4.TAG_SDD, 2, h4.TAG_SD, 2)
+    return [
+        (h4.TAG_NT, 2, nt),
+        (h4.TAG_SDD, 2, sdd),
+        (h4.TAG_SD | h4.SPECIAL_BIT, 2, special_sd_body),
+        (h4.TAG_NDG, 2, ndg),
+    ]
+
+
+def test_unsupported_special_kinds_raise(tmp_path):
+    """Special-element kinds with no local ground truth (linked-block,
+    external, unknown) must raise loudly when referenced — a guessed
+    decode would be worse than a gate (CLAUDE.md rule 5)."""
+    import modis_aggregation_spark.sinks.hdf4lite as h4
+
+    for body, match in [
+        (struct.pack(">H", h4.SPECIAL_LINKED) + b"\x00" * 12, "linked-block"),
+        (struct.pack(">H", h4.SPECIAL_EXT) + b"\x00" * 12, "external"),
+        (struct.pack(">H", 99) + b"\x00" * 12, "kind 99"),
+    ]:
+        p = str(tmp_path / f"sp_{match[:4]}.hdf")
+        _write_raw(p, _minimal_sds_elements(h4, body))
+        with pytest.raises(NotImplementedError, match=match):
+            read_hdf4(p)
+
+
+def test_non_deflate_compression_raises(tmp_path):
+    """SPECIAL_COMP with a non-deflate codec (SZIP etc.) is gated."""
+    import modis_aggregation_spark.sinks.hdf4lite as h4
+
+    body = struct.pack(">HHiHHH", h4.SPECIAL_COMP, 0, 8, 3, 0, 5)
+    p = str(tmp_path / "szip.hdf")
+    elements = _minimal_sds_elements(h4, body)
+    elements.append((h4.TAG_COMPRESSED, 3, b"\x00" * 4))
+    _write_raw(p, elements)
+    with pytest.raises(NotImplementedError, match="SZIP"):
+        read_hdf4(p)
+
+
+def test_compressed_roundtrip_all_dtypes(tmp_path):
+    """Deflate special-element storage round-trips bit-exactly and the
+    codestream actually shrinks compressible data."""
+    import os
+
+    p = str(tmp_path / "comp.hdf")
+    pc = str(tmp_path / "contig.hdf")
+    arrs = {
+        "zeros": np.zeros((64, 64), dtype=np.float64),
+        "ramp": np.arange(4096, dtype=np.int16).reshape(64, 64),
+        "u32": (np.arange(300, dtype=np.uint32) % 7).reshape(15, 20),
+    }
+    dsets = {k: (v, {"long_name": k}) for k, v in arrs.items()}
+    write_hdf4(p, dsets, file_attrs={"layout": "deflate"}, compress=True)
+    write_hdf4(pc, dsets, file_attrs={"layout": "deflate"})
+    assert os.path.getsize(p) < os.path.getsize(pc) / 4
+    ds = read_hdf4(p)
+    for k, v in arrs.items():
+        assert ds[k].data.dtype == v.dtype
+        assert np.array_equal(ds[k].data, v)
+        assert ds[k].attrs["long_name"] == k
+
+
+def test_chunked_roundtrip_edge_crop(tmp_path):
+    """Chunked(+deflate) storage with a NON-divisor chunk shape: edge
+    chunks are stored padded and must crop back bit-exactly."""
+    rng = np.random.default_rng(11)
+    arrs = {
+        "f64": rng.normal(size=(13, 7)),
+        "i16_3d": rng.integers(-9, 9, (5, 6, 4)).astype(np.int16),
+        "vec": rng.integers(0, 255, (17,)).astype(np.uint8),
+    }
+    chunks = {"f64": (5, 3), "i16_3d": (2, 4, 3), "vec": (6,)}
+    for level in (0, 6):
+        p = str(tmp_path / f"chunk{level}.hdf")
+        write_hdf4(
+            p,
+            {k: (v, {"n": k}) for k, v in arrs.items()},
+            compress=level,
+            chunks=chunks,
+        )
+        ds = read_hdf4(p)
+        for k, v in arrs.items():
+            assert ds[k].data.dtype == v.dtype
+            assert np.array_equal(ds[k].data, v), (level, k)
+
+
+def test_chunked_missing_chunk_reads_fill(tmp_path):
+    """A chunk absent from the chunk table reads as the header's fill
+    value (HDF4 semantics for never-written chunks)."""
+    import modis_aggregation_spark.sinks.hdf4lite as h4
+
+    p = str(tmp_path / "holes.hdf")
+    arr = np.arange(16, dtype=np.int32).reshape(4, 4)
+    write_hdf4(p, {"v": (arr, {})}, chunks={"v": (2, 2)})
+    raw = bytearray(open(p, "rb").read())
+    # drop the last chunk-table record (origin (1,1)) by decrementing the
+    # VH record count — the reader must fill that 2x2 block with zeros
+    rd = h4._H4Reader(bytes(raw))
+    vh_refs = [r for (t, r) in rd.dds if t == h4.TAG_VH]
+    off, _ln = rd.dds[(h4.TAG_VH, vh_refs[0])]
+    (nvert,) = struct.unpack_from(">I", raw, off + 2)
+    assert nvert == 4
+    struct.pack_into(">I", raw, off + 2, 3)
+    open(p, "wb").write(bytes(raw))
+    got = read_hdf4(p)["v"].data
+    want = arr.copy()
+    want[2:, 2:] = 0
+    assert np.array_equal(got, want)
 
 
 def test_bad_magic_raises(tmp_path):
@@ -174,6 +292,41 @@ def test_hdf4_decoder_equals_fake_scan(spark, tmp_path):
             assert g["ctp"] is None  # fill hole → NULL at the source
         else:
             assert g["ctp"] == w[6]
+
+
+def test_chunked_granule_scan_equals_contiguous(spark, tmp_path):
+    """Cross-container equality, the s9 proof pattern extended to the
+    archive layout: the SAME granule content written contiguous,
+    deflate-compressed, and chunked+deflated must produce byte-identical
+    rows through the decoder=hdf scan — standing in for the absent NASA
+    ground-truth file (reference reads chunked+deflated granules via
+    netCDF4, reference ``aggregate_functions.py:99-122``)."""
+    from modis_aggregation_spark.sources.granule_datasource import (
+        GranuleDataSource,
+        write_granule_hdf4,
+    )
+
+    spark.dataSource.register(GranuleDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    results = {}
+    for layout in ("contiguous", "compressed", "chunked"):
+        d = tmp_path / layout
+        d.mkdir()
+        for gid in (5, 6):
+            write_granule_hdf4(str(d), gid, ["ctp"], rows=11, cols=7,
+                               layout=layout)
+        df = (
+            spark.read.format("modis_granules")
+            .option("granule_ids", "5,6")
+            .option("decoder", "hdf")
+            .option("path", str(d))
+            .option("variables", "ctp")
+            .load()
+        )
+        results[layout] = df.orderBy("granule_id", "i", "j").collect()
+    assert len(results["contiguous"]) == 2 * 11 * 7
+    assert results["chunked"] == results["contiguous"]
+    assert results["compressed"] == results["contiguous"]
 
 
 def test_hdf4_decoder_pushdown_prunes_files(spark, tmp_path):
