@@ -6022,72 +6022,27 @@ FROM s JOIN n USING (doc_id)
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S VERIFICATION WINDOW: the round driver
     # records oracle rows for only the FIRST 50 entries.  Rotation policy
-    # (see CLAUDE.md rule 7): each round, order the dict so queries with
-    # NO driver row in any CORRECTNESS_r*.json come first; already-
-    # recorded queries follow (unchanged aliases/keys) and re-enter the
-    # window as re-confirmation once fewer than 50 unrecorded remain.
-    # Round-4 window: the 24 never-recorded queries (r38-r42 deferred
-    # from r03 + the round-3 additions x42-x59, s8) plus any round-4
-    # additions lead; the remaining slots re-confirm the m/r core —
-    # fronted by the five queries whose sums were DECIMAL-staged this
-    # round to kill the sf0.1 one-ulp fragility (r2, r3, r5, r36, r39).
+    # (CLAUDE.md rule 7): every query now has at least one driver record,
+    # so each round the LEAST-RECENTLY-recorded queries rotate to the
+    # front (oldest CORRECTNESS_r*.json round first, original order as
+    # tie-break); brand-new queries with no record at all always lead.
+    # tests/test_contract_consistency.py::test_window_rotation_freshness
+    # enforces this ordering from the committed CORRECTNESS files, so a
+    # skipped rotation fails the suite.
+    # Round-6 window: the 8 queries last recorded in round 1 (s2, x1-x7),
+    # then the round-2 cohort (m12-m17, r1/r4/r6x3, r7-r30), then the
+    # leading edge of the round-3 cohort.  Keys and aliases unchanged.
     return {
-        # -- round-5 additions (never recorded; front of the window) ----
-        "s12_hdf4_chunked_scan": _q_s12_hdf4_chunked_scan,
-        # -- never driver-recorded (front of the round-4 window) --------
-        "x42_bm25": _q_x42_bm25,
-        "x43_ewma": _q_x43_ewma,
-        "x44_zorder": _q_x44_zorder,
-        "x45_weighted_sample": _q_x45_weighted_sample,
-        "x46_cdc_chunks": _q_x46_cdc_chunks,
-        "x47_zscore_outliers": _q_x47_zscore_outliers,
-        "x48_resample_interp": _q_x48_resample_interp,
-        "x49_triangles": _q_x49_triangles,
-        "x50_bigram_lm": _q_x50_bigram_lm,
-        "x51_dup_spans": _q_x51_dup_spans,
-        "x52_semdedup": _q_x52_semdedup,
-        "x53_lm_score": _q_x53_lm_score,
-        "x54_editdist_join": _q_x54_editdist_join,
-        "x55_pmi_collocations": _q_x55_pmi_collocations,
-        "x56_pq_codes": _q_x56_pq_codes,
-        "x57_pq_adc_topk": _q_x57_pq_adc_topk,
-        "x58_overlap_matrix": _q_x58_overlap_matrix,
-        "x59_hash_embed": _q_x59_hash_embed,
-        "s8_stream_sessions": _q_s8_stream_sessions,
-        "r38_window_navigation": _q_r38_window_navigation,
-        "r39_grouping_sets": _q_r39_grouping_sets,
-        "r40_range_frame": _q_r40_range_frame,
-        "r41_bag_setops": _q_r41_bag_setops,
-        "r42_null_semantics": _q_r42_null_semantics,
-        # -- round-4 additions (never recorded) -------------------------
-        "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
-        "s9_hdf4_scan": _q_s9_hdf4_scan,
-        "x61_decode_png": _q_x61_decode_png,
-        "x62_wav_features": _q_x62_wav_features,
-        "r45_tpch_q21": _q_r45_tpch_q21,
-        "r46_tpch_q15": _q_r46_tpch_q15,
-        "r47_tpch_q16": _q_r47_tpch_q16,
-        "x63_inverted_index": _q_x63_inverted_index,
-        "x64_gif_frames": _q_x64_gif_frames,
-        "s10_stream_hdf4": _q_s10_stream_hdf4,
-        "s11_archive_scan": _q_s11_archive_scan,
-        # -- re-confirmation tail of the window: DECIMAL-staged sums ----
-        "r2_tpch_q1": _q_r2_tpch_q1,
-        "r3_join_chain": _q_r3_join_chain,
-        "r5_rollup": _q_r5_rollup,
-        "r36_tpch_q19": _q_r36_tpch_q19,
-        # -- re-confirmation: the m-core + headline TPC-H joins ---------
-        "m1_bbox_cell_count": _q_m1_bbox_cell_count,
-        "m2_cell_stats": _q_m2_cell_stats,
-        "m3_cloud_fraction": _q_m3_cloud_fraction,
-        "m4_cf_minmax": _q_m4_cf_minmax,
-        "m5_hist_1d": _q_m5_hist_1d,
-        "m6_hist_2d": _q_m6_hist_2d,
-        "m7_day_rules": _q_m7_day_rules,
-        "m8_sampling": _q_m8_sampling,
-        "m9_densify": _q_m9_densify,
-        "m10_grid_counts": _q_m10_grid_counts,
-        "m11_catalog": _q_m11_catalog,
+        # -- last driver-recorded in round 1 -------------------------------------
+        "s2_granule_scan": _q_s2_granule_scan,
+        "x1_exact_dedup": _q_x1_exact_dedup,
+        "x2_text_stats": _q_x2_text_stats,
+        "x3_lang_id": _q_x3_lang_id,
+        "x4_ngram_jaccard": _q_x4_ngram_jaccard,
+        "x5_minhash_pairs": _q_x5_minhash_pairs,
+        "x6_simhash_pairs": _q_x6_simhash_pairs,
+        "x7_cosine_topk": _q_x7_cosine_topk,
+        # -- last driver-recorded in round 2 -------------------------------------
         "m12_finalize": _q_m12_finalize,
         "m13_monthly_reagg": _q_m13_monthly_reagg,
         "m14_compare_grids": _q_m14_compare_grids,
@@ -6124,15 +6079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r28_scd2": _q_r28_scd2,
         "r29_unpivot": _q_r29_unpivot,
         "r30_snapshot_diff": _q_r30_snapshot_diff,
-        "s2_granule_scan": _q_s2_granule_scan,
-        "x1_exact_dedup": _q_x1_exact_dedup,
-        "x2_text_stats": _q_x2_text_stats,
-        "x3_lang_id": _q_x3_lang_id,
-        "x4_ngram_jaccard": _q_x4_ngram_jaccard,
-        "x5_minhash_pairs": _q_x5_minhash_pairs,
-        "x6_simhash_pairs": _q_x6_simhash_pairs,
-        "x7_cosine_topk": _q_x7_cosine_topk,
-        # -- driver-recorded green in r03 (stable, out of the window) ---
+        # -- last driver-recorded in round 3 -------------------------------------
         "r31_hopping_window": _q_r31_hopping_window,
         "r32_session_window": _q_r32_session_window,
         "r33_tpch_q4": _q_r33_tpch_q4,
@@ -6182,6 +6129,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_stream_granules": _q_s5_stream_granules,
         "s6_stream_screen": _q_s6_stream_screen,
         "s7_stream_static_dedup": _q_s7_stream_static_dedup,
+        # -- last driver-recorded in round 4 -------------------------------------
+        "m11_catalog": _q_m11_catalog,
+        # -- last driver-recorded in round 5 -------------------------------------
+        "s12_hdf4_chunked_scan": _q_s12_hdf4_chunked_scan,
+        "x42_bm25": _q_x42_bm25,
+        "x43_ewma": _q_x43_ewma,
+        "x44_zorder": _q_x44_zorder,
+        "x45_weighted_sample": _q_x45_weighted_sample,
+        "x46_cdc_chunks": _q_x46_cdc_chunks,
+        "x47_zscore_outliers": _q_x47_zscore_outliers,
+        "x48_resample_interp": _q_x48_resample_interp,
+        "x49_triangles": _q_x49_triangles,
+        "x50_bigram_lm": _q_x50_bigram_lm,
+        "x51_dup_spans": _q_x51_dup_spans,
+        "x52_semdedup": _q_x52_semdedup,
+        "x53_lm_score": _q_x53_lm_score,
+        "x54_editdist_join": _q_x54_editdist_join,
+        "x55_pmi_collocations": _q_x55_pmi_collocations,
+        "x56_pq_codes": _q_x56_pq_codes,
+        "x57_pq_adc_topk": _q_x57_pq_adc_topk,
+        "x58_overlap_matrix": _q_x58_overlap_matrix,
+        "x59_hash_embed": _q_x59_hash_embed,
+        "s8_stream_sessions": _q_s8_stream_sessions,
+        "r38_window_navigation": _q_r38_window_navigation,
+        "r39_grouping_sets": _q_r39_grouping_sets,
+        "r40_range_frame": _q_r40_range_frame,
+        "r41_bag_setops": _q_r41_bag_setops,
+        "r42_null_semantics": _q_r42_null_semantics,
+        "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
+        "s9_hdf4_scan": _q_s9_hdf4_scan,
+        "x61_decode_png": _q_x61_decode_png,
+        "x62_wav_features": _q_x62_wav_features,
+        "r45_tpch_q21": _q_r45_tpch_q21,
+        "r46_tpch_q15": _q_r46_tpch_q15,
+        "r47_tpch_q16": _q_r47_tpch_q16,
+        "x63_inverted_index": _q_x63_inverted_index,
+        "x64_gif_frames": _q_x64_gif_frames,
+        "s10_stream_hdf4": _q_s10_stream_hdf4,
+        "s11_archive_scan": _q_s11_archive_scan,
+        "r2_tpch_q1": _q_r2_tpch_q1,
+        "r3_join_chain": _q_r3_join_chain,
+        "r5_rollup": _q_r5_rollup,
+        "r36_tpch_q19": _q_r36_tpch_q19,
+        "m1_bbox_cell_count": _q_m1_bbox_cell_count,
+        "m2_cell_stats": _q_m2_cell_stats,
+        "m3_cloud_fraction": _q_m3_cloud_fraction,
+        "m4_cf_minmax": _q_m4_cf_minmax,
+        "m5_hist_1d": _q_m5_hist_1d,
+        "m6_hist_2d": _q_m6_hist_2d,
+        "m7_day_rules": _q_m7_day_rules,
+        "m8_sampling": _q_m8_sampling,
+        "m9_densify": _q_m9_densify,
+        "m10_grid_counts": _q_m10_grid_counts,
     }
 
 

@@ -19,6 +19,19 @@ def test_oracle_keys_subset_of_queries():
     assert set(qs) - set(osql) == ROWS_ONLY
 
 
+def _latest_record_round():
+    """query -> newest round number that recorded it (0 = never)."""
+    import glob
+    import json
+
+    latest = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for q in json.load(open(path)):
+            latest[q] = max(latest.get(q, 0), rnd)
+    return latest
+
+
 def test_rotation_orders_unrecorded_queries_first():
     """CLAUDE.md rule 7: every query with no row in any committed
     CORRECTNESS_r*.json must precede every already-recorded query in
@@ -26,17 +39,34 @@ def test_rotation_orders_unrecorded_queries_first():
     all unrecorded queries before spending slots on re-confirmation.
     (Once fewer than 50 unrecorded remain, recorded queries legitimately
     fill the window's tail.)"""
-    import glob
-    import json
-
-    recorded = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        recorded |= set(json.load(open(path)))
+    latest = _latest_record_round()
     qs = list(entry.queries())
-    first_recorded = next((i for i, q in enumerate(qs) if q in recorded), len(qs))
-    stragglers = [q for q in qs[first_recorded:] if q not in recorded]
+    first_recorded = next((i for i, q in enumerate(qs) if q in latest), len(qs))
+    stragglers = [q for q in qs[first_recorded:] if q not in latest]
     assert not stragglers, (
         f"unrecorded queries ordered after recorded ones: {stragglers}"
+    )
+
+
+def test_window_rotation_freshness():
+    """CLAUDE.md rule 7, strengthened after the round-5 skip: the driver's
+    50-slot window (the first 50 dict entries) must hold the queries whose
+    newest driver record is OLDEST.  Concretely: no query inside the window
+    may have a newer last-record than any query outside it (unrecorded
+    counts as round 0, i.e. maximally stale).  This makes a skipped
+    rotation fail the suite instead of passing vacuously."""
+    latest = _latest_record_round()
+    qs = list(entry.queries())
+    window, tail = qs[:50], qs[50:]
+    if not tail:
+        return
+    worst_in_window = max(latest.get(q, 0) for q in window)
+    best_in_tail = min(latest.get(q, 0) for q in tail)
+    assert worst_in_window <= best_in_tail, (
+        f"window holds a query last recorded in round {worst_in_window} "
+        f"while round-{best_in_tail}-recorded queries sit outside it; "
+        "rotate queries() so the least-recently-recorded 50 lead "
+        "(CLAUDE.md rule 7)"
     )
 
 
