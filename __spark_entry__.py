@@ -3752,14 +3752,19 @@ def _corpus_tag(sf_dir: str, table: str = "documents") -> str:
 
     key = sf_dir
     p = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st_ = os.stat(p)
-        key += f"|{st_.st_size}|{st_.st_mtime_ns}"
-    except OSError:
-        # directory-style parquet: fold in member names + sizes
-        if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                key += f"|{f}|{os.path.getsize(os.path.join(p, f))}"
+    # os.stat succeeds on directories too (and a dir's own stat can stay
+    # unchanged when part files are rewritten in place), so branch on
+    # isdir FIRST and fold member identities into the key (round-5 advice)
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            st_ = os.stat(os.path.join(p, f))
+            key += f"|{f}|{st_.st_size}|{st_.st_mtime_ns}"
+    else:
+        try:
+            st_ = os.stat(p)
+            key += f"|{st_.st_size}|{st_.st_mtime_ns}"
+        except OSError:
+            pass
     return hashlib.sha1(key.encode()).hexdigest()[:8]
 
 

@@ -316,7 +316,12 @@ def decode_gif(buf: bytes):
                 "the frame stack against"
             )
         region = canvas[iy : iy + ih, ix : ix + iw]
-        rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"malformed GIF: LZW index {int(idx.max())} exceeds the "
+                f"{len(pal)}-entry color table"
+            )
+        rgb = pal[idx]
         if transparent is not None:
             mask = idx != transparent
             region[mask] = rgb[mask]
@@ -327,9 +332,13 @@ def decode_gif(buf: bytes):
         if disposal == 2:  # restore region to background
             bgc = gct[bg] if (gct is not None and bg < len(gct)) else 0
             canvas[iy : iy + ih, ix : ix + iw] = bgc
-        # disposal 0/1: leave composited
+        # disposal 0/1: leave composited.  A Graphic Control Extension
+        # governs only the single following image (GIF89a spec §23) —
+        # reset all three GCE-carried fields, including delay, so a
+        # frame with no GCE gets delay 0 rather than inheriting.
         transparent = None
         disposal = 0
+        delay = 0
     if not frames:
         raise ValueError("GIF has no image frames")
     return frames, delays

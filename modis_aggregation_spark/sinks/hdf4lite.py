@@ -508,6 +508,7 @@ def _vh_multi(
     if (
         max(o for _, _, o in fields) > 0xFFFF
         or max(sizes) > 0xFFFF
+        or ivsize > 0xFFFF  # record total; also bounds every ">H" offset
         or len(name) > 0xFFFF
     ):
         # Vdata field order/size and name lengths are 16-bit in the
