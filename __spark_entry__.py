@@ -2461,6 +2461,57 @@ JOIN read_parquet('/root/repo/goldens/x61_png_decode.parquet') g
 """
 
 
+def _q_x65_decode_jpeg(spark, sf_dir):
+    """REAL lossy-image decode (no fake): each document's first utf-8
+    bytes (cyclic, forced even) become a 2×2 grid of CONSTANT 8×8 blocks
+    in a 16×16 grayscale image, baseline-JPEG-encoded by the bundled
+    pure-Python codec (``sinks/jpeglite.py`` — ITU-T T.81 baseline,
+    cross-validated both directions vs javax.imageio), then
+    ``decode_images(decoder="jpeg")`` physically Huffman-decodes,
+    dequantizes and IDCTs the stream back and nearest-neighbor-resamples
+    to 8×8×3.  JPEG is lossy in general, but this fixture lives in the
+    codec's EXACT subspace: a constant even-valued block has DC
+    8·(v−128) divisible by the quality-50 Annex-K DC quantizer (16) and
+    all-zero ACs, so decode reproduces the input bit-for-bit and the
+    oracle mean is computable WITHOUT the codec (pure index arithmetic,
+    goldens/x65_jpeg_decode.parquet, tools/make_goldens.py), keyed by
+    sha256(text) — a codec mis-parse anywhere diverges the join values.
+    General lossy/4:2:0 correctness is covered by tests/test_jpeglite.py
+    against javax.imageio."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_jpeg(it):
+        from modis_aggregation_spark.sinks.jpeglite import encode_jpeg
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                vals = np.resize(np.frombuffer(data, np.uint8), (2, 2)) & 0xFE
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                payloads.append(encode_jpeg(img, quality=50))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
+    out = ops_mm.decode_images(imgs, decoder="jpeg", out_hw=(8, 8))
+    return out.select(
+        "id", "height", "width", "channels",
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X65 = """
+SELECT d.doc_id AS id, g.height, g.width, g.channels,
+       round(g.mean_pixel, 6) AS mean_pixel
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x65_jpeg_decode.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x62_wav_features(spark, sf_dir):
     """REAL audio decode (no fake): each document's utf-8 bytes map to
     1600 exact dyadic samples ((b−128)/128), are written as real RIFF/
@@ -6034,10 +6085,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_contract_consistency.py::test_window_rotation_freshness
     # enforces this ordering from the committed CORRECTNESS files, so a
     # skipped rotation fails the suite.
-    # Round-6 window: the 8 queries last recorded in round 1 (s2, x1-x7),
-    # then the round-2 cohort (m12-m17, r1/r4/r6x3, r7-r30), then the
-    # leading edge of the round-3 cohort.  Keys and aliases unchanged.
+    # Round-6 window: new round-6 queries (never recorded) first, then
+    # the 8 queries last recorded in round 1 (s2, x1-x7), then the
+    # round-2 cohort (m12-m17, r1/r4/r6x3, r7-r30), then the leading
+    # edge of the round-3 cohort.  Keys and aliases unchanged.
     return {
+        # -- round-6 additions (never driver-recorded) ---------------------------
+        "x65_decode_jpeg": _q_x65_decode_jpeg,
         # -- last driver-recorded in round 1 -------------------------------------
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
@@ -6326,6 +6380,7 @@ def oracle_sql() -> dict[str, str]:
         "x60_dup_spans_materialized": _SQL_X60,
         "s9_hdf4_scan": _SQL_S9,
         "x61_decode_png": _SQL_X61,
+        "x65_decode_jpeg": _SQL_X65,
         "x62_wav_features": _SQL_X62,
         "r45_tpch_q21": _SQL_R45,
         "r46_tpch_q15": _SQL_R46,

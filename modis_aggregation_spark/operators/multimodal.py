@@ -91,7 +91,14 @@ def decode_images(
       against javax.imageio): the FIRST composited frame, resampled like
       the PNG path. Use ``sample_frames(decoder="gif")`` for the full
       animation.
-    * ``decoder="real"`` — the general JPEG path requires PIL (not in
+    * ``decoder="jpeg"`` — REAL decode for baseline-sequential JPEG
+      payloads via ``sinks/jpeglite.py`` (pure-Python ITU-T T.81
+      baseline process, cross-validated against javax.imageio in both
+      directions): marker parse → Huffman entropy decode → dequantize →
+      batched IDCT → chroma upsample → YCbCr→RGB, then resampled like
+      the PNG path. Progressive/arithmetic/12-bit streams raise
+      NotImplementedError inside the task (honest gate).
+    * ``decoder="real"`` — the PIL multi-format path (PIL is not in
       this container → raises NotImplementedError at plan-build time, by
       design; never silently falls back).
     * ``decoder="fake"`` — deterministic payload-derived output
@@ -103,11 +110,11 @@ def decode_images(
         # back to the fake decoder
         raise NotImplementedError(
             "general image decode is not implemented in this build "
-            "(PIL-based codec stub); decoder='png' is a REAL pure-stdlib "
-            "path for PNG payloads, decoder='fake' exercises the identical "
-            "Arrow batch path deterministically"
+            "(PIL-based codec stub); decoder='png'/'gif'/'jpeg' are REAL "
+            "pure-Python paths for those formats, decoder='fake' exercises "
+            "the identical Arrow batch path deterministically"
         )
-    if decoder not in ("png", "gif", "fake"):
+    if decoder not in ("png", "gif", "jpeg", "fake"):
         raise ValueError(f"unknown image decoder: {decoder!r}")
     h, w = out_hw
 
@@ -129,6 +136,8 @@ def decode_images(
             from modis_aggregation_spark.sinks.pnglite import decode_png
         elif decoder == "gif":
             from modis_aggregation_spark.sinks.giflite import decode_gif
+        elif decoder == "jpeg":
+            from modis_aggregation_spark.sinks.jpeglite import decode_jpeg
 
         for pdf in it:
             if decoder == "png":
@@ -141,6 +150,16 @@ def decode_images(
                             "on media_meta.mime = 'image/png' first"
                         )
                     arrs.append(_resample(decode_png(payload)))
+            elif decoder == "jpeg":
+                arrs = []
+                for b in pdf[payload_col]:
+                    payload = bytes(b)
+                    if not payload.startswith(b"\xff\xd8"):
+                        raise ValueError(
+                            "decoder='jpeg' got a non-JPEG payload; filter "
+                            "on media_meta.mime = 'image/jpeg' first"
+                        )
+                    arrs.append(_resample(decode_jpeg(payload)))
             elif decoder == "gif":
                 # first frame of the (possibly animated) image
                 arrs = [

@@ -1,0 +1,251 @@
+"""jpeglite codec + the real JPEG decode path in operators/multimodal.
+
+JPEG is lossy, so tests split into two regimes:
+
+* the EXACT subspace — grayscale images whose 8×8 blocks are constant
+  with even sample values: the DC coefficient 8·(v−128) divides the
+  Annex-K DC quantizer (16 at quality 50) and every AC is zero, so
+  baseline encode→decode is bit-exact.  This subspace is what the x65
+  contract query uses, giving it a codec-free arithmetic oracle.
+* the general path — tolerance-bounded comparisons, including
+  cross-validation against the JVM's javax.imageio (an independent
+  production codec) in BOTH directions, with 4:2:0 chroma-subsampled
+  streams from the imageio side.
+"""
+
+import numpy as np
+import pytest
+
+from modis_aggregation_spark.operators import multimodal as M
+from modis_aggregation_spark.sinks.jpeglite import (
+    QT_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+
+
+def _const_block_gray(vals: np.ndarray) -> np.ndarray:
+    """(by, bx) even-valued block grid -> (8by, 8bx) uint8 image."""
+    return np.repeat(np.repeat(vals.astype(np.uint8), 8, 0), 8, 1)
+
+
+def test_exact_subspace_roundtrip():
+    rng = np.random.default_rng(0)
+    vals = (rng.integers(0, 128, (3, 4)) * 2).astype(np.uint8)
+    img = _const_block_gray(vals)
+    out = decode_jpeg(encode_jpeg(img, quality=50))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+def test_exact_subspace_every_even_value():
+    # all 128 even sample values in one 8x16-block image
+    vals = np.arange(0, 256, 2, dtype=np.uint8).reshape(8, 16)
+    img = _const_block_gray(vals)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=50)), img)
+
+
+def test_smooth_roundtrip_tolerance():
+    x = np.linspace(0, 255, 64)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_rgb_roundtrip_and_odd_dims():
+    img = np.zeros((23, 37, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, 37).astype(np.uint8)[None, :]
+    img[..., 1] = np.linspace(20, 200, 23).astype(np.uint8)[:, None]
+    img[..., 2] = 77
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (23, 37, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_restart_interval_stream_identical_decode():
+    x = np.linspace(0, 255, 48)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
+    assert np.array_equal(plain, rst)
+
+
+def test_quality_tables_scale():
+    q50_l, _ = quality_tables(50)
+    assert np.array_equal(q50_l, QT_LUMA)  # quality 50 = unscaled Annex K
+    q90_l, _ = quality_tables(90)
+    assert (q90_l <= q50_l).all() and (q90_l >= 1).all()
+    with pytest.raises(ValueError):
+        quality_tables(0)
+
+
+def test_bad_magic_and_bad_inputs():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(np.zeros((8, 8), np.float64))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 2), np.uint8))
+
+
+def test_truncated_scan_raises():
+    img = _const_block_gray(np.full((2, 2), 100, np.uint8))
+    data = bytearray(encode_jpeg(img, quality=50))
+    # drop the EOI and most of the entropy data: bit reader pads with 1s,
+    # which must NOT silently yield a valid 4-MCU scan
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data[: data.index(b"\xff\xda") + 10]))
+
+
+# ---- cross-validation against javax.imageio (independent codec) ----
+
+
+def _set_gray(jvm, img):
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    h, w = img.shape
+    bi = BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    ras = bi.getRaster()
+    for r in range(h):
+        for c in range(w):
+            ras.setSample(c, r, 0, int(img[r, c]))
+    return bi
+
+
+def _s32(v: int) -> int:
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def test_imageio_decodes_jpeglite_gray(spark, tmp_path):
+    """javax.imageio must decode jpeglite output within IDCT-rounding
+    tolerance (raw raster samples — BufferedImage.getRGB would add a
+    linear-gray→sRGB colorspace conversion)."""
+    x = np.linspace(0, 255, 48)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    p = str(tmp_path / "g.jpg")
+    open(p, "wb").write(encode_jpeg(img, quality=95))
+    jvm = spark.sparkContext._gateway.jvm
+    d = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert d is not None and d.getWidth() == 48 and d.getHeight() == 48
+    ras = d.getRaster()
+    got = np.array(
+        [[ras.getSample(c, r, 0) for c in range(48)] for r in range(48)]
+    )
+    assert np.abs(got - img.astype(int)).max() <= 2
+
+
+def test_imageio_decodes_jpeglite_rgb(spark, tmp_path):
+    img = np.zeros((16, 24, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, 24).astype(np.uint8)[None, :]
+    img[..., 1] = np.linspace(20, 200, 16).astype(np.uint8)[:, None]
+    img[..., 2] = 99
+    p = str(tmp_path / "c.jpg")
+    open(p, "wb").write(encode_jpeg(img, quality=95))
+    jvm = spark.sparkContext._gateway.jvm
+    d = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert d is not None
+    got = np.zeros((16, 24, 3), int)
+    for r in range(16):
+        for c in range(24):
+            argb = d.getRGB(c, r) & 0xFFFFFFFF
+            got[r, c] = [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF]
+    assert np.abs(got - img.astype(int)).max() <= 6
+
+
+def test_jpeglite_decodes_imageio_gray(spark, tmp_path):
+    x = np.linspace(0, 255, 48)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    jvm = spark.sparkContext._gateway.jvm
+    p = str(tmp_path / "jg.jpg")
+    jvm.javax.imageio.ImageIO.write(_set_gray(jvm, img), "jpg", jvm.java.io.File(p))
+    ours = decode_jpeg(open(p, "rb").read())
+    assert ours.shape == (48, 48)
+    assert np.abs(ours.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeglite_decodes_imageio_rgb_420(spark, tmp_path):
+    """imageio's default color writer emits 4:2:0 chroma subsampling
+    (2×2 luma sampling factors) — the decoder's multi-block-MCU +
+    upsample path, exercised against a production encoder."""
+    img = np.zeros((24, 32, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, 32).astype(np.uint8)[None, :]
+    img[..., 1] = np.linspace(20, 200, 24).astype(np.uint8)[:, None]
+    img[..., 2] = 99
+    jvm = spark.sparkContext._gateway.jvm
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    bi = BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for r in range(24):
+        for c in range(32):
+            bi.setRGB(
+                c, r,
+                _s32(
+                    (0xFF << 24)
+                    | (int(img[r, c, 0]) << 16)
+                    | (int(img[r, c, 1]) << 8)
+                    | int(img[r, c, 2])
+                ),
+            )
+    p = str(tmp_path / "jc.jpg")
+    jvm.javax.imageio.ImageIO.write(bi, "jpg", jvm.java.io.File(p))
+    # confirm the stream really is subsampled (luma sampling 0x22)
+    data = open(p, "rb").read()
+    sof = data.index(b"\xff\xc0")
+    assert data[sof + 11] == 0x22, "imageio no longer writes 4:2:0?"
+    ours = decode_jpeg(data)
+    assert ours.shape == (24, 32, 3)
+    diff = np.abs(ours.astype(int) - img.astype(int))
+    # replicate-vs-fancy chroma upsampling differs most at gradients;
+    # bound both the mean and the worst pixel
+    assert diff.mean() <= 4 and diff.max() <= 16
+
+
+def test_progressive_stream_gated(spark, tmp_path):
+    """A REAL progressive stream (written by imageio) must hit the
+    honest NotImplementedError gate, not mis-decode."""
+    jvm = spark.sparkContext._gateway.jvm
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = iw.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    p = str(tmp_path / "prog.jpg")
+    fos = jvm.javax.imageio.stream.FileImageOutputStream(jvm.java.io.File(p))
+    iw.setOutput(fos)
+    iw.write(None, jvm.javax.imageio.IIOImage(_set_gray(jvm, img), None, None), param)
+    fos.close()
+    data = open(p, "rb").read()
+    assert b"\xff\xc2" in data  # really progressive (SOF2)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(data)
+
+
+# ---- the Spark seam: decode_images(decoder="jpeg") ----
+
+
+def test_decode_images_jpeg_real_path(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        vals = (rng.integers(0, 128, (2, 2)) * 2).astype(np.uint8)
+        img = _const_block_gray(vals)
+        imgs[i] = img
+        rows.append((i, bytearray(encode_jpeg(img, quality=50))))
+    df = spark.createDataFrame(rows, "id LONG, payload BINARY")
+    out = {r["id"]: r for r in M.decode_images(df, decoder="jpeg").collect()}
+    ridx = (np.arange(8) * 16) // 8
+    for i, img in imgs.items():
+        r = out[i]
+        assert (r["height"], r["width"], r["channels"]) == (8, 8, 3)
+        want = np.repeat(img[ridx][:, ridx][:, :, None], 3, axis=2)
+        got = np.frombuffer(r["pixels"], np.uint8).reshape(8, 8, 3)
+        # exact: constant even blocks survive the codec bit-for-bit
+        assert np.array_equal(got, want)
+        assert r["mean_pixel"] == pytest.approx(float(want.mean()))
+
+
+def test_decode_images_jpeg_rejects_non_jpeg(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNGxxxx"))], "id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="non-JPEG"):
+        M.decode_images(df, decoder="jpeg").collect()

@@ -115,6 +115,40 @@ def x61_png_golden() -> pa.Table:
     )
 
 
+def x65_jpeg_golden() -> pa.Table:
+    """Recompute the x65 REAL-JPEG-decode expectation per distinct
+    document payload WITHOUT touching the JPEG codec: the query tiles the
+    text's first utf-8 bytes (cyclic, &0xFE) into a 2×2 grid of constant
+    even-valued 8×8 blocks — the exactly-representable subspace of
+    baseline JPEG at quality 50 (DC 8·(v−128) divisible by the Annex-K
+    quantizer 16, ACs zero), so encode→decode is bit-exact and the
+    resampled 8×8×3 mean is pure index arithmetic over the four block
+    values.  If decode_jpeg (Huffman/dequant/IDCT) mis-parsed anything
+    the Spark side would diverge.  Keyed by sha256(text)."""
+    ridx = (np.arange(8) * 16) // 8
+    seen: dict[str, float] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            vals = np.resize(np.frombuffer(payload, np.uint8), (2, 2)) & 0xFE
+            img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+            seen[key] = float(img[ridx][:, ridx].mean())
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "height": pa.array([8] * len(keys), pa.int32()),
+            "width": pa.array([8] * len(keys), pa.int32()),
+            "channels": pa.array([3] * len(keys), pa.int32()),
+            "mean_pixel": pa.array([seen[k] for k in keys], pa.float64()),
+        }
+    )
+
+
 def x62_wav_golden() -> pa.Table:
     """Recompute the x62 REAL-WAV-decode expectation per distinct document
     payload WITHOUT the wave codec: the query maps the text's utf-8 bytes
@@ -264,6 +298,9 @@ def main() -> None:
     x64 = x64_gif_golden()
     pq.write_table(x64, os.path.join(OUT_DIR, "x64_gif_frames.parquet"))
     print(f"x64_gif_frames.parquet: {x64.num_rows} rows")
+    x65 = x65_jpeg_golden()
+    pq.write_table(x65, os.path.join(OUT_DIR, "x65_jpeg_decode.parquet"))
+    print(f"x65_jpeg_decode.parquet: {x65.num_rows} distinct payloads")
     x62 = x62_wav_golden()
     pq.write_table(x62, os.path.join(OUT_DIR, "x62_wav_decode.parquet"))
     print(f"x62_wav_decode.parquet: {x62.num_rows} distinct payloads")
