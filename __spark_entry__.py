@@ -1104,10 +1104,44 @@ GROUP BY n_name
 """
 
 
+_FIXTURE_S2 = "/tmp/spark_graft_s2_twin_1_4.parquet"
+
+
+def _ensure_s2_fixture() -> None:
+    """Parquet twin of granules 1-4 (``decoder=fake``, 5-km shape) so the
+    DuckDB oracle reads byte-identical rows to what the DataSource scan
+    synthesizes — ``synth_granule`` is a pure function of the granule id,
+    so path keying is staleness-safe (the s9/s12 pattern).  NaN measure
+    values become parquet NULLs, matching the scan's NaN→NULL masking."""
+    if os.path.exists(_FIXTURE_S2):
+        return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import synth_granule
+
+    tables = []
+    for gid in (1, 2, 3, 4):
+        data = synth_granule(gid, ["ctp"])
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S2}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S2)
+
+
 def _q_s2_granule_scan(spark, sf_dir):
     """S3 in the driver contract: the granule Python DataSource end-to-end
     (deterministic synthetic decode → bbox → per-granule counts).
-    Rows-only: the source is generated, not a parquet table DuckDB sees."""
+    Oracle (since round 6): a parquet twin of the same synthesized
+    content (``_ensure_s2_fixture``) replays the bbox + per-granule
+    aggregation in DuckDB — the s9/s12 pattern."""
     from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
 
     # the reader implements pushFilters, which Spark rejects unless this
@@ -1116,6 +1150,7 @@ def _q_s2_granule_scan(spark, sf_dir):
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
+    _ensure_s2_fixture()
     spark.dataSource.register(GranuleDataSource)
     df = (
         spark.read.format("modis_granules")
@@ -1132,6 +1167,17 @@ def _q_s2_granule_scan(spark, sf_dir):
             _r6(F.avg("ctp")).alias("ctp_mean"),
         )
     )
+
+
+_SQL_S2 = f"""
+SELECT granule_id,
+       count(*) AS n_pix,
+       count(ctp) AS ctp_valid,
+       round(avg(ctp), 6) AS ctp_mean
+FROM read_parquet('{_FIXTURE_S2}')
+WHERE lat > -60 AND lat < 60
+GROUP BY granule_id
+"""
 
 
 _FIXTURE_1KM = "/tmp/spark_graft_1km_granule901.parquet"
@@ -2162,13 +2208,83 @@ WHERE inter / nullif(la + lb - inter, 0) >= 0.1
 
 
 def _q_x5_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs. Oracle (since round 6): per-document
+    signature/band/shingle-hash artifacts are recomputed WITHOUT Spark by
+    an independent pure-Python XXH64 + shingle/band implementation
+    (tools/make_goldens.py, committed as goldens/x5_minhash.parquet,
+    keyed by sha256(text)); the DuckDB twin re-derives the banded
+    candidate join, the >1000 bucket cap, and the exact hashed-shingle
+    Jaccard verification from those values in SQL — an end-to-end
+    independent oracle for the whole LSH pipeline."""
     docs = _t(spark, sf_dir, "documents")
     return ops_dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+_SQL_X5 = """
+WITH g AS (
+  SELECT d.doc_id AS id, gold.sh, gold.bands
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x5_minhash.parquet') gold
+    ON gold.sha256 = sha256(d.text)
+),
+banded AS (
+  SELECT id, generate_subscripts(bands, 1) - 1 AS band, unnest(bands) AS key
+  FROM g
+),
+ok_buckets AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN ok_buckets ob ON a.band = ob.band AND a.key = ob.key
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.sh, gb.sh)) AS inter,
+         len(ga.sh) AS la, len(gb.sh) AS lb
+  FROM cand c
+  JOIN g ga ON ga.id = c.id_a
+  JOIN g gb ON gb.id = c.id_b
+)
+SELECT id_a, id_b,
+       round(inter / nullif(la + lb - inter, 0), 6) AS jaccard
+FROM verified
+WHERE inter / nullif(la + lb - inter, 0) >= 0.5
+"""
+
+
 def _q_x6_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs. Oracle (since round 6): independent
+    XXH64 + bit-vote recomputation per document (the x5 pattern,
+    goldens/x6_simhash.parquet); the DuckDB twin re-derives the
+    16-bit-chunk candidate join and Hamming verification in SQL."""
     docs = _t(spark, sf_dir, "documents")
     return ops_dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+_SQL_X6 = """
+WITH g AS (
+  SELECT d.doc_id AS id, gold.sh, gold.chunks
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x6_simhash.parquet') gold
+    ON gold.sha256 = sha256(d.text)
+),
+ch AS (
+  SELECT id, sh, generate_subscripts(chunks, 1) - 1 AS chunk,
+         unnest(chunks) AS key
+  FROM g
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.sh AS sh_a, b.id AS id_b, b.sh AS sh_b
+  FROM ch a
+  JOIN ch b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
 
 
 def _q_x7_cosine_topk(spark, sf_dir):
@@ -6316,6 +6432,8 @@ def oracle_sql() -> dict[str, str]:
         "x2_text_stats": _SQL_X2,
         "x3_lang_id": _SQL_X3,
         "x4_ngram_jaccard": _SQL_X4,
+        "x5_minhash_pairs": _SQL_X5,
+        "x6_simhash_pairs": _SQL_X6,
         "x7_cosine_topk": _SQL_X7,
         "x8_embedding_pairs": _SQL_X8,  # hyperplanes inlined as VALUES
         "x9_ivf_topk": _SQL_X9,  # full IVF reimpl over the centroid golden
@@ -6378,6 +6496,7 @@ def oracle_sql() -> dict[str, str]:
         "x59_hash_embed": _SQL_X59,
         "s8_stream_sessions": _SQL_S8,
         "x60_dup_spans_materialized": _SQL_X60,
+        "s2_granule_scan": _SQL_S2,
         "s9_hdf4_scan": _SQL_S9,
         "x61_decode_png": _SQL_X61,
         "x65_decode_jpeg": _SQL_X65,

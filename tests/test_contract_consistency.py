@@ -7,10 +7,11 @@ import re
 import __spark_entry__ as entry
 
 # queries that legitimately have no DuckDB oracle, each inherently so:
-# r9b (HLL internals), s2 (DataSource scan), x5/x6 (xxhash64 outputs —
-# DuckDB has no xxhash64)
-ROWS_ONLY = {"r9b_approx_distinct", "s2_granule_scan",
-             "x5_minhash_pairs", "x6_simhash_pairs"}
+# r9b (HLL internals — approx sketches are unhashable by design).
+# s2 gained a parquet-twin oracle in round 6 (the s9/s12 pattern);
+# x5/x6 gained committed-golden oracles (independent pure-Python XXH64
+# signature recomputation, tools/make_goldens.py) the same round.
+ROWS_ONLY = {"r9b_approx_distinct"}
 
 
 def test_oracle_keys_subset_of_queries():

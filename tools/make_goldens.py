@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import sys
 
 import duckdb
@@ -111,6 +112,219 @@ def x61_png_golden() -> pa.Table:
             "width": pa.array([8] * len(keys), pa.int32()),
             "channels": pa.array([3] * len(keys), pa.int32()),
             "mean_pixel": pa.array([seen[k] for k in keys], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Independent XXH64 (pure Python/numpy), equivalent to Spark's xxhash64
+# expression: the public xxHash specification (Cyan4973/xxHash, BSD) with
+# Spark's seeding (42) and per-argument chaining (each argument's hash
+# becomes the next argument's seed; IntegerType arguments take the 4-byte
+# path, LongType the 8-byte path).  Verified equal to Spark's xxhash64 for
+# strings, longs, int-seeded remixes and long chains in
+# tests/test_golden_hash_parity.py — this lets the x5/x6 goldens be
+# recomputed WITHOUT Spark, making them an independent oracle for the
+# whole MinHash/SimHash pipeline, not a replay of it.
+# ---------------------------------------------------------------------------
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xrotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xfmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """XXH64 of a byte string (Spark ``xxhash64(string_col)`` ≡
+    ``xxh64_bytes(utf8, 42)`` as signed 64-bit)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [
+            (seed + _XP1 + _XP2) & _M64,
+            (seed + _XP2) & _M64,
+            seed & _M64,
+            (seed - _XP1) & _M64,
+        ]
+        while i + 32 <= n:
+            for k in range(4):
+                lane = int.from_bytes(data[i + 8 * k : i + 8 * k + 8], "little")
+                a = (v[k] + lane * _XP2) & _M64
+                v[k] = (_xrotl(a, 31) * _XP1) & _M64
+            i += 32
+        h = (
+            _xrotl(v[0], 1) + _xrotl(v[1], 7) + _xrotl(v[2], 12) + _xrotl(v[3], 18)
+        ) & _M64
+        for k in range(4):
+            k1 = (_xrotl((v[k] * _XP2) & _M64, 31) * _XP1) & _M64
+            h = ((h ^ k1) * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k1 = int.from_bytes(data[i : i + 8], "little")
+        k1 = (_xrotl((k1 * _XP2) & _M64, 31) * _XP1) & _M64
+        h ^= k1
+        h = (_xrotl(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = (_xrotl(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_xrotl(h, 11) * _XP1) & _M64
+        i += 1
+    return _xfmix(h)
+
+
+def xxh64_long(v: int, seed: int) -> int:
+    """Spark's 8-byte (LongType) hash step."""
+    return xxh64_bytes((v & _M64).to_bytes(8, "little"), seed)
+
+
+def _u64(x: int) -> np.uint64:
+    return np.uint64(x & _M64)
+
+
+def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _u64(r)) | (x >> _u64(64 - r))
+
+
+def _vfmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> _u64(33))
+    h = h * _u64(_XP2)
+    h = h ^ (h >> _u64(29))
+    h = h * _u64(_XP3)
+    return h ^ (h >> _u64(32))
+
+
+def xxh64_long_vec(v: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized 8-byte path over a uint64 array (scalar seed)."""
+    h = _u64(seed + _XP5 + 8)
+    k1 = _vrotl(v * _u64(_XP2), 31) * _u64(_XP1)
+    h = h ^ k1
+    h = _vrotl(h, 27) * _u64(_XP1) + _u64(_XP4)
+    return _vfmix(h)
+
+
+def xxh64_int_vec_seeded(i: int, seeds: np.ndarray) -> np.ndarray:
+    """Vectorized 4-byte (IntegerType) path: scalar value, per-element
+    seed — the shape of ``xxhash64(h, lit(i))`` remixes."""
+    h = seeds + _u64(_XP5 + 4)
+    h = h ^ _u64(((i & 0xFFFFFFFF) * _XP1) & _M64)
+    h = _vrotl(h, 23) * _u64(_XP2) + _u64(_XP3)
+    return _vfmix(h)
+
+
+# Java's default (non-UNICODE_CHARACTER_CLASS) \s — what Spark's
+# regexp_replace(·, '\\s+', ' ') matches; Python's str \s is wider.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+# functions/text.py tokens(): the explicit RE2/Java-agreeing class.
+_TOKEN_WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _minhash_doc(text: str, k: int = 5, num_hashes: int = 32, num_bands: int = 8):
+    """(sh sorted distinct signed, band keys) replicating
+    operators/dedup.py minhash_signatures + _band_keys semantics."""
+    norm = _JAVA_WS.sub(" ", text.lower())
+    n_sub = max(len(norm) - (k - 1), 1)
+    seen: dict[str, None] = {}
+    for i in range(n_sub):
+        seen.setdefault(norm[i : i + k], None)
+    hs = np.array(
+        [xxh64_bytes(s.encode("utf-8")) for s in seen], dtype=np.uint64
+    )
+    base = xxh64_long_vec(hs, 42)
+    sig = np.empty(num_hashes, dtype=np.int64)
+    for i in range(num_hashes):
+        sig[i] = xxh64_int_vec_seeded(i, base).view(np.int64).min()
+    rows = num_hashes // num_bands
+    bands = []
+    for b in range(num_bands):
+        h = 42
+        for r in range(rows):
+            h = xxh64_long(int(sig[b * rows + r]), h)
+        bands.append(h - (1 << 64) if h >= (1 << 63) else h)
+    sh_signed = np.sort(hs.view(np.int64))
+    return sh_signed.tolist(), bands
+
+
+def _simhash_doc(text: str):
+    """(simhash signed long, 4×16-bit chunk keys) replicating
+    operators/dedup.py simhash semantics (token multiset, not set)."""
+    toks = [t for t in _TOKEN_WS.split(text.lower()) if t]
+    if not toks:
+        hs = np.zeros(0, dtype=np.uint64)
+    else:
+        hs = np.array([xxh64_bytes(t.encode("utf-8")) for t in toks], np.uint64)
+    out = 0
+    if hs.size:
+        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _u64(1)
+        votes = 2 * bits.sum(0).astype(np.int64) - len(toks)
+        out = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    chunks = [(out >> (16 * c)) & 0xFFFF for c in range(4)]
+    sh = out - (1 << 64) if out >= (1 << 63) else out
+    return sh, chunks
+
+
+def x5_minhash_golden() -> pa.Table:
+    """Per-distinct-document MinHash artifacts recomputed WITHOUT Spark
+    (independent XXH64 + independent shingle/signature/band logic): the
+    DuckDB x5 oracle re-derives the LSH candidate pairs, bucket caps and
+    exact hashed-shingle Jaccard from these committed values in SQL, so a
+    drift anywhere in the Spark pipeline (normalization, shingling,
+    hashing, banding, capping, verification) diverges the join values.
+    Keyed by sha256(text)."""
+    seen: dict[str, tuple] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key not in seen:
+                seen[key] = _minhash_doc(text)
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "sh": pa.array([seen[k][0] for k in keys], pa.list_(pa.int64())),
+            "bands": pa.array([seen[k][1] for k in keys], pa.list_(pa.int64())),
+        }
+    )
+
+
+def x6_simhash_golden() -> pa.Table:
+    """Per-distinct-document SimHash (independent recomputation, as x5);
+    the DuckDB x6 oracle re-derives the 16-bit-chunk candidate join and
+    Hamming verification from these values."""
+    seen: dict[str, tuple] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key not in seen:
+                seen[key] = _simhash_doc(text)
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "sh": pa.array([seen[k][0] for k in keys], pa.int64()),
+            "chunks": pa.array([seen[k][1] for k in keys], pa.list_(pa.int64())),
         }
     )
 
@@ -298,6 +512,12 @@ def main() -> None:
     x64 = x64_gif_golden()
     pq.write_table(x64, os.path.join(OUT_DIR, "x64_gif_frames.parquet"))
     print(f"x64_gif_frames.parquet: {x64.num_rows} rows")
+    x5 = x5_minhash_golden()
+    pq.write_table(x5, os.path.join(OUT_DIR, "x5_minhash.parquet"))
+    print(f"x5_minhash.parquet: {x5.num_rows} distinct payloads")
+    x6 = x6_simhash_golden()
+    pq.write_table(x6, os.path.join(OUT_DIR, "x6_simhash.parquet"))
+    print(f"x6_simhash.parquet: {x6.num_rows} distinct payloads")
     x65 = x65_jpeg_golden()
     pq.write_table(x65, os.path.join(OUT_DIR, "x65_jpeg_decode.parquet"))
     print(f"x65_jpeg_decode.parquet: {x65.num_rows} distinct payloads")
