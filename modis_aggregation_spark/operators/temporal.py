@@ -206,6 +206,21 @@ def ewma(
       recurrence vectorized in C — truly O(n) time and memory per
       key. Use for hot keys with 10⁶+ observations (one device/user
       emitting millions of events at 100 TB).
+    - ``engine="partitioned"``: removes BOTH other engines' single-task-
+      per-key ceiling (each materializes a key's whole series in one
+      task). Range-partition on (key, ts, value) splits a hot key across
+      partitions; each partition folds its segment's local recurrence
+      (vectorized two-level scan inside ``mapInPandas``), a tiny
+      end-state aggregation + per-key sequential carry fold computes
+      each segment's prefix state, and a broadcast join stitches
+      ``state_i = β^r·prefix + local_r`` per row. A 10⁹-row key becomes
+      ~n/partitions work per task with an O(#segments) carry — no task
+      ever holds the series. Float stitching differs from the
+      sequential recurrence in the last ulps (use relative tolerance
+      ~1e-9 when comparing engines). The carry table
+      (≤ #keys × #partitions rows) is broadcast — this engine targets
+      few-hot-keys regimes; use sql/pandas for many-small-keys
+      workloads.
 
     Returns one row per NON-NULL observation (rows with a NULL timestamp
     or value are dropped before positioning — the NULL-skipping
@@ -218,6 +233,8 @@ def ewma(
     beta = 1.0 - alpha
     if engine == "pandas":
         return _ewma_pandas(df, value_col, ts_col, key_col, alpha)
+    if engine == "partitioned":
+        return _ewma_partitioned(df, value_col, ts_col, key_col, alpha)
     if engine != "sql":
         raise ValueError(f"unknown ewma engine: {engine!r}")
     series = (
@@ -387,6 +404,192 @@ def _ewma_pandas(
         return pdf[["key", "pos", "ts", "value", "ewma"]]
 
     return src.groupBy("key").applyInPandas(_one_key, schema=schema)
+
+
+def _ewma_segment_scan(x, num0: float, den0: float, beta: float):
+    """Vectorized two-level recurrence over one contiguous segment chunk:
+    64-wide chunks scanned ACROSS (64 vector steps for the chunk-local
+    recurrences), a sequential carry over chunk end-states, and the
+    ``β^r·prefix + local`` stitch. Returns (num_r, den_r) arrays relative
+    to the (num0, den0) starting state — O(n) time, O(n) memory, no
+    per-element Python loop."""
+    import numpy as np
+
+    B = 64
+    n = len(x)
+    m = -(-n // B)
+    xp = np.zeros(m * B)
+    xp[:n] = x
+    X = xp.reshape(m, B)
+    ln = np.empty((m, B))
+    ld = np.empty((m, B))
+    num = np.zeros(m)
+    den = np.zeros(m)
+    for r in range(B):
+        num = beta * num + X[:, r]
+        den = beta * den + 1.0
+        ln[:, r] = num
+        ld[:, r] = den
+    p_num = np.empty(m)
+    p_den = np.empty(m)
+    pn, pd_ = num0, den0
+    bB = beta**B
+    for c in range(m):
+        p_num[c] = pn
+        p_den[c] = pd_
+        pn = bB * pn + ln[c, B - 1]
+        pd_ = bB * pd_ + ld[c, B - 1]
+    r_pow = beta ** np.arange(1, B + 1, dtype=np.float64)
+    full_num = (ln + r_pow[None, :] * p_num[:, None]).reshape(-1)[:n]
+    full_den = (ld + r_pow[None, :] * p_den[:, None]).reshape(-1)[:n]
+    return full_num, full_den
+
+
+def _ewma_partitioned(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    alpha: float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The distributed prefix-scan EWMA engine (see ``ewma`` docstring).
+
+    Three stages, none of which materializes a key's full series:
+
+    1. ``repartitionByRange(key, ts, value)`` + ``sortWithinPartitions``
+       splits every key into ordered, contiguous segments (a hot key
+       spans many partitions); ``mapInPandas`` folds each segment's
+       LOCAL recurrence (state carried across Arrow batches inside the
+       partition) and emits per-row segment-relative (lidx, lnum, lden).
+    2. A map-side-combined groupBy((key, pid)) reduces each segment to
+       its end-state — ≤ #keys + #partitions skinny rows — and a grouped
+       fold per key (≤ #partitions elements) turns end-states into each
+       segment's PREFIX state and global row offset.
+    3. The prefix table broadcasts back onto the stage-1 rows:
+       ``ewma = (lnum + β^lidx·pnum) / (lden + β^lidx·pden)``,
+       ``pos = poffset + lidx``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    beta = 1.0 - alpha
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    key_t = dict(src.dtypes)["key"]
+    ts_t = dict(src.dtypes)["ts"]
+    part = (
+        src.repartitionByRange(num_partitions, "key", "ts", "value")
+        .sortWithinPartitions("key", "ts", "value")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    local_schema = (
+        f"key {key_t}, pid int, lidx long, ts {ts_t}, value double, "
+        "lnum double, lden double"
+    )
+
+    def _local_scan(batches):
+        state: dict = {"key": None, "num": 0.0, "den": 0.0, "idx": 0}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            # contiguous key runs (the partition is sorted by key)
+            run_starts = [0] + [
+                i
+                for i in range(1, len(pdf))
+                if pdf["key"].iat[i] != pdf["key"].iat[i - 1]
+            ] + [len(pdf)]
+            for s, e in zip(run_starts[:-1], run_starts[1:]):
+                seg = pdf.iloc[s:e]
+                k = seg["key"].iat[0]
+                if k != state["key"]:
+                    state.update(key=k, num=0.0, den=0.0, idx=0)
+                nums, dens = _ewma_segment_scan(
+                    seg["value"].to_numpy(), state["num"], state["den"], beta
+                )
+                n = len(seg)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "key": seg["key"].to_numpy(),
+                            "pid": seg["pid"].to_numpy(),
+                            "lidx": state["idx"] + 1 + np.arange(n, dtype=np.int64),
+                            "ts": seg["ts"].to_numpy(),
+                            "value": seg["value"].to_numpy(),
+                            "lnum": nums,
+                            "lden": dens,
+                        }
+                    )
+                )
+                state.update(num=float(nums[-1]), den=float(dens[-1]), idx=state["idx"] + n)
+            yield pd.concat(outs, ignore_index=True)
+
+    # PERSISTED: the scan feeds two consumers (the end-state aggregation
+    # on the broadcast side and the final stitch join), and the range
+    # partitioner's sampled boundaries — hence pid assignment — are NOT
+    # stable across re-executions of the subtree; computing the scan once
+    # is a correctness requirement here, not a performance choice.
+    local = part.mapInPandas(_local_scan, local_schema).persist()
+
+    # segment end-states: one skinny row per (key, pid); partial (map-side)
+    # aggregation keeps the shuffle at ≤ #keys + #partitions rows
+    ends = local.groupBy("key", "pid").agg(
+        F.max("lidx").alias("cnt"),
+        F.max_by("lnum", "lidx").alias("enum"),
+        F.max_by("lden", "lidx").alias("eden"),
+    )
+
+    prefix_schema = f"key {key_t}, pid int, pnum double, pden double, poffset long"
+
+    def _carry(pdf):
+        pdf = pdf.sort_values("pid").reset_index(drop=True)
+        pn = pd_ = 0.0
+        off = 0
+        pnum, pden, poff = [], [], []
+        for cnt, en, ed in zip(pdf["cnt"], pdf["enum"], pdf["eden"]):
+            pnum.append(pn)
+            pden.append(pd_)
+            poff.append(off)
+            decay = beta ** float(cnt)
+            pn = decay * pn + en
+            pd_ = decay * pd_ + ed
+            off += int(cnt)
+        return pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "pid": pdf["pid"],
+                "pnum": pnum,
+                "pden": pden,
+                "poffset": poff,
+            }
+        )
+
+    prefixes = ends.groupBy("key").applyInPandas(_carry, prefix_schema)
+
+    decay = F.pow(F.lit(beta), F.col("lidx").cast("double"))
+    return (
+        local.join(F.broadcast(prefixes), ["key", "pid"])
+        .select(
+            "key",
+            (F.col("poffset") + F.col("lidx")).cast("long").alias("pos"),
+            "ts",
+            "value",
+            (
+                (F.col("lnum") + decay * F.col("pnum"))
+                / (F.col("lden") + decay * F.col("pden"))
+            ).alias("ewma"),
+        )
+    )
 
 
 def zscore_outliers(

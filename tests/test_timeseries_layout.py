@@ -59,6 +59,81 @@ def test_ewma_pandas_engine_matches_sql_engine(spark):
         ewma(df, "v", "ts", "k", engine="nope")
 
 
+def test_ewma_partitioned_engine_matches_both(spark):
+    """The distributed prefix-scan engine must value-match the sql and
+    pandas engines (1e-9 rel — stitching reassociates float ops) on a
+    multi-key series, including pos/ts/value identity."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    rows = [
+        (int(k), float(t), float(v))
+        for k, t, v in zip(
+            rng.integers(0, 4, n), rng.random(n) * 1e5, rng.normal(0, 1, n)
+        )
+    ]
+    df = spark.createDataFrame(rows, "k LONG, ts DOUBLE, v DOUBLE")
+    frames = {
+        e: ewma(df, "v", "ts", "k", alpha=0.3, engine=e)
+        .orderBy("key", "pos")
+        .collect()
+        for e in ("sql", "pandas", "partitioned")
+    }
+    base = frames["sql"]
+    for e in ("pandas", "partitioned"):
+        other = frames[e]
+        assert len(other) == len(base) == n
+        for r, s in zip(base, other):
+            assert (r.key, r.pos, r.ts, r.value) == (s.key, s.pos, s.ts, s.value)
+            assert s.ewma == pytest.approx(r.ewma, rel=1e-9)
+
+
+def test_ewma_partitioned_hot_key_spans_partitions(spark):
+    """The engine's reason to exist: ONE key range-split across many
+    partitions — no task holds the series. Verifies the split really
+    happened (>1 segment) and the stitched tail equals pandas."""
+    from modis_aggregation_spark.operators.temporal import _ewma_partitioned
+
+    pd = pytest.importorskip("pandas")
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit(1).alias("k"),
+        F.col("id").cast("double").alias("ts"),
+        (F.sin(F.col("id").cast("double")) * 10.0).alias("v"),
+    )
+    out = (
+        _ewma_partitioned(df, "v", "ts", "k", alpha=0.3, num_partitions=8)
+        .orderBy("pos")
+        .collect()
+    )
+    assert len(out) == n
+    assert [r.pos for r in out] == list(range(1, n + 1))
+    ref = pd.Series([r.value for r in out]).ewm(alpha=0.3, adjust=True).mean()
+    for pos in (0, 1, 63, 64, n // 2, n - 1):
+        assert out[pos].ewma == pytest.approx(ref.iloc[pos], rel=1e-9)
+
+
+def test_ewma_segment_scan_matches_sequential():
+    """The vectorized two-level scan must equal the plain sequential
+    recurrence from an arbitrary starting state."""
+    import numpy as np
+
+    from modis_aggregation_spark.operators.temporal import _ewma_segment_scan
+
+    rng = np.random.default_rng(0)
+    for n in (1, 63, 64, 65, 1000):
+        x = rng.normal(0, 1, n)
+        num0, den0 = rng.uniform(0, 5), rng.uniform(0, 5)
+        nums, dens = _ewma_segment_scan(x, num0, den0, 0.7)
+        sn, sd = num0, den0
+        for i in range(n):
+            sn = 0.7 * sn + x[i]
+            sd = 0.7 * sd + 1.0
+            assert nums[i] == pytest.approx(sn, rel=1e-12)
+            assert dens[i] == pytest.approx(sd, rel=1e-12)
+
+
 def test_ewma_linear_complexity_50k_single_key(spark):
     """Scale regression: the pre-round-4 closed form was O(n²) arithmetic
     per key (2.5e9 pow() calls at n=50k — minutes); the recurrence fold

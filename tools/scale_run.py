@@ -321,6 +321,34 @@ def run_ewma_curve(spark, n_rows: int, n_keys: int = 4) -> dict:
     return out
 
 
+def run_ewma_hot_key(spark, n_rows: int) -> dict:
+    """Pathological-hot-key anchor (round 6): ``n_rows`` observations on
+    ONE key through the distributed prefix-scan engine
+    (``engine="partitioned"``) vs the grouped-pandas engine (which holds
+    the whole series in one task). The partitioned engine's per-task
+    memory is n/partitions — the single-task OOM ceiling is gone."""
+    from modis_aggregation_spark.operators.temporal import ewma
+
+    df = (
+        spark.range(n_rows)
+        .select(
+            F.lit(1).alias("k"),
+            F.col("id").cast("double").alias("ts"),
+            (F.sin(F.col("id").cast("double")) * 10.0).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    out = {"rows": n_rows, "keys": 1}
+    for engine in ("pandas", "partitioned"):
+        t0 = time.perf_counter()
+        n = ewma(df, "v", "ts", "k", alpha=0.3, engine=engine).count()
+        t = time.perf_counter() - t0
+        assert n == n_rows
+        out[f"{engine}_sec"] = round(t, 2)
+        out[f"{engine}_rows_per_sec"] = int(n_rows / t)
+    return out
+
+
 def run_gif_frames(spark, n_docs: int, frames_per: int = 8) -> dict:
     """Real-codec frame-sampling anchor (round 4): ``n_docs`` animated
     GIFs (``frames_per`` 32×24 frames each) decoded by giflite inside
