@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--hdf5", help="also export MYD08-style HDF5 to this path")
     p.add_argument("--png", help="also export a cf_mean quick-look PNG to this path")
+    p.add_argument(
+        "--contour-png",
+        help="also export a cf_mean filled-contour quick-look (the legacy "
+        "displayOutput product) to this path",
+    )
     return p
 
 
@@ -164,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
     from modis_aggregation_spark import get_spark
     from modis_aggregation_spark.plans.pipeline import daily_grid
     from modis_aggregation_spark.sinks.writers import (
+        export_contour_png,
         export_hdf5,
         export_png,
         write_grid_parquet,
@@ -173,7 +179,7 @@ def main(argv: list[str] | None = None) -> int:
     pixels = spark.read.parquet(args.pixels)
     granules = spark.read.parquet(args.granules)
     grid = daily_grid(spark, spec, pixels, granules)
-    if args.hdf5 or args.png:
+    if args.hdf5 or args.png or args.contour_png:
         # each export collects the (bounded, ~MB) grid on the driver —
         # persist so the extra jobs re-read cached partitions instead of
         # recomputing the aggregation per sink
@@ -183,6 +189,8 @@ def main(argv: list[str] | None = None) -> int:
         export_hdf5(grid, spec, args.hdf5, overwrite=args.overwrite)
     if args.png:
         export_png(grid, spec, args.png, overwrite=args.overwrite)
+    if args.contour_png:
+        export_contour_png(grid, spec, args.contour_png, overwrite=args.overwrite)
     print(f"wrote {spec.nlat}x{spec.nlon} grid to {args.output}")
     return 0
 

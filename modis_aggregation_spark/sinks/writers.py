@@ -250,6 +250,36 @@ def export_png(
     return path
 
 
+def export_contour_png(
+    grid_df: DataFrame,
+    spec: AggregationSpec,
+    path: str,
+    value_col: str = "cf_mean",
+    levels: int = 10,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    scale: int = 8,
+    overwrite: bool = False,
+) -> str:
+    """Filled-contour quick-look of one grid variable — the legacy
+    ``displayOutput`` product (cfa.pyc: ``contourf(cmap='jet')`` +
+    ``savefig``; sample ``MYD08_D3.A2008001CloudFraction.png``), rendered
+    matplotlib-free by ``sinks/contour.py`` (jet colormap, bilinear level
+    bands, marching-squares iso-lines; NaN cells transparent). North-up
+    like ``export_png``; driver-side and bounded by the grid size."""
+    from modis_aggregation_spark.sinks.contour import render_contour_png
+
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(path)
+    arrays = grid_to_arrays(grid_df.select("cell", "lat_idx", "lon_idx", value_col), spec)
+    png = render_contour_png(
+        arrays[value_col][::-1, :], levels=levels, vmin=vmin, vmax=vmax, scale=scale
+    )
+    with open(path, "wb") as fh:
+        fh.write(png)
+    return path
+
+
 def export_hdf5(
     grid_df: DataFrame,
     spec: AggregationSpec,
