@@ -5336,6 +5336,25 @@ FROM e
 """
 
 
+def _q_x66_ewma_partitioned(spark, sf_dir):
+    """The round-6 distributed prefix-scan EWMA engine
+    (operators/temporal.py:_ewma_partitioned): range-split key segments,
+    mapInPandas local recurrences, per-key carry fold, broadcast stitch —
+    no task materializes a key's series. Same semantics as x43's sql
+    engine (proven to 1e-9 rel in tests/test_timeseries_layout.py);
+    same DuckDB oracle."""
+    from modis_aggregation_spark.operators.temporal import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, "value", "ts", "user_id", alpha=0.3, engine="partitioned")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "pos",
+        "value",
+        _r6(F.col("ewma")).alias("ewma"),
+    )
+
+
 def _q_x44_zorder(spark, sf_dir):
     """Morton (Z-order) layout key over min/max-quantized (user_id, value)
     (functions/layout.py:zorder_key) — the data-skipping clustering key;
@@ -6208,6 +6227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-6 additions (never driver-recorded) ---------------------------
         "x65_decode_jpeg": _q_x65_decode_jpeg,
+        "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         # -- last driver-recorded in round 1 -------------------------------------
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
@@ -6500,6 +6520,7 @@ def oracle_sql() -> dict[str, str]:
         "s9_hdf4_scan": _SQL_S9,
         "x61_decode_png": _SQL_X61,
         "x65_decode_jpeg": _SQL_X65,
+        "x66_ewma_partitioned": _SQL_X43,
         "x62_wav_features": _SQL_X62,
         "r45_tpch_q21": _SQL_R45,
         "r46_tpch_q15": _SQL_R46,
