@@ -165,31 +165,46 @@ def _gate(what: str) -> NotImplementedError:
 
 
 class _HuffTable:
-    """Canonical Huffman table from a DHT (BITS, HUFFVAL) pair, decoded
-    via a (length, code) -> symbol dict walk (≤16 steps per symbol)."""
+    """Canonical Huffman table from a DHT (BITS, HUFFVAL) pair, compiled
+    to a flat 16-bit peek table: entry i holds (symbol, code_length) for
+    every 16-bit window whose prefix is that code — one list index per
+    decoded symbol instead of a bit-by-bit tree walk."""
 
-    __slots__ = ("lookup", "maxlen")
+    __slots__ = ("lookup16",)
 
     def __init__(self, bits: list[int], values: list[int]):
-        self.lookup: dict[tuple[int, int], int] = {}
+        lut: list = [None] * 65536
         code = 0
         k = 0
-        self.maxlen = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = values[k]
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                lut[start : start + span] = [(values[k], length)] * span
                 code += 1
                 k += 1
             code <<= 1
-            if bits[length - 1]:
-                self.maxlen = length
         if k != len(values):
             raise ValueError("DHT: BITS total != number of HUFFVAL symbols")
+        self.lookup16 = lut
+
+
+def _unstuff(seg: bytes) -> bytes:
+    """Remove FF 00 byte stuffing, validating that every FF in the
+    entropy segment IS stuffed (a bare FF xx is a stray marker)."""
+    i = seg.find(b"\xff")
+    while i != -1:
+        if i + 1 >= len(seg) or seg[i + 1] != 0x00:
+            nxt = seg[i + 1] if i + 1 < len(seg) else 0
+            raise ValueError(f"unexpected marker FF{nxt:02X} inside entropy data")
+        i = seg.find(b"\xff", i + 2)
+    return seg.replace(b"\xff\x00", b"\xff")
 
 
 class _BitReader:
-    """MSB-first bit reader over an entropy-coded segment.  Byte stuffing
-    (FF 00) is handled inline; an unexpected marker mid-segment raises."""
+    """MSB-first bit reader over an UNSTUFFED entropy-coded segment,
+    refilled 4 bytes at a time; reads past the end yield 1-bits (T.81
+    F.2.2.5 padding semantics)."""
 
     __slots__ = ("data", "pos", "acc", "nbits")
 
@@ -200,26 +215,18 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self, need: int) -> None:
-        data, pos = self.data, self.pos
+        data, pos, n = self.data, self.pos, len(self.data)
         while self.nbits < need:
-            if pos >= len(data):
-                # past the end: pad with 1-bits (T.81 F.2.2.5 allows the
-                # final byte's padding bits to be read as 1s)
+            if pos >= n:
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 continue
-            b = data[pos]
-            pos += 1
-            if b == 0xFF:
-                nxt = data[pos] if pos < len(data) else 0x00
-                if nxt == 0x00:
-                    pos += 1  # stuffed byte
-                else:
-                    raise ValueError(
-                        f"unexpected marker FF{nxt:02X} inside entropy data"
-                    )
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
+            take = min(4, n - pos)
+            self.acc = (self.acc << (8 * take)) | int.from_bytes(
+                data[pos : pos + take], "big"
+            )
+            self.nbits += 8 * take
+            pos += take
         self.pos = pos
 
     def bits(self, n: int) -> int:
@@ -233,14 +240,16 @@ class _BitReader:
         return v
 
     def huff(self, table: _HuffTable) -> int:
-        code = 0
-        lookup = table.lookup
-        for length in range(1, table.maxlen + 1):
-            code = (code << 1) | self.bits(1)
-            sym = lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy data")
+        if self.nbits < 16:
+            self._fill(16)
+        window = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        hit = table.lookup16[window]
+        if hit is None:
+            raise ValueError("invalid Huffman code in entropy data")
+        sym, length = hit
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return sym
 
 
 def _extend(v: int, s: int) -> int:
@@ -379,44 +388,37 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
     # ---- sequential entropy decode (restart-interval aware) ----
     # restart markers reset the DC predictors and byte-align the reader;
-    # split the scan on them so each segment starts clean
+    # split the scan on them so each segment starts clean (FF D0-D7 can
+    # never be stuffing, which is always FF 00)
     if restart_interval:
-        segments = []
-        p = 0
-        s = bytearray()
-        data = scan_data
-        while p < len(data):
-            if data[p] == 0xFF and p + 1 < len(data) and 0xD0 <= data[p + 1] <= 0xD7:
-                segments.append(bytes(s))
-                s = bytearray()
-                p += 2
-            else:
-                s.append(data[p])
-                p += 1
-        segments.append(bytes(s))
-    else:
-        segments = [scan_data]
+        import re as _re
 
-    pred = [0] * len(comps)
+        segments = [_unstuff(p) for p in _re.split(b"\xff[\xd0-\xd7]", scan_data)]
+    else:
+        segments = [_unstuff(scan_data)]
+
     mcu = 0
-    zz = np.empty(64, np.int64)
+    # per-component table refs hoisted out of the MCU loop
+    ctabs = [
+        (htables[(0, sel[c["id"]][0])], htables[(1, sel[c["id"]][1])], c["h"] * c["v"])
+        for c in comps
+    ]
     for seg in segments:
         rd = _BitReader(seg)
         pred = [0] * len(comps)
         seg_mcus = restart_interval or (n_mcus - mcu)
         for _ in range(min(seg_mcus, n_mcus - mcu)):
-            for ci, c in enumerate(comps):
-                td, ta = sel[c["id"]]
-                dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
-                nb = c["h"] * c["v"]
+            for ci, (dc_t, ac_t, nb) in enumerate(ctabs):
                 for b in range(nb):
-                    zz[:] = 0
+                    # the coef rows are pre-zeroed: write decoded values
+                    # straight in, no per-block scratch/memset
+                    row = coef[ci][mcu * nb + b]
                     s_ = rd.huff(dc_t)
                     if s_ > 15:
                         raise ValueError("invalid DC magnitude category")
                     diff = _extend(rd.bits(s_), s_)
                     pred[ci] += diff
-                    zz[0] = pred[ci]
+                    row[0] = pred[ci]
                     k = 1
                     while k < 64:
                         rs = rd.huff(ac_t)
@@ -429,9 +431,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         k += r
                         if k > 63:
                             raise ValueError("AC run past end of block")
-                        zz[k] = _extend(rd.bits(s_), s_)
+                        row[k] = _extend(rd.bits(s_), s_)
                         k += 1
-                    coef[ci][mcu * nb + b] = zz
             mcu += 1
     if mcu != n_mcus:
         raise ValueError(f"scan ended after {mcu}/{n_mcus} MCUs")

@@ -388,6 +388,42 @@ def run_gif_frames(spark, n_docs: int, frames_per: int = 8) -> dict:
     }
 
 
+def run_jpeg_decode(spark, n_docs: int, hw: int = 64) -> dict:
+    """Real-codec JPEG anchor (round 6): ``n_docs`` baseline JPEG
+    payloads (``hw``×``hw`` RGB gradients) physically Huffman-decoded +
+    IDCTed by the pure-Python jpeglite codec inside mapInPandas
+    partitions — the multimodal corpus decode path."""
+    import numpy as np
+
+    from modis_aggregation_spark.operators.multimodal import decode_images
+    from modis_aggregation_spark.sinks.jpeglite import encode_jpeg
+
+    img = np.zeros((hw, hw, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, hw).astype(np.uint8)[None, :]
+    img[..., 1] = np.linspace(20, 200, hw).astype(np.uint8)[:, None]
+    img[..., 2] = 99
+    payload = encode_jpeg(img, quality=85)
+    df = (
+        spark.range(n_docs)
+        .select(F.col("id"), F.lit(bytearray(payload)).alias("payload"))
+        .repartition(32)
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    out = decode_images(df, decoder="jpeg", out_hw=(8, 8))
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mean_pixel").alias("s")
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    assert row["s"] is not None and row["n"] == n_docs
+    return {
+        "docs": n_docs,
+        "px": n_docs * hw * hw,
+        "sec": round(t, 2),
+        "px_per_sec": int(n_docs * hw * hw / t),
+    }
+
+
 def run_inverted_index(spark, sf_dir: str, replicate: int) -> dict:
     """Inverted-index anchor (round 4): posting-list build over the
     replicated corpus; docs/s plus the shuffle-byte bill (skinny
