@@ -195,6 +195,17 @@ def test_x43_ewma_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_x66_ewma_partitioned_plan_shape(spark):
+    """Distributed prefix-scan EWMA: the stitch join must BROADCAST the
+    tiny prefix table (never SMJ the data rows), the heavy side must be
+    range-partitioned (the segment split), and no cartesian anywhere."""
+    plan = _plan(spark, "x66_ewma_partitioned")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_x44_zorder_map_only(spark):
     """Z-order key: one 1-row bounds broadcast, then a pure projection."""
     plan = _plan(spark, "x44_zorder")
