@@ -966,12 +966,26 @@ FROM d2 JOIN clim ON d2.cell = clim.cell
 
 
 def _q_r9b_approx_distinct(spark, sf_dir):
-    """approx_count_distinct — reported, rows-only (approximate by
-    definition; exact twin is r9)."""
+    """approx_count_distinct (exact twin is r9). Oracle (since round 6):
+    Spark's HLL++ estimate is a pure function of the value SET (per-value
+    register hashes, element-wise-max merges — partition- and task-order
+    independent, verified across 1/5/64 partitions), so the expected
+    outputs are a committed golden keyed by a corpus fingerprint the
+    DuckDB twin recomputes (goldens/r9b_approx_distinct.parquet, the
+    x9/x56 pattern)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_custkeys")
     )
+
+
+_SQL_R9B = """
+SELECT o_orderstatus, approx_custkeys
+FROM read_parquet('/root/repo/goldens/r9b_approx_distinct.parquet')
+WHERE corpus_key = (
+  SELECT bit_xor(hash(o_orderkey, o_custkey, o_orderstatus)) FROM orders
+)
+"""
 
 
 def _q_r14_subquery(spark, sf_dir):
@@ -6410,6 +6424,7 @@ def oracle_sql() -> dict[str, str]:
         "r7_topk": _SQL_R7,
         "r8_setops": _SQL_R8,
         "r9_distinct": _SQL_R9,
+        "r9b_approx_distinct": _SQL_R9B,
         "r10_scalar_battery": _SQL_R10,
         "r11_dedup_exact": _SQL_R11,
         "r12_text_terms": _SQL_R12,

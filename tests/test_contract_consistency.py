@@ -6,12 +6,11 @@ import re
 
 import __spark_entry__ as entry
 
-# queries that legitimately have no DuckDB oracle, each inherently so:
-# r9b (HLL internals — approx sketches are unhashable by design).
-# s2 gained a parquet-twin oracle in round 6 (the s9/s12 pattern);
-# x5/x6 gained committed-golden oracles (independent pure-Python XXH64
-# signature recomputation, tools/make_goldens.py) the same round.
-ROWS_ONLY = {"r9b_approx_distinct"}
+# Round 6 closed the last no-oracle gaps: s2 via a parquet twin (the
+# s9/s12 pattern), x5/x6 via independent-XXH64 signature goldens, and
+# r9b via an HLL++ determinism golden (partition-order-independent,
+# keyed by corpus fingerprint) — every query now has a DuckDB twin.
+ROWS_ONLY: set[str] = set()
 
 
 def test_oracle_keys_subset_of_queries():

@@ -329,6 +329,56 @@ def x6_simhash_golden() -> pa.Table:
     )
 
 
+def r9b_approx_distinct_golden() -> pa.Table:
+    """Expected ``approx_count_distinct`` outputs per sf corpus.
+
+    Spark's HLL++ is a pure function of the value SET — register updates
+    are per-value hashes and merges are element-wise max (commutative,
+    associative, idempotent), so the estimate is independent of
+    partitioning and task order; given the pinned Spark version it is a
+    committed-golden-able constant (the x56 determinism pattern). Keyed
+    by a corpus fingerprint the oracle recomputes in DuckDB
+    (``bit_xor(hash(...))`` over the orders view, the x9 pattern), so
+    the right row set is selected no matter which sf dir the driver
+    runs against."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("r9b-golden")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    cols = {"corpus_key": [], "o_orderstatus": [], "approx_custkeys": []}
+    try:
+        for sf in SF_DIRS:
+            p = os.path.join(sf, "orders.parquet")
+            key = duckdb.sql(
+                "SELECT bit_xor(hash(o_orderkey, o_custkey, o_orderstatus)) "
+                f"FROM read_parquet('{p}')"
+            ).fetchone()[0]
+            rows = (
+                spark.read.parquet(p)
+                .groupBy("o_orderstatus")
+                .agg(F.approx_count_distinct("o_custkey").alias("a"))
+                .collect()
+            )
+            for r in rows:
+                cols["corpus_key"].append(int(key))
+                cols["o_orderstatus"].append(r["o_orderstatus"])
+                cols["approx_custkeys"].append(int(r["a"]))
+    finally:
+        spark.stop()
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.int64()),
+            "o_orderstatus": pa.array(cols["o_orderstatus"], pa.string()),
+            "approx_custkeys": pa.array(cols["approx_custkeys"], pa.int64()),
+        }
+    )
+
+
 def x65_jpeg_golden() -> pa.Table:
     """Recompute the x65 REAL-JPEG-decode expectation per distinct
     document payload WITHOUT touching the JPEG codec: the query tiles the
@@ -512,6 +562,9 @@ def main() -> None:
     x64 = x64_gif_golden()
     pq.write_table(x64, os.path.join(OUT_DIR, "x64_gif_frames.parquet"))
     print(f"x64_gif_frames.parquet: {x64.num_rows} rows")
+    r9b = r9b_approx_distinct_golden()
+    pq.write_table(r9b, os.path.join(OUT_DIR, "r9b_approx_distinct.parquet"))
+    print(f"r9b_approx_distinct.parquet: {r9b.num_rows} rows")
     x5 = x5_minhash_golden()
     pq.write_table(x5, os.path.join(OUT_DIR, "x5_minhash.parquet"))
     print(f"x5_minhash.parquet: {x5.num_rows} distinct payloads")
