@@ -306,6 +306,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise _gate(f"{prec}-bit sample precision")
+            if h == 0:
+                raise _gate("DNL-deferred image height (SOF height 0)")
             if ncomp not in (1, 3):
                 raise _gate(f"{ncomp}-component (CMYK/YCCK) color")
             comps = []
