@@ -2682,6 +2682,58 @@ def _q_x62_wav_features(spark, sf_dir):
     )
 
 
+def _q_x67_wav_spectrum(spark, sf_dir):
+    """REAL frequency-domain audio analysis (no fake): the x62 dyadic
+    byte→sample mapping is written as real RIFF/PCM16 WAV bytes, then
+    ``extract_audio_spectrum`` physically parses the container back and
+    computes rFFT features (dominant frequency, spectral centroid,
+    high-frequency energy ratio) on the decoded samples. The PCM16
+    round-trip is exact for dyadic samples, so the oracle golden
+    (goldens/x67_wav_spectrum.parquet) recomputes the identical numpy
+    FFT straight from the bytes WITHOUT the wave codec — a RIFF
+    mis-parse anywhere diverges. Keyed by sha256(text)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wav(it):
+        from modis_aggregation_spark.operators.multimodal import encode_wav
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                x = (
+                    np.resize(np.frombuffer(data, np.uint8), 1600).astype(
+                        np.float64
+                    )
+                    - 128.0
+                ) / 128.0
+                payloads.append(encode_wav(x, sample_rate=8000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(to_wav, "id BIGINT, payload BINARY")
+    out = ops_mm.extract_audio_spectrum(wavs)
+    return out.select(
+        "id", "sample_rate", "n_samples",
+        _r6(F.col("dominant_hz")).alias("dominant_hz"),
+        _r6(F.col("spectral_centroid_hz")).alias("spectral_centroid_hz"),
+        _r6(F.col("hf_energy_ratio")).alias("hf_energy_ratio"),
+    )
+
+
+_SQL_X67 = """
+SELECT d.doc_id AS id, g.sample_rate, g.n_samples,
+       round(g.dominant_hz, 6) AS dominant_hz,
+       round(g.spectral_centroid_hz, 6) AS spectral_centroid_hz,
+       round(g.hf_energy_ratio, 6) AS hf_energy_ratio
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x67_wav_spectrum.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x64_gif_frames(spark, sf_dir):
     """REAL animated-media frame sampling (no fake): each document's
     utf-8 bytes tile into three 6×8 frames under an identity grayscale
@@ -6242,6 +6294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 additions (never driver-recorded) ---------------------------
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
+        "x67_wav_spectrum": _q_x67_wav_spectrum,
         # -- last driver-recorded in round 1 -------------------------------------
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
@@ -6536,6 +6589,7 @@ def oracle_sql() -> dict[str, str]:
         "x61_decode_png": _SQL_X61,
         "x65_decode_jpeg": _SQL_X65,
         "x66_ewma_partitioned": _SQL_X43,
+        "x67_wav_spectrum": _SQL_X67,
         "x62_wav_features": _SQL_X62,
         "r45_tpch_q21": _SQL_R45,
         "r46_tpch_q15": _SQL_R46,

@@ -302,6 +302,72 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)
 
 
+SPECTRUM_SCHEMA = (
+    "id BIGINT, sample_rate INT, n_samples BIGINT, dominant_hz DOUBLE, "
+    "spectral_centroid_hz DOUBLE, hf_energy_ratio DOUBLE"
+)
+
+
+def extract_audio_spectrum(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+) -> DataFrame:
+    """Frequency-domain features over REAL RIFF/PCM WAV payloads via
+    mapInPandas: full-length rFFT of the decoded mono samples (no
+    window), then
+
+    * ``dominant_hz`` — frequency of the largest non-DC magnitude bin
+      (ties break to the lowest bin),
+    * ``spectral_centroid_hz`` — magnitude-weighted mean frequency over
+      the non-DC bins (0.0 for silence),
+    * ``hf_energy_ratio`` — fraction of non-DC spectral energy above
+      a quarter of the Nyquist frequency.
+
+    WAV-only by design (the real-decode path; a non-WAV payload raises
+    — no fake variant, the plumbing contract is already covered by the
+    other multimodal paths). Deterministic numpy float math end-to-end,
+    so the x67 contract oracle recomputes it codec-free."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols: dict[str, list] = {k: [] for k in (
+            "id", "sample_rate", "n_samples", "dominant_hz",
+            "spectral_centroid_hz", "hf_energy_ratio",
+        )}
+        for pdf in it:
+            for k in cols:
+                cols[k].clear()
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(b)
+                if not payload.startswith(b"RIFF"):
+                    raise ValueError(
+                        "extract_audio_spectrum wants RIFF/WAV payloads; "
+                        "filter on media_meta.mime = 'audio/wav' first"
+                    )
+                sr, wave = decode_wav(payload)
+                n = wave.size
+                mag = np.abs(np.fft.rfft(wave))
+                freqs = np.fft.rfftfreq(n, 1.0 / sr)
+                m, f = mag[1:], freqs[1:]  # drop DC
+                tot = float(m.sum())
+                if n == 0 or tot == 0.0:
+                    dom = cen = hf = 0.0
+                else:
+                    dom = float(f[int(np.argmax(m))])
+                    cen = float((f * m).sum() / tot)
+                    e = m * m
+                    hf = float(e[f > sr / 8.0].sum() / e.sum())
+                cols["id"].append(i)
+                cols["sample_rate"].append(sr)
+                cols["n_samples"].append(n)
+                cols["dominant_hz"].append(dom)
+                cols["spectral_centroid_hz"].append(cen)
+                cols["hf_energy_ratio"].append(hf)
+            yield pd.DataFrame(dict(cols))
+
+    return df.select(id_col, payload_col).mapInPandas(batches, SPECTRUM_SCHEMA)
+
+
 FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame BINARY"
 
 

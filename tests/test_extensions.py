@@ -472,6 +472,34 @@ def test_audio_wav_real_path(spark):
         M.extract_audio_features(df, decoder="mp3")
 
 
+def test_audio_spectrum_sine(spark):
+    """extract_audio_spectrum on a pure sine: the dominant bin is the
+    sine's frequency exactly (an FFT-bin-aligned tone), the centroid
+    sits near it, and a low tone has ~zero high-frequency energy."""
+    import numpy as np
+
+    from modis_aggregation_spark.operators.multimodal import encode_wav
+
+    sr, n, f0 = 8000, 1600, 440.0  # 440 Hz == bin 88 at 5 Hz spacing
+    t = np.arange(n) / sr
+    x = 0.5 * np.sin(2 * np.pi * f0 * t)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(x, sample_rate=sr)))],
+        "id LONG, payload BINARY",
+    )
+    out = M.extract_audio_spectrum(df).collect()[0]
+    assert out["sample_rate"] == sr and out["n_samples"] == n
+    assert out["dominant_hz"] == pytest.approx(f0)
+    assert abs(out["spectral_centroid_hz"] - f0) < 50.0
+    assert out["hf_energy_ratio"] < 1e-6  # 440 Hz ≪ fs/8 = 1 kHz
+    # non-WAV payload rejected, no silent fallback
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"\x89PNGxxxx"))], "id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="RIFF"):
+        M.extract_audio_spectrum(bad).collect()
+
+
 def test_sample_frames(spark):
     out = M.sample_frames(_media_df(spark), n_frames=3, every_n=10).collect()
     assert len(out) == 9

@@ -448,6 +448,49 @@ def x62_wav_golden() -> pa.Table:
     )
 
 
+def x67_wav_spectrum_golden() -> pa.Table:
+    """Recompute the x67 spectral-feature expectation per distinct
+    document payload WITHOUT the wave codec: PCM16 round-trip is exact
+    for the dyadic (b−128)/128 samples, so the identical numpy rFFT math
+    over the byte-derived samples (drop DC; dominant = argmax bin,
+    centroid = magnitude-weighted mean frequency, hf = energy fraction
+    above fs/8) must match the decoded-path result bit-for-bit. Keyed by
+    sha256(text)."""
+    seen: dict[str, tuple[float, float, float]] = {}
+    freqs = np.fft.rfftfreq(1600, 1.0 / 8000)[1:]
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            x = (np.resize(np.frombuffer(payload, np.uint8), 1600).astype(
+                np.float64
+            ) - 128.0) / 128.0
+            m = np.abs(np.fft.rfft(x))[1:]
+            tot = float(m.sum())
+            if tot == 0.0:
+                seen[key] = (0.0, 0.0, 0.0)
+                continue
+            dom = float(freqs[int(np.argmax(m))])
+            cen = float((freqs * m).sum() / tot)
+            e = m * m
+            hf = float(e[freqs > 1000.0].sum() / e.sum())
+            seen[key] = (dom, cen, hf)
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "sample_rate": pa.array([8000] * len(keys), pa.int32()),
+            "n_samples": pa.array([1600] * len(keys), pa.int64()),
+            "dominant_hz": pa.array([seen[k][0] for k in keys], pa.float64()),
+            "spectral_centroid_hz": pa.array([seen[k][1] for k in keys], pa.float64()),
+            "hf_energy_ratio": pa.array([seen[k][2] for k in keys], pa.float64()),
+        }
+    )
+
+
 def x64_gif_golden() -> pa.Table:
     """Recompute the x64 REAL-GIF-frame expectation per distinct document
     payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
@@ -574,6 +617,9 @@ def main() -> None:
     x65 = x65_jpeg_golden()
     pq.write_table(x65, os.path.join(OUT_DIR, "x65_jpeg_decode.parquet"))
     print(f"x65_jpeg_decode.parquet: {x65.num_rows} distinct payloads")
+    x67 = x67_wav_spectrum_golden()
+    pq.write_table(x67, os.path.join(OUT_DIR, "x67_wav_spectrum.parquet"))
+    print(f"x67_wav_spectrum.parquet: {x67.num_rows} distinct payloads")
     x62 = x62_wav_golden()
     pq.write_table(x62, os.path.join(OUT_DIR, "x62_wav_decode.parquet"))
     print(f"x62_wav_decode.parquet: {x62.num_rows} distinct payloads")
