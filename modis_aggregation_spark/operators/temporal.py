@@ -534,12 +534,16 @@ def _ewma_partitioned(
                 state.update(num=float(nums[-1]), den=float(dens[-1]), idx=state["idx"] + n)
             yield pd.concat(outs, ignore_index=True)
 
-    # PERSISTED: the scan feeds two consumers (the end-state aggregation
-    # on the broadcast side and the final stitch join), and the range
-    # partitioner's sampled boundaries — hence pid assignment — are NOT
-    # stable across re-executions of the subtree; computing the scan once
-    # is a correctness requirement here, not a performance choice.
-    local = part.mapInPandas(_local_scan, local_schema).persist()
+    # MATERIALIZED ONCE, LINEAGE TRUNCATED: the scan feeds two consumers
+    # (the end-state aggregation on the broadcast side and the final
+    # stitch join), and the range partitioner's sampled boundaries —
+    # hence pid assignment — are NOT stable across re-executions of the
+    # subtree. localCheckpoint (eager) computes the scan exactly once
+    # and makes a divergent recompute IMPOSSIBLE (block loss fails the
+    # job loudly instead of silently re-sampling); blocks are released
+    # by the ContextCleaner when the result is garbage-collected, so
+    # repeated calls don't accumulate executor storage.
+    local = part.mapInPandas(_local_scan, local_schema).localCheckpoint()
 
     # segment end-states: one skinny row per (key, pid); partial (map-side)
     # aggregation keeps the shuffle at ≤ #keys + #partitions rows

