@@ -4724,6 +4724,170 @@ GROUP BY 1
 """
 
 
+def _q_r48_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-shaped (volume shipping): lineitem↔supplier↔orders↔
+    customer with TWO nation dimension joins (aliased n1/n2, both
+    broadcast), a symmetric nation-pair predicate, year extraction from
+    the ship date, and the exact cents-staged revenue sum (the r2
+    pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev_s = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    pair = (
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    ) | (
+        (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+        )
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _r6(
+                F.sum(rev_s.cast("decimal(38,0)")).cast("double") / F.lit(10000.0)
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_R48 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 6) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+       OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_r49_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-shaped (returned-item reporting): one-quarter order
+    window, returned lines only, revenue per customer, deterministic
+    top-20 (revenue DESC, then custkey — TakeOrderedAndProject over the
+    grouped agg). Exact cents-staged revenue."""
+    rev_s = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(_t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-07-01"))
+            & (F.col("o_orderdate") < F.lit("1995-10-01"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _r6(
+                F.sum(rev_s.cast("decimal(38,0)")).cast("double") / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            "revenue",
+            _r6(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+_SQL_R49 = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 6) AS revenue,
+       round(c_acctbal, 6) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1995-07-01'
+  AND o_orderdate < DATE '1995-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q_r50_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-shaped (large-volume customers): the HAVING-subquery
+    membership test expressed as a semi-join against the big-quantity
+    order keys, then the customer/order join and per-order quantity sum.
+    Quantities are integral doubles — cast to LONG for exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(
+            _t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _r6(F.col("o_totalprice")).alias("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+_SQL_R50 = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
 def _q_r38_window_navigation(spark, sf_dir):
     """Window navigation-function battery per user event stream: lag /
     lead / first_value / last_value / nth_value (explicit full frame on
@@ -6295,6 +6459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
+        "r48_tpch_q7": _q_r48_tpch_q7,
+        "r49_tpch_q10": _q_r49_tpch_q10,
+        "r50_tpch_q18": _q_r50_tpch_q18,
         # -- last driver-recorded in round 1 -------------------------------------
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
@@ -6590,6 +6757,9 @@ def oracle_sql() -> dict[str, str]:
         "x65_decode_jpeg": _SQL_X65,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
+        "r48_tpch_q7": _SQL_R48,
+        "r49_tpch_q10": _SQL_R49,
+        "r50_tpch_q18": _SQL_R50,
         "x62_wav_features": _SQL_X62,
         "r45_tpch_q21": _SQL_R45,
         "r46_tpch_q15": _SQL_R46,
