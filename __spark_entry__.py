@@ -2734,6 +2734,59 @@ JOIN read_parquet('/root/repo/goldens/x67_wav_spectrum.parquet') g
 """
 
 
+def _q_x68_mp4_metadata(spark, sf_dir):
+    """REAL video-container parsing (no fake): each document's utf-8
+    bytes parameterize a structurally valid ISO BMFF file
+    (``sinks/mp4lite.py`` — real ftyp/moov/mvhd/trak/tkhd/hdlr box
+    layout; metadata-only, sample decode honestly gated), then
+    ``extract_video_metadata`` physically walks the box tree back.
+    Every output field is a pure function of the input bytes, so the
+    oracle golden (goldens/x68_mp4_meta.parquet) is computable WITHOUT
+    the parser — a box-walk bug anywhere diverges. Keyed by
+    sha256(text)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_mp4(it):
+        from modis_aggregation_spark.sinks.mp4lite import encode_mp4_stub
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                payloads.append(
+                    encode_mp4_stub(
+                        width=160 + data[0],
+                        height=90 + data[-1],
+                        duration=1000 + 40 * len(data),
+                        timescale=1000,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    mp4s = docs.mapInPandas(to_mp4, "id BIGINT, payload BINARY")
+    out = ops_mm.extract_video_metadata(mp4s)
+    return out.select(
+        "id", "major_brand", "timescale",
+        _r6(F.col("duration_sec")).alias("duration_sec"),
+        "n_tracks", "track_types",
+        _r6(F.col("width")).alias("width"),
+        _r6(F.col("height")).alias("height"),
+    )
+
+
+_SQL_X68 = """
+SELECT d.doc_id AS id, g.major_brand, g.timescale,
+       round(g.duration_sec, 6) AS duration_sec,
+       g.n_tracks, g.track_types,
+       round(g.width, 6) AS width, round(g.height, 6) AS height
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x68_mp4_meta.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x64_gif_frames(spark, sf_dir):
     """REAL animated-media frame sampling (no fake): each document's
     utf-8 bytes tile into three 6×8 frames under an identity grayscale
@@ -6459,6 +6512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
+        "x68_mp4_metadata": _q_x68_mp4_metadata,
         "r48_tpch_q7": _q_r48_tpch_q7,
         "r49_tpch_q10": _q_r49_tpch_q10,
         "r50_tpch_q18": _q_r50_tpch_q18,
@@ -6757,6 +6811,7 @@ def oracle_sql() -> dict[str, str]:
         "x65_decode_jpeg": _SQL_X65,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
+        "x68_mp4_metadata": _SQL_X68,
         "r48_tpch_q7": _SQL_R48,
         "r49_tpch_q10": _SQL_R49,
         "r50_tpch_q18": _SQL_R50,

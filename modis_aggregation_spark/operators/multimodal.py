@@ -368,6 +368,50 @@ def extract_audio_spectrum(
     return df.select(id_col, payload_col).mapInPandas(batches, SPECTRUM_SCHEMA)
 
 
+VIDEO_META_SCHEMA = (
+    "id BIGINT, major_brand STRING, timescale INT, duration_sec DOUBLE, "
+    "n_tracks INT, track_types STRING, width DOUBLE, height DOUBLE"
+)
+
+
+def extract_video_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL ISO BMFF (MP4) container parsing via mapInPandas
+    (``sinks/mp4lite.py``): box walk → ftyp major brand, mvhd
+    timescale/duration, per-trak tkhd dimensions and hdlr handler types
+    (returned comma-joined, sorted). Container METADATA only — sample
+    decode stays honestly gated (module docstring of mp4lite). A
+    non-MP4 payload raises; filter on the ftyp sniff first."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from modis_aggregation_spark.sinks.mp4lite import parse_mp4_meta
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_meta(bytes(b))
+                rows.append(
+                    (
+                        i, m["major_brand"], m["timescale"],
+                        float(m["duration_sec"]), m["n_tracks"],
+                        ",".join(m["track_types"]),
+                        float(m["width"]), float(m["height"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "major_brand", "timescale", "duration_sec",
+                    "n_tracks", "track_types", "width", "height",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
 FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame BINARY"
 
 

@@ -500,6 +500,62 @@ def test_audio_spectrum_sine(spark):
         M.extract_audio_spectrum(bad).collect()
 
 
+def test_mp4_metadata_real_path(spark):
+    """mp4lite: real ISO BMFF box walk — round-trip, 64-bit largesize,
+    version-1 mvhd, multi-track inventory, malformed rejection, and the
+    mapInPandas operator end-to-end."""
+    import struct
+
+    from modis_aggregation_spark.sinks.mp4lite import (
+        encode_mp4_stub,
+        parse_mp4_meta,
+    )
+
+    data = encode_mp4_stub(640, 360, 12_345, timescale=1000)
+    m = parse_mp4_meta(data)
+    assert (m["width"], m["height"]) == (640.0, 360.0)
+    assert m["duration_sec"] == pytest.approx(12.345)
+    assert m["n_tracks"] == 1 and m["track_types"] == ["vide"]
+    assert m["major_brand"] == "isom"
+
+    # 64-bit largesize on the ftyp box parses identically
+    (sz,) = struct.unpack_from(">I", data, 0)
+    ftyp_large = struct.pack(">I", 1) + data[4:8] + struct.pack(">Q", sz + 8) + data[8:sz]
+    assert parse_mp4_meta(ftyp_large + data[sz:]) == m
+
+    # version-1 mvhd (64-bit times) — rewrite the stub's mvhd body
+    i = data.index(b"mvhd") - 4
+    (msz,) = struct.unpack_from(">I", data, i)
+    ts, dur = struct.unpack_from(">II", data, i + 8 + 4 + 8)
+    v1_body = (
+        b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, ts, dur)
+        + data[i + 8 + 4 + 16 : i + msz]
+    )
+    v1 = struct.pack(">I", 8 + len(v1_body)) + b"mvhd" + v1_body
+    delta = len(v1) - msz
+    patched = data[:i] + v1 + data[i + msz :]
+    # fix enclosing moov size (v1 times grow the box by 12 bytes)
+    j = patched.index(b"moov") - 4
+    (osz,) = struct.unpack_from(">I", patched, j)
+    patched = patched[:j] + struct.pack(">I", osz + delta) + patched[j + 4 :]
+    m1 = parse_mp4_meta(patched)
+    assert (m1["timescale"], m1["duration"]) == (ts, dur)
+
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x89PNG\r\n\x1a\n1234")
+    with pytest.raises(ValueError):
+        parse_mp4_meta(data[:20])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(data)),
+         (2, bytearray(encode_mp4_stub(0, 0, 4000, timescale=8000, handler=b"soun")))],
+        "id LONG, payload BINARY",
+    )
+    out = {r["id"]: r for r in M.extract_video_metadata(df).collect()}
+    assert out[1]["width"] == 640.0 and out[1]["track_types"] == "vide"
+    assert out[2]["duration_sec"] == 0.5 and out[2]["track_types"] == "soun"
+
+
 def test_sample_frames(spark):
     out = M.sample_frames(_media_df(spark), n_frames=3, every_n=10).collect()
     assert len(out) == 9

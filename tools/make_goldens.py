@@ -491,6 +491,50 @@ def x67_wav_spectrum_golden() -> pa.Table:
     )
 
 
+def x68_mp4_golden() -> pa.Table:
+    """Recompute the x68 MP4-metadata expectation per distinct document
+    payload WITHOUT the box parser: the query builds the container from
+    pure byte arithmetic (width = 160 + first byte, height = 90 + last
+    byte, duration = 1 s + 40 ms/byte at timescale 1000, one 'vide'
+    track, brand 'isom'), so the expectation comes straight from the
+    bytes — a box-walk mis-parse anywhere diverges. Keyed by
+    sha256(text)."""
+    cols: dict[str, list] = {k: [] for k in (
+        "sha256", "major_brand", "timescale", "duration_sec",
+        "n_tracks", "track_types", "width", "height",
+    )}
+    seen: set[str] = set()
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            seen.add(key)
+            cols["sha256"].append(key)
+            cols["major_brand"].append("isom")
+            cols["timescale"].append(1000)
+            cols["duration_sec"].append((1000 + 40 * len(payload)) / 1000.0)
+            cols["n_tracks"].append(1)
+            cols["track_types"].append("vide")
+            cols["width"].append(float(160 + payload[0]))
+            cols["height"].append(float(90 + payload[-1]))
+    order = np.argsort(cols["sha256"])
+    return pa.table(
+        {
+            "sha256": pa.array([cols["sha256"][i] for i in order], pa.string()),
+            "major_brand": pa.array([cols["major_brand"][i] for i in order], pa.string()),
+            "timescale": pa.array([cols["timescale"][i] for i in order], pa.int32()),
+            "duration_sec": pa.array([cols["duration_sec"][i] for i in order], pa.float64()),
+            "n_tracks": pa.array([cols["n_tracks"][i] for i in order], pa.int32()),
+            "track_types": pa.array([cols["track_types"][i] for i in order], pa.string()),
+            "width": pa.array([cols["width"][i] for i in order], pa.float64()),
+            "height": pa.array([cols["height"][i] for i in order], pa.float64()),
+        }
+    )
+
+
 def x64_gif_golden() -> pa.Table:
     """Recompute the x64 REAL-GIF-frame expectation per distinct document
     payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
@@ -617,6 +661,9 @@ def main() -> None:
     x65 = x65_jpeg_golden()
     pq.write_table(x65, os.path.join(OUT_DIR, "x65_jpeg_decode.parquet"))
     print(f"x65_jpeg_decode.parquet: {x65.num_rows} distinct payloads")
+    x68 = x68_mp4_golden()
+    pq.write_table(x68, os.path.join(OUT_DIR, "x68_mp4_meta.parquet"))
+    print(f"x68_mp4_meta.parquet: {x68.num_rows} distinct payloads")
     x67 = x67_wav_spectrum_golden()
     pq.write_table(x67, os.path.join(OUT_DIR, "x67_wav_spectrum.parquet"))
     print(f"x67_wav_spectrum.parquet: {x67.num_rows} distinct payloads")
