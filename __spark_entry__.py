@@ -2787,6 +2787,37 @@ JOIN read_parquet('/root/repo/goldens/x68_mp4_meta.parquet') g
 """
 
 
+def _q_x69_compression_screen(spark, sf_dir):
+    """zlib compression-ratio quality screen
+    (operators/screening.py:compression_ratio_screen — the classic
+    repetitiveness/entropy filter): map-only Arrow pass, stdlib deflate
+    at level 6. Oracle: deflate output length is a pure function of
+    (bytes, level) for the pinned zlib build, committed as
+    goldens/x69_compression.parquet keyed by sha256(text); ratio/keep
+    are recomputed IN SQL from the golden byte counts, so the screen's
+    threshold logic has a live DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_scr.compression_ratio_screen(docs, "text", "doc_id")
+    return out.select(
+        "id", "raw_bytes", "compressed_bytes",
+        _r6(F.col("ratio")).alias("ratio"), "keep",
+    )
+
+
+_SQL_X69 = """
+SELECT d.doc_id AS id, g.raw_bytes, g.compressed_bytes,
+       round(g.compressed_bytes
+             / CAST(CASE WHEN g.raw_bytes > 0 THEN g.raw_bytes ELSE 1 END
+                    AS DOUBLE), 6) AS ratio,
+       (g.compressed_bytes
+          / CAST(CASE WHEN g.raw_bytes > 0 THEN g.raw_bytes ELSE 1 END
+                 AS DOUBLE)) BETWEEN 0.35 AND 1.05 AS keep
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x69_compression.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x64_gif_frames(spark, sf_dir):
     """REAL animated-media frame sampling (no fake): each document's
     utf-8 bytes tile into three 6×8 frames under an identity grayscale
@@ -6513,6 +6544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
         "x68_mp4_metadata": _q_x68_mp4_metadata,
+        "x69_compression_screen": _q_x69_compression_screen,
         "r48_tpch_q7": _q_r48_tpch_q7,
         "r49_tpch_q10": _q_r49_tpch_q10,
         "r50_tpch_q18": _q_r50_tpch_q18,
@@ -6812,6 +6844,7 @@ def oracle_sql() -> dict[str, str]:
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
+        "x69_compression_screen": _SQL_X69,
         "r48_tpch_q7": _SQL_R48,
         "r49_tpch_q10": _SQL_R49,
         "r50_tpch_q18": _SQL_R50,

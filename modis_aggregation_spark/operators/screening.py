@@ -17,7 +17,9 @@ aggregate — partial (map-side) aggregation absorbs the per-document
 repeats, the shuffle keys include the document id so there are no hot
 keys, and the benchmark side of decontamination is a broadcast (an eval
 set is MBs against a 100 TB corpus; the corpus side never shuffles its
-payload, only grams). No Python UDFs anywhere.
+payload, only grams). No Python UDFs anywhere except the
+compression-ratio screen, whose whole point is stdlib deflate — that one
+is an Arrow-batched map-only pass with zero shuffle.
 """
 
 from __future__ import annotations
@@ -43,6 +45,60 @@ def _gram_array(toks: Column, n: int) -> Column:
         lambda i: i <= last,
     )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def compression_ratio_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    min_ratio: float = 0.35,
+    max_ratio: float = 1.05,
+) -> DataFrame:
+    """The zlib compression-ratio quality signal (the classic
+    repetitiveness/entropy screen of web-corpus pipelines): ratio =
+    compressed_bytes / raw_utf8_bytes at a fixed deflate ``level``.
+    Highly repetitive or templated text compresses far below natural
+    prose (ratio < ~0.35); binary-ish or already-compressed junk sits
+    near/above 1.0.  Returns ``(id, raw_bytes, compressed_bytes, ratio,
+    keep)`` for every document.
+
+    Scale shape: map-only — an Arrow-batched pandas iterator calling
+    stdlib zlib per document, no shuffle at all (the same narrow posture
+    as the C4/Gopher screens); cost is deflate CPU over bytes scanned.
+    Deterministic: zlib output length is a pure function of
+    (bytes, level, strategy) for a fixed zlib build, so the x69 oracle
+    joins a committed golden keyed by sha256(text)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raws, comps = [], []
+            for t in pdf[text_col]:
+                data = (t or "").encode("utf-8")
+                raws.append(len(data))
+                comps.append(len(zlib.compress(data, level)))
+            out = pd.DataFrame({
+                "id": pdf[id_col],
+                "raw_bytes": pd.array(raws, dtype="int64"),
+                "compressed_bytes": pd.array(comps, dtype="int64"),
+            })
+            out["ratio"] = out["compressed_bytes"] / out["raw_bytes"].where(
+                out["raw_bytes"] > 0, 1
+            )
+            out["keep"] = (out["ratio"] >= min_ratio) & (out["ratio"] <= max_ratio)
+            yield out
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(
+        batches,
+        "id BIGINT, raw_bytes BIGINT, compressed_bytes BIGINT, "
+        "ratio DOUBLE, keep BOOLEAN",
+    )
 
 
 def repetition_profile(

@@ -185,3 +185,32 @@ def test_dsir_importance_score_is_exact_integer_sum(spark):
         return round((math.log((ct + 1) / 6.0) - math.log((cr + 1) / 8.0)) * 1e6)
     assert got[1] == 2 * lw(2, 2) + lw(1, 2)
     assert got[2] == lw(1, 2) + lw(0, 1)
+
+
+def test_compression_ratio_screen(spark):
+    """zlib ratio screen: repetitive text compresses far below prose and
+    is dropped; normal prose survives; empty text is ratio 0 (kept out
+    by the lower bound); counts match stdlib zlib exactly."""
+    import zlib
+
+    from modis_aggregation_spark.operators.screening import (
+        compression_ratio_screen,
+    )
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "wildly different sentences about satellites, glaciers and "
+        "spectrometers keep the entropy of this paragraph honest."
+    )
+    junk = "spam " * 200
+    df = spark.createDataFrame(
+        [(1, prose), (2, junk), (3, "")], "doc_id LONG, text STRING"
+    )
+    out = {r["id"]: r for r in compression_ratio_screen(df).collect()}
+    for i, t in ((1, prose), (2, junk)):
+        data = t.encode("utf-8")
+        assert out[i]["raw_bytes"] == len(data)
+        assert out[i]["compressed_bytes"] == len(zlib.compress(data, 6))
+    assert out[1]["keep"] is True and out[1]["ratio"] > 0.35
+    assert out[2]["keep"] is False and out[2]["ratio"] < 0.1
+    assert out[3]["raw_bytes"] == 0 and out[3]["keep"] is False

@@ -1,12 +1,14 @@
 """Generate the committed oracle goldens under goldens/.
 
-Two queries in the driver contract exercise code whose math cannot be
-re-derived in pure SQL from the testdata views alone; for each, this script
-precomputes a small parquet the oracle SQL joins against. Both goldens are
-built WITHOUT Spark (pyarrow + numpy + duckdb only), so the driver-side
-comparison still pits two independent execution paths against each other —
-the Spark plan (mapInPandas / pandas-UDF / join pipeline) vs DuckDB over a
-locally recomputed table.
+Some driver-contract queries exercise code whose math cannot be
+re-derived in pure SQL from the testdata views alone (codec decodes,
+hash pipelines, FFTs, fitted models, HLL sketches); for each, this
+script precomputes a small parquet the oracle SQL joins against.
+Goldens are built WITHOUT Spark (pyarrow + numpy + duckdb + an
+independent pure-Python XXH64) wherever possible, so the driver-side
+comparison still pits two independent execution paths against each
+other; the single exception is the r9b HLL++ determinism golden, which
+necessarily runs the pinned Spark build once offline.
 
 * goldens/x11_decode.parquet — the deterministic fake image decoder
   (operators/multimodal.py:_fake_decode: sha256(payload) seeds a PCG64,
@@ -535,6 +537,32 @@ def x68_mp4_golden() -> pa.Table:
     )
 
 
+def x69_compression_golden() -> pa.Table:
+    """Per-distinct-document zlib(level 6) deflate size — deterministic
+    for the pinned zlib build — alongside the raw utf-8 byte count.
+    The x69 oracle recomputes ratio/keep in SQL from these counts.
+    Keyed by sha256(text)."""
+    import zlib
+
+    seen: dict[str, tuple[int, int]] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            data = text.encode("utf-8")
+            seen[key] = (len(data), len(zlib.compress(data, 6)))
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "raw_bytes": pa.array([seen[k][0] for k in keys], pa.int64()),
+            "compressed_bytes": pa.array([seen[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
 def x64_gif_golden() -> pa.Table:
     """Recompute the x64 REAL-GIF-frame expectation per distinct document
     payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
@@ -661,6 +689,9 @@ def main() -> None:
     x65 = x65_jpeg_golden()
     pq.write_table(x65, os.path.join(OUT_DIR, "x65_jpeg_decode.parquet"))
     print(f"x65_jpeg_decode.parquet: {x65.num_rows} distinct payloads")
+    x69 = x69_compression_golden()
+    pq.write_table(x69, os.path.join(OUT_DIR, "x69_compression.parquet"))
+    print(f"x69_compression.parquet: {x69.num_rows} distinct payloads")
     x68 = x68_mp4_golden()
     pq.write_table(x68, os.path.join(OUT_DIR, "x68_mp4_meta.parquet"))
     print(f"x68_mp4_meta.parquet: {x68.num_rows} distinct payloads")
