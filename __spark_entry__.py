@@ -29,6 +29,7 @@ from modis_aggregation_spark.operators import dedup as ops_dedup
 from modis_aggregation_spark.operators import multimodal as ops_mm
 from modis_aggregation_spark.operators import quality as ops_quality
 from modis_aggregation_spark.operators import screening as ops_scr
+from modis_aggregation_spark.operators import tokenizer as ops_tok
 from modis_aggregation_spark.operators import similarity as ops_sim
 from modis_aggregation_spark.functions.histogram import hist_bucket_sql
 from modis_aggregation_spark.functions.dayrules import day_definition_null, day_definition_sql
@@ -2784,6 +2785,28 @@ SELECT d.doc_id AS id, g.major_brand, g.timescale,
 FROM documents d
 JOIN read_parquet('/root/repo/goldens/x68_mp4_meta.parquet') g
   ON g.sha256 = sha256(d.text)
+"""
+
+
+def _q_x70_bpe_train(spark, sf_dir):
+    """Distributed BPE merge learning
+    (operators/tokenizer.py:bpe_train — Sennrich et al. 2016): one
+    corpus pass to the word-frequency table, then 8 pair-count
+    aggregations with deterministic (count DESC, pair ASC) tie-breaks
+    and pure-JVM greedy merge application. Oracle: an INDEPENDENTLY
+    implemented dict-based trainer (tools/make_goldens.py — classic
+    Counter/scan code, no shared implementation) committed as
+    goldens/x70_bpe_merges.parquet, keyed by a corpus fingerprint the
+    SQL twin recomputes — the two implementations must learn the
+    IDENTICAL merge table or the driver hash diverges."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops_tok.bpe_train(docs, "text", num_merges=8)
+
+
+_SQL_X70 = """
+SELECT g.rank, g."left", g."right", g.pair_count
+FROM read_parquet('/root/repo/goldens/x70_bpe_merges.parquet') g
+WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
 """
 
 
@@ -6545,6 +6568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x67_wav_spectrum": _q_x67_wav_spectrum,
         "x68_mp4_metadata": _q_x68_mp4_metadata,
         "x69_compression_screen": _q_x69_compression_screen,
+        "x70_bpe_train": _q_x70_bpe_train,
         "r48_tpch_q7": _q_r48_tpch_q7,
         "r49_tpch_q10": _q_r49_tpch_q10,
         "r50_tpch_q18": _q_r50_tpch_q18,
@@ -6845,6 +6869,7 @@ def oracle_sql() -> dict[str, str]:
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
         "x69_compression_screen": _SQL_X69,
+        "x70_bpe_train": _SQL_X70,
         "r48_tpch_q7": _SQL_R48,
         "r49_tpch_q10": _SQL_R49,
         "r50_tpch_q18": _SQL_R50,

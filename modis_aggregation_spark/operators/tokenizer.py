@@ -1,0 +1,127 @@
+"""Distributed BPE tokenizer training (merge-rule learning).
+
+The missing half of the subword surface: ``functions/text.py``
+estimates subword counts with a fixed pre-tokenizer regex (x22), while
+``bpe_train`` LEARNS the merge table itself from the corpus — the
+byte-pair-encoding algorithm of Sennrich et al. 2016 (ACL,
+"Neural Machine Translation of Rare Words with Subword Units"), the
+public algorithm behind GPT-2/RoBERTa-style vocabularies.
+
+Classic BPE trains on the word-frequency table, not the raw corpus —
+and that is exactly what makes it distributable:
+
+1. ONE corpus pass builds ``(word, count)`` (explode tokens + map-side
+   combined groupBy — the corpus text never shuffles, only skinny
+   words).  At 100 TB the distinct-word table is ~10⁷ rows (Zipf),
+   comfortably distributed and ~10⁵× smaller than the corpus.
+2. Each of the ``num_merges`` iterations is a pair-count aggregation
+   over the vocab's symbol arrays (explode adjacent pairs weighted by
+   word count → groupBy pair → global top-1), followed by a pure-JVM
+   fold that applies the winning merge greedily left-to-right inside
+   every word.  Per iteration: one skinny shuffle + a 1-row collect
+   (the argmax) — the driver only ever holds the merge rules.
+3. ``localCheckpoint`` per iteration keeps the plan flat (the
+   ``operators/graph.py`` iterative pattern).
+
+Ties break deterministically: highest pair count, then lexicographic
+(left, right) — so the learned table is a pure function of the corpus,
+which is what lets the x70 contract query verify against an
+INDEPENDENTLY implemented dict-based BPE in tools/make_goldens.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from modis_aggregation_spark.functions.text import tokens
+
+__all__ = ["bpe_train", "word_vocab"]
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over ``tokens(text)`` — the BPE training input.
+    One explode + map-side-combined groupBy; text never shuffles."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _chars(word: Column) -> Column:
+    """ARRAY<STRING> of single characters (no end-of-word marker)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+
+
+def _apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) symbol pairs, as a pure-JVM fold: walking the array,
+    an element that completes the pair with the accumulator's last
+    element replaces it with the merged token (the already-merged token
+    then competes as `left` for the NEXT element, reproducing the
+    sequential scan exactly — see the x70 oracle twin)."""
+    l_, r_, m_ = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l_)
+            & (s == r_),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m_)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules from the corpus.
+
+    Returns ``(rank, left, right, pair_count)`` — rank 1-based in learn
+    order; stops early when no pair reaches ``min_pair_count``.
+    """
+    spark = df.sparkSession
+    vocab = (
+        word_vocab(df, text_col)
+        .select(_chars(F.col("word")).alias("syms"), "count")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "count",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("count").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        l_, r_, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, l_, r_, cnt))
+        vocab = vocab.select(
+            _apply_merge(F.col("syms"), l_, r_).alias("syms"), "count"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, pair_count BIGINT"
+    )

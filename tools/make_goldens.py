@@ -563,6 +563,71 @@ def x69_compression_golden() -> pa.Table:
     )
 
 
+def x70_bpe_golden() -> pa.Table:
+    """INDEPENDENT dict-based BPE trainer (the classic Sennrich et al.
+    reference algorithm: Counter over the word-frequency table, greedy
+    left-to-right merge application) — deliberately NOT importing
+    operators/tokenizer.py, so the x70 oracle pits two separate
+    implementations of the same public algorithm against each other.
+    Tie-break contract: highest weighted pair count, then lexicographic
+    (left, right). Keyed by corpus_key =
+    DuckDB bit_xor(hash(doc_id, text)) over the documents view."""
+    from collections import Counter
+
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "rank", "left", "right", "pair_count",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["text"])
+        wc: Counter = Counter()
+        for text in docs.column("text").to_pylist():
+            for w in _TOKEN_WS.split(text.lower()):
+                if w:
+                    wc[w] += 1
+        vocab = {w: list(w) for w in wc}
+        for rank in range(1, 9):
+            pc: Counter = Counter()
+            for w, syms in vocab.items():
+                n = wc[w]
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += n
+            if not pc:
+                break
+            (l_, r_), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < 2:
+                break
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
+                        out.append(l_ + r_)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+            cols["corpus_key"].append(int(key))
+            cols["rank"].append(rank)
+            cols["left"].append(l_)
+            cols["right"].append(r_)
+            cols["pair_count"].append(cnt)
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "rank": pa.array(cols["rank"], pa.int32()),
+            "left": pa.array(cols["left"], pa.string()),
+            "right": pa.array(cols["right"], pa.string()),
+            "pair_count": pa.array(cols["pair_count"], pa.int64()),
+        }
+    )
+
+
 def x64_gif_golden() -> pa.Table:
     """Recompute the x64 REAL-GIF-frame expectation per distinct document
     payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
@@ -689,6 +754,9 @@ def main() -> None:
     x65 = x65_jpeg_golden()
     pq.write_table(x65, os.path.join(OUT_DIR, "x65_jpeg_decode.parquet"))
     print(f"x65_jpeg_decode.parquet: {x65.num_rows} distinct payloads")
+    x70 = x70_bpe_golden()
+    pq.write_table(x70, os.path.join(OUT_DIR, "x70_bpe_merges.parquet"))
+    print(f"x70_bpe_merges.parquet: {x70.num_rows} rows")
     x69 = x69_compression_golden()
     pq.write_table(x69, os.path.join(OUT_DIR, "x69_compression.parquet"))
     print(f"x69_compression.parquet: {x69.num_rows} distinct payloads")
