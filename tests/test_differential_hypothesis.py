@@ -214,10 +214,18 @@ def test_random_spec_matches_reference_emulator(spark, subset, p):
             assert r["ctp_count"] == a["count"], z
             assert r["ctp_mean"] == approx(a["sum"] / a["count"]), z
             if "Standard_Deviation" in p["stats"]:
-                ref_std = np.sqrt(
-                    max(a["sumsq"] / a["count"] - (a["sum"] / a["count"]) ** 2, 0.0)
+                ref_var = max(
+                    a["sumsq"] / a["count"] - (a["sum"] / a["count"]) ** 2, 0.0
                 )
-                assert r["ctp_stddev"] == pytest.approx(ref_std, abs=1e-6), z
+                # The emulator's Σv² finalize (the reference's own formula)
+                # has a float64 cancellation floor of ~eps·E[v²]; the engine's
+                # stddev_pop is Welford-stable, so when the true variance sits
+                # below that floor the two sides legitimately disagree by
+                # noise. Compare variances with the floor as abs tolerance.
+                noise = 64 * np.finfo(np.float64).eps * (a["sumsq"] / a["count"])
+                assert r["ctp_stddev"] ** 2 == pytest.approx(
+                    ref_var, rel=1e-6, abs=noise
+                ), z
         else:
             assert r["ctp_count"] == 0, z
         if "Histogram_Counts" in p["stats"]:
