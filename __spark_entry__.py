@@ -2810,6 +2810,30 @@ WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
 """
 
 
+def _q_x71_bpe_encode(spark, sf_dir):
+    """Distributed BPE ENCODE — the at-scale half of x70
+    (operators/tokenizer.py:bpe_encode): train the 8-rule merge table,
+    then tokenize every document with it.  Text never shuffles and
+    never crosses the Python boundary; only DISTINCT words (the
+    word-cache trick, distributed) are encoded in one Arrow batch pass,
+    then re-attached by a skinny hash join and reassembled per doc with
+    a pure-JVM array_sort+flatten.  Oracle: the independent
+    dict-based trainer/encoder in tools/make_goldens.py
+    (goldens/x71_bpe_encode.parquet, keyed by a corpus fingerprint the
+    SQL twin recomputes) — per-doc word/token counts and the
+    first-10-token preview must match exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = ops_tok.bpe_train(docs, "text", num_merges=8)
+    return ops_tok.bpe_encode(docs, merges, "text", "doc_id", preview_k=10)
+
+
+_SQL_X71 = """
+SELECT g.doc_id, g.n_words, g.n_tokens, g.tokens_preview
+FROM read_parquet('/root/repo/goldens/x71_bpe_encode.parquet') g
+WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
+"""
+
+
 def _q_x69_compression_screen(spark, sf_dir):
     """zlib compression-ratio quality screen
     (operators/screening.py:compression_ratio_screen — the classic
@@ -6569,6 +6593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x68_mp4_metadata": _q_x68_mp4_metadata,
         "x69_compression_screen": _q_x69_compression_screen,
         "x70_bpe_train": _q_x70_bpe_train,
+        "x71_bpe_encode": _q_x71_bpe_encode,
         "r48_tpch_q7": _q_r48_tpch_q7,
         "r49_tpch_q10": _q_r49_tpch_q10,
         "r50_tpch_q18": _q_r50_tpch_q18,
@@ -6870,6 +6895,7 @@ def oracle_sql() -> dict[str, str]:
         "x68_mp4_metadata": _SQL_X68,
         "x69_compression_screen": _SQL_X69,
         "x70_bpe_train": _SQL_X70,
+        "x71_bpe_encode": _SQL_X71,
         "r48_tpch_q7": _SQL_R48,
         "r49_tpch_q10": _SQL_R49,
         "r50_tpch_q18": _SQL_R50,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from modis_aggregation_spark.functions.text import tokens
 
-__all__ = ["bpe_train", "word_vocab"]
+__all__ = ["bpe_encode", "bpe_train", "word_vocab"]
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -124,4 +124,112 @@ def bpe_train(
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    preview_k: int = 10,
+) -> DataFrame:
+    """Apply a learned BPE merge table to tokenize the corpus — the
+    at-scale half of the subword surface (training runs once on the
+    word-frequency table; ENCODING touches every byte of the corpus).
+
+    ``merges`` is the ``bpe_train`` result (a DataFrame with
+    rank/left/right, or a pre-collected ``[(left, right), ...]`` in rank
+    order).  Encode contract matches training exactly: each merge is
+    applied in rank order, greedily left-to-right non-overlapping
+    (Sennrich et al. 2016 §3.2 — "apply the learned operations in the
+    order they were learned").
+
+    Distributed shape (the 100 TB story):
+
+    1. The document text NEVER shuffles and NEVER crosses the Python
+       boundary.  One scan posexplodes to skinny ``(id, pos, word)``
+       triples.
+    2. The classic word-cache trick, distributed: only DISTINCT words
+       are encoded (Zipf — ~10⁷ distinct words for a 100 TB corpus,
+       ~10⁵× smaller than the token stream), via one Arrow-batched
+       ``mapInPandas`` with the broadcast merge list in the task
+       closure.  Every later occurrence is a hash-join lookup on the
+       skinny word key; AQE broadcasts the vocab side when it fits.
+    3. Per-document reassembly is one groupBy on ``id`` —
+       ``array_sort`` over (pos, toks) structs + ``flatten``, pure JVM.
+       A document's tokens materialize in exactly one task, the same
+       bound as any per-doc operator.
+
+    Returns ``(id_col, n_words, n_tokens, tokens_preview)`` with
+    ``tokens_preview`` the first ``preview_k`` tokens space-joined
+    (empty string for token-less documents, which are retained).
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+    merge_list = [(str(l_), str(r_)) for l_, r_ in merges]
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+
+    def enc(it):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            out = []
+            for w in pdf["word"]:
+                got = cache.get(w)
+                if got is None:
+                    syms = list(w)
+                    for l_, r_ in merge_list:
+                        if len(syms) < 2:
+                            break
+                        res, i, n = [], 0, len(syms)
+                        while i < n:
+                            if i + 1 < n and syms[i] == l_ and syms[i + 1] == r_:
+                                res.append(l_ + r_)
+                                i += 2
+                            else:
+                                res.append(syms[i])
+                                i += 1
+                        syms = res
+                    got = cache[w] = syms
+                out.append(got)
+            yield pd.DataFrame({"word": pdf["word"], "toks": out})
+
+    word_toks = (
+        exploded.select("word")
+        .distinct()
+        .mapInPandas(enc, "word STRING, toks ARRAY<STRING>")
+    )
+
+    per_doc = (
+        exploded.join(word_toks, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("toks"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce(F.size("toks"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(
+                F.array_join(F.slice("toks", 1, preview_k), " "), F.lit("")
+            ).alias("tokens_preview"),
+        )
     )

@@ -563,17 +563,57 @@ def x69_compression_golden() -> pa.Table:
     )
 
 
-def x70_bpe_golden() -> pa.Table:
+def _independent_bpe(texts, num_merges: int = 8, min_pair_count: int = 2):
     """INDEPENDENT dict-based BPE trainer (the classic Sennrich et al.
     reference algorithm: Counter over the word-frequency table, greedy
     left-to-right merge application) — deliberately NOT importing
-    operators/tokenizer.py, so the x70 oracle pits two separate
+    operators/tokenizer.py, so the x70/x71 oracles pit two separate
     implementations of the same public algorithm against each other.
     Tie-break contract: highest weighted pair count, then lexicographic
-    (left, right). Keyed by corpus_key =
-    DuckDB bit_xor(hash(doc_id, text)) over the documents view."""
+    (left, right).  Returns ([(rank, left, right, count)], vocab) with
+    ``vocab`` the post-merge word → symbol-list map (the word-cache an
+    independent ENCODER needs: every corpus word's encoding is its
+    final vocab entry)."""
     from collections import Counter
 
+    wc: Counter = Counter()
+    for text in texts:
+        for w in _TOKEN_WS.split(text.lower()):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            n = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (l_, r_), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
+                    out.append(l_ + r_)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+        merges.append((rank, l_, r_, cnt))
+    return merges, vocab
+
+
+def x70_bpe_golden() -> pa.Table:
+    """Merge table learned by ``_independent_bpe`` per sf dir, keyed by
+    corpus_key = DuckDB bit_xor(hash(doc_id, text)) over the documents
+    view."""
     cols: dict[str, list] = {k: [] for k in (
         "corpus_key", "rank", "left", "right", "pair_count",
     )}
@@ -583,35 +623,8 @@ def x70_bpe_golden() -> pa.Table:
             f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
         ).fetchone()[0]
         docs = pq.read_table(p, columns=["text"])
-        wc: Counter = Counter()
-        for text in docs.column("text").to_pylist():
-            for w in _TOKEN_WS.split(text.lower()):
-                if w:
-                    wc[w] += 1
-        vocab = {w: list(w) for w in wc}
-        for rank in range(1, 9):
-            pc: Counter = Counter()
-            for w, syms in vocab.items():
-                n = wc[w]
-                for a, b in zip(syms, syms[1:]):
-                    pc[(a, b)] += n
-            if not pc:
-                break
-            (l_, r_), cnt = min(
-                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-            )
-            if cnt < 2:
-                break
-            for w, syms in vocab.items():
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
-                        out.append(l_ + r_)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                vocab[w] = out
+        merges, _ = _independent_bpe(docs.column("text").to_pylist())
+        for rank, l_, r_, cnt in merges:
             cols["corpus_key"].append(int(key))
             cols["rank"].append(rank)
             cols["left"].append(l_)
@@ -624,6 +637,46 @@ def x70_bpe_golden() -> pa.Table:
             "left": pa.array(cols["left"], pa.string()),
             "right": pa.array(cols["right"], pa.string()),
             "pair_count": pa.array(cols["pair_count"], pa.int64()),
+        }
+    )
+
+
+def x71_bpe_encode_golden() -> pa.Table:
+    """Per-document BPE ENCODE expectation from the independent trainer:
+    after ``_independent_bpe`` converges, every corpus word's encoding
+    is its final vocab entry, so each document's token stream is the
+    concatenation of its words' vocab symbol lists (same greedy
+    rank-order contract as operators/tokenizer.py:bpe_encode, reached
+    by entirely separate code).  One row per (corpus_key, doc_id) with
+    n_words / n_tokens / the first-10-token preview."""
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "doc_id", "n_words", "n_tokens", "tokens_preview",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["doc_id", "text"])
+        texts = docs.column("text").to_pylist()
+        _, vocab = _independent_bpe(texts)
+        for doc_id, text in zip(docs.column("doc_id").to_pylist(), texts):
+            words = [w for w in _TOKEN_WS.split(text.lower()) if w]
+            toks: list[str] = []
+            for w in words:
+                toks.extend(vocab[w])
+            cols["corpus_key"].append(int(key))
+            cols["doc_id"].append(int(doc_id))
+            cols["n_words"].append(len(words))
+            cols["n_tokens"].append(len(toks))
+            cols["tokens_preview"].append(" ".join(toks[:10]))
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "n_words": pa.array(cols["n_words"], pa.int64()),
+            "n_tokens": pa.array(cols["n_tokens"], pa.int64()),
+            "tokens_preview": pa.array(cols["tokens_preview"], pa.string()),
         }
     )
 
@@ -757,6 +810,9 @@ def main() -> None:
     x70 = x70_bpe_golden()
     pq.write_table(x70, os.path.join(OUT_DIR, "x70_bpe_merges.parquet"))
     print(f"x70_bpe_merges.parquet: {x70.num_rows} rows")
+    x71 = x71_bpe_encode_golden()
+    pq.write_table(x71, os.path.join(OUT_DIR, "x71_bpe_encode.parquet"))
+    print(f"x71_bpe_encode.parquet: {x71.num_rows} rows")
     x69 = x69_compression_golden()
     pq.write_table(x69, os.path.join(OUT_DIR, "x69_compression.parquet"))
     print(f"x69_compression.parquet: {x69.num_rows} distinct payloads")
