@@ -156,10 +156,13 @@ def bpe_encode(
        ``mapInPandas`` with the broadcast merge list in the task
        closure.  Every later occurrence is a hash-join lookup on the
        skinny word key; AQE broadcasts the vocab side when it fits.
-    3. Per-document reassembly is one groupBy on ``id`` —
+    3. Per-document reassembly is ONE groupBy on ``id`` —
        ``array_sort`` over (pos, toks) structs + ``flatten``, pure JVM.
-       A document's tokens materialize in exactly one task, the same
-       bound as any per-doc operator.
+       ``posexplode_outer`` keeps token-less documents as a null-word
+       row, so no extra join (and its exchange + sorts) is needed to
+       retain them: the whole query is scan → broadcast-join →
+       partial-agg → one exchange.  A document's tokens materialize in
+       exactly one task, the same bound as any per-doc operator.
 
     Returns ``(id_col, n_words, n_tokens, tokens_preview)`` with
     ``tokens_preview`` the first ``preview_k`` tokens space-joined
@@ -173,7 +176,7 @@ def bpe_encode(
 
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "word"),
     )
 
     def enc(it):
@@ -203,33 +206,40 @@ def bpe_encode(
             yield pd.DataFrame({"word": pdf["word"], "toks": out})
 
     word_toks = (
-        exploded.select("word")
+        exploded.filter(F.col("word").isNotNull())
+        .select("word")
         .distinct()
         .mapInPandas(enc, "word STRING, toks ARRAY<STRING>")
     )
 
-    per_doc = (
-        exploded.join(word_toks, "word")
+    # left join: every non-null word is in word_toks by construction
+    # (same corpus), and the null-word rows of token-less docs survive
+    # to the aggregation, where collect_list's null-skipping drops them
+    return (
+        exploded.join(word_toks, "word", "left")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
+            F.count("word").alias("n_words"),
             F.flatten(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("pos", "toks"),
+                            )
+                        )
+                    ),
                     lambda s: s["toks"],
                 )
             ).alias("toks"),
         )
-    )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce(F.size("toks"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(
-                F.array_join(F.slice("toks", 1, preview_k), " "), F.lit("")
-            ).alias("tokens_preview"),
+            "n_words",
+            F.size("toks").alias("n_tokens"),
+            F.array_join(F.slice("toks", 1, preview_k), " ").alias(
+                "tokens_preview"
+            ),
         )
     )

@@ -385,3 +385,27 @@ def test_x59_hash_embed_pure_catalyst(spark):
     assert "CartesianProduct" not in plan
     assert logical.count("ResolvedHint") == 0
     assert "partial_sum" in plan  # map-side combine of repeated tokens
+
+
+def test_x71_bpe_encode_plan_shape(spark):
+    """BPE encode: document text reaches exactly the two scans (vocab
+    text-only, exploded doc_id+text) and NEVER an exchange; only
+    DISTINCT words cross the Python boundary (one MapInPandas, fed by
+    the skinny word-distinct exchange); the vocab re-attach joins
+    broadcast; per-doc reassembly is map-side-combined with ONE id
+    exchange and no sort-merge join anywhere."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.operators.tokenizer import bpe_encode
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = bpe_encode(docs, [("t", "h"), ("th", "e")], "text", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "partial_collect_list" in plan  # map-side combine
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exch) == 2 and all("text" not in l for l in exch)
+    # the distinct-word branch prunes its scan to the text column only
+    assert "ReadSchema: struct<text:string>" in plan

@@ -447,6 +447,42 @@ def run_inverted_index(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def run_bpe_encode(spark, sf_dir: str, replicate: int) -> dict:
+    """BPE-encode anchor (round 6): merges trained once on the base
+    corpus, then the replicated corpus is tokenized end-to-end
+    (operators/tokenizer.py:bpe_encode). The cipher replicas multiply
+    the DISTINCT-word table ~replicate× (real vocabs grow sublinearly —
+    this is the conservative direction), so the curve stresses both the
+    word-cache Python pass and the skinny-triple reassembly. Reports
+    docs/s, tokens/s and the shuffle bill (text never shuffles)."""
+    from modis_aggregation_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(base, "text", num_merges=8).collect()
+    ]
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = docs.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = bpe_encode(docs, merges, "text", "doc_id")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    assert agg["n"] == n_docs
+    return {
+        "docs": n_docs,
+        "tokens": int(agg["toks"]),
+        "sec": round(t, 2),
+        "docs_per_sec": int(n_docs / t),
+        "tokens_per_sec": int(agg["toks"] / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
 def run_archive_scan(spark, sf_dir: str, replicate: int, n_archives: int = 8) -> dict:
     """Archive-source anchor (round 4): the documents corpus replicated
     ``replicate``× and packed into ``n_archives`` zip shards, then scanned
