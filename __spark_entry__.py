@@ -5019,6 +5019,168 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """
 
 
+def _q_r51_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-shaped (national market share): 7-table star —
+    lineitem fact against part (type-filtered), supplier, orders
+    (two-year window), customer, TWO nation aliases and region, dims
+    broadcast — then a per-year RATIO of conditional-over-total
+    cents-staged revenue sums (the classic nested-subquery market-share
+    form flattened to one conditional aggregation — Catalyst sees a
+    single groupBy, no self-join)."""
+    rev_s = (
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    ).cast("decimal(38,0)")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", rev_s).otherwise(F.lit(0))
+    )
+    den = F.sum(rev_s)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") <= F.lit("1996-12-31"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            _r6(num.cast("double") / den.cast("double")).alias("mkt_share"),
+            _r6(den.cast("double") / F.lit(10000.0)).alias("total_volume"),
+        )
+    )
+
+
+_SQL_R51 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS DOUBLE), 6) AS mkt_share,
+       round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 6) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY 1
+"""
+
+
+def _q_r52_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-shaped (promotion effect): one-month shipdate window,
+    part dimension broadcast, and the promo-revenue percentage as a
+    conditional-over-total ratio of exact cents-staged sums — a single
+    global aggregate row."""
+    rev_s = (
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    ).cast("decimal(38,0)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_s).otherwise(F.lit(0))
+    )
+    total = F.sum(rev_s)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            _r6(F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_R52 = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS DOUBLE), 6) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+
+def _q_r53_tpch_q12(spark, sf_dir):
+    """TPC-H Q12-shaped (shipping-priority audit): orders↔lineitem
+    join over a one-year shipdate window, grouped by the lineitem's
+    return flag (the schema's stand-in for shipmode), CASE-counting
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders — the
+    canonical conditional two-counter aggregation."""
+    high = F.sum(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    low = F.sum(
+        F.when(
+            ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            high.cast("bigint").alias("high_line_count"),
+            low.cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_SQL_R53 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def _q_r38_window_navigation(spark, sf_dir):
     """Window navigation-function battery per user event stream: lag /
     lead / first_value / last_value / nth_value (explicit full frame on
@@ -6597,6 +6759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r48_tpch_q7": _q_r48_tpch_q7,
         "r49_tpch_q10": _q_r49_tpch_q10,
         "r50_tpch_q18": _q_r50_tpch_q18,
+        "r51_tpch_q8": _q_r51_tpch_q8,
+        "r52_tpch_q14": _q_r52_tpch_q14,
+        "r53_tpch_q12": _q_r53_tpch_q12,
         # -- last driver-recorded in round 1 -------------------------------------
         "s2_granule_scan": _q_s2_granule_scan,
         "x1_exact_dedup": _q_x1_exact_dedup,
@@ -6896,6 +7061,9 @@ def oracle_sql() -> dict[str, str]:
         "x69_compression_screen": _SQL_X69,
         "x70_bpe_train": _SQL_X70,
         "x71_bpe_encode": _SQL_X71,
+        "r51_tpch_q8": _SQL_R51,
+        "r52_tpch_q14": _SQL_R52,
+        "r53_tpch_q12": _SQL_R53,
         "r48_tpch_q7": _SQL_R48,
         "r49_tpch_q10": _SQL_R49,
         "r50_tpch_q18": _SQL_R50,
