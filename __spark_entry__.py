@@ -5143,16 +5143,12 @@ def _q_r53_tpch_q12(spark, sf_dir):
     return flag (the schema's stand-in for shipmode), CASE-counting
     high-priority (1-URGENT/2-HIGH) vs lower-priority orders — the
     canonical conditional two-counter aggregation."""
-    high = F.sum(
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
-        ).otherwise(F.lit(0))
-    )
-    low = F.sum(
-        F.when(
-            ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
-        ).otherwise(F.lit(0))
-    )
+    # when(isin, ...).otherwise(...) on BOTH counters so a NULL priority
+    # lands in `low` on both engines (a bare ~isin() would send NULL to
+    # neither counter on Spark but to ELSE on the SQL side)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    high = F.sum(F.when(is_high, F.lit(1)).otherwise(F.lit(0)))
+    low = F.sum(F.when(is_high, F.lit(0)).otherwise(F.lit(1)))
     return (
         _t(spark, sf_dir, "lineitem")
         .filter(

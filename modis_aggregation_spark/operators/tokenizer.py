@@ -182,27 +182,25 @@ def bpe_encode(
     def enc(it):
         import pandas as pd
 
-        cache: dict[str, list[str]] = {}
+        # input is already globally distinct, so no memo dict: each word
+        # is encoded exactly once and nothing is retained across batches
         for pdf in it:
             out = []
             for w in pdf["word"]:
-                got = cache.get(w)
-                if got is None:
-                    syms = list(w)
-                    for l_, r_ in merge_list:
-                        if len(syms) < 2:
-                            break
-                        res, i, n = [], 0, len(syms)
-                        while i < n:
-                            if i + 1 < n and syms[i] == l_ and syms[i + 1] == r_:
-                                res.append(l_ + r_)
-                                i += 2
-                            else:
-                                res.append(syms[i])
-                                i += 1
-                        syms = res
-                    got = cache[w] = syms
-                out.append(got)
+                syms = list(w)
+                for l_, r_ in merge_list:
+                    if len(syms) < 2:
+                        break
+                    res, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == l_ and syms[i + 1] == r_:
+                            res.append(l_ + r_)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.append(syms)
             yield pd.DataFrame({"word": pdf["word"], "toks": out})
 
     word_toks = (
