@@ -2834,6 +2834,79 @@ WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
 """
 
 
+def _q_x72_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data pipeline COMPOSITION: quality screen
+    (text_profile score ≥ 0.5) → exact content dedup (first doc_id per
+    normalized-text fingerprint) → token count → concat-and-chop
+    sequence packing at 512. Each stage is an already-oracled operator
+    (x2, x1, x27); this query proves they CHAIN — the screen's survivor
+    set feeds dedup, dedup's survivor order feeds the distributed
+    prefix-sum packer — with a single CTE-chained SQL twin re-deriving
+    the whole pipeline. Still one narrow scan + the dedup fingerprint
+    shuffle + the packer's two-phase scan; text never shuffles (dedup
+    keys on the xxhash64 fingerprint, packing on skinny (id, count)
+    rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        fn_text.text_profile(docs, "text", "en")
+        .filter(F.round(F.col("quality"), 6) >= 0.5)
+        .select("doc_id", "text")
+    )
+    survivors = ops_dedup.exact_dedup(kept, "text", "doc_id")
+    wc = survivors.select(
+        "doc_id",
+        F.size(fn_text.tokens(F.col("text"))).cast("long").alias("wc"),
+    )
+    out = ops_cur.pack_sequences(
+        wc, "wc", id_col="doc_id", seq_len=512, ids_per_bucket=64
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "seq_id", "seq_offset", "n_seqs"
+    )
+
+
+_SQL_X72 = f"""
+WITH t AS (
+  SELECT doc_id, text, {_D_TOKS} AS toks, {_D_NOWS} AS no_ws FROM documents
+), q AS (
+  SELECT doc_id, text,
+         len(toks) AS wc,
+         length(regexp_replace(no_ws, '[A-Za-z0-9]', '', 'g'))
+           / nullif(length(no_ws), 0) AS pr,
+         len(list_filter(toks, x -> x IN ({_sw_sql('en')}))) / nullif(len(toks), 0) AS sr,
+         list_sum(list_transform(toks, x -> length(x)))
+           / nullif(len(toks), 0) AS mwl
+  FROM t
+), kept AS (
+  SELECT doc_id, text FROM q
+  WHERE round(least(wc / 100.0, 1.0) * 0.3
+              + greatest(0.0, 1.0 - pr * 4) * 0.3
+              + least(sr * 5, 1.0) * 0.2
+              + (CASE WHEN mwl >= 2.5 AND mwl <= 10.0
+                      THEN 1.0 ELSE 0.3 END) * 0.2, 6) >= 0.5
+), surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+             ORDER BY doc_id) AS rn
+    FROM kept)
+  WHERE rn = 1
+), tok AS (
+  SELECT doc_id, CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens FROM surv
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+  FROM tok)
+SELECT doc_id, n_tokens,
+       (e - n_tokens) // 512 AS seq_id,
+       (e - n_tokens) % 512 AS seq_offset,
+       ((e - 1) // 512) - ((e - n_tokens) // 512) + 1 AS n_seqs
+FROM c
+"""
+
+
 def _q_x69_compression_screen(spark, sf_dir):
     """zlib compression-ratio quality screen
     (operators/screening.py:compression_ratio_screen — the classic
@@ -6752,6 +6825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x69_compression_screen": _q_x69_compression_screen,
         "x70_bpe_train": _q_x70_bpe_train,
         "x71_bpe_encode": _q_x71_bpe_encode,
+        "x72_pipeline_e2e": _q_x72_pipeline_e2e,
         "r48_tpch_q7": _q_r48_tpch_q7,
         "r49_tpch_q10": _q_r49_tpch_q10,
         "r50_tpch_q18": _q_r50_tpch_q18,
@@ -7057,6 +7131,7 @@ def oracle_sql() -> dict[str, str]:
         "x69_compression_screen": _SQL_X69,
         "x70_bpe_train": _SQL_X70,
         "x71_bpe_encode": _SQL_X71,
+        "x72_pipeline_e2e": _SQL_X72,
         "r51_tpch_q8": _SQL_R51,
         "r52_tpch_q14": _SQL_R52,
         "r53_tpch_q12": _SQL_R53,
