@@ -2643,6 +2643,73 @@ JOIN read_parquet('/root/repo/goldens/x65_jpeg_decode.parquet') g
 """
 
 
+def _q_x73_avi_frames(spark, sf_dir):
+    """REAL video decode end-to-end (no fake): each document's utf-8
+    bytes tile into three 16×16 frames of constant even-valued 8×8
+    blocks (jpeglite's exact quality-50 subspace, see x65), each frame
+    is baseline-JPEG-encoded and all three are wrapped in a real
+    AVI/MJPEG RIFF container (``sinks/avilite.py`` — avih/strh/strf
+    headers, word-aligned movi chunks, idx1 index), then
+    ``sample_frames(decoder="avi")`` physically walks the container
+    back and Huffman-decodes/IDCTs every frame via jpeglite. Exactness
+    makes the oracle codec-free: goldens/x73_avi_frames.parquet
+    computes each frame's mean straight from the byte windows
+    (tools/make_goldens.py), keyed by sha256(text) — a mis-parse in
+    either the RIFF walk or the JPEG entropy decode diverges the join
+    values. The container layer is additionally malformation-tested in
+    tests/test_avilite.py; jpeglite's general lossy correctness is
+    cross-validated against javax.imageio."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_avi(it):
+        from modis_aggregation_spark.sinks.avilite import encode_avi_mjpeg
+        from modis_aggregation_spark.sinks.jpeglite import encode_jpeg
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                tiled = np.resize(np.frombuffer(data, np.uint8), 3 * 4) & 0xFE
+                frames = [
+                    encode_jpeg(
+                        np.repeat(
+                            np.repeat(
+                                tiled[fi * 4 : (fi + 1) * 4].reshape(2, 2),
+                                8, 0,
+                            ),
+                            8, 1,
+                        ),
+                        quality=50,
+                    )
+                    for fi in range(3)
+                ]
+                payloads.append(
+                    encode_avi_mjpeg(frames, width=16, height=16, fps_num=24)
+                )
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    avis = docs.mapInPandas(to_avi, "id BIGINT, payload BINARY")
+    out = ops_mm.sample_frames(avis, every_n=1, n_frames=3, decoder="avi")
+    return out.select(
+        "id", "frame_idx", "height", "width",
+        _r6(F.col("fps")).alias("fps"),
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X73 = """
+SELECT d.doc_id AS id, g.frame_idx, g.height, g.width,
+       round(g.fps, 6) AS fps,
+       round(g.mean_pixel, 6) AS mean_pixel
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x73_avi_frames.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x62_wav_features(spark, sf_dir):
     """REAL audio decode (no fake): each document's utf-8 bytes map to
     1600 exact dyadic samples ((b−128)/128), are written as real RIFF/
@@ -6818,6 +6885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # edge of the round-3 cohort.  Keys and aliases unchanged.
     return {
         # -- round-6 additions (never driver-recorded) ---------------------------
+        "x73_avi_frames": _q_x73_avi_frames,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7125,6 +7193,7 @@ def oracle_sql() -> dict[str, str]:
         "s9_hdf4_scan": _SQL_S9,
         "x61_decode_png": _SQL_X61,
         "x65_decode_jpeg": _SQL_X65,
+        "x73_avi_frames": _SQL_X73,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

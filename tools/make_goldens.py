@@ -723,6 +723,50 @@ def x64_gif_golden() -> pa.Table:
     )
 
 
+def x73_avi_golden() -> pa.Table:
+    """Recompute the x73 REAL-VIDEO-frame expectation per distinct
+    document payload WITHOUT either codec involved: the query tiles the
+    text's utf-8 bytes (cyclic, &0xFE) into three 16×16 frames of
+    constant even-valued 8×8 blocks — jpeglite's exact quality-50
+    subspace (see x65) — encodes each as baseline JPEG, wraps all three
+    in a real AVI/MJPEG container (avilite) and samples them back
+    through the RIFF walk + Huffman/IDCT decode. Exactness makes each
+    frame's mean the mean of its four block bytes — pure arithmetic; a
+    mis-parse in EITHER the container walk or the JPEG entropy decode
+    diverges. Keyed by sha256(text); 3 rows per digest."""
+    cols: dict[str, list] = {k: [] for k in (
+        "sha256", "frame_idx", "height", "width", "fps", "mean_pixel"
+    )}
+    seen: set[str] = set()
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            seen.add(key)
+            tiled = np.resize(np.frombuffer(payload, np.uint8), 3 * 4) & 0xFE
+            for fi in range(3):
+                vals = tiled[fi * 4 : (fi + 1) * 4]
+                cols["sha256"].append(key)
+                cols["frame_idx"].append(fi)
+                cols["height"].append(16)
+                cols["width"].append(16)
+                cols["fps"].append(24.0)
+                cols["mean_pixel"].append(float(vals.astype(np.float64).mean()))
+    return pa.table(
+        {
+            "sha256": pa.array(cols["sha256"], pa.string()),
+            "frame_idx": pa.array(cols["frame_idx"], pa.int32()),
+            "height": pa.array(cols["height"], pa.int32()),
+            "width": pa.array(cols["width"], pa.int32()),
+            "fps": pa.array(cols["fps"], pa.float64()),
+            "mean_pixel": pa.array(cols["mean_pixel"], pa.float64()),
+        }
+    )
+
+
 def x9_centroid_golden() -> pa.Table:
     """Fit the x9 centroids per sf dir with the shared numpy core on the
     vec_id-ordered sample; emit (corpus_key, list_id, pos, val) rows."""
@@ -828,6 +872,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x73 = x73_avi_golden()
+    pq.write_table(x73, os.path.join(OUT_DIR, "x73_avi_frames.parquet"))
+    print(f"x73_avi_frames.parquet: {x73.num_rows} rows")
     x56 = x56_codebook_golden()
     pq.write_table(x56, os.path.join(OUT_DIR, "x56_codebooks.parquet"))
     print(f"x56_codebooks.parquet: {x56.num_rows} rows ({x56.num_rows // (8 * 16 * 8)} corpora)")
