@@ -4410,6 +4410,104 @@ def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     return zpath, tpath
 
 
+def _ensure_x74_fixture(spark, sf_dir) -> tuple[str, str]:
+    """Materialize the documents table as two REAL WARC/1.0 web archives
+    (sources/warc.py): even doc_ids into a Common-Crawl-style
+    per-record-gzipped ``.warc.gz``, odd into a plain ``.warc``; one
+    ``response`` record per doc wrapping an HTTP/1.1 200 block whose
+    body is the document text, plus a leading ``warcinfo`` record per
+    file (scanned past by the warc_type pushdown). Every stored byte is
+    derivable from the documents table, so the oracle needs no golden."""
+    from modis_aggregation_spark.sources.warc import write_warc
+
+    tag = _corpus_tag(sf_dir)
+    gzp = f"/tmp/spark_graft_x74_{tag}.warc.gz"
+    plp = f"/tmp/spark_graft_x74_{tag}.warc"
+    if os.path.exists(gzp) and os.path.exists(plp):
+        return gzp, plp
+    recs_gz, recs_pl = [], []
+    for recs in (recs_gz, recs_pl):
+        recs.append(
+            {
+                "warc_type": "warcinfo",
+                "content_type": "application/warc-fields",
+                "block": b"software: modis_aggregation_spark\r\n",
+            }
+        )
+    for r in (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").toLocalIterator()
+    ):
+        body = r["text"].encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        rec = {
+            "warc_type": "response",
+            "target_uri": f"https://example.org/doc/{r['doc_id']}",
+            "content_type": "application/http;msgtype=response",
+            "record_id": f"<urn:doc:{r['doc_id']}>",
+            "block": http,
+        }
+        (recs_gz if r["doc_id"] % 2 == 0 else recs_pl).append(rec)
+    gtmp, ptmp = f"{gzp}.{os.getpid()}.tmp", f"{plp}.{os.getpid()}.tmp"
+    write_warc(gtmp, recs_gz, gzip_records=True)
+    write_warc(ptmp, recs_pl, gzip_records=False)
+    os.replace(gtmp, gzp)
+    os.replace(ptmp, plp)
+    return gzp, plp
+
+
+def _q_x74_warc_scan(spark, sf_dir):
+    """WARC web-archive SOURCE end-to-end (sources/warc.py — the wire
+    format of Common Crawl): the documents table written as two REAL
+    WARC/1.0 files (per-record-gzip members + plain), scanned back by
+    the warc Python DataSource (one partition per file, record grammar
+    parsed in-partition, warc_type pushdown pre-filtering ahead of the
+    HTTP split, Arrow batches out). The oracle recomputes the WARC
+    Content-Length from the HTTP header arithmetic (63 fixed bytes +
+    the decimal width of the body length + the body) straight off the
+    documents table — a parse bug anywhere in the record walk, gzip
+    member handling, or HTTP split diverges."""
+    from modis_aggregation_spark.sources.warc import WarcDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(WarcDataSource)
+    gzp, plp = _ensure_x74_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("warc")
+        .option("paths", f"{gzp},{plp}")
+        .load()
+        .filter(F.col("warc_type") == "response")
+    )
+    return df.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.when(F.col("archive").endswith(".gz"), F.lit("gz"))
+        .otherwise(F.lit("plain"))
+        .alias("container"),
+        "http_status",
+        "content_length",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_SQL_X74 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'gz' ELSE 'plain' END AS container,
+       200 AS http_status,
+       63 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+          + octet_length(encode(text)) AS content_length,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def _q_s11_archive_scan(spark, sf_dir):
     """Corpus-archive SOURCE end-to-end: the documents table packed into
     REAL zip + tar containers (one text member per doc), scanned back by
@@ -6886,6 +6984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-6 additions (never driver-recorded) ---------------------------
         "x73_avi_frames": _q_x73_avi_frames,
+        "x74_warc_scan": _q_x74_warc_scan,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7194,6 +7293,7 @@ def oracle_sql() -> dict[str, str]:
         "x61_decode_png": _SQL_X61,
         "x65_decode_jpeg": _SQL_X65,
         "x73_avi_frames": _SQL_X73,
+        "x74_warc_scan": _SQL_X74,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
