@@ -4508,6 +4508,37 @@ FROM documents
 """
 
 
+def _q_x75_kmeans_train(spark, sf_dir):
+    """FULLY DISTRIBUTED Lloyd k-means over the embeddings corpus
+    (operators/similarity.py:kmeans_train): per-iteration broadcast
+    assignment (vectorized Pandas UDF) + skinny (cluster, coordinate)
+    sum/count aggregation with map-side partial combine — no task and
+    no driver step ever materializes the corpus, only the k×d model.
+    Centroids are quantized to 3 decimals after every update, which
+    makes the learned model bit-identical under ANY partitioning /
+    float-summation order — the property that lets the oracle re-derive
+    it with an INDEPENDENT loop-based implementation
+    (tools/make_goldens.py:x75_kmeans_golden — direct ||x-c||² argmin,
+    plain Python accumulation), committed as
+    goldens/x75_kmeans.parquet and keyed by a corpus fingerprint the
+    SQL twin recomputes. The two implementations must learn the
+    IDENTICAL model or the driver hash diverges."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ops_sim.kmeans_train(emb, "embedding", "vec_id", k=8, iters=5)
+    return out.select(
+        "list_id", "size", "pos", _r6(F.col("val")).alias("val")
+    )
+
+
+_SQL_X75 = """
+SELECT g.list_id, g.size, g.pos, round(g.val, 6) AS val
+FROM read_parquet('/root/repo/goldens/x75_kmeans.parquet') g
+WHERE g.corpus_key = (
+  SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+)
+"""
+
+
 def _q_s11_archive_scan(spark, sf_dir):
     """Corpus-archive SOURCE end-to-end: the documents table packed into
     REAL zip + tar containers (one text member per doc), scanned back by
@@ -6985,6 +7016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 additions (never driver-recorded) ---------------------------
         "x73_avi_frames": _q_x73_avi_frames,
         "x74_warc_scan": _q_x74_warc_scan,
+        "x75_kmeans_train": _q_x75_kmeans_train,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7294,6 +7326,7 @@ def oracle_sql() -> dict[str, str]:
         "x65_decode_jpeg": _SQL_X65,
         "x73_avi_frames": _SQL_X73,
         "x74_warc_scan": _SQL_X74,
+        "x75_kmeans_train": _SQL_X75,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

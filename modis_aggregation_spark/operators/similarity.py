@@ -187,6 +187,102 @@ def kmeans_centroids(
     return lloyd_kmeans(sample, nlist, iters, seed)
 
 
+def kmeans_train(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    quant_decimals: int = 3,
+) -> DataFrame:
+    """FULLY DISTRIBUTED Lloyd k-means — the full-corpus complement to
+    ``kmeans_centroids`` (which fits on a bounded driver-side sample).
+    No task ever materializes the corpus: each iteration is
+
+    1. broadcast the k×d centroid matrix (KBs) into a vectorized
+       Pandas-UDF assignment (numpy matmul per Arrow batch),
+    2. posexplode to skinny ``(list_id, pos, v)`` rows and hash-aggregate
+       ``sum/count`` per (cluster, coordinate) — map-side partial
+       aggregation reduces the shuffle to ``tasks × k × d`` rows no
+       matter the corpus size,
+    3. collect the k×d aggregate (≤MB — the model, not the data) and
+       form the next centroids on the driver.
+
+    **Determinism by construction**: after every update the centroids
+    are QUANTIZED to ``quant_decimals`` decimals. Distributed float
+    sums are order-dependent (~1e-12 relative jitter across partition
+    layouts); quantizing each iteration's output absorbs that jitter,
+    so the learned model is bit-identical on 1 task or 1000 executors —
+    and independently recomputable (the x75 oracle golden re-derives it
+    with a separate loop-based implementation). Init is the k vectors
+    with the smallest ``id_col`` (reproducible across sessions, like
+    ``kmeans_centroids(order_col=...)``); an emptied cluster keeps its
+    previous centroid.
+
+    Returns the model as ``(list_id, size, pos, val)`` rows — sizes
+    from a final assignment pass under the converged centroids.
+    """
+    emb = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+    emb = emb.persist()
+    try:
+        init = emb.orderBy("__id").limit(k).collect()
+        cents = np.round(
+            np.array([r["__e"] for r in init], dtype=np.float64),
+            quant_decimals,
+        )
+        d = cents.shape[1]
+
+        def assigned(cur: np.ndarray) -> DataFrame:
+            @pandas_udf("int")
+            def _assign(embs: pd.Series) -> pd.Series:
+                m = np.stack(embs.to_numpy()).astype(np.float64)
+                dist = (cur**2).sum(1)[None, :] - 2.0 * m @ cur.T
+                return pd.Series(dist.argmin(1).astype(np.int32))
+
+            return emb.withColumn("__list", _assign(F.col("__e")))
+
+        for _ in range(iters):
+            agg = (
+                assigned(cents)
+                .select("__list", F.posexplode("__e").alias("pos", "v"))
+                .groupBy("__list", "pos")
+                .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+                .collect()
+            )
+            nxt = cents.copy()
+            sums = np.zeros((len(cents), d))
+            counts = np.zeros(len(cents), dtype=np.int64)
+            for r in agg:
+                sums[r["__list"], r["pos"]] = r["s"]
+                counts[r["__list"]] = r["n"]
+            nonempty = counts > 0
+            nxt[nonempty] = np.round(
+                sums[nonempty] / counts[nonempty, None], quant_decimals
+            )
+            cents = nxt
+
+        sizes = dict(
+            (r["__list"], r["n"])
+            for r in assigned(cents).groupBy("__list").agg(
+                F.count("*").alias("n")
+            ).collect()
+        )
+        spark = df.sparkSession
+        rows = [
+            (int(li), int(sizes.get(li, 0)), int(pos), float(val))
+            for li in range(len(cents))
+            for pos, val in enumerate(cents[li])
+        ]
+        return spark.createDataFrame(
+            rows, "list_id INT, size BIGINT, pos INT, val DOUBLE"
+        )
+    finally:
+        emb.unpersist()
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,

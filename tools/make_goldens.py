@@ -767,6 +767,70 @@ def x73_avi_golden() -> pa.Table:
     )
 
 
+def x75_kmeans_golden() -> pa.Table:
+    """Independently re-derive the x75 DISTRIBUTED k-means model per sf
+    dir: same spec as operators/similarity.kmeans_train (init = k
+    smallest vec_ids, 5 Lloyd iterations, centroids quantized to 3
+    decimals after init and after every update, empty cluster keeps its
+    centroid, sizes from a final assignment pass) but a separate
+    loop-based implementation — per-point direct ``||x-c||**2`` argmin
+    instead of the operator's broadcast ``||c||^2 - 2 x.c`` matmul, and
+    plain Python accumulation instead of a Spark aggregation. The
+    quantization step is what makes the two executions comparable at
+    all: distributed float sums are order-dependent, rounding each
+    iteration's output absorbs that jitter on both sides. Keyed by
+    corpus_key (recomputed inside the oracle SQL)."""
+    con = duckdb.connect()
+    cols = {"corpus_key": [], "list_id": [], "size": [], "pos": [], "val": []}
+    k, iters, q = 8, 5, 3
+    for sf in SF_DIRS:
+        path = os.path.join(sf, "embeddings.parquet")
+        key = int(con.execute(CORPUS_KEY_SQL, [path]).fetchone()[0])
+        emb = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+        emb = emb.sort_values("vec_id")
+        vecs = [np.asarray(e, dtype=np.float64) for e in emb["embedding"]]
+        cents = [np.round(v, q) for v in vecs[:k]]
+
+        def nearest(x):
+            best, bd = 0, None
+            for ci, c in enumerate(cents):
+                dd = float(((x - c) ** 2).sum())
+                if bd is None or dd < bd:
+                    best, bd = ci, dd
+            return best
+
+        for _ in range(iters):
+            sums = [np.zeros_like(cents[0]) for _ in range(k)]
+            counts = [0] * k
+            for x in vecs:
+                ci = nearest(x)
+                sums[ci] = sums[ci] + x
+                counts[ci] += 1
+            cents = [
+                np.round(sums[ci] / counts[ci], q) if counts[ci] else cents[ci]
+                for ci in range(k)
+            ]
+        sizes = [0] * k
+        for x in vecs:
+            sizes[nearest(x)] += 1
+        for ci in range(k):
+            for pos, val in enumerate(cents[ci]):
+                cols["corpus_key"].append(key)
+                cols["list_id"].append(ci)
+                cols["size"].append(sizes[ci])
+                cols["pos"].append(pos)
+                cols["val"].append(float(val))
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "list_id": pa.array(cols["list_id"], pa.int32()),
+            "size": pa.array(cols["size"], pa.int64()),
+            "pos": pa.array(cols["pos"], pa.int32()),
+            "val": pa.array(cols["val"], pa.float64()),
+        }
+    )
+
+
 def x9_centroid_golden() -> pa.Table:
     """Fit the x9 centroids per sf dir with the shared numpy core on the
     vec_id-ordered sample; emit (corpus_key, list_id, pos, val) rows."""
@@ -872,6 +936,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x75 = x75_kmeans_golden()
+    pq.write_table(x75, os.path.join(OUT_DIR, "x75_kmeans.parquet"))
+    print(f"x75_kmeans.parquet: {x75.num_rows} rows ({x75.num_rows // (8 * 64)} corpora)")
     x73 = x73_avi_golden()
     pq.write_table(x73, os.path.join(OUT_DIR, "x73_avi_frames.parquet"))
     print(f"x73_avi_frames.parquet: {x73.num_rows} rows")
