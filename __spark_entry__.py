@@ -4539,6 +4539,54 @@ WHERE g.corpus_key = (
 """
 
 
+def _q_x76_bloom_screen(spark, sf_dir):
+    """Bloom-filter benchmark decontamination
+    (operators/screening.py:bloom_screen — the constant-size Dolma-style
+    variant of x29's exact overlap): the benchmark's word-3-gram bloom
+    bit set (m=2^18, k=3, positions pmod(xxhash64(gram, i), m)) is built
+    as a DataFrame relation, broadcast, and probed by the corpus's
+    distinct grams; a gram flags iff all 3 bits are set, a doc iff any
+    gram flags. Pure set membership — deterministic under any
+    partitioning — so the oracle re-derives the EXACT flags (false
+    positives included) from an independent pure-Python XXH64
+    (goldens/x76_bloom.parquet, tools/make_goldens.py; hash parity
+    proven in tests/test_golden_hash_parity.py). n_grams and the
+    flagged bool are recomputed LIVE in SQL; only the bloom probe
+    counts come from the golden. Benchmark = doc_id % 23 == 0 (the x29
+    split)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    out = ops_scr.bloom_screen(
+        train, bench, "text", "doc_id", n=3, m_bits=1 << 18, k_hashes=3
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_flagged",
+        "flagged",
+    )
+
+
+_SQL_X76 = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 23 <> 0),
+gi AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM t),
+ng AS (
+  SELECT doc_id, CAST(count(DISTINCT array_to_string(toks[i:i+2], ' ')) AS BIGINT) AS n_grams
+  FROM gi GROUP BY doc_id)
+SELECT ng.doc_id, ng.n_grams, g.n_flagged, g.n_flagged > 0 AS flagged
+FROM ng
+JOIN read_parquet('/root/repo/goldens/x76_bloom.parquet') g
+  ON g.doc_id = ng.doc_id
+ AND g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
+"""
+
+
 def _q_s11_archive_scan(spark, sf_dir):
     """Corpus-archive SOURCE end-to-end: the documents table packed into
     REAL zip + tar containers (one text member per doc), scanned back by
@@ -7017,6 +7065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x73_avi_frames": _q_x73_avi_frames,
         "x74_warc_scan": _q_x74_warc_scan,
         "x75_kmeans_train": _q_x75_kmeans_train,
+        "x76_bloom_screen": _q_x76_bloom_screen,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7327,6 +7376,7 @@ def oracle_sql() -> dict[str, str]:
         "x73_avi_frames": _SQL_X73,
         "x74_warc_scan": _SQL_X74,
         "x75_kmeans_train": _SQL_X75,
+        "x76_bloom_screen": _SQL_X76,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

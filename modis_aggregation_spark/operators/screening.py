@@ -291,3 +291,111 @@ def dsir_importance(
             F.sum("lw_micro").alias("score_micro"),
         )
     )
+
+
+def bloom_bits(
+    benchmark: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build the Bloom-filter bit set of a benchmark's distinct word
+    n-grams as a DataFrame of set bit positions — ``(pos)`` rows,
+    ``pos = pmod(xxhash64(gram, i), m_bits)`` for i in [0, k_hashes).
+
+    The set-bits relation (≤ m_bits rows of one int) IS the filter: it
+    stays a DataFrame (broadcastable, persistable, unionable for
+    incremental benchmark additions) instead of a driver-side bitset,
+    so building it never collects anything and applying it is a plain
+    broadcast join.
+    """
+    grams = (
+        distinct_ngrams(benchmark, content_col, id_col, n)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+                        for i in range(k_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_screen(
+    train: DataFrame,
+    benchmark: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-size
+    screen used when the benchmark n-gram set itself is too large to
+    broadcast verbatim (Dolma-style bloom decontamination): a gram is
+    "maybe contaminated" iff ALL ``k_hashes`` of its bit positions are
+    set in the benchmark's filter; false positives at the classic
+    ``(1 - e^{-kn/m})^k`` rate, false negatives never (verified against
+    exact overlap in tests). Unlike ``decontaminate`` (exact grams,
+    broadcast of the full gram set), the filter is ``m_bits`` BITS no
+    matter how many benchmark grams exist.
+
+    DataFrame-native bloom semantics — fully deterministic under any
+    partitioning (it is pure set membership, no float math), which is
+    what lets the x76 oracle re-derive the exact same flags from an
+    independent pure-Python XXH64:
+
+    1. the corpus's distinct (id, gram) rows explode to k skinny
+       (id, gram, pos) probes,
+    2. broadcast-join against the set-bits relation (inner),
+    3. a gram hits iff its match count == k_hashes,
+    4. per-doc rollup: n_flagged grams, flagged = any.
+
+    Scale shape: the bit relation is ≤ m_bits ints (2 MB at 2^18 —
+    broadcast); probes are map-side-generated and the only shuffle is
+    the (id, gram) match-count aggregation over grams with ≥1 hit.
+    Documents with no hits survive via a broadcast-right rollup onto
+    the per-doc gram counts (no second corpus scan of text).
+    """
+    bits = bloom_bits(benchmark, content_col, id_col, n, m_bits, k_hashes)
+    grams = distinct_ngrams(train, content_col, id_col, n)
+    per_doc = grams.groupBy("id").agg(
+        F.max("n_grams").cast("long").alias("n_grams")
+    )
+    probes = grams.select(
+        "id",
+        "gram",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("pos"),
+    )
+    gram_hits = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == k_hashes)
+    )
+    doc_hits = gram_hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_flagged")
+    )
+    return per_doc.join(doc_hits, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+        (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).alias("flagged"),
+    )

@@ -214,3 +214,68 @@ def test_compression_ratio_screen(spark):
     assert out[1]["keep"] is True and out[1]["ratio"] > 0.35
     assert out[2]["keep"] is False and out[2]["ratio"] < 0.1
     assert out[3]["raw_bytes"] == 0 and out[3]["keep"] is False
+
+
+def test_bloom_screen_no_false_negatives_vs_exact(spark):
+    """Every document the EXACT overlap check flags must also be bloom-
+    flagged (bloom admits false positives, never negatives), and the
+    per-doc flagged-gram count is >= the exact hit count."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "pack my box with")],
+        "doc_id LONG, text STRING",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a quick brown fox ran away"),      # shares "quick brown fox"
+            (2, "pack my box with five dozen"),     # shares two grams
+            (3, "entirely disjoint text sample z"), # no overlap
+            (4, "xy"),                              # < n tokens: no grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    exact = {
+        r["id"]: r["n_hits"]
+        for r in S.decontaminate(train, bench, n=3, min_hits=1).collect()
+    }
+    bloom = {
+        r["id"]: r
+        for r in S.bloom_screen(train, bench, n=3).collect()
+    }
+    assert 4 not in bloom  # gram-less docs never enter the screen
+    for did, hits in exact.items():
+        assert bloom[did]["flagged"], did
+        assert bloom[did]["n_flagged"] >= hits
+    assert bloom[1]["flagged"] and bloom[2]["flagged"]
+    # with 2^18 bits and a handful of grams, doc 3 should not collide
+    assert not bloom[3]["flagged"]
+    assert bloom[3]["n_flagged"] == 0 and bloom[3]["n_grams"] == 3
+
+
+def test_bloom_bits_size_and_determinism(spark):
+    bench = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven")],
+        "doc_id LONG, text STRING",
+    )
+    bits1 = sorted(r["pos"] for r in S.bloom_bits(bench, n=3).collect())
+    bits2 = sorted(
+        r["pos"] for r in S.bloom_bits(bench.repartition(7), n=3).collect()
+    )
+    assert bits1 == bits2
+    # 3 distinct grams ("one two three", "two three four", "five six seven")
+    # x 3 hashes, minus any collisions
+    assert 3 <= len(bits1) <= 9
+    assert all(0 <= p < (1 << 18) for p in bits1)
+
+
+def test_bloom_screen_tiny_filter_forces_false_positives(spark):
+    """With m_bits=2 every probe lands on a set bit once the benchmark
+    populates both — disjoint docs get flagged, demonstrating (and
+    bounding) the documented FP behavior."""
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id LONG, text STRING"
+    )
+    train = spark.createDataFrame(
+        [(2, "totally different words here now")], "doc_id LONG, text STRING"
+    )
+    out = S.bloom_screen(train, bench, n=3, m_bits=2, k_hashes=1).collect()
+    assert out[0]["flagged"]

@@ -767,6 +767,88 @@ def x73_avi_golden() -> pa.Table:
     )
 
 
+def xxh64_int(i: int, seed: int) -> int:
+    """Spark's 4-byte (IntegerType) hash step — the scalar form of
+    ``xxh64_int_vec_seeded`` (xxhash64(<col>, lit(i)) remixes)."""
+    h = (seed + _XP5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _XP1) & _M64
+    h = (_xrotl(h, 23) * _XP2 + _XP3) & _M64
+    return _xfmix(h)
+
+
+def _bloom_positions(gram: str, k_hashes: int, m_bits: int) -> list[int]:
+    """pmod(xxhash64(gram, i), m_bits) for i in [0, k) — replicating the
+    Spark expression chain with the independent XXH64 (string path
+    seeded 42, then the IntegerType step; signed pmod)."""
+    r1 = xxh64_bytes(gram.encode("utf-8"), 42)
+    out = []
+    for i in range(k_hashes):
+        h = xxh64_int(i, r1)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        out.append(signed % m_bits)
+    return out
+
+
+def x76_bloom_golden() -> pa.Table:
+    """Independently re-derive the x76 bloom-decontamination flags per
+    sf dir (benchmark = doc_id % 23 == 0, word 3-grams, m=2^18 bits,
+    k=3 hashes): a dict/set bloom build + probe over the SAME hash
+    chain recomputed by the pure-Python XXH64 above (proven equal to
+    Spark's xxhash64 in tests/test_golden_hash_parity.py). Bloom
+    membership is exact set arithmetic — no float jitter — so the two
+    implementations must agree bit-for-bit, false positives included.
+    Keyed by corpus_key (recomputed inside the oracle SQL)."""
+    n, m_bits, k_hashes = 3, 1 << 18, 3
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "doc_id", "n_grams", "n_flagged", "flagged",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["doc_id", "text"]).to_pylist()
+
+        def grams_of(text: str) -> set[str]:
+            toks = [t for t in _TOKEN_WS.split(text.lower()) if t]
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+
+        bits: set[int] = set()
+        for r in docs:
+            if r["doc_id"] % 23 == 0:
+                for g in grams_of(r["text"]):
+                    bits.update(_bloom_positions(g, k_hashes, m_bits))
+        for r in docs:
+            if r["doc_id"] % 23 == 0:
+                continue
+            gs = grams_of(r["text"])
+            if not gs:
+                continue  # gram-less docs never enter the screen
+            flagged = sum(
+                1
+                for g in gs
+                if all(
+                    pos in bits for pos in _bloom_positions(g, k_hashes, m_bits)
+                )
+            )
+            cols["corpus_key"].append(int(key))
+            cols["doc_id"].append(r["doc_id"])
+            cols["n_grams"].append(len(gs))
+            cols["n_flagged"].append(flagged)
+            cols["flagged"].append(flagged > 0)
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "n_grams": pa.array(cols["n_grams"], pa.int64()),
+            "n_flagged": pa.array(cols["n_flagged"], pa.int64()),
+            "flagged": pa.array(cols["flagged"], pa.bool_()),
+        }
+    )
+
+
 def x75_kmeans_golden() -> pa.Table:
     """Independently re-derive the x75 DISTRIBUTED k-means model per sf
     dir: same spec as operators/similarity.kmeans_train (init = k
@@ -936,6 +1018,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x76 = x76_bloom_golden()
+    pq.write_table(x76, os.path.join(OUT_DIR, "x76_bloom.parquet"))
+    print(f"x76_bloom.parquet: {x76.num_rows} rows")
     x75 = x75_kmeans_golden()
     pq.write_table(x75, os.path.join(OUT_DIR, "x75_kmeans.parquet"))
     print(f"x75_kmeans.parquet: {x75.num_rows} rows ({x75.num_rows // (8 * 64)} corpora)")
