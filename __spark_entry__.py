@@ -6908,6 +6908,98 @@ def _q_s8_stream_sessions(spark, sf_dir):
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def _q_s13_stream_anomaly(spark, sf_dir):
+    """Streaming per-key running z-score anomaly detection
+    (streaming/anomaly.py:zscore_stream, applyInPandasWithState,
+    constant 3-number state per key) run to completion with
+    availableNow over the events table. Emission is append-mode and
+    purely data-driven — every event emits exactly one scored row, no
+    watermark/timeout dependence — so the stream output equals the
+    batch running-frame rewrite deterministically; values are staged to
+    exact integer cents and mean/var/z derive through a FIXED IEEE op
+    sequence the DuckDB twin repeats verbatim (see the module
+    docstring), making the comparison exact to the bit before the 6 dp
+    round."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from modis_aggregation_spark.streaming.anomaly import zscore_stream
+
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src_dir = tempfile.mkdtemp(prefix="s13_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s13_ckpt_")
+    name = f"s13_anomaly_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.repartition(4, "user_id").write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = zscore_stream(stream, min_history=5, threshold=3.0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s13_stream_anomaly: stream did not finish in 300s")
+        emitted = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+        return emitted.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value_cents",
+            "n_prior",
+            _r6(F.col("z")).alias("z"),
+            "is_anomaly",
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_SQL_S13 = """
+WITH staged AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+), w AS (
+  SELECT user_id, event_id, ts, value_cents,
+         count(*) OVER f AS n_prior,
+         sum(value_cents) OVER f AS s,
+         sum(value_cents * value_cents) OVER f AS q
+  FROM staged
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value_cents,
+         COALESCE(n_prior, 0) AS n_prior,
+         CASE WHEN COALESCE(n_prior, 0) >= 5
+                   AND greatest((CAST(q AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_prior)
+                                / n_prior, 0.0) > 0.0
+              THEN (value_cents - CAST(s AS DOUBLE) / n_prior)
+                   / sqrt(greatest((CAST(q AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_prior)
+                                   / n_prior, 0.0))
+         END AS z_raw
+  FROM w
+)
+SELECT user_id, event_id, ts_us, value_cents, n_prior,
+       round(z_raw, 6) AS z,
+       COALESCE(abs(z_raw) > 3.0, false) AS is_anomaly
+FROM scored
+"""
+
+
 _SQL_S8 = """
 WITH o AS (
   SELECT user_id, ts, event_id,
@@ -7066,6 +7158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x74_warc_scan": _q_x74_warc_scan,
         "x75_kmeans_train": _q_x75_kmeans_train,
         "x76_bloom_screen": _q_x76_bloom_screen,
+        "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7377,6 +7470,7 @@ def oracle_sql() -> dict[str, str]:
         "x74_warc_scan": _SQL_X74,
         "x75_kmeans_train": _SQL_X75,
         "x76_bloom_screen": _SQL_X76,
+        "s13_stream_anomaly": _SQL_S13,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
