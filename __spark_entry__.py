@@ -2855,6 +2855,36 @@ JOIN read_parquet('/root/repo/goldens/x68_mp4_meta.parquet') g
 """
 
 
+def _q_x77_unigram_train(spark, sf_dir):
+    """Distributed unigram-LM tokenizer training
+    (operators/tokenizer.py:unigram_train — the SentencePiece unigram
+    algorithm, Kudo 2018): substring seed vocabulary → EM iterations
+    whose E-step runs forward-backward expected counts per DISTINCT
+    word through one Arrow pass (model broadcast in the closure) and
+    whose M-step is an exact integer-micro sum — order-independent
+    under any partitioning, like DSIR/s13. Oracle: an INDEPENDENTLY
+    implemented dict-based trainer (tools/make_goldens.py:
+    _independent_unigram — Counter scans, no Spark), committed as
+    goldens/x77_unigram.parquet keyed by a corpus fingerprint the SQL
+    twin recomputes — the two implementations must learn the IDENTICAL
+    ranked vocabulary (counts to the micro) or the driver hash
+    diverges."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_tok.unigram_train(
+        docs, "text", seed_multi=48, vocab_size=32, num_iters=2
+    )
+    return out.select(
+        "rank", "piece", "count_micro", _r6(F.col("prob")).alias("prob")
+    )
+
+
+_SQL_X77 = """
+SELECT g.rank, g.piece, g.count_micro, round(g.prob, 6) AS prob
+FROM read_parquet('/root/repo/goldens/x77_unigram.parquet') g
+WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
+"""
+
+
 def _q_x70_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning
     (operators/tokenizer.py:bpe_train — Sennrich et al. 2016): one
@@ -7159,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x75_kmeans_train": _q_x75_kmeans_train,
         "x76_bloom_screen": _q_x76_bloom_screen,
         "s13_stream_anomaly": _q_s13_stream_anomaly,
+        "x77_unigram_train": _q_x77_unigram_train,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7471,6 +7502,7 @@ def oracle_sql() -> dict[str, str]:
         "x75_kmeans_train": _SQL_X75,
         "x76_bloom_screen": _SQL_X76,
         "s13_stream_anomaly": _SQL_S13,
+        "x77_unigram_train": _SQL_X77,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from modis_aggregation_spark.functions.text import tokens
 
-__all__ = ["bpe_encode", "bpe_train", "word_vocab"]
+__all__ = ["bpe_encode", "bpe_train", "unigram_train", "word_vocab"]
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -240,4 +240,169 @@ def bpe_encode(
                 "tokens_preview"
             ),
         )
+    )
+
+
+def _substr_pieces(word: Column, max_len: int) -> Column:
+    """ARRAY<STRING> of ALL substrings of ``word`` with length in
+    [1, max_len] — every (start, length) window, overlaps included."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(max_len), F.length(word))
+                    ),
+                    lambda n: word.substr(i, n),
+                ),
+                lambda s, j: F.length(s) == j + 1,
+            ),
+        )
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    seed_multi: int = 48,
+    vocab_size: int = 32,
+    num_iters: int = 2,
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Distributed unigram-LM tokenizer training (Kudo 2018, ACL,
+    "Subword Regularization" — the SentencePiece unigram algorithm):
+    the OTHER major subword family next to BPE (x70). Learns piece
+    probabilities by EM over all segmentations of the word-frequency
+    table, then keeps the top ``vocab_size`` pieces.
+
+    Distributed shape (mirrors ``bpe_train``/``bpe_encode``):
+
+    1. ONE corpus pass to ``(word, count)`` — text never shuffles.
+    2. Seed vocabulary: every substring window (length ≤
+       ``max_piece_len``) of the distinct words, counted weighted by
+       word frequency — a pure-JVM explode + map-side-combined groupBy;
+       kept are ALL single characters (coverage guarantee) plus the top
+       ``seed_multi`` multi-char pieces (count DESC, piece ASC — exact
+       integer tie-break).
+    3. Each EM iteration: the piece→probability table (the MODEL — KBs
+       here, MBs at a 100k-piece production vocab) broadcasts into one
+       Arrow-batched pass over DISTINCT words that runs the
+       forward-backward expected-count recursion per word; per-word
+       expected counts round to INTEGER MICROS before leaving Python,
+       so the M-step reduction is an exact int64 sum
+       (``micros × word_count``) — order-independent under any
+       partitioning, the same determinism discipline as DSIR/s13.
+    4. The driver only ever holds the model; words and expected counts
+       reduce through a skinny (piece) shuffle.
+
+    Determinism spec shared with the independent oracle implementation
+    (tools/make_goldens.py:_independent_unigram): forward pass ascending
+    (inner start ascending), backward pass descending (inner end
+    ascending), probabilities derived from integer counts by one double
+    division each, per-(word, piece) expected counts rounded
+    half-to-even to 6 decimals. Ends with ``(rank, piece, count_micro,
+    prob)`` — rank by final count DESC then piece ASC; ``prob`` is the
+    piece's share of the final total, rounded to 6 dp.
+    """
+    if num_iters < 1:
+        raise ValueError("unigram_train needs num_iters >= 1")
+    vocab = word_vocab(df, text_col).localCheckpoint()
+
+    pieces = (
+        vocab.select(
+            F.explode(
+                _substr_pieces(F.col("word"), max_piece_len)
+            ).alias("piece"),
+            "count",
+        )
+        .groupBy("piece")
+        .agg(F.sum("count").alias("cnt"))
+        .localCheckpoint()
+    )
+    singles = pieces.filter(F.length("piece") == 1)
+    multis = (
+        pieces.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(seed_multi)
+    )
+    seed = {r["piece"]: int(r["cnt"]) for r in singles.unionAll(multis).collect()}
+    total = sum(seed.values())
+    probs = {p: c / total for p, c in seed.items()}
+
+    words = vocab.localCheckpoint()
+    for _ in range(num_iters):
+        cur = dict(probs)  # capture for the closure
+
+        def estep(it):
+            import pandas as pd
+
+            max_l = max(len(p) for p in cur)
+            out_w, out_p, out_m = [], [], []
+            for pdf in it:
+                for w in pdf["word"]:
+                    n = len(w)
+                    # forward: alpha[i] = P(prefix w[:i])
+                    alpha = [0.0] * (n + 1)
+                    alpha[0] = 1.0
+                    for i in range(1, n + 1):
+                        a = 0.0
+                        for j in range(max(0, i - max_l), i):
+                            p = cur.get(w[j:i])
+                            if p is not None:
+                                a += alpha[j] * p
+                        alpha[i] = a
+                    if alpha[n] <= 0.0:
+                        continue  # unreachable: all single chars seeded
+                    # backward: beta[j] = P(suffix w[j:])
+                    beta = [0.0] * (n + 1)
+                    beta[n] = 1.0
+                    for j in range(n - 1, -1, -1):
+                        b = 0.0
+                        for i in range(j + 1, min(n, j + max_l) + 1):
+                            p = cur.get(w[j:i])
+                            if p is not None:
+                                b += p * beta[i]
+                        beta[j] = b
+                    exp: dict[str, float] = {}
+                    for j in range(n):
+                        for i in range(j + 1, min(n, j + max_l) + 1):
+                            piece = w[j:i]
+                            p = cur.get(piece)
+                            if p is not None:
+                                exp[piece] = exp.get(piece, 0.0) + (
+                                    alpha[j] * p * beta[i] / alpha[n]
+                                )
+                    for piece, e in exp.items():
+                        m = round(e * 1_000_000)
+                        if m:
+                            out_w.append(w)
+                            out_p.append(piece)
+                            out_m.append(m)
+            yield pd.DataFrame(
+                {"word": out_w, "piece": out_p, "micro": out_m}
+            )
+
+        contrib = words.select("word").mapInPandas(
+            estep, "word STRING, piece STRING, micro BIGINT"
+        )
+        counts = (
+            contrib.join(words, "word")
+            .groupBy("piece")
+            .agg(F.sum(F.col("micro") * F.col("count")).alias("cm"))
+            .collect()
+        )
+        cm = {r["piece"]: int(r["cm"]) for r in counts}
+        tot = sum(cm.values())
+        probs = {p: c / tot for p, c in cm.items()}
+
+    final = sorted(cm.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    tot_f = sum(c for _, c in cm.items())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (rank + 1, piece, c, round(c / tot_f, 6))
+            for rank, (piece, c) in enumerate(final)
+        ],
+        "rank INT, piece STRING, count_micro BIGINT, prob DOUBLE",
     )

@@ -610,6 +610,122 @@ def _independent_bpe(texts, num_merges: int = 8, min_pair_count: int = 2):
     return merges, vocab
 
 
+def _independent_unigram(
+    texts: list[str],
+    seed_multi: int = 48,
+    vocab_size: int = 32,
+    num_iters: int = 2,
+    max_piece_len: int = 4,
+):
+    """Dict-based unigram-LM trainer (Kudo 2018 EM over the
+    word-frequency table) following the determinism spec in
+    operators/tokenizer.py:unigram_train — same seed rule, loop order,
+    integer-micro staging and tie-breaks, entirely separate machinery
+    (dict scans instead of Spark explodes/aggregations)."""
+    from collections import Counter
+
+    wc: Counter[str] = Counter()
+    for t in texts:
+        wc.update(w for w in _TOKEN_WS.split(t.lower()) if w)
+
+    seed_counts: Counter[str] = Counter()
+    for w, c in wc.items():
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                seed_counts[w[i : i + ln]] += c
+    singles = {p: c for p, c in seed_counts.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in seed_counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_multi]
+    seed = dict(singles)
+    seed.update(dict(multis))
+    total = sum(seed.values())
+    probs = {p: c / total for p, c in seed.items()}
+
+    cm: dict[str, int] = {}
+    for _ in range(num_iters):
+        max_l = max(len(p) for p in probs)
+        cm = {}
+        for w, c in wc.items():
+            n = len(w)
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for i in range(1, n + 1):
+                a = 0.0
+                for j in range(max(0, i - max_l), i):
+                    p = probs.get(w[j:i])
+                    if p is not None:
+                        a += alpha[j] * p
+                alpha[i] = a
+            if alpha[n] <= 0.0:
+                continue
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for j in range(n - 1, -1, -1):
+                b = 0.0
+                for i in range(j + 1, min(n, j + max_l) + 1):
+                    p = probs.get(w[j:i])
+                    if p is not None:
+                        b += p * beta[i]
+                beta[j] = b
+            exp: dict[str, float] = {}
+            for j in range(n):
+                for i in range(j + 1, min(n, j + max_l) + 1):
+                    piece = w[j:i]
+                    p = probs.get(piece)
+                    if p is not None:
+                        exp[piece] = exp.get(piece, 0.0) + (
+                            alpha[j] * p * beta[i] / alpha[n]
+                        )
+            for piece, e in exp.items():
+                m = round(e * 1_000_000)
+                if m:
+                    cm[piece] = cm.get(piece, 0) + m * c
+        tot = sum(cm.values())
+        probs = {p: c / tot for p, c in cm.items()}
+
+    final = sorted(cm.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    tot_f = sum(cm.values())
+    return [
+        (rank + 1, piece, c, round(c / tot_f, 6))
+        for rank, (piece, c) in enumerate(final)
+    ]
+
+
+def x77_unigram_golden() -> pa.Table:
+    """Unigram-LM vocabulary learned by ``_independent_unigram`` per sf
+    dir, keyed by corpus_key = DuckDB bit_xor(hash(doc_id, text)) over
+    the documents view (the x70 pattern)."""
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "rank", "piece", "count_micro", "prob",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["text"])
+        for rank, piece, c, prob in _independent_unigram(
+            docs.column("text").to_pylist()
+        ):
+            cols["corpus_key"].append(int(key))
+            cols["rank"].append(rank)
+            cols["piece"].append(piece)
+            cols["count_micro"].append(c)
+            cols["prob"].append(prob)
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "rank": pa.array(cols["rank"], pa.int32()),
+            "piece": pa.array(cols["piece"], pa.string()),
+            "count_micro": pa.array(cols["count_micro"], pa.int64()),
+            "prob": pa.array(cols["prob"], pa.float64()),
+        }
+    )
+
+
 def x70_bpe_golden() -> pa.Table:
     """Merge table learned by ``_independent_bpe`` per sf dir, keyed by
     corpus_key = DuckDB bit_xor(hash(doc_id, text)) over the documents
@@ -1018,6 +1134,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x77 = x77_unigram_golden()
+    pq.write_table(x77, os.path.join(OUT_DIR, "x77_unigram.parquet"))
+    print(f"x77_unigram.parquet: {x77.num_rows} rows")
     x76 = x76_bloom_golden()
     pq.write_table(x76, os.path.join(OUT_DIR, "x76_bloom.parquet"))
     print(f"x76_bloom.parquet: {x76.num_rows} rows")
