@@ -2885,6 +2885,32 @@ WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
 """
 
 
+def _q_x78_unigram_encode(spark, sf_dir):
+    """Corpus-wide unigram-LM ENCODE (operators/tokenizer.py:
+    unigram_encode — SentencePiece Viterbi inference under the x77
+    model): text never shuffles or enters Python; posexplode to skinny
+    (id, pos, word) triples, maximum-likelihood segmentation over
+    DISTINCT words only (one Arrow pass, model in the closure),
+    hash-join re-attach, JVM reassembly — the bpe_encode (x71) plan
+    shape. Scores are log of exact integer micros, the DP tie-break is
+    fixed (j ascending, strict >), so the oracle's independent
+    trainer+Viterbi (tools/make_goldens.py:_viterbi_segment) must
+    reproduce every document's piece stream verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    model = ops_tok.unigram_train(
+        docs, "text", seed_multi=48, vocab_size=32, num_iters=2
+    )
+    out = ops_tok.unigram_encode(docs, model, "text", "doc_id")
+    return out.select("doc_id", "n_words", "n_pieces", "pieces_preview")
+
+
+_SQL_X78 = """
+SELECT g.doc_id, g.n_words, g.n_pieces, g.pieces_preview
+FROM read_parquet('/root/repo/goldens/x78_unigram_encode.parquet') g
+WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
+"""
+
+
 def _q_x70_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning
     (operators/tokenizer.py:bpe_train — Sennrich et al. 2016): one
@@ -7190,6 +7216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x76_bloom_screen": _q_x76_bloom_screen,
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
+        "x78_unigram_encode": _q_x78_unigram_encode,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7503,6 +7530,7 @@ def oracle_sql() -> dict[str, str]:
         "x76_bloom_screen": _SQL_X76,
         "s13_stream_anomaly": _SQL_S13,
         "x77_unigram_train": _SQL_X77,
+        "x78_unigram_encode": _SQL_X78,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 from modis_aggregation_spark.functions.text import tokens
 
-__all__ = ["bpe_encode", "bpe_train", "unigram_train", "word_vocab"]
+__all__ = [
+    "bpe_encode",
+    "bpe_train",
+    "unigram_encode",
+    "unigram_train",
+    "word_vocab",
+]
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -405,4 +411,121 @@ def unigram_train(
             for rank, (piece, c) in enumerate(final)
         ],
         "rank INT, piece STRING, count_micro BIGINT, prob DOUBLE",
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    preview_k: int = 10,
+) -> DataFrame:
+    """Tokenize the corpus under a learned unigram-LM model (Viterbi
+    maximum-likelihood segmentation — SentencePiece's inference mode) —
+    the at-scale half of the unigram surface, exactly as ``bpe_encode``
+    is to ``bpe_train``.
+
+    ``model`` is the ``unigram_train`` result (a DataFrame with
+    piece/count_micro, or a pre-collected ``{piece: count_micro}``).
+    Scores are ``log(count_micro) - log(total_micro)`` — both doubles
+    derived from exact integers, so every engine computes the same
+    bits. Segmentation DP per word: ``best[i] = max_j best[j] +
+    logp(w[j:i])`` scanning j ascending with strict ``>`` (first
+    maximum wins) — the deterministic tie-break the independent oracle
+    implementation repeats. A character absent from the model (the
+    vocab_size cut can drop rare singles) segments as itself with a
+    fixed -1e9 OOV penalty, keeping every word segmentable.
+
+    Distributed shape = ``bpe_encode``'s: text never shuffles or enters
+    Python; one posexplode to skinny (id, pos, word) triples, Viterbi
+    over DISTINCT words only (one Arrow pass, model in the closure),
+    hash-join re-attach, JVM array_sort + flatten reassembly; one
+    exchange end-to-end plus the distinct.
+    """
+    if isinstance(model, DataFrame):
+        model = {
+            r["piece"]: int(r["count_micro"]) for r in model.collect()
+        }
+    counts = {str(p): int(c) for p, c in dict(model).items()}
+    if not counts:
+        raise ValueError("unigram_encode got an empty model")
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+
+    def enc(it):
+        import math
+
+        import pandas as pd
+
+        total = sum(counts.values())
+        log_tot = math.log(total)
+        logp = {p: math.log(c) - log_tot for p, c in counts.items()}
+        max_l = max(len(p) for p in logp)
+        oov = -1e9
+        for pdf in it:
+            toks_col = []
+            for w in pdf["word"]:
+                n = len(w)
+                best = [-math.inf] * (n + 1)
+                back = [0] * (n + 1)
+                best[0] = 0.0
+                for i in range(1, n + 1):
+                    for j in range(max(0, i - max_l), i):
+                        piece = w[j:i]
+                        lp = logp.get(piece)
+                        if lp is None:
+                            if i - j == 1:
+                                lp = oov  # single-char fallback
+                            else:
+                                continue
+                        cand = best[j] + lp
+                        if cand > best[i]:
+                            best[i] = cand
+                            back[i] = j
+                pieces = []
+                i = n
+                while i > 0:
+                    j = back[i]
+                    pieces.append(w[j:i])
+                    i = j
+                toks_col.append(pieces[::-1])
+            yield pd.DataFrame({"word": pdf["word"], "toks": toks_col})
+
+    word_toks = (
+        exploded.filter(F.col("word").isNotNull())
+        .select("word")
+        .distinct()
+        .mapInPandas(enc, "word STRING, toks ARRAY<STRING>")
+    )
+    return (
+        exploded.join(word_toks, "word", "left")
+        .groupBy("id")
+        .agg(
+            F.count("word").alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("pos", "toks"),
+                            )
+                        )
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("toks"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.size("toks").alias("n_pieces"),
+            F.array_join(F.slice("toks", 1, preview_k), " ").alias(
+                "pieces_preview"
+            ),
+        )
     )

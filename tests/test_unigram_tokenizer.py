@@ -91,3 +91,46 @@ def test_seed_rule_and_validation(spark):
     assert "ab" in pieces
     with pytest.raises(ValueError, match="num_iters"):
         unigram_train(df, num_iters=0)
+
+
+def test_unigram_encode_matches_independent_viterbi(spark):
+    from make_goldens import _TOKEN_WS, _viterbi_segment
+    from modis_aggregation_spark.operators.tokenizer import unigram_encode
+
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "a mat a cat a hat"),
+        (2, ""),            # token-less doc must survive with 0 pieces
+        (3, "zzz qqq"),     # words full of vocab-dropped chars (OOV path)
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    model = unigram_train(df, seed_multi=12, vocab_size=10, num_iters=2)
+    counts = {r["piece"]: r["count_micro"] for r in model.collect()}
+    got = {
+        r["doc_id"]: r for r in unigram_encode(df, model).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[2]["n_words"] == 0 and got[2]["n_pieces"] == 0
+    assert got[2]["pieces_preview"] == ""
+    for doc_id, text in texts:
+        words = [w for w in _TOKEN_WS.split(text.lower()) if w]
+        pieces = [p for w in words for p in _viterbi_segment(w, counts)]
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_pieces"] == len(pieces)
+        assert got[doc_id]["pieces_preview"] == " ".join(pieces[:10])
+    # OOV single chars segment as themselves
+    assert got[3]["pieces_preview"].split()[0:3] == ["z", "z", "z"]
+
+
+def test_unigram_encode_prefers_likely_pieces(spark):
+    from modis_aggregation_spark.operators.tokenizer import unigram_encode
+
+    df = spark.createDataFrame(
+        [(0, "hello hello hello world")], "doc_id LONG, text STRING"
+    )
+    model = unigram_train(df, seed_multi=20, vocab_size=16, num_iters=2)
+    out = unigram_encode(df, model).collect()[0]
+    # frequent whole-word substrings compress far below char count
+    assert out["n_pieces"] < 4 * 5
+    with pytest.raises(ValueError, match="empty model"):
+        unigram_encode(df, {}).collect()

@@ -797,6 +797,86 @@ def x71_bpe_encode_golden() -> pa.Table:
     )
 
 
+def _viterbi_segment(w: str, counts: dict[str, int]) -> list[str]:
+    """Maximum-likelihood segmentation under the unigram model — the
+    determinism spec of operators/tokenizer.py:unigram_encode (scores
+    log(count)-log(total), j ascending, strict >, single-char OOV
+    fallback at -1e9)."""
+    import math
+
+    total = sum(counts.values())
+    log_tot = math.log(total)
+    logp = {p: math.log(c) - log_tot for p, c in counts.items()}
+    max_l = max(len(p) for p in logp)
+    n = len(w)
+    best = [-math.inf] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_l), i):
+            piece = w[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = -1e9
+                else:
+                    continue
+            cand = best[j] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    pieces = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(w[j:i])
+        i = j
+    return pieces[::-1]
+
+
+def x78_unigram_encode_golden() -> pa.Table:
+    """Per-document unigram-LM ENCODE expectation: train with the
+    independent EM (``_independent_unigram``, full seed/vocab defaults —
+    the x77 model), then Viterbi-segment every word with the shared
+    determinism spec. One row per (corpus_key, doc_id) with n_words /
+    n_pieces / the first-10-piece preview (the x71 shape)."""
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "doc_id", "n_words", "n_pieces", "pieces_preview",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["doc_id", "text"])
+        texts = docs.column("text").to_pylist()
+        counts = {
+            piece: c for _, piece, c, _ in _independent_unigram(texts)
+        }
+        memo: dict[str, list[str]] = {}
+        for doc_id, text in zip(docs.column("doc_id").to_pylist(), texts):
+            words = [w for w in _TOKEN_WS.split(text.lower()) if w]
+            pieces: list[str] = []
+            for w in words:
+                if w not in memo:
+                    memo[w] = _viterbi_segment(w, counts)
+                pieces.extend(memo[w])
+            cols["corpus_key"].append(int(key))
+            cols["doc_id"].append(int(doc_id))
+            cols["n_words"].append(len(words))
+            cols["n_pieces"].append(len(pieces))
+            cols["pieces_preview"].append(" ".join(pieces[:10]))
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "n_words": pa.array(cols["n_words"], pa.int64()),
+            "n_pieces": pa.array(cols["n_pieces"], pa.int64()),
+            "pieces_preview": pa.array(cols["pieces_preview"], pa.string()),
+        }
+    )
+
+
 def x64_gif_golden() -> pa.Table:
     """Recompute the x64 REAL-GIF-frame expectation per distinct document
     payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
@@ -1134,6 +1214,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x78 = x78_unigram_encode_golden()
+    pq.write_table(x78, os.path.join(OUT_DIR, "x78_unigram_encode.parquet"))
+    print(f"x78_unigram_encode.parquet: {x78.num_rows} rows")
     x77 = x77_unigram_golden()
     pq.write_table(x77, os.path.join(OUT_DIR, "x77_unigram.parquet"))
     print(f"x77_unigram.parquet: {x77.num_rows} rows")
