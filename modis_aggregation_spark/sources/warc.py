@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -112,12 +113,14 @@ def _read_stream(path: str) -> bytes:
     if head == b"\x1f\x8b":
         out, pos = [], 0
         # decompress member-by-member: gzip.decompress stops after ONE
-        # member, so walk the stream with raw zlib to honor all of them
-        import zlib
-
+        # member, so walk the stream with raw zlib to honor all of them.
+        # memoryview slices keep the walk O(total) — a bytes slice here
+        # would copy the remaining buffer per member (quadratic in the
+        # member count, which is the record count for Common Crawl files)
+        view = memoryview(data)
         while pos < len(data):
             d = zlib.decompressobj(wbits=31)
-            out.append(d.decompress(data[pos:]))
+            out.append(d.decompress(view[pos:]))
             if not d.eof:
                 raise ValueError(f"truncated gzip member at byte {pos}")
             pos = len(data) - len(d.unused_data)

@@ -409,3 +409,73 @@ def test_x71_bpe_encode_plan_shape(spark):
     assert len(exch) == 2 and all("text" not in l for l in exch)
     # the distinct-word branch prunes its scan to the text column only
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_x78_unigram_encode_plan_shape(spark):
+    """Unigram encode inherits the bpe_encode plan posture: one
+    MapInPandas over the distinct words, broadcast vocab re-attach,
+    map-side-combined reassembly with ONE id exchange, no sort-merge
+    join, text never in an exchange."""
+    from modis_aggregation_spark.operators.tokenizer import unigram_encode
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = unigram_encode(docs, {"t": 10, "h": 5, "e": 5, "th": 3}, "text", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "partial_collect_list" in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exch) == 2 and all("text" not in l for l in exch)
+
+
+def test_x76_bloom_probe_join_broadcasts_bits(spark):
+    """Bloom screen: the set-bits relation joins BROADCAST (never a
+    shuffled join on probe positions), the gram-hit aggregation is
+    map-side combined, and the corpus text reaches only the scans."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.operators.screening import bloom_screen
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    df = bloom_screen(train, bench, n=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("text" not in l for l in exch)
+
+
+def test_x75_kmeans_iteration_shuffle_is_skinny(spark):
+    """One k-means assignment+aggregation iteration: the only exchange
+    carries (cluster, coordinate) partial sums — never the embedding
+    array — and the aggregation is map-side combined."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("__e")
+    )
+    cents = np.zeros((4, 64))
+
+    @pandas_udf("int")
+    def _assign(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        d = (cents**2).sum(1)[None, :] - 2.0 * m @ cents.T
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    df = (
+        emb.withColumn("__list", _assign(F.col("__e")))
+        .select("__list", F.posexplode("__e").alias("pos", "v"))
+        .groupBy("__list", "pos")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine below the exchange
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exch) == 1 and "__e" not in exch[0]

@@ -424,6 +424,217 @@ def run_jpeg_decode(spark, n_docs: int, hw: int = 64) -> dict:
     }
 
 
+def run_kmeans_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Distributed-k-means anchor (round 6): full-corpus Lloyd training
+    (operators/similarity.py:kmeans_train, k=8, 3 iterations) over the
+    jittered-replica embedding corpus. The 100 TB claims: per-iteration
+    cost is ONE assignment pass + a shuffle bounded by tasks*k*d rows
+    (shuffle_mb must stay flat as vectors grow), and the learned model
+    is bit-identical under any partitioning."""
+    from modis_aggregation_spark.operators.similarity import kmeans_train
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    model = kmeans_train(corpus, k=8, iters=3)
+    n_rows = model.count()
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    assert n_rows == 8 * 64
+    return {
+        "vectors": n_vecs,
+        "sec": round(t, 2),
+        "vecs_per_sec_per_iter": int(3 * n_vecs / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
+def run_bloom_screen(spark, sf_dir: str, replicate: int) -> dict:
+    """Bloom-decontamination anchor (round 6): the benchmark bit set is
+    built from the BASE corpus (doc_id %% 23), the screen runs over the
+    cipher-replicated corpus (realistically low hit rate - replicas
+    share no grams with the benchmark). The 100 TB claims: the filter
+    is m bits however large the benchmark, and the only shuffle is the
+    match-count aggregation over grams with >=1 hit - shuffle_mb stays
+    a sliver of corpus size."""
+    from modis_aggregation_spark.operators.screening import bloom_screen
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = base.filter(F.col("doc_id") % 23 == 0)
+    train = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = train.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = bloom_screen(train, bench, n=3)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("flagged").cast("long")).alias("hits"),
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    return {
+        "docs": n_docs,
+        "screened": int(row["n"]),
+        "flagged": int(row["hits"] or 0),
+        "sec": round(t, 2),
+        "docs_per_sec": int(n_docs / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
+def run_unigram_encode(spark, sf_dir: str, replicate: int) -> dict:
+    """Unigram-encode anchor (round 6): the model trains once on the
+    base corpus, then the cipher-replicated corpus is Viterbi-segmented
+    end-to-end (operators/tokenizer.py:unigram_encode) - the bpe_encode
+    measurement shape, stressing the distinct-word Arrow pass (replicas
+    multiply the vocabulary ~replicate x, the conservative direction)."""
+    from modis_aggregation_spark.operators.tokenizer import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = {
+        r["piece"]: r["count_micro"]
+        for r in unigram_train(
+            base, "text", seed_multi=48, vocab_size=32, num_iters=2
+        ).collect()
+    }
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = docs.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = unigram_encode(docs, model, "text", "doc_id")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_pieces").alias("pieces")
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    assert agg["n"] == n_docs
+    return {
+        "docs": n_docs,
+        "pieces": int(agg["pieces"]),
+        "sec": round(t, 2),
+        "docs_per_sec": int(n_docs / t),
+        "pieces_per_sec": int(agg["pieces"] / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
+def run_warc_scan(spark, sf_dir: str, n_files: int = 8, replicate: int = 1) -> dict:
+    """WARC-source anchor (round 6): the documents table written as
+    ``n_files`` real per-record-gzip WARC files (round-robin by doc_id,
+    one warcinfo + one HTTP response record per doc), scanned back by
+    the warc DataSource with the warc_type pushdown active. Records/s
+    is the per-shard sequential parse rate; files scan in parallel -
+    the Common Crawl shard shape (one task per ~1 GB .warc.gz)."""
+    import shutil
+    import tempfile
+
+    from modis_aggregation_spark.sources.warc import (
+        WarcDataSource,
+        write_warc,
+    )
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="scale_warc_")
+    recs: list[list[dict]] = [
+        [
+            {
+                "warc_type": "warcinfo",
+                "content_type": "application/warc-fields",
+                "block": b"software: scale_run\r\n",
+            }
+        ]
+        for _ in range(n_files)
+    ]
+    n_docs = 0
+    for r in base.select("doc_id", "text").toLocalIterator():
+        body = r["text"].encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        for rep in range(replicate):
+            did = r["doc_id"] * replicate + rep
+            recs[did % n_files].append(
+                {
+                    "warc_type": "response",
+                    "target_uri": f"https://example.org/doc/{did}",
+                    "content_type": "application/http;msgtype=response",
+                    "block": http,
+                }
+            )
+            n_docs += 1
+    paths = []
+    for i, rr in enumerate(recs):
+        paths.append(write_warc(os.path.join(tmp, f"s{i}.warc.gz"), rr))
+    spark.dataSource.register(WarcDataSource)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    t0 = time.perf_counter()
+    df = (
+        spark.read.format("warc")
+        .option("paths", ",".join(paths))
+        .load()
+        .filter(F.col("warc_type") == "response")
+    )
+    n = df.count()
+    t = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    assert n == n_docs
+    return {
+        "files": n_files,
+        "records": n,
+        "sec": round(t, 2),
+        "records_per_sec": int(n / t),
+    }
+
+
+def run_avi_decode(spark, n_docs: int, frames_per: int = 6, hw: int = 32) -> dict:
+    """Real-video anchor (round 6): ``n_docs`` AVI/MJPEG payloads
+    (``frames_per`` gradient frames each) physically container-walked +
+    JPEG-decoded by avilite/jpeglite inside mapInPandas partitions -
+    the video frame-sampling corpus path."""
+    import numpy as np
+
+    from modis_aggregation_spark.operators.multimodal import sample_frames
+    from modis_aggregation_spark.sinks.avilite import encode_avi_mjpeg
+    from modis_aggregation_spark.sinks.jpeglite import encode_jpeg
+
+    frames = []
+    for fi in range(frames_per):
+        img = np.zeros((hw, hw), np.uint8)
+        img[:] = np.linspace(10 + fi * 7, 200, hw).astype(np.uint8)[None, :]
+        frames.append(encode_jpeg(img, quality=75))
+    payload = encode_avi_mjpeg(frames, width=hw, height=hw, fps_num=25)
+    df = (
+        spark.range(n_docs)
+        .select(F.col("id"), F.lit(bytearray(payload)).alias("payload"))
+        .repartition(32)
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    out = sample_frames(df, every_n=1, n_frames=frames_per, decoder="avi")
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mean_pixel").alias("s")
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    assert row["n"] == n_docs * frames_per and row["s"] is not None
+    return {
+        "docs": n_docs,
+        "frames": int(row["n"]),
+        "px": int(row["n"]) * hw * hw,
+        "sec": round(t, 2),
+        "frames_per_sec": int(row["n"] / t),
+        "px_per_sec": int(row["n"] * hw * hw / t),
+    }
+
+
 def run_inverted_index(spark, sf_dir: str, replicate: int) -> dict:
     """Inverted-index anchor (round 4): posting-list build over the
     replicated corpus; docs/s plus the shuffle-byte bill (skinny
