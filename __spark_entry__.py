@@ -2583,6 +2583,56 @@ def _q_x61_decode_png(spark, sf_dir):
     )
 
 
+def _q_x79_image_dedup(spark, sf_dir):
+    """Near-duplicate IMAGE detection end-to-end — dedup for the image
+    modality (the text families are x1/x4/x5/x6): each document's utf-8
+    bytes tile into an 8×9 grayscale image, PNG-encoded (pnglite, exact
+    decode), then ``dhash_images`` physically decodes every payload and
+    fingerprints it with the 64-bit difference hash in ONE Arrow pass,
+    and ``dhash_dup_pairs`` finds all pairs with Hamming distance ≤ 3
+    via the banded-LSH candidate join (4×16-bit bands — pigeonhole
+    recall is exact for hamming < 4, so banded ≡ brute force) + exact
+    ``bit_count(xor)`` verification. Oracle: the dhash per distinct
+    payload recomputed codec-free (goldens/x79_dhash.parquet, strict-
+    inequality byte arithmetic) and the SAME pair predicate re-derived
+    by DuckDB's all-pairs xor/bit_count — a mismatch in decode, hash
+    bit order, banding recall, or the verification threshold diverges."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_png(it):
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(to_png, "id BIGINT, payload BINARY")
+    hashes = ops_mm.dhash_images(imgs, decoder="png")
+    pairs = ops_mm.dhash_dup_pairs(hashes, max_hamming=3)
+    return pairs.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+
+
+_SQL_X79 = """
+WITH h AS (
+  SELECT d.doc_id AS id, g.dhash
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x79_dhash.parquet') g
+    ON g.sha256 = sha256(d.text)
+)
+SELECT a.id AS id1, b.id AS id2,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.id < b.id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
 _SQL_X61 = """
 SELECT d.doc_id AS id, g.height, g.width, g.channels,
        round(g.mean_pixel, 6) AS mean_pixel
@@ -7217,6 +7267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
         "x78_unigram_encode": _q_x78_unigram_encode,
+        "x79_image_dedup": _q_x79_image_dedup,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7531,6 +7582,7 @@ def oracle_sql() -> dict[str, str]:
         "s13_stream_anomaly": _SQL_S13,
         "x77_unigram_train": _SQL_X77,
         "x78_unigram_encode": _SQL_X78,
+        "x79_image_dedup": _SQL_X79,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

@@ -538,3 +538,134 @@ def sample_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = "id BIGINT, dhash BIGINT"
+
+
+def dhash_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    decoder: str = "png",
+) -> DataFrame:
+    """Perceptual difference hash (dHash) per image payload — the
+    standard near-duplicate IMAGE fingerprint (64-bit): decode, reduce
+    to an 8×9 grayscale grid, set bit ``r*8+c`` (MSB first) iff
+    ``gray[r][c] > gray[r][c+1]``. Returns ``(id, dhash)`` with the
+    hash as a signed LONG (the bit pattern, two's complement).
+
+    Decode + hash happen in ONE Arrow pass (mapInPandas over the same
+    REAL codecs as ``decode_images``: png/gif/jpeg, or the
+    deterministic fake) — the payload never leaves the task and the
+    output is 16 bytes/row; downstream dup detection
+    (``dhash_dup_pairs``) touches only hashes. Grayscale is the exact
+    float mean of the RGB channels; the nearest-neighbor reduction is
+    ``decode_images``'s deterministic index arithmetic, so the hash is
+    a pure function of the payload bytes (the x79 oracle recomputes it
+    codec-free for exact-subspace fixtures)."""
+    if decoder not in ("png", "gif", "jpeg", "fake"):
+        raise ValueError(f"unknown image decoder: {decoder!r}")
+    h, w = 8, 9
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "png":
+            from modis_aggregation_spark.sinks.pnglite import decode_png as dec
+        elif decoder == "gif":
+            from modis_aggregation_spark.sinks.giflite import decode_gif
+
+            def dec(b):
+                return decode_gif(b)[0][0]
+        elif decoder == "jpeg":
+            from modis_aggregation_spark.sinks.jpeglite import decode_jpeg as dec
+        else:
+            def dec(b):
+                return _fake_decode(b, h, w)
+
+        def resample(img: np.ndarray) -> np.ndarray:
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            elif img.shape[2] == 4:
+                img = img[:, :, :3]
+            ih, iw = img.shape[:2]
+            ridx = (np.arange(h) * ih) // h
+            cidx = (np.arange(w) * iw) // w
+            return img[ridx][:, cidx]
+
+        for pdf in it:
+            hashes = []
+            for b in pdf[payload_col]:
+                grid = resample(dec(bytes(b)))
+                gray = grid.astype(np.float64).mean(axis=2)
+                bits = gray[:, :-1] > gray[:, 1:]  # 8 rows x 8 comparisons
+                v = 0
+                for bit in bits.ravel():
+                    v = (v << 1) | int(bit)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                hashes.append(v)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "dhash": hashes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DHASH_SCHEMA)
+
+
+def dhash_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash fingerprints: banded LSH
+    candidate join (the 64-bit hash splits into ``num_bands`` 16-bit
+    bands; a pair is a candidate iff SOME band matches — pigeonhole
+    guarantees full recall for ``max_hamming < num_bands``), then exact
+    Hamming verification with ``bit_count(xor)``. The same
+    shuffle-a-skinny-key/never-all-pairs shape as the text MinHash/
+    SimHash family — candidates, not n², and only (id, hash) ever
+    shuffles. Returns ``(id1, id2, hamming)`` with id1 < id2."""
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"banded candidates guarantee recall only for max_hamming < "
+            f"num_bands ({max_hamming} >= {num_bands})"
+        )
+    bits = 64 // num_bands
+    mask = (1 << bits) - 1
+    src = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    banded = src.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("h", b * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col("id").alias("id1"), F.col("h").alias("h1"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id2"), F.col("h").alias("h2"), "band", "key"
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", ham.alias("hamming"))
+        .distinct()  # a pair can match in several bands
+        .where(F.col("hamming") <= max_hamming)
+    )

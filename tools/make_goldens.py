@@ -877,6 +877,38 @@ def x78_unigram_encode_golden() -> pa.Table:
     )
 
 
+def x79_dhash_golden() -> pa.Table:
+    """Recompute the x79 difference hash per distinct document payload
+    WITHOUT the PNG codec or the Spark hash path: the query tiles the
+    text's utf-8 bytes into an 8×9 grayscale image (exact PNG
+    round-trip), so the dHash is pure byte arithmetic — bit r*8+c (MSB
+    first) iff byte[r][c] > byte[r][c+1], emitted as a signed 64-bit
+    value. Keyed by sha256(text)."""
+    seen: dict[str, int] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            data = text.encode("utf-8") or b"\x00"
+            gray = np.resize(np.frombuffer(data, np.uint8), (8, 9)).astype(
+                np.float64
+            )
+            bits = gray[:, :-1] > gray[:, 1:]
+            v = 0
+            for bit in bits.ravel():
+                v = (v << 1) | int(bit)
+            seen[key] = v - (1 << 64) if v >= (1 << 63) else v
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "dhash": pa.array([seen[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def x64_gif_golden() -> pa.Table:
     """Recompute the x64 REAL-GIF-frame expectation per distinct document
     payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
@@ -1214,6 +1246,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x79 = x79_dhash_golden()
+    pq.write_table(x79, os.path.join(OUT_DIR, "x79_dhash.parquet"))
+    print(f"x79_dhash.parquet: {x79.num_rows} distinct payloads")
     x78 = x78_unigram_encode_golden()
     pq.write_table(x78, os.path.join(OUT_DIR, "x78_unigram_encode.parquet"))
     print(f"x78_unigram_encode.parquet: {x78.num_rows} rows")
