@@ -2760,6 +2760,60 @@ JOIN read_parquet('/root/repo/goldens/x73_avi_frames.parquet') g
 """
 
 
+def _q_x80_audio_dedup(spark, sf_dir):
+    """Near-duplicate AUDIO detection end-to-end — the third modality
+    of the dedup surface (text x1/x4/x5/x6, image x79): each document's
+    utf-8 bytes become 1600 exact dyadic samples in a REAL RIFF/PCM16
+    WAV container (the x62 fixture), ``audio_fingerprint`` physically
+    decodes every payload and folds per-frame rFFT band energies into a
+    64-bit sign-of-difference code, and ``dhash_dup_pairs`` (the shared
+    banded-LSH pair stage) finds all pairs with Hamming ≤ 3. Oracle:
+    fingerprints recomputed codec-free (exact dyadic round-trip +
+    identical numpy FFT sequence, goldens/x80_audio_fp.parquet) and the
+    pair predicate re-derived by DuckDB all-pairs xor/bit_count."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wav(it):
+        from modis_aggregation_spark.operators.multimodal import encode_wav
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                x = (
+                    np.resize(np.frombuffer(data, np.uint8), 1600).astype(
+                        np.float64
+                    )
+                    - 128.0
+                ) / 128.0
+                payloads.append(encode_wav(x, sample_rate=8000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(to_wav, "id BIGINT, payload BINARY")
+    fps = ops_mm.audio_fingerprint(wavs)
+    pairs = ops_mm.dhash_dup_pairs(fps, max_hamming=3, hash_col="afp")
+    return pairs.select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+_SQL_X80 = """
+WITH h AS (
+  SELECT d.doc_id AS id, g.afp
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x80_audio_fp.parquet') g
+    ON g.sha256 = sha256(d.text)
+)
+SELECT a.id AS id1, b.id AS id2,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.id < b.id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
 def _q_x62_wav_features(spark, sf_dir):
     """REAL audio decode (no fake): each document's utf-8 bytes map to
     1600 exact dyadic samples ((b−128)/128), are written as real RIFF/
@@ -7268,6 +7322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x77_unigram_train": _q_x77_unigram_train,
         "x78_unigram_encode": _q_x78_unigram_encode,
         "x79_image_dedup": _q_x79_image_dedup,
+        "x80_audio_dedup": _q_x80_audio_dedup,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7583,6 +7638,7 @@ def oracle_sql() -> dict[str, str]:
         "x77_unigram_train": _SQL_X77,
         "x78_unigram_encode": _SQL_X78,
         "x79_image_dedup": _SQL_X79,
+        "x80_audio_dedup": _SQL_X80,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

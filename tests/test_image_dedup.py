@@ -107,3 +107,49 @@ def test_dhash_codec_paths_agree(spark):
     assert isinstance(h_png, int) and isinstance(h_fake, int)
     with pytest.raises(ValueError, match="unknown image decoder"):
         M.dhash_images(df_any, decoder="webp")
+
+
+def test_audio_fingerprint_structure(spark):
+    """A pure low tone concentrates energy in band 0 (descending bands
+    → all-ones rows like the falling image); identical payloads pair at
+    hamming 0 through the shared banded stage; too-short payloads
+    raise."""
+    import math
+
+    sr, n = 8000, 1600
+    t = np.arange(n) / sr
+    low = np.sin(2 * math.pi * 100 * t) * 0.5
+    payload = M.encode_wav(low, sample_rate=sr)
+    noise = M.encode_wav(
+        np.random.default_rng(3).uniform(-0.5, 0.5, n), sample_rate=sr
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(payload)),
+            (2, bytearray(payload)),
+            (3, bytearray(noise)),
+        ],
+        "id LONG, payload BINARY",
+    )
+    fps = {r["id"]: r["afp"] for r in M.audio_fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    assert fps[1] == -1  # energy strictly falls across all 9 bands
+    pairs = M.dhash_dup_pairs(
+        spark.createDataFrame(
+            [(i, h) for i, h in fps.items()], "id LONG, afp LONG"
+        ),
+        max_hamming=0,
+        hash_col="afp",
+    ).collect()
+    assert [(p["id1"], p["id2"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+    short = spark.createDataFrame(
+        [(9, bytearray(M.encode_wav(np.zeros(8), sample_rate=sr)))],
+        "id LONG, payload BINARY",
+    )
+    with pytest.raises(Exception, match="samples"):
+        M.audio_fingerprint(short).collect()
+    notwav = spark.createDataFrame(
+        [(9, bytearray(b"\x89PNG----"))], "id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="RIFF"):
+        M.audio_fingerprint(notwav).collect()

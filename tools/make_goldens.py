@@ -909,6 +909,52 @@ def x79_dhash_golden() -> pa.Table:
     )
 
 
+def x80_audio_fp_golden() -> pa.Table:
+    """Recompute the x80 spectral audio fingerprint per distinct
+    document payload WITHOUT the wave codec: the dyadic byte→sample
+    mapping round-trips PCM16 exactly, so the fingerprint is the same
+    fixed numpy sequence audio_fingerprint runs — 8 frames × rFFT →
+    9 band energies (DC dropped) → sign-of-difference bits, MSB first,
+    signed 64-bit. Keyed by sha256(text)."""
+    n_frames, n_bands = 8, 9
+    seen: dict[str, int] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            data = text.encode("utf-8") or b"\x00"
+            x = (
+                np.resize(np.frombuffer(data, np.uint8), 1600).astype(np.float64)
+                - 128.0
+            ) / 128.0
+            per = x.size // n_frames
+            frames = x[: n_frames * per].reshape(n_frames, per)
+            mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]
+            nb = mag.shape[1]
+            edges = (np.arange(n_bands + 1) * nb) // n_bands
+            bands = np.stack(
+                [
+                    (mag[:, edges[k] : edges[k + 1]] ** 2).sum(axis=1)
+                    for k in range(n_bands)
+                ],
+                axis=1,
+            )
+            bits = bands[:, :-1] > bands[:, 1:]
+            v = 0
+            for bit in bits.ravel():
+                v = (v << 1) | int(bit)
+            seen[key] = v - (1 << 64) if v >= (1 << 63) else v
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "afp": pa.array([seen[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def x64_gif_golden() -> pa.Table:
     """Recompute the x64 REAL-GIF-frame expectation per distinct document
     payload WITHOUT the GIF codec: the query tiles the text's utf-8 bytes
@@ -1246,6 +1292,9 @@ def main() -> None:
     x9 = x9_centroid_golden()
     pq.write_table(x9, os.path.join(OUT_DIR, "x9_centroids.parquet"))
     print(f"x9_centroids.parquet: {x9.num_rows} rows ({x9.num_rows // (8 * 64)} corpora)")
+    x80 = x80_audio_fp_golden()
+    pq.write_table(x80, os.path.join(OUT_DIR, "x80_audio_fp.parquet"))
+    print(f"x80_audio_fp.parquet: {x80.num_rows} distinct payloads")
     x79 = x79_dhash_golden()
     pq.write_table(x79, os.path.join(OUT_DIR, "x79_dhash.parquet"))
     print(f"x79_dhash.parquet: {x79.num_rows} distinct payloads")
