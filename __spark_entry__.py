@@ -2814,6 +2814,90 @@ WHERE bit_count(xor(a.afp, b.afp)) <= 3
 """
 
 
+def _q_x81_media_pipeline(spark, sf_dir):
+    """Multimodal pipeline COMPOSITION (the x72 pattern for media): a
+    mixed binary corpus — each doc becomes a PNG (doc_id%3=0, the x61
+    construction), a baseline JPEG (%3=1, the x65 exact subspace) or a
+    RIFF/PCM16 WAV (%3=2, the x62 dyadic samples) — flows through
+    ``attach_media_metadata`` (JVM magic-byte mime sniff, real
+    operator), ROUTES BY MIME into the three REAL decoders
+    (pnglite / jpeglite / stdlib wave), and unions back to one typed
+    feature row per doc: ``(doc_id, mime, feature)`` where feature is
+    the image mean or audio RMS. This is the route-by-modality stage
+    every mixed-media ingestion pipeline needs; the mime column comes
+    from the sniffer, NOT from doc_id, so a mis-sniff breaks the
+    decoder routing loudly. Oracle: the three existing codec-free
+    goldens (x61/x65/x62) selected by the same doc_id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_media(it):
+        from modis_aggregation_spark.operators.multimodal import encode_wav
+        from modis_aggregation_spark.sinks.jpeglite import encode_jpeg
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                m = did % 3
+                if m == 0:
+                    img = np.resize(np.frombuffer(data, np.uint8), (12, 9))
+                    payloads.append(encode_png(img))
+                elif m == 1:
+                    vals = np.resize(np.frombuffer(data, np.uint8), (2, 2)) & 0xFE
+                    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                    payloads.append(encode_jpeg(img, quality=50))
+                else:
+                    x = (
+                        np.resize(np.frombuffer(data, np.uint8), 1600).astype(
+                            np.float64
+                        )
+                        - 128.0
+                    ) / 128.0
+                    payloads.append(encode_wav(x, sample_rate=8000))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(to_media, "id BIGINT, payload BINARY")
+    tagged = ops_mm.attach_media_metadata(media).select(
+        "id", "payload", F.col("media_meta.mime").alias("mime")
+    )
+    pngs = ops_mm.decode_images(
+        tagged.filter(F.col("mime") == "image/png"), decoder="png", out_hw=(8, 8)
+    ).select("id", F.lit("image/png").alias("mime"), F.col("mean_pixel").alias("feature"))
+    jpgs = ops_mm.decode_images(
+        tagged.filter(F.col("mime") == "image/jpeg"), decoder="jpeg", out_hw=(8, 8)
+    ).select("id", F.lit("image/jpeg").alias("mime"), F.col("mean_pixel").alias("feature"))
+    wavs = ops_mm.extract_audio_features(
+        tagged.filter(F.col("mime") == "audio/wav"), decoder="wav"
+    ).select("id", F.lit("audio/wav").alias("mime"), F.col("rms").alias("feature"))
+    out = pngs.unionAll(jpgs).unionAll(wavs)
+    return out.select(
+        F.col("id").alias("doc_id"), "mime", _r6(F.col("feature")).alias("feature")
+    )
+
+
+_SQL_X81 = """
+SELECT d.doc_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'image/jpeg'
+                         ELSE 'audio/wav' END AS mime,
+       round(CASE d.doc_id % 3
+                 WHEN 0 THEN png.mean_pixel
+                 WHEN 1 THEN jpg.mean_pixel
+                 ELSE wav.rms END, 6) AS feature
+FROM documents d
+LEFT JOIN read_parquet('/root/repo/goldens/x61_png_decode.parquet') png
+  ON d.doc_id % 3 = 0 AND png.sha256 = sha256(d.text)
+LEFT JOIN read_parquet('/root/repo/goldens/x65_jpeg_decode.parquet') jpg
+  ON d.doc_id % 3 = 1 AND jpg.sha256 = sha256(d.text)
+LEFT JOIN read_parquet('/root/repo/goldens/x62_wav_decode.parquet') wav
+  ON d.doc_id % 3 = 2 AND wav.sha256 = sha256(d.text)
+"""
+
+
 def _q_x62_wav_features(spark, sf_dir):
     """REAL audio decode (no fake): each document's utf-8 bytes map to
     1600 exact dyadic samples ((b−128)/128), are written as real RIFF/
@@ -7323,6 +7407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x78_unigram_encode": _q_x78_unigram_encode,
         "x79_image_dedup": _q_x79_image_dedup,
         "x80_audio_dedup": _q_x80_audio_dedup,
+        "x81_media_pipeline": _q_x81_media_pipeline,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7639,6 +7724,7 @@ def oracle_sql() -> dict[str, str]:
         "x78_unigram_encode": _SQL_X78,
         "x79_image_dedup": _SQL_X79,
         "x80_audio_dedup": _SQL_X80,
+        "x81_media_pipeline": _SQL_X81,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
