@@ -7210,6 +7210,76 @@ def _q_s13_stream_anomaly(spark, sf_dir):
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def _q_s14_stream_upsert(spark, sf_dir):
+    """Streaming CDC upsert sink (streaming/upsert.py:stream_upsert —
+    foreachBatch + the engine's MERGE into a VERSIONED parquet table
+    with an atomic pointer swap and batch-id idempotence): the events
+    stream maintains a latest-row-per-user table, run to completion
+    with availableNow; the query returns the committed final snapshot
+    via the table's own time-travel reader. Oracle: the batch
+    newest-row-per-key window (ts DESC, event_id DESC). Multi-batch
+    carry, retry idempotence, delete markers and time travel are
+    covered in tests/test_stream_upsert.py."""
+    import shutil
+    import tempfile
+
+    from modis_aggregation_spark.streaming.upsert import (
+        read_table,
+        stream_upsert,
+    )
+
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    src_dir = tempfile.mkdtemp(prefix="s14_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s14_ckpt_")
+    tbl_dir = tempfile.mkdtemp(prefix="s14_tbl_")
+    try:
+        ev.repartition(4, "user_id").write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_upsert(
+            stream,
+            tbl_dir,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            checkpoint_dir=ckpt_dir,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s14_stream_upsert: stream did not finish in 300s")
+        final = read_table(spark, tbl_dir)
+        rows = final.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_type",
+            _r6(F.col("value")).alias("value"),
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "user_id BIGINT, event_id BIGINT, ts_us BIGINT, "
+            "event_type STRING, value DOUBLE",
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+
+
+_SQL_S14 = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+       round(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 _SQL_S13 = """
 WITH staged AS (
   SELECT user_id, event_id, ts,
@@ -7408,6 +7478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x79_image_dedup": _q_x79_image_dedup,
         "x80_audio_dedup": _q_x80_audio_dedup,
         "x81_media_pipeline": _q_x81_media_pipeline,
+        "s14_stream_upsert": _q_s14_stream_upsert,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7725,6 +7796,7 @@ def oracle_sql() -> dict[str, str]:
         "x79_image_dedup": _SQL_X79,
         "x80_audio_dedup": _SQL_X80,
         "x81_media_pipeline": _SQL_X81,
+        "s14_stream_upsert": _SQL_S14,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
