@@ -3099,6 +3099,76 @@ WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
 """
 
 
+def _q_x82_corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet / data card: the one-pass profile every corpus
+    release ships with (Gebru et al. 2021, "Datasheets for Datasets") —
+    size, length distribution (exact interpolated quantiles), source
+    and language inventories, exact-duplicate rate, token volume — as
+    long-form (metric, value) rows from ONE aggregation over one scan
+    (count-distincts expand to Spark's standard multi-count rewrite;
+    no joins, no window). Emitted long-form so downstream monitoring
+    diffs releases by metric key. Cents-free all-double contract:
+    every metric is either an exact count or a deterministic
+    percentile/ratio, rounded to 6 dp on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source", "lang", "text",
+        F.length("text").cast("double").alias("len"),
+        F.size(fn_text.tokens(F.col("text"))).cast("double").alias("words"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("len").alias("n_chars"),
+        F.avg("len").alias("mean_chars"),
+        F.expr("percentile(len, 0.5)").alias("p50_chars"),
+        F.expr("percentile(len, 0.95)").alias("p95_chars"),
+        F.sum("words").alias("n_words"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("text") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
+    metrics = [
+        "n_docs", "n_chars", "mean_chars", "p50_chars", "p95_chars",
+        "n_words", "n_sources", "n_langs", "dup_rate",
+    ]
+    long = agg.selectExpr(
+        "stack({}, {}) as (metric, value)".format(
+            len(metrics),
+            ", ".join(f"'{m}', {m}" for m in metrics),
+        )
+    )
+    return long.select("metric", _r6(F.col("value")).alias("value"))
+
+
+_SQL_X82 = r"""
+WITH staged AS (
+  SELECT doc_id, source, lang, text,
+         CAST(length(text) AS DOUBLE) AS len,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS words
+  FROM documents
+), agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(len) AS n_chars,
+         avg(len) AS mean_chars,
+         quantile_cont(len, 0.5) AS p50_chars,
+         quantile_cont(len, 0.95) AS p95_chars,
+         sum(words) AS n_words,
+         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         1.0 - count(DISTINCT text) / count(*) AS dup_rate
+  FROM staged
+)
+SELECT metric, round(value, 6) AS value FROM agg
+UNPIVOT (value FOR metric IN (n_docs, n_chars, mean_chars, p50_chars,
+                              p95_chars, n_words, n_sources, n_langs,
+                              dup_rate))
+"""
+
+
 def _q_x70_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning
     (operators/tokenizer.py:bpe_train — Sennrich et al. 2016): one
@@ -7479,6 +7549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x80_audio_dedup": _q_x80_audio_dedup,
         "x81_media_pipeline": _q_x81_media_pipeline,
         "s14_stream_upsert": _q_s14_stream_upsert,
+        "x82_corpus_datasheet": _q_x82_corpus_datasheet,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7797,6 +7868,7 @@ def oracle_sql() -> dict[str, str]:
         "x80_audio_dedup": _SQL_X80,
         "x81_media_pipeline": _SQL_X81,
         "s14_stream_upsert": _SQL_S14,
+        "x82_corpus_datasheet": _SQL_X82,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
