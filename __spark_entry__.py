@@ -3952,6 +3952,62 @@ FROM documents
 """
 
 
+def _q_s15_stream_dedup_ttl(spark, sf_dir):
+    """BOUNDED-STATE streaming dedup — ``dropDuplicatesWithinWatermark``
+    (the production dedup: per-key state is EVICTED once the watermark
+    passes its event time + delay, so state size tracks the time window
+    rather than stream history; s3's plain dropDuplicates keeps keys
+    forever). Run to completion with availableNow over the events
+    table, deduping on (user_id, event_type) under a 2-hour delay; the
+    single-batch closed input makes the surviving KEY SET exactly the
+    batch DISTINCT (which physical row arrives first is not
+    deterministic, so the query emits keys — the s3 contract). The
+    TTL semantics proper — suppression within the window, re-emission
+    after eviction — are deterministic only under controlled batch
+    boundaries and are pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    src_dir = tempfile.mkdtemp(prefix="s15_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s15_ckpt_")
+    name = f"s15_ttl_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.repartition(4, "user_id").write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s15_stream_dedup_ttl: stream did not finish in 300s")
+        return spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+_SQL_S15 = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def _q_r42_null_semantics(spark, sf_dir):
     """NULL-semantics battery (SURVEY §1.4: NULL is the engine's only
     missingness marker): NULL grouping keys, count(col) vs count(*) vs
@@ -7550,6 +7606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x81_media_pipeline": _q_x81_media_pipeline,
         "s14_stream_upsert": _q_s14_stream_upsert,
         "x82_corpus_datasheet": _q_x82_corpus_datasheet,
+        "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7869,6 +7926,7 @@ def oracle_sql() -> dict[str, str]:
         "x81_media_pipeline": _SQL_X81,
         "s14_stream_upsert": _SQL_S14,
         "x82_corpus_datasheet": _SQL_X82,
+        "s15_stream_dedup_ttl": _SQL_S15,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

@@ -156,3 +156,63 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     got = {(r["l_event_id"], r["r_event_id"])
            for r in spark.table("s_ijoin").collect()}
     assert got == {(1, 11), (2, 11), (2, 12)}
+
+
+def test_dedup_ttl_suppresses_then_reemits_after_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned under controlled
+    micro-batches (maxFilesPerTrigger=1, event-time-ordered files,
+    1-hour delay): a duplicate arriving while the key's state is live
+    is suppressed; once the watermark passes first-seen + delay the
+    state evicts and a later duplicate RE-EMITS — the bounded-state
+    tradeoff that lets 100 TB streams dedup in O(window) memory."""
+    from pyspark.sql import functions as F
+
+    import time
+
+    rows1 = [(1, "click", "2024-01-01 10:00:00")]
+    rows2 = [
+        (1, "click", "2024-01-01 10:30:00"),  # dup while state live
+        (2, "view", "2024-01-01 13:00:00"),   # advances watermark to 12:00
+    ]
+    # state expiry (10:00 + 1 h) passes the 12:00 watermark, but the
+    # store evicts at END of the batch that advanced it — a dup in the
+    # very same batch is still suppressed (batch 3); the NEXT batch's
+    # dup re-emits (batch 4)
+    rows3 = [(1, "click", "2024-01-01 12:30:00")]
+    rows4 = [(1, "click", "2024-01-01 12:45:00")]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate((rows1, rows2, rows3, rows4)):
+        df = spark.createDataFrame(
+            rows, "user_id LONG, event_type STRING, ts STRING"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes keep the file→batch order
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ttl_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["event_type"], str(r["ts"]))
+        for r in spark.sql("select * from ttl_dedup").collect()
+    )
+    # key (1, click): first arrival emitted, in-window dup suppressed,
+    # same-batch-as-eviction dup still suppressed, NEXT-batch dup
+    # re-emitted; (2, view) once
+    assert [(u, e) for u, e, _ in got] == [
+        (1, "click"), (1, "click"), (2, "view"),
+    ]
+    emitted_ts = [t for u, e, t in got if (u, e) == (1, "click")]
+    assert emitted_ts == ["2024-01-01 10:00:00", "2024-01-01 12:45:00"]
