@@ -4,6 +4,7 @@ survive write→read bit-exactly. These are driver-side (no Spark) — pure
 codec hardening."""
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -152,3 +153,79 @@ def test_png_roundtrip_property(h, w, ch, seed):
     img = rng.integers(0, 256, shape).astype(np.uint8)
     back = decode_png(encode_png(img))
     assert np.array_equal(back, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    blocks=st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=12),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_random_records(tmp_path_factory, blocks, gz):
+    """WARC write→parse round-trips arbitrary binary blocks (including
+    empty and CRLF-containing ones) in both the plain and the
+    per-record-gzip layout, preserving order, headers and byte
+    content."""
+    import os
+
+    from modis_aggregation_spark.sources.warc import (
+        iter_warc_records,
+        write_warc,
+    )
+
+    recs = [
+        {
+            "warc_type": "resource" if i % 2 else "response",
+            "target_uri": f"https://example.org/r/{i}?q=ü{i}",
+            "record_id": f"<urn:x:{i}>",
+            "block": b,
+        }
+        for i, b in enumerate(blocks)
+    ]
+    p = os.path.join(str(tmp_path_factory.mktemp("warc")), "t.warc")
+    write_warc(p, recs, gzip_records=gz)
+    got = list(iter_warc_records(p))
+    assert len(got) == len(recs)
+    for want, r in zip(recs, got):
+        assert r["block"] == want["block"]
+        assert r["warc-type"] == want["warc_type"]
+        assert r["warc-target-uri"] == want["target_uri"]
+        assert int(r["content-length"]) == len(want["block"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=5),
+    bh=st.integers(min_value=1, max_value=3),
+    bw=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=10_000),
+    fps=st.sampled_from([(25, 1), (30000, 1001), (12, 1)]),
+)
+def test_avi_roundtrip_random_geometry(n_frames, bh, bw, seed, fps):
+    """AVI/MJPEG container round-trips any frame count, block-grid
+    geometry and (fractional) frame rate bit-exactly when frames live
+    in jpeglite's exact subspace."""
+    import numpy as np
+
+    from modis_aggregation_spark.sinks.avilite import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+    from modis_aggregation_spark.sinks.jpeglite import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    for _ in range(n_frames):
+        vals = (rng.integers(0, 128, (bh, bw)) * 2).astype(np.uint8)
+        frames.append(np.repeat(np.repeat(vals, 8, 0), 8, 1))
+    h, w = bh * 8, bw * 8
+    payloads = [encode_jpeg(f, quality=50) for f in frames]
+    avi = encode_avi_mjpeg(
+        payloads, width=w, height=h, fps_num=fps[0], fps_den=fps[1]
+    )
+    meta, decoded, got_fps = decode_avi_frames(avi)
+    assert meta["total_frames"] == n_frames
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert got_fps == pytest.approx(fps[0] / fps[1])
+    assert len(decoded) == n_frames
+    for orig, dec in zip(frames, decoded):
+        assert np.array_equal(orig, dec)
