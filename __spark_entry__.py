@@ -4741,6 +4741,101 @@ GROUP BY granule_id
 """
 
 
+_HDF4L_IDS = list(range(4200, 4206))
+_HDF4L_DIR = "/tmp/spark_graft_hdf4l_4200_4205"
+_FIXTURE_S16 = "/tmp/spark_graft_hdf4l_twin_4200_4205.parquet"
+
+
+def _ensure_s16_fixture() -> str:
+    """Materialize 6 REAL linked-block HDF4 granule files (SPECIAL_LINKED
+    chained block tables — HDF4's appendable-element layout, round 6)
+    plus a parquet twin of the same content (the s12 pattern)."""
+    if os.path.exists(_FIXTURE_S16) and os.path.isdir(_HDF4L_DIR):
+        return _HDF4L_DIR
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        synth_granule,
+        write_granule_hdf4,
+    )
+
+    tmp_dir = f"{_HDF4L_DIR}.{os.getpid()}.tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    tables = []
+    for gid in _HDF4L_IDS:
+        write_granule_hdf4(tmp_dir, gid, ["ctp"], layout="linked")
+        data = synth_granule(gid, ["ctp"])
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S16}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S16)
+    try:
+        os.replace(tmp_dir, _HDF4L_DIR)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent creator won
+    return _HDF4L_DIR
+
+
+def _q_s16_hdf4_linked_scan(spark, sf_dir):
+    """The appendable-archive scan path: granule files stored as
+    LINKED-BLOCK HDF4 special elements (SPECIAL_LINKED chained block
+    tables over DFTAG_LINKED data blocks, short trailing blocks — the
+    layout HDF4 writes for elements that grow after creation, round 6
+    of ``sinks/hdf4lite.py``) physically reassembled per file inside
+    each scan partition, then the s12 per-granule decode audit. Oracle
+    reads the parquet twin of the same content; geometry/zero-ref/
+    malformation behavior is locked in tests/test_hdf4_codec.py."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    hdf_dir = _ensure_s16_fixture()
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _HDF4L_IDS))
+        .option("decoder", "hdf")
+        .option("path", hdf_dir)
+        .option("variables", "ctp")
+        .load()
+    )
+    return df.groupBy("granule_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.count("ctp").alias("n_ctp"),
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        _r6(F.min("lat")).alias("lat_min"),
+        _r6(F.max("lat")).alias("lat_max"),
+    )
+
+
+_SQL_S16 = f"""
+SELECT granule_id,
+       count(*) AS n_px,
+       count(ctp) AS n_ctp,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       round(avg(ctp), 6) AS ctp_mean,
+       round(min(lat), 6) AS lat_min,
+       round(max(lat), 6) AS lat_max
+FROM read_parquet('{_FIXTURE_S16}')
+GROUP BY granule_id
+"""
+
+
 def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     """Materialize the documents table as two REAL archives — a zip (even
     doc_ids) and a tar (odd) with one ``doc_<id>.txt`` member each — so
@@ -7607,6 +7702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_stream_upsert": _q_s14_stream_upsert,
         "x82_corpus_datasheet": _q_x82_corpus_datasheet,
         "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
+        "s16_hdf4_linked_scan": _q_s16_hdf4_linked_scan,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -7927,6 +8023,7 @@ def oracle_sql() -> dict[str, str]:
         "s14_stream_upsert": _SQL_S14,
         "x82_corpus_datasheet": _SQL_X82,
         "s15_stream_dedup_ttl": _SQL_S15,
+        "s16_hdf4_linked_scan": _SQL_S16,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

@@ -30,10 +30,16 @@ actually touches — named SDS arrays plus their per-variable attributes
   cropped on read; chunks absent from the table read as the header's
   fill value). This is the storage layout archived NASA MYD06/MYD03
   granules actually use (chunked+deflated SDS), which the reference
-  reads via netCDF4 (reference ``aggregate_functions.py:99-122``).
+  reads via netCDF4 (reference ``aggregate_functions.py:99-122``);
+* linked-block special elements (SPECIAL_LINKED=1), round 6: the
+  appendable-element layout — chained DFTAG_LINKED block tables
+  (next_ref + num_blk block refs) over DFTAG_LINKED data blocks, with
+  a distinct first-block length, short-stored trailing blocks, and
+  ref-0 slots reading as zeros (sparse append).
 
 Deliberately still NOT implemented (honest gate, raises with a clear
-message): linked-block (1) and external (2) special elements, and
+message): external (2) special elements (data lives in another file —
+a layout that cannot round-trip through a single granule payload) and
 non-deflate compression codes (RLE=1, NBIT=2, Skipping-Huffman=3,
 SZIP=5) — no ground-truth files for those layouts exist in this
 environment, and a guessed decoder that silently mis-parses real data
@@ -73,6 +79,7 @@ import numpy as np
 MAGIC = b"\x0e\x03\x13\x01"
 
 TAG_NULL = 1
+TAG_LINKED = 20      # DFTAG_LINKED: block table / data block of a linked element
 TAG_VERSION = 30
 TAG_COMPRESSED = 40  # DFTAG_COMPRESSED: codestream of a compressed element
 TAG_CHUNK = 61       # DFTAG_CHUNK: one chunk of a chunked element
@@ -201,14 +208,74 @@ class _H4Reader:
             return self._read_compressed(off)
         if kind == SPECIAL_CHUNKED:
             return self._read_chunked(off)
-        name = {SPECIAL_LINKED: "linked-block", SPECIAL_EXT: "external"}.get(
-            kind, f"kind {kind}"
-        )
+        if kind == SPECIAL_LINKED:
+            return self._read_linked(off)
+        name = {SPECIAL_EXT: "external"}.get(kind, f"kind {kind}")
         raise NotImplementedError(
             f"HDF4 special element ({name}) is not implemented — only "
-            "contiguous, deflate-compressed, and chunked(+deflate) layouts "
-            "are supported (see module docstring)"
+            "contiguous, deflate-compressed, chunked(+deflate), and "
+            "linked-block layouts are supported (see module docstring)"
         )
+
+    def _read_linked(self, off: int) -> bytes:
+        """Linked-block special element (the appendable-element layout —
+        HDF4 writes it for Vdatas/SDS that grow after creation): header
+        sp_tag_desc(u16)=1, length(i32 total), first_len(i32 — the FIRST
+        data block's length), blk_len(i32 — every later block's length),
+        num_blk(i32 — entries per block table), link_ref(u16 — ref of
+        the first DFTAG_LINKED block table). Each block table is
+        next_ref(u16) + num_blk data-block refs(u16), chained via
+        next_ref (0 = last); data blocks are DFTAG_LINKED elements. A
+        block ref of 0 is an unallocated slot and reads as zero bytes
+        (HDF4's sparse-append behaviour); running out of tables before
+        ``length`` bytes are assembled is a malformed file."""
+        _kind, length, first_len, blk_len, num_blk, link_ref = (
+            struct.unpack_from(">HiiiiH", self.buf, off)
+        )
+        if length < 0 or first_len < 0 or blk_len <= 0 or num_blk <= 0:
+            raise ValueError(
+                "HDF4 linked-block header is malformed: "
+                f"length={length} first_len={first_len} "
+                f"blk_len={blk_len} num_blk={num_blk}"
+            )
+        out = bytearray()
+        tbl_ref = link_ref
+        want = first_len
+        first = True
+        while len(out) < length:
+            if tbl_ref == 0:
+                raise ValueError(
+                    f"HDF4 linked-block element: tables exhausted at "
+                    f"{len(out)}/{length} bytes"
+                )
+            tbl = self.elt(TAG_LINKED, tbl_ref)
+            if len(tbl) < 2 + 2 * num_blk:
+                raise ValueError(
+                    f"HDF4 linked-block table (ref {tbl_ref}) is "
+                    f"{len(tbl)} bytes; header says {num_blk} entries"
+                )
+            (next_ref,) = struct.unpack_from(">H", tbl, 0)
+            refs = struct.unpack_from(f">{num_blk}H", tbl, 2)
+            for r in refs:
+                if len(out) >= length:
+                    break
+                take = min(want, length - len(out))
+                if r == 0:
+                    out += b"\x00" * take
+                else:
+                    blk = self.elt(TAG_LINKED, r)
+                    # a trailing block may be stored short (only the
+                    # bytes the element actually uses)
+                    if len(blk) < take:
+                        raise ValueError(
+                            f"HDF4 linked data block (ref {r}) is "
+                            f"{len(blk)} bytes, expected >= {take}"
+                        )
+                    out += blk[:take]
+                if first:
+                    want, first = blk_len, False
+            tbl_ref = next_ref
+        return bytes(out)
 
     def _read_compressed(self, off: int) -> bytes:
         """Compressed special element: sp_code(u16)=18, header version
@@ -600,6 +667,7 @@ def write_hdf4(
     *,
     compress: bool | int = False,
     chunks: dict[str, tuple[int, ...]] | None = None,
+    linked: dict[str, tuple[int, int]] | None = None,
 ) -> None:
     """Write ``{name: (array, attrs)}`` as a classic HDF4 file using the
     SD-API metadata layout (Var0.0 vgroups + Attr0.0 vdatas under a
@@ -618,15 +686,36 @@ def write_hdf4(
       ``_HDF_CHK_TBL_`` Vdata chunk table + one DFTAG_CHUNK element per
       chunk (edge chunks padded full-size with zero bytes), each chunk
       deflated when ``compress`` is also set (the chunked+deflated SDS
-      layout of archived MYD06/MYD03 granules).
+      layout of archived MYD06/MYD03 granules);
+    * ``linked[name] = (blk_len, num_blk)``: linked-block special
+      element (round 6 — the appendable-element layout): data split
+      into ``blk_len``-byte DFTAG_LINKED blocks (the trailing block
+      stored short), referenced from chained block tables of
+      ``num_blk`` entries each. Uncompressed by design (HDF4 links OR
+      compresses an element, not both); combining with ``compress``
+      or ``chunks`` on the same dataset raises.
     """
     level = 6 if compress is True else int(compress or 0)
     if not 0 <= level <= 9:
         raise ValueError(f"deflate level must be 1-9, got {compress!r}")
     chunks = chunks or {}
+    linked = linked or {}
     unknown = set(chunks) - set(datasets)
     if unknown:
         raise KeyError(f"chunks given for unknown datasets: {sorted(unknown)}")
+    unknown = set(linked) - set(datasets)
+    if unknown:
+        raise KeyError(f"linked given for unknown datasets: {sorted(unknown)}")
+    both = set(linked) & set(chunks)
+    if both:
+        raise ValueError(
+            f"datasets cannot be both linked and chunked: {sorted(both)}"
+        )
+    if level and linked:
+        raise ValueError(
+            "linked-block elements are uncompressed by design; drop "
+            "compress= or linked= for " + ", ".join(sorted(linked))
+        )
     elements: list[tuple[int, int, bytes]] = []
     ref = 1
     elements.append(
@@ -715,6 +804,46 @@ def write_hdf4(
                     ">HHH", COMP_MODEL_STDIO, COMP_CODE_DEFLATE, level
                 )
                 hdr += struct.pack(">H", len(chdr)) + chdr
+            elements.append((TAG_SD | SPECIAL_BIT, sds_ref, hdr))
+        elif name in linked:
+            blk_len, num_blk = (int(v) for v in linked[name])
+            if blk_len < 1 or num_blk < 1:
+                raise ValueError(
+                    f"linked layout for {name!r} needs blk_len >= 1 and "
+                    f"num_blk >= 1, got {linked[name]}"
+                )
+            body = be.tobytes()
+            # data blocks (trailing block stored short)
+            block_refs: list[int] = []
+            for i in range(0, len(body), blk_len):
+                ref += 1
+                elements.append((TAG_LINKED, ref, body[i : i + blk_len]))
+                block_refs.append(ref)
+            if not block_refs:  # zero-length element still needs a table
+                block_refs = [0]
+            # chained block tables, num_blk entries each; reserve the
+            # refs first so each table can point at its successor
+            ntables = -(-len(block_refs) // num_blk)
+            tbl_refs = list(range(ref + 1, ref + 1 + ntables))
+            ref += ntables
+            for t in range(ntables):
+                entries = block_refs[t * num_blk : (t + 1) * num_blk]
+                entries += [0] * (num_blk - len(entries))
+                next_ref = tbl_refs[t + 1] if t + 1 < ntables else 0
+                elements.append((
+                    TAG_LINKED,
+                    tbl_refs[t],
+                    struct.pack(f">H{num_blk}H", next_ref, *entries),
+                ))
+            hdr = struct.pack(
+                ">HiiiiH",
+                SPECIAL_LINKED,
+                be.nbytes,
+                min(blk_len, be.nbytes) if be.nbytes else blk_len,
+                blk_len,
+                num_blk,
+                tbl_refs[0],
+            )
             elements.append((TAG_SD | SPECIAL_BIT, sds_ref, hdr))
         elif level:
             ref += 1

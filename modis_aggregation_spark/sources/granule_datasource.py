@@ -194,16 +194,20 @@ def write_granule_hdf4(
     ``decoder=hdf`` scan must equal a ``decoder=fake`` scan row-for-row.
 
     ``layout`` selects the SDS storage: ``contiguous`` (classic DFTAG_SD),
-    ``compressed`` (deflate special elements), or ``chunked`` (chunked +
+    ``compressed`` (deflate special elements), ``chunked`` (chunked +
     deflated special elements — the layout real archived NASA granules
     use, reference ``aggregate_functions.py:99-122`` reads it via
-    netCDF4). All three decode identically; the chunk shape deliberately
-    does NOT divide the swath so edge-chunk cropping is exercised."""
+    netCDF4), or ``linked`` (linked-block special elements — HDF4's
+    appendable-element layout, chained block tables over fixed-size
+    blocks). All four decode identically; the chunk shape deliberately
+    does NOT divide the swath so edge-chunk cropping is exercised, and
+    the linked block length deliberately does not divide the SDS byte
+    size so the short-trailing-block path is exercised."""
     import os
 
     from modis_aggregation_spark.sinks.hdf4lite import write_hdf4
 
-    if layout not in ("contiguous", "compressed", "chunked"):
+    if layout not in ("contiguous", "compressed", "chunked", "linked"):
         raise ValueError(f"unknown HDF4 layout {layout!r}")
     data = synth_granule(granule_id, variables, rows, cols)
     dsets: dict = {
@@ -242,6 +246,10 @@ def write_granule_hdf4(
         cshape = (max(1, rows // 3 + 1), max(1, cols // 2 + 1))
         kw["compress"] = 6
         kw["chunks"] = {name: cshape for name in dsets}
+    elif layout == "linked":
+        # a block length that does not divide any SDS byte size → the
+        # short-trailing-block path runs for every dataset
+        kw["linked"] = {name: (1000, 3) for name in dsets}
     write_hdf4(path, dsets, file_attrs={"granule_id": int(granule_id)}, **kw)
     return path
 

@@ -113,13 +113,13 @@ def _minimal_sds_elements(h4, special_sd_body):
 
 
 def test_unsupported_special_kinds_raise(tmp_path):
-    """Special-element kinds with no local ground truth (linked-block,
-    external, unknown) must raise loudly when referenced — a guessed
-    decode would be worse than a gate (CLAUDE.md rule 5)."""
+    """Special-element kinds with no local ground truth (external,
+    unknown) must raise loudly when referenced — a guessed decode would
+    be worse than a gate (CLAUDE.md rule 5). (Linked-block left this
+    list in round 6 — see the linked round-trip tests.)"""
     import modis_aggregation_spark.sinks.hdf4lite as h4
 
     for body, match in [
-        (struct.pack(">H", h4.SPECIAL_LINKED) + b"\x00" * 12, "linked-block"),
         (struct.pack(">H", h4.SPECIAL_EXT) + b"\x00" * 12, "external"),
         (struct.pack(">H", 99) + b"\x00" * 12, "kind 99"),
     ]:
@@ -360,4 +360,111 @@ def test_oversized_attribute_raises_loudly(tmp_path):
     with pytest.raises(OverflowError, match="16-bit"):
         write_hdf4(
             p, {"v": (np.zeros((2, 2)), {"meta": "x" * 70_000})}
+        )
+
+
+def test_linked_roundtrip_block_geometries(tmp_path):
+    """Linked-block storage across block/table geometries: single
+    table, chained single-entry tables, short trailing block, and a
+    block larger than the element — all bit-exact."""
+    rng = np.random.default_rng(23)
+    arrs = {
+        "f64": rng.normal(size=(13, 7)),
+        "i16": rng.integers(-9999, 9999, (37, 23)).astype(np.int16),
+        "vec": rng.integers(0, 255, (17,)).astype(np.uint8),
+    }
+    for blk_len, num_blk in ((256, 4), (100, 1), (7, 3), (1 << 20, 2)):
+        p = str(tmp_path / f"lk_{blk_len}_{num_blk}.hdf")
+        write_hdf4(
+            p,
+            {k: (v, {"n": k}) for k, v in arrs.items()},
+            linked={k: (blk_len, num_blk) for k in arrs},
+        )
+        ds = read_hdf4(p)
+        for k, v in arrs.items():
+            assert ds[k].data.dtype == v.dtype
+            assert np.array_equal(ds[k].data, v), (blk_len, num_blk, k)
+            assert ds[k].attrs["n"] == k
+
+
+def test_linked_equals_contiguous_bytes(tmp_path):
+    """Cross-container equality (the chunked-scan proof pattern): the
+    same datasets through linked and contiguous layouts must read back
+    identical arrays and attributes."""
+    rng = np.random.default_rng(31)
+    data = {
+        "ctp": (rng.integers(-3000, 3000, (30, 20)).astype(np.int16),
+                {"scale_factor": 0.01, "add_offset": 15.0}),
+        "cf": (rng.random((30, 20)).astype(np.float32), {}),
+    }
+    pl = str(tmp_path / "linked.hdf")
+    pc = str(tmp_path / "contig.hdf")
+    write_hdf4(pl, data, linked={"ctp": (64, 3), "cf": (640, 2)})
+    write_hdf4(pc, data)
+    dl, dc = read_hdf4(pl), read_hdf4(pc)
+    for k in data:
+        assert np.array_equal(dl[k].data, dc[k].data), k
+        assert dl[k].attrs == dc[k].attrs
+
+
+def test_linked_zero_ref_slot_reads_zeros(tmp_path):
+    """A 0 block ref in a table is an unallocated (sparse-append) slot
+    and reads as zero bytes."""
+    import modis_aggregation_spark.sinks.hdf4lite as h4
+
+    p = str(tmp_path / "sparse.hdf")
+    arr = np.arange(12, dtype=np.int32)  # 48 bytes
+    write_hdf4(p, {"v": (arr, {})}, linked={"v": (16, 4)})
+    raw = bytearray(open(p, "rb").read())
+    rd = h4._H4Reader(bytes(raw))
+    # the block table is the DFTAG_LINKED element of table size
+    tbl = [
+        (r, off, ln)
+        for (t, r), (off, ln) in rd.dds.items()
+        if t == h4.TAG_LINKED and ln == 2 + 2 * 4
+    ]
+    assert len(tbl) == 1
+    _r, off, _ln = tbl[0]
+    # zero out the SECOND block's ref (bytes 16..31 of the element)
+    struct.pack_into(">H", raw, off + 2 + 2, 0)
+    open(p, "wb").write(bytes(raw))
+    got = read_hdf4(p)["v"].data
+    want = arr.copy()
+    want[4:8] = 0
+    assert np.array_equal(got, want)
+
+
+def test_linked_malformed_raises(tmp_path):
+    import modis_aggregation_spark.sinks.hdf4lite as h4
+
+    # header with zero blk_len
+    body = struct.pack(">HiiiiH", h4.SPECIAL_LINKED, 8, 8, 0, 4, 3)
+    p = str(tmp_path / "badlk.hdf")
+    _write_raw(p, _minimal_sds_elements(h4, body))
+    with pytest.raises(ValueError, match="malformed"):
+        read_hdf4(p)
+    # table chain ends before length satisfied
+    body = struct.pack(">HiiiiH", h4.SPECIAL_LINKED, 64, 16, 16, 2, 3)
+    tblbody = struct.pack(">HHH", 0, 4, 0)  # next=0, one block ref + hole
+    els = _minimal_sds_elements(h4, body)
+    els.append((h4.TAG_LINKED, 3, tblbody))
+    els.append((h4.TAG_LINKED, 4, b"\x01" * 16))
+    p2 = str(tmp_path / "short.hdf")
+    _write_raw(p2, els)
+    with pytest.raises(ValueError, match="tables exhausted"):
+        read_hdf4(p2)
+    # writer guards
+    with pytest.raises(ValueError, match="both linked and chunked"):
+        write_hdf4(
+            str(tmp_path / "x.hdf"),
+            {"v": (np.zeros(4), {})},
+            chunks={"v": (2,)},
+            linked={"v": (8, 2)},
+        )
+    with pytest.raises(ValueError, match="uncompressed by design"):
+        write_hdf4(
+            str(tmp_path / "y.hdf"),
+            {"v": (np.zeros(4), {})},
+            compress=6,
+            linked={"v": (8, 2)},
         )
