@@ -7236,6 +7236,129 @@ SELECT vec_id, sub, code, round(d, 6) AS sub_dist FROM r WHERE rn = 1
 """
 
 
+def _q_x83_ivfpq_rerank(spark, sf_dir):
+    """The FULL production ANN stack (operators/similarity.py:
+    ivfpq_topk — the FAISS IVFPQ+refine layout): IVF probe (nprobe=2 of
+    nlist=8, the x9 centroids) prunes WHICH codes are scanned, PQ/ADC
+    (m=8, k=16, the x56 codebooks) ranks a 40-candidate shortlist over
+    32×-compressed codes that never shuffle, and only the shortlist
+    fetches full-precision embeddings for the exact cosine re-rank.
+    Oracle: DuckDB re-derives ALL THREE stages from the committed
+    centroid + codebook goldens (the x9 assignment/probe CTEs + the x57
+    code/LUT CTEs + a shortlist cut + list_cosine_similarity re-rank) —
+    a divergence in pruning, compressed scoring, shortlist membership,
+    or the re-rank ordering fails the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ops_sim.kmeans_centroids(
+        emb, nlist=8, sample_rows=2000, iters=10, seed=5, order_col="vec_id"
+    )
+    assigned = ops_sim.ivf_assign(emb, cents)
+    books = ops_sim.pq_codebooks(
+        emb, m=8, k=16, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    codes = ops_sim.pq_assign(emb, books).select("vec_id", "sub", "code")
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = ops_sim.ivfpq_topk(
+        assigned, codes, cents, books, queries,
+        k=10, nprobe=2, shortlist=40,
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+_SQL_X83 = """
+WITH cent AS (
+  SELECT list_id, list(val ORDER BY pos) AS c
+  FROM read_parquet('/root/repo/goldens/x9_centroids.parquet')
+  WHERE corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+  )
+  GROUP BY list_id
+),
+cb AS (
+  SELECT sub, code, list(val ORDER BY pos) AS w
+  FROM read_parquet('/root/repo/goldens/x56_codebooks.parquet')
+  WHERE corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+  )
+  GROUP BY sub, code
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+asgn AS (
+  SELECT vec_id, emb, list_id FROM (
+    SELECT e.vec_id, e.emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.emb, cent.c), cent.list_id
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+sv AS (
+  SELECT vec_id, cb.sub, cb.code,
+         list_distance(emb[cb.sub * 8 + 1 : cb.sub * 8 + 8], cb.w) AS d
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM sv
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, cent.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(q.qe, cent.c), cent.list_id
+           ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         list_sum([ (q.qe[cb.sub * 8 + j] - cb.w[j])
+                    * (q.qe[cb.sub * 8 + j] - cb.w[j])
+                    for j in generate_series(1, 8)]) AS d2
+  FROM q CROSS JOIN cb
+),
+sc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d2) AS adist
+  FROM codes c
+  JOIN asgn a ON a.vec_id = c.vec_id
+  JOIN probe p ON p.list_id = a.list_id
+  JOIN lut l ON c.sub = l.sub AND c.code = l.code AND l.query_id = p.query_id
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rn
+    FROM sc
+  ) WHERE rn <= 40
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM (
+  SELECT s.query_id, s.neighbor_id,
+         list_cosine_similarity(a.emb, q.qe) AS cos,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY list_cosine_similarity(a.emb, q.qe) DESC,
+                                     s.neighbor_id) AS rank
+  FROM short s
+  JOIN asgn a ON a.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+)
+WHERE rank <= 10
+"""
+
+
 def _q_x57_pq_adc_topk(spark, sf_dir):
     """ADC top-10 over PQ codes (operators/similarity.py:pq_adc_topk) for
     the same 8 queries as x9 — the compressed-search half of IVF-PQ. The
@@ -7703,6 +7826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x82_corpus_datasheet": _q_x82_corpus_datasheet,
         "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
         "s16_hdf4_linked_scan": _q_s16_hdf4_linked_scan,
+        "x83_ivfpq_rerank": _q_x83_ivfpq_rerank,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -8024,6 +8148,7 @@ def oracle_sql() -> dict[str, str]:
         "x82_corpus_datasheet": _SQL_X82,
         "s15_stream_dedup_ttl": _SQL_S15,
         "s16_hdf4_linked_scan": _SQL_S16,
+        "x83_ivfpq_rerank": _SQL_X83,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

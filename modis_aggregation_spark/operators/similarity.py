@@ -691,3 +691,121 @@ def ivf_topk(
             "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
         )
     )
+
+
+def ivfpq_topk(
+    corpus_assigned: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 40,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full production ANN stack — IVF probe → PQ/ADC shortlist →
+    exact re-rank (the FAISS ``IVFPQ + refine`` layout), composed from
+    the engine's pieces so each stage keeps its proven scale shape:
+
+    1. **IVF probe**: each query selects its ``nprobe`` nearest
+       centroid lists (JVM literal-centroid folds, the ``ivf_topk``
+       expression) — bounds WHICH codes are scanned to
+       ~nprobe/nlist of the corpus.
+    2. **ADC shortlist**: per-query LUT (broadcast, |q|·m·k rows)
+       joined against the PROBED lists' PQ codes only; approximate
+       distances rank a ``shortlist`` of candidates per query. Codes
+       are 32×-compressed and never shuffle for scoring.
+    3. **Exact re-rank**: only the shortlist ids fetch their
+       full-precision embeddings (skinny candidate join — the
+       payload-per-verified-candidate shape of the dedup family);
+       exact cosine orders the final top-k.
+
+    At 100 TB: stage 1 prunes the scan, stage 2 touches 1/32nd of the
+    pruned bytes, stage 3 touches ``|q| × shortlist`` full vectors —
+    the only full-precision I/O in the whole query.
+    """
+    m, kk, dsub = codebooks.shape
+    spark = codes.sparkSession
+    qa = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    probes = []
+    for ci, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(F.col("__qe"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probes.append(F.struct(d.alias("d"), F.lit(ci).alias("list_id")))
+    qp = (
+        qa.withColumn(
+            "__probe", F.slice(F.array_sort(F.array(*probes)), 1, nprobe)
+        )
+        .select("query_id", F.explode("__probe.list_id").alias("list_id"))
+    )
+
+    cb_rows = [
+        (int(s), int(c), [float(v) for v in codebooks[s, c]])
+        for s in range(m)
+        for c in range(kk)
+    ]
+    cb = spark.createDataFrame(cb_rows, ["sub", "code", "__w"])
+    qsub = F.slice(F.col("__qe"), F.col("sub") * dsub + 1, dsub)
+    luts = (
+        qa.crossJoin(F.broadcast(cb))
+        .withColumn("__qs", qsub)
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qs"), F.col("__w"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__d2"),
+        )
+    )
+
+    lists = corpus_assigned.select(F.col(id_col).alias("__vid"), "list_id")
+    pruned_codes = codes.join(
+        lists.withColumnRenamed("__vid", "vec_id"), "vec_id"
+    ).join(F.broadcast(qp), "list_id")
+    adists = (
+        pruned_codes.join(F.broadcast(luts), ["query_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("__d2").alias("adist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("neighbor_id")
+    )
+    short = (
+        adists.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "neighbor_id", "adist")
+    )
+
+    full = corpus_assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("__ce"),
+    )
+    reranked = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(qa), "query_id")
+        .withColumn("cosine", cosine(F.col("__ce"), F.col("__qe")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

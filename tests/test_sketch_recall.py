@@ -202,3 +202,49 @@ def test_pq_adc_recall_floor(spark):
         recalls.append(len(got[q] & exact10) / 10)
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, f"ADC recall@10 {mean_recall:.3f} < 0.6"
+
+
+def test_ivfpq_rerank_recall_floor(spark):
+    """The composed IVFPQ+refine stack (operators/similarity.ivfpq_topk)
+    on clustered data: recall@10 vs exact brute force must clear a
+    floor, and every returned cosine must be EXACT (the re-rank stage
+    uses full-precision vectors, so scores match brute force even when
+    membership is approximate)."""
+    from modis_aggregation_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_assign,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 5, (6, 32))
+    rows = []
+    for i in range(360):
+        rows.append(
+            (i, (centers[i % 6] + rng.normal(0, 0.4, 32)).tolist())
+        )
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = kmeans_centroids(
+        df, nlist=6, sample_rows=360, iters=10, seed=5, order_col="vec_id"
+    )
+    assigned = ivf_assign(df, cents)
+    books = pq_codebooks(df, m=4, k=16, sample_rows=360, seed=5,
+                         order_col="vec_id")
+    codes = pq_assign(df, books).select("vec_id", "sub", "code")
+    queries = df.filter(F.col("vec_id") < 12).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    approx = ivfpq_topk(
+        assigned, codes, cents, books, queries, k=10, nprobe=2, shortlist=40
+    ).collect()
+    exact = cosine_topk(df, queries, k=10).collect()
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx}
+    hits = len(set(ap) & set(ex))
+    assert hits / len(ex) >= 0.8, f"recall@10 {hits / len(ex):.2f}"
+    for key, cos in ap.items():
+        if key in ex:
+            assert round(cos, 6) == pytest.approx(ex[key], abs=2e-6), key
