@@ -3169,6 +3169,68 @@ UNPIVOT (value FOR metric IN (n_docs, n_chars, mean_chars, p50_chars,
 """
 
 
+def _q_x84_seeded_shuffle(spark, sf_dir):
+    """Deterministic seeded training-order shuffle
+    (operators/curation.py:seeded_shuffle): global position by the
+    exact-integer multiplicative hash (the split_bucket family), ties
+    by id — reproducible forever, which is what lets a preempted run
+    resume mid-epoch on the same order. One range exchange. Oracle
+    recomputes the identical integer arithmetic and ordering in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_cur.seeded_shuffle(docs, "doc_id", seed=42)
+    return out.select("doc_id", "shuffle_key", "shuffle_pos", "source")
+
+
+_SQL_X84 = """
+SELECT doc_id,
+       ((doc_id + 42) * 2654435761) % 4294967296 AS shuffle_key,
+       CAST(row_number() OVER (
+         ORDER BY ((doc_id + 42) * 2654435761) % 4294967296, doc_id
+       ) AS INTEGER) AS shuffle_pos,
+       source
+FROM documents
+"""
+
+
+def _q_x85_length_batches(spark, sf_dir):
+    """Length-bucketed (dynamic) batching
+    (operators/curation.py:length_bucketed_batches): whitespace token
+    counts sort descending, runs of 32 form batches, each row reports
+    its batch, the batch's padded length and its own padding waste —
+    the padding-minimizing order every sequence trainer wants. One
+    global sort + two windows over the same order. Oracle repeats the
+    window arithmetic in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.size(fn_text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = ops_cur.length_bucketed_batches(
+        staged, "n_tokens", "doc_id", batch_size=32
+    )
+    return out.select("doc_id", "n_tokens", "batch_id", "batch_max", "padding")
+
+
+_SQL_X85 = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens,
+         CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) // 32
+              AS BIGINT) AS batch_id
+  FROM t
+)
+SELECT doc_id, n_tokens, batch_id,
+       max(n_tokens) OVER (PARTITION BY batch_id) AS batch_max,
+       CAST(max(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS BIGINT)
+         AS padding
+FROM ranked
+"""
+
+
 def _q_x70_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning
     (operators/tokenizer.py:bpe_train — Sennrich et al. 2016): one
@@ -7827,6 +7889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
         "s16_hdf4_linked_scan": _q_s16_hdf4_linked_scan,
         "x83_ivfpq_rerank": _q_x83_ivfpq_rerank,
+        "x84_seeded_shuffle": _q_x84_seeded_shuffle,
+        "x85_length_batches": _q_x85_length_batches,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -8149,6 +8213,8 @@ def oracle_sql() -> dict[str, str]:
         "s15_stream_dedup_ttl": _SQL_S15,
         "s16_hdf4_linked_scan": _SQL_S16,
         "x83_ivfpq_rerank": _SQL_X83,
+        "x84_seeded_shuffle": _SQL_X84,
+        "x85_length_batches": _SQL_X85,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

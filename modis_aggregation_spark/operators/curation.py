@@ -600,3 +600,87 @@ def cdc_chunks(
         (head_hash * F.lit(1_000_003) + F.length(chunk)).alias("chunk_hash"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+def seeded_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0, bucket_bits: int = 8
+) -> DataFrame:
+    """Deterministic seeded corpus shuffle — the training-order
+    assignment every run must be able to REPRODUCE (resume after
+    preemption, replay a loss spike, ablate data order): each row gets
+    ``shuffle_pos`` (1-based) by sorting on the same exact-integer
+    multiplicative hash as ``split_bucket`` (uncorrelated across
+    seeds, reproducible in any engine — the x84 oracle recomputes it
+    in SQL), ties broken by id.
+
+    Distributed WITHOUT a global window: the key's TOP ``bucket_bits``
+    bits bucket the rows (a pure function — unlike sampled range
+    boundaries, deterministic across executions and retries, so no
+    checkpoint is needed), and because buckets are the key's most
+    significant bits, bucket order IS key order: global position =
+    (exact prefix-sum offset of the bucket, from a tiny 2^bits-row
+    count collect) + the within-bucket rank. One hash exchange on the
+    bucket; every window partition is ~corpus/2^bits — at 100 TB raise
+    ``bucket_bits`` so shards fit executors (multiplicative hashing
+    keeps buckets uniform regardless of id distribution).
+    """
+    key = ((F.col(id_col).cast("long") + F.lit(seed)) * F.lit(_MULT)) % F.lit(
+        _MOD
+    )
+    shift = 32 - bucket_bits
+    staged = df.withColumn("shuffle_key", key).withColumn(
+        "__bkt", F.shiftright(F.col("shuffle_key"), shift)
+    )
+    counts = {
+        r["__bkt"]: r["n"]
+        for r in staged.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        ),
+        F.col("__bkt"),
+    )
+    w = Window.partitionBy("__bkt").orderBy("shuffle_key", F.col(id_col))
+    return (
+        staged.withColumn(
+            "shuffle_pos",
+            (off_expr + F.row_number().over(w)).cast("int"),
+        )
+        .drop("__bkt")
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    length_col: str,
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed (dynamic) batching: group similar-length rows so
+    per-batch padding-to-max is minimal — the standard throughput
+    optimization for sequence training/inference. Rows sort by
+    (length DESC, id), consecutive runs of ``batch_size`` form a batch;
+    each row reports its batch id, the batch's padded length (its max)
+    and the row's own padding waste. Σ waste over naive random batching
+    vs this ordering is the measured win.
+
+    One global sort (range exchange) + two windows over the SAME
+    ordering (no extra shuffle: the batch-max window is a partition-by
+    over the first window's output key).
+    """
+    w = Window.orderBy(F.col(length_col).desc(), F.col(id_col))
+    ranked = df.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    wb = Window.partitionBy("batch_id")
+    return ranked.withColumn(
+        "batch_max", F.max(length_col).over(wb)
+    ).withColumn(
+        "padding", (F.col("batch_max") - F.col(length_col)).cast("long")
+    )

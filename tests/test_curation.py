@@ -232,3 +232,51 @@ def test_source_mix_epochs_repetition(spark):
     assert sorted((r["doc_id"], r["copy"]) for r in out2.collect()) == sorted(
         (r["doc_id"], r["copy"]) for r in again.collect()
     )
+
+
+def test_seeded_shuffle_permutation_and_invariance(spark):
+    from modis_aggregation_spark.operators.curation import seeded_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)], "doc_id LONG, text STRING"
+    )
+    outs = []
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: r["shuffle_pos"]
+            for r in seeded_shuffle(df.repartition(parts), seed=42).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1]  # partition-layout invariant
+    assert sorted(outs[0].values()) == list(range(1, 501))  # a permutation
+    # global position == rank by (key, id): spot-check against a driver sort
+    keys = {i: ((i + 42) * 2654435761) % (1 << 32) for i in range(500)}
+    want = {
+        i: rank + 1
+        for rank, (i, _) in enumerate(sorted(keys.items(), key=lambda kv: (kv[1], kv[0])))
+    }
+    assert outs[0] == want
+    # a different seed produces a (near-certainly) different order
+    other = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in seeded_shuffle(df, seed=7).collect()
+    }
+    assert other != outs[0]
+
+
+def test_length_bucketed_batches_padding(spark):
+    from modis_aggregation_spark.operators.curation import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, length) for i, length in enumerate([9, 9, 8, 7, 4, 4, 3, 1])]
+    df = spark.createDataFrame(rows, "doc_id LONG, n LONG")
+    out = {
+        r["doc_id"]: (r["batch_id"], r["batch_max"], r["padding"])
+        for r in length_bucketed_batches(df, "n", batch_size=4).collect()
+    }
+    # sorted desc: [9,9,8,7 | 4,4,3,1] → batch 0 max 9, batch 1 max 4
+    assert out[0] == (0, 9, 0) and out[3] == (0, 9, 2)
+    assert out[4] == (1, 4, 0) and out[7] == (1, 4, 3)
+    total_padding = sum(p for _, _, p in out.values())
+    assert total_padding == 0 + 0 + 1 + 2 + 0 + 0 + 1 + 3
