@@ -2633,6 +2633,68 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def _q_x86_image_dedup_canonical(spark, sf_dir):
+    """End-to-end IMAGE dedup (the x30 pipeline for the image modality):
+    the x79 dHash pair graph (decode → fingerprint → banded hamming ≤ 3
+    pairs) → exact connected components → keep the minimum doc_id per
+    cluster (``dedup_by_pairs``) — the surviving image corpus a
+    multimodal training pipeline feeds downstream. Oracle: pairs
+    re-derived from the dhash golden via all-pairs xor/bit_count, then
+    the x23 recursive-CTE transitive closure; survivors = docs that are
+    their own component label (or in no pair at all)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def to_png(it):
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.select("doc_id", "text").mapInPandas(
+        to_png, "id BIGINT, payload BINARY"
+    )
+    hashes = ops_mm.dhash_images(imgs, decoder="png")
+    pairs = ops_mm.dhash_dup_pairs(hashes, max_hamming=3).select(
+        F.col("id1").alias("id_a"), F.col("id2").alias("id_b")
+    )
+    kept = ops_dedup.dedup_by_pairs(docs, pairs, "doc_id", exact_components=True)
+    return kept.select("doc_id", "source", "lang", "n_chars")
+
+
+_SQL_X86 = """
+WITH RECURSIVE h AS (
+  SELECT d.doc_id AS id, g.dhash
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x79_dhash.parquet') g
+    ON g.sha256 = sha256(d.text)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM h a JOIN h b ON a.id < b.id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk (id, comp) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id
+),
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.component = d.doc_id
+"""
+
+
 _SQL_X61 = """
 SELECT d.doc_id AS id, g.height, g.width, g.channels,
        round(g.mean_pixel, 6) AS mean_pixel
@@ -7891,6 +7953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x83_ivfpq_rerank": _q_x83_ivfpq_rerank,
         "x84_seeded_shuffle": _q_x84_seeded_shuffle,
         "x85_length_batches": _q_x85_length_batches,
+        "x86_image_dedup_canonical": _q_x86_image_dedup_canonical,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -8215,6 +8278,7 @@ def oracle_sql() -> dict[str, str]:
         "x83_ivfpq_rerank": _SQL_X83,
         "x84_seeded_shuffle": _SQL_X84,
         "x85_length_batches": _SQL_X85,
+        "x86_image_dedup_canonical": _SQL_X86,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,
