@@ -479,3 +479,20 @@ def test_x75_kmeans_iteration_shuffle_is_skinny(spark):
     assert "partial_sum" in plan  # map-side combine below the exchange
     exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exch) == 1 and "__e" not in exch[0]
+
+
+def test_x84_seeded_shuffle_no_global_window(spark):
+    """Seeded shuffle must NOT sort everything in one partition: the
+    window partitions by the key's top-bit bucket (an exchange on a
+    real key), never an empty partition spec (Spark warns and funnels
+    the corpus through one task)."""
+    from modis_aggregation_spark.operators.curation import seeded_shuffle
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = seeded_shuffle(docs, "doc_id", seed=42)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # a global window compiles to 'Exchange SinglePartition' feeding it
+    assert "SinglePartition" not in plan
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert any("__bkt" in l for l in exch)
