@@ -3244,13 +3244,20 @@ def _q_x84_seeded_shuffle(spark, sf_dir):
 
 
 _SQL_X84 = """
-SELECT doc_id,
-       ((doc_id + 42) * 2654435761) % 4294967296 AS shuffle_key,
-       CAST(row_number() OVER (
-         ORDER BY ((doc_id + 42) * 2654435761) % 4294967296, doc_id
-       ) AS INTEGER) AS shuffle_pos,
+WITH k AS (
+  SELECT doc_id, source,
+         ((doc_id + 42) * 2654435761) % 4294967296 AS k1
+  FROM documents
+), mixed AS (
+  SELECT doc_id, source,
+         (xor(k1, k1 >> 16) * 40503) % 4294967296 AS shuffle_key
+  FROM k
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER)
+         AS shuffle_pos,
        source
-FROM documents
+FROM mixed
 """
 
 
@@ -7464,7 +7471,7 @@ short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY adist, neighbor_id) AS rn
+                              ORDER BY round(adist, 6), neighbor_id) AS rn
     FROM sc
   ) WHERE rn <= 40
 )

@@ -608,10 +608,9 @@ def seeded_shuffle(
     """Deterministic seeded corpus shuffle — the training-order
     assignment every run must be able to REPRODUCE (resume after
     preemption, replay a loss spike, ablate data order): each row gets
-    ``shuffle_pos`` (1-based) by sorting on the same exact-integer
-    multiplicative hash as ``split_bucket`` (uncorrelated across
-    seeds, reproducible in any engine — the x84 oracle recomputes it
-    in SQL), ties broken by id.
+    ``shuffle_pos`` (1-based) by sorting on an exact-integer
+    multiply-xorshift-multiply key (reproducible in any engine — the
+    x84 oracle recomputes it in SQL), ties broken by id.
 
     Distributed WITHOUT a global window: the key's TOP ``bucket_bits``
     bits bucket the rows (a pure function — unlike sampled range
@@ -624,9 +623,17 @@ def seeded_shuffle(
     ``bucket_bits`` so shards fit executors (multiplicative hashing
     keeps buckets uniform regardless of id distribution).
     """
-    key = ((F.col(id_col).cast("long") + F.lit(seed)) * F.lit(_MULT)) % F.lit(
+    # two-round mix: the affine pass alone would make every seed's
+    # order a cyclic ROTATION of one fixed permutation (key(id, s) =
+    # key(id, 0) + s·MULT mod 2^32 — a constant offset), so a xorshift
+    # breaks the additive structure before a second (16-bit, overflow-
+    # safe) multiply. Exact int64 arithmetic end to end — the oracle
+    # repeats it verbatim in SQL.
+    k1 = ((F.col(id_col).cast("long") + F.lit(seed)) * F.lit(_MULT)) % F.lit(
         _MOD
     )
+    k2 = k1.bitwiseXOR(F.shiftright(k1, 16))
+    key = (k2 * F.lit(40503)) % F.lit(_MOD)
     shift = 32 - bucket_bits
     staged = df.withColumn("shuffle_key", key).withColumn(
         "__bkt", F.shiftright(F.col("shuffle_key"), shift)
@@ -669,18 +676,38 @@ def length_bucketed_batches(
     and the row's own padding waste. Σ waste over naive random batching
     vs this ordering is the measured win.
 
-    One global sort (range exchange) + two windows over the SAME
-    ordering (no extra shuffle: the batch-max window is a partition-by
-    over the first window's output key).
+    Distributed WITHOUT a global window (a bare ``Window.orderBy``
+    compiles to Exchange SinglePartition — the whole corpus through one
+    task): the exact global rank is the per-length prefix-sum offset
+    (one tiny count-by-length collect — a token-count domain is a few
+    thousand distinct values; pre-quantize continuous lengths first) +
+    the within-length rank, so the only exchange partitions by the
+    length value. The batch-max aggregation is a skinny
+    (batch_id, max) self-join, broadcast by AQE.
     """
-    w = Window.orderBy(F.col(length_col).desc(), F.col(id_col))
+    counts = {
+        r["__len"]: r["n"]
+        for r in df.select(F.col(length_col).alias("__len"))
+        .groupBy("__len")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for length in sorted(counts, reverse=True):
+        offsets[length] = acc
+        acc += counts[length]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+        F.col(length_col),
+    )
+    w = Window.partitionBy(length_col).orderBy(F.col(id_col))
     ranked = df.withColumn(
         "batch_id",
-        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        ((off_expr + F.row_number().over(w) - 1) / batch_size).cast("long"),
     )
-    wb = Window.partitionBy("batch_id")
-    return ranked.withColumn(
-        "batch_max", F.max(length_col).over(wb)
-    ).withColumn(
+    maxes = ranked.groupBy("batch_id").agg(
+        F.max(length_col).alias("batch_max")
+    )
+    return ranked.join(maxes, "batch_id").withColumn(
         "padding", (F.col("batch_max") - F.col(length_col)).cast("long")
     )

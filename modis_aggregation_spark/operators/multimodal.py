@@ -65,6 +65,23 @@ def _fake_decode(payload: bytes, h: int = 8, w: int = 8, c: int = 3) -> np.ndarr
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
+def _resample_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor to (h, w, 3): deterministic, pure numpy index
+    arithmetic. Shared by decode_images and dhash_images — the x61/x65
+    and x79 goldens depend on this EXACT arithmetic, so there must be
+    one copy."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]  # drop alpha
+    ih, iw = img.shape[:2]
+    ridx = (np.arange(h) * ih) // h
+    cidx = (np.arange(w) * iw) // w
+    return img[ridx][:, cidx]
+
+
 DECODED_SCHEMA = "id BIGINT, height INT, width INT, channels INT, mean_pixel DOUBLE, pixels BINARY"
 
 
@@ -119,17 +136,7 @@ def decode_images(
     h, w = out_hw
 
     def _resample(img: np.ndarray) -> np.ndarray:
-        """Nearest-neighbor to (h, w, 3): deterministic, pure numpy."""
-        if img.ndim == 2:
-            img = img[:, :, None]
-        if img.shape[2] == 1:
-            img = np.repeat(img, 3, axis=2)
-        elif img.shape[2] == 4:
-            img = img[:, :, :3]  # drop alpha
-        ih, iw = img.shape[:2]
-        ridx = (np.arange(h) * ih) // h
-        cidx = (np.arange(w) * iw) // w
-        return img[ridx][:, cidx]
+        return _resample_to(img, h, w)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "png":
@@ -582,22 +589,10 @@ def dhash_images(
             def dec(b):
                 return _fake_decode(b, h, w)
 
-        def resample(img: np.ndarray) -> np.ndarray:
-            if img.ndim == 2:
-                img = img[:, :, None]
-            if img.shape[2] == 1:
-                img = np.repeat(img, 3, axis=2)
-            elif img.shape[2] == 4:
-                img = img[:, :, :3]
-            ih, iw = img.shape[:2]
-            ridx = (np.arange(h) * ih) // h
-            cidx = (np.arange(w) * iw) // w
-            return img[ridx][:, cidx]
-
         for pdf in it:
             hashes = []
             for b in pdf[payload_col]:
-                grid = resample(dec(bytes(b)))
+                grid = _resample_to(dec(bytes(b)), h, w)
                 gray = grid.astype(np.float64).mean(axis=2)
                 bits = gray[:, :-1] > gray[:, 1:]  # 8 rows x 8 comparisons
                 v = 0

@@ -239,7 +239,12 @@ def kmeans_train(
             @pandas_udf("int")
             def _assign(embs: pd.Series) -> pd.Series:
                 m = np.stack(embs.to_numpy()).astype(np.float64)
-                dist = (cur**2).sum(1)[None, :] - 2.0 * m @ cur.T
+                # direct ||x-c||^2, the SAME algebraic form (and float
+                # op sequence) as the independent x75 golden — the
+                # expanded ||c||^2 - 2x.c form rounds differently and
+                # could flip assignments on near-ties between the two
+                # implementations
+                dist = ((m[:, None, :] - cur[None, :, :]) ** 2).sum(-1)
                 return pd.Series(dist.argmin(1).astype(np.int32))
 
             return emb.withColumn("__list", _assign(F.col("__e")))
@@ -783,8 +788,13 @@ def ivfpq_topk(
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("__d2").alias("adist"))
     )
+    # rank on the 6dp-rounded distance: the raw sum's last-bit jitter is
+    # accumulation-order-dependent (Spark partial aggs vs the oracle's
+    # SQL), and an unrounded ORDER BY would make shortlist membership at
+    # the boundary engine-dependent for mathematically tied candidates;
+    # rounding collapses the jitter and ties break by id on both sides
     ws = Window.partitionBy("query_id").orderBy(
-        F.col("adist"), F.col("neighbor_id")
+        F.round(F.col("adist"), 6), F.col("neighbor_id")
     )
     short = (
         adists.withColumn("__rn", F.row_number().over(ws))

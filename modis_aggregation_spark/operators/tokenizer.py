@@ -251,18 +251,19 @@ def bpe_encode(
 
 def _substr_pieces(word: Column, max_len: int) -> Column:
     """ARRAY<STRING> of ALL substrings of ``word`` with length in
-    [1, max_len] — every (start, length) window, overlaps included."""
+    [1, max_len] — every (start, length) window, overlaps included.
+    The inner sequence is bounded by the remaining length, so only
+    full-size windows are generated (no truncated-substring filter, and
+    every lambda stays single-parameter per CLAUDE.md rule 2)."""
     return F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.length(word)),
-            lambda i: F.filter(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.least(F.lit(max_len), F.length(word))
-                    ),
-                    lambda n: word.substr(i, n),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_len), F.length(word) - i + 1),
                 ),
-                lambda s, j: F.length(s) == j + 1,
+                lambda n: word.substr(i, n),
             ),
         )
     )
@@ -336,7 +337,7 @@ def unigram_train(
     total = sum(seed.values())
     probs = {p: c / total for p, c in seed.items()}
 
-    words = vocab.localCheckpoint()
+    words = vocab  # already checkpointed above
     for _ in range(num_iters):
         cur = dict(probs)  # capture for the closure
 

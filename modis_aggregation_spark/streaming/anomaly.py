@@ -65,7 +65,14 @@ def zscore_stream(
         rows = []
         for pdf in pdfs:
             ts = pd.to_datetime(pdf[ts_col])
-            cents = np.round(pdf[value_col].to_numpy() * 100.0).astype("int64")
+            # HALF_UP (round half away from zero), matching the batch
+            # rewrite's F.round and the DuckDB twin — numpy's default
+            # round is half-to-even and would stage x.125-style dyadic
+            # values to a DIFFERENT cent than the other two engines
+            v100 = pdf[value_col].to_numpy() * 100.0
+            cents = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(
+                "int64"
+            )
             rows.extend(
                 zip(
                     pdf[id_col].to_numpy(),

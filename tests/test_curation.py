@@ -250,12 +250,28 @@ def test_seeded_shuffle_permutation_and_invariance(spark):
     assert outs[0] == outs[1]  # partition-layout invariant
     assert sorted(outs[0].values()) == list(range(1, 501))  # a permutation
     # global position == rank by (key, id): spot-check against a driver sort
-    keys = {i: ((i + 42) * 2654435761) % (1 << 32) for i in range(500)}
+    def key(i):
+        k1 = ((i + 42) * 2654435761) % (1 << 32)
+        return ((k1 ^ (k1 >> 16)) * 40503) % (1 << 32)
+
+    keys = {i: key(i) for i in range(500)}
     want = {
         i: rank + 1
         for rank, (i, _) in enumerate(sorted(keys.items(), key=lambda kv: (kv[1], kv[0])))
     }
     assert outs[0] == want
+    # the two-round mix decorrelates seeds: consecutive-seed orders must
+    # NOT be cyclic rotations of each other (the failure mode of the
+    # plain affine key)
+    def order(seed):
+        ks = sorted(range(100), key=lambda i: (
+            ((((i + seed) * 2654435761) % (1 << 32))
+             ^ ((((i + seed) * 2654435761) % (1 << 32)) >> 16))
+            * 40503 % (1 << 32), i))
+        return ks
+    o0, o1 = order(0), order(1)
+    rotations = {tuple(o0[k:] + o0[:k]) for k in range(100)}
+    assert tuple(o1) not in rotations
     # a different seed produces a (near-certainly) different order
     other = {
         r["doc_id"]: r["shuffle_pos"]
