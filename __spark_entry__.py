@@ -3300,6 +3300,56 @@ FROM ranked
 """
 
 
+def _q_x87_token_budget(spark, sf_dir):
+    """Fixed token-budget corpus draw
+    (operators/curation.py:token_budget_sample): documents walk in the
+    x84 seeded shuffle order and are kept while the exact running token
+    total before them is under the budget — how an N-token training
+    corpus is cut from a larger pool, reproducibly (a larger budget
+    keeps a superset). Distributed with the same top-bit-bucket +
+    prefix-sum-offset pattern as x84 (no global window); exact int64
+    running sums. Oracle repeats the key mix and running-frame
+    arithmetic in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.size(fn_text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = ops_cur.token_budget_sample(
+        staged, "n_tokens", "doc_id", budget=10_000, seed=7
+    )
+    return out.select("doc_id", "n_tokens", "shuffle_pos", "tokens_before")
+
+
+_SQL_X87 = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), k AS (
+  SELECT doc_id, n_tokens,
+         ((doc_id + 7) * 2654435761) % 4294967296 AS k1
+  FROM t
+), mixed AS (
+  SELECT doc_id, n_tokens,
+         (xor(k1, k1 >> 16) * 40503) % 4294967296 AS shuffle_key
+  FROM k
+), ranked AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER)
+           AS shuffle_pos,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM mixed
+)
+SELECT doc_id, n_tokens, shuffle_pos, tokens_before
+FROM ranked WHERE tokens_before < 10000
+"""
+
+
 def _q_x70_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning
     (operators/tokenizer.py:bpe_train — Sennrich et al. 2016): one
@@ -7961,6 +8011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x84_seeded_shuffle": _q_x84_seeded_shuffle,
         "x85_length_batches": _q_x85_length_batches,
         "x86_image_dedup_canonical": _q_x86_image_dedup_canonical,
+        "x87_token_budget": _q_x87_token_budget,
         "x65_decode_jpeg": _q_x65_decode_jpeg,
         "x66_ewma_partitioned": _q_x66_ewma_partitioned,
         "x67_wav_spectrum": _q_x67_wav_spectrum,
@@ -8286,6 +8337,7 @@ def oracle_sql() -> dict[str, str]:
         "x84_seeded_shuffle": _SQL_X84,
         "x85_length_batches": _SQL_X85,
         "x86_image_dedup_canonical": _SQL_X86,
+        "x87_token_budget": _SQL_X87,
         "x66_ewma_partitioned": _SQL_X43,
         "x67_wav_spectrum": _SQL_X67,
         "x68_mp4_metadata": _SQL_X68,

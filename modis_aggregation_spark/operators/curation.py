@@ -711,3 +711,63 @@ def length_bucketed_batches(
     return ranked.join(maxes, "batch_id").withColumn(
         "padding", (F.col("batch_max") - F.col(length_col)).cast("long")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    length_col: str,
+    id_col: str = "doc_id",
+    budget: int = 100_000,
+    seed: int = 0,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Draw a fixed TOKEN budget from the corpus: walk documents in the
+    seeded shuffle order (``seeded_shuffle``) and keep each document
+    whose running token total BEFORE it is still under ``budget`` — how
+    an N-token training corpus is actually cut from a larger pool
+    (deterministic, so the draw is reproducible and extendable: a
+    bigger budget keeps a superset).
+
+    Returns kept rows with ``shuffle_pos``, ``tokens_before`` (exact
+    running sum of earlier documents' lengths) — the boundary document
+    may overshoot the budget, matching the usual "stop after the doc
+    that crosses N" semantics.
+
+    Exact integer running sums, distributed with the same top-bit
+    bucket + prefix-sum-offset pattern as ``seeded_shuffle``: bucket
+    token totals (one tiny collect) give each bucket's starting total,
+    a within-bucket window adds the local running sum, and the filter
+    is a map-side predicate — no global window anywhere.
+    """
+    shuffled = seeded_shuffle(df, id_col, seed, bucket_bits)
+    shift = 32 - bucket_bits
+    staged = shuffled.withColumn(
+        "__bkt", F.shiftright(F.col("shuffle_key"), shift)
+    )
+    totals = {
+        r["__bkt"]: r["t"]
+        for r in staged.groupBy("__bkt")
+        .agg(F.sum(F.col(length_col).cast("long")).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+        F.col("__bkt"),
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("shuffle_key", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.coalesce(
+        F.sum(F.col(length_col).cast("long")).over(w), F.lit(0)
+    )
+    return (
+        staged.withColumn("tokens_before", (off_expr + running).cast("long"))
+        .filter(F.col("tokens_before") < budget)
+        .drop("__bkt")
+    )

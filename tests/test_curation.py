@@ -296,3 +296,47 @@ def test_length_bucketed_batches_padding(spark):
     assert out[4] == (1, 4, 0) and out[7] == (1, 4, 3)
     total_padding = sum(p for _, _, p in out.values())
     assert total_padding == 0 + 0 + 1 + 2 + 0 + 0 + 1 + 3
+
+
+def test_token_budget_sample_properties(spark):
+    """The draw is the prefix of the shuffle order whose running total
+    is under budget; it is partition-invariant, and a larger budget
+    keeps a strict superset (extendability — the property that lets a
+    pinned corpus grow without resampling)."""
+    from modis_aggregation_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    rows = [(i, 10 + (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n LONG")
+    kept = {
+        r["doc_id"]: (r["shuffle_pos"], r["tokens_before"])
+        for r in token_budget_sample(df, "n", budget=800, seed=3).collect()
+    }
+    # exact budget semantics against a driver-side replay
+    def key(i):
+        k1 = ((i + 3) * 2654435761) % (1 << 32)
+        return ((k1 ^ (k1 >> 16)) * 40503) % (1 << 32)
+
+    order = sorted(range(300), key=lambda i: (key(i), i))
+    lens = dict(rows)
+    acc, want = 0, {}
+    for pos, i in enumerate(order):
+        if acc < 800:
+            want[i] = (pos + 1, acc)
+        acc += lens[i]
+    assert kept == want
+    # partition invariance
+    kept7 = {
+        r["doc_id"]: (r["shuffle_pos"], r["tokens_before"])
+        for r in token_budget_sample(
+            df.repartition(7), "n", budget=800, seed=3
+        ).collect()
+    }
+    assert kept7 == kept
+    # extendability: bigger budget keeps a superset
+    bigger = {
+        r["doc_id"]
+        for r in token_budget_sample(df, "n", budget=2000, seed=3).collect()
+    }
+    assert set(kept) <= bigger and len(bigger) > len(kept)
