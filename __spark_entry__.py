@@ -3254,7 +3254,7 @@ WITH k AS (
   FROM k
 )
 SELECT doc_id, shuffle_key,
-       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER)
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
          AS shuffle_pos,
        source
 FROM mixed
@@ -5013,6 +5013,106 @@ SELECT granule_id,
        round(min(lat), 6) AS lat_min,
        round(max(lat), 6) AS lat_max
 FROM read_parquet('{_FIXTURE_S16}')
+GROUP BY granule_id
+"""
+
+
+_HDF4X_IDS = list(range(4300, 4306))
+_HDF4X_DIR = "/tmp/spark_graft_hdf4x_4300_4305"
+_FIXTURE_S17 = "/tmp/spark_graft_hdf4x_twin_4300_4305.parquet"
+
+
+def _ensure_s17_fixture() -> str:
+    """Materialize 6 REAL HDF4 granule files in the two layouts round 7
+    un-gated — byte-run RLE compressed special elements (even ids) and
+    EXTERNAL special elements whose SDS bytes live in companion
+    ``granule_<id>_<var>.dat`` files (odd ids, the SDsetexternalfile
+    multi-file layout) — plus a parquet twin of the same content (the
+    s12/s16 pattern)."""
+    if os.path.exists(_FIXTURE_S17) and os.path.isdir(_HDF4X_DIR):
+        return _HDF4X_DIR
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        synth_granule,
+        write_granule_hdf4,
+    )
+
+    tmp_dir = f"{_HDF4X_DIR}.{os.getpid()}.tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    tables = []
+    for gid in _HDF4X_IDS:
+        layout = "rle" if gid % 2 == 0 else "external"
+        write_granule_hdf4(tmp_dir, gid, ["ctp"], layout=layout)
+        data = synth_granule(gid, ["ctp"])
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S17}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S17)
+    try:
+        os.replace(tmp_dir, _HDF4X_DIR)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent creator won
+    return _HDF4X_DIR
+
+
+def _q_s17_hdf4_rle_external_scan(spark, sf_dir):
+    """The round-7 codec closures on the real-granule path: granule
+    files stored as RLE-compressed special elements (HDF4 byte-run
+    codestream, comp code 1) and as EXTERNAL special elements (SDS
+    bytes in companion .dat files resolved against the .hdf's own
+    directory — ``sinks/hdf4lite.py`` round 7), scanned through the
+    same Python DataSource as s9/s12/s16 and reduced to the per-granule
+    decode audit. Oracle reads the parquet twin of the same content;
+    codestream/companion-file edge behavior is locked in
+    tests/test_hdf4_codec.py."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    hdf_dir = _ensure_s17_fixture()
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _HDF4X_IDS))
+        .option("decoder", "hdf")
+        .option("path", hdf_dir)
+        .option("variables", "ctp")
+        .load()
+    )
+    return df.groupBy("granule_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.count("ctp").alias("n_ctp"),
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        _r6(F.min("lat")).alias("lat_min"),
+        _r6(F.max("lat")).alias("lat_max"),
+    )
+
+
+_SQL_S17 = f"""
+SELECT granule_id,
+       count(*) AS n_px,
+       count(ctp) AS n_ctp,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       round(avg(ctp), 6) AS ctp_mean,
+       round(min(lat), 6) AS lat_min,
+       round(max(lat), 6) AS lat_max
+FROM read_parquet('{_FIXTURE_S17}')
 GROUP BY granule_id
 """
 
@@ -7980,71 +8080,21 @@ FROM s JOIN n USING (doc_id)
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S VERIFICATION WINDOW: the round driver
     # records oracle rows for only the FIRST 50 entries.  Rotation policy
-    # (CLAUDE.md rule 7): every query now has at least one driver record,
-    # so each round the LEAST-RECENTLY-recorded queries rotate to the
-    # front (oldest CORRECTNESS_r*.json round first, original order as
+    # (CLAUDE.md rule 7): every query has at least one driver record, so
+    # each round the LEAST-RECENTLY-recorded queries rotate to the front
+    # (oldest CORRECTNESS_r*.json round first, original order as
     # tie-break); brand-new queries with no record at all always lead.
     # tests/test_contract_consistency.py::test_window_rotation_freshness
     # enforces this ordering from the committed CORRECTNESS files, so a
     # skipped rotation fails the suite.
-    # Round-6 window: new round-6 queries (never recorded) first, then
-    # the 8 queries last recorded in round 1 (s2, x1-x7), then the
-    # round-2 cohort (m12-m17, r1/r4/r6x3, r7-r30), then the leading
-    # edge of the round-3 cohort.  Keys and aliases unchanged.
+    # Round-7 window: the 27 queries last recorded in round 2 (r4,
+    # r6x3, r7-r16, r19-r30, r9b — r9b finally gets its first oracle
+    # record for the round-6 HLL golden), then the leading 23 of the
+    # round-3 cohort (r31-r44, x8-x21).  Keys and aliases unchanged.
     return {
-        # -- round-6 additions (never driver-recorded) ---------------------------
-        "x73_avi_frames": _q_x73_avi_frames,
-        "x74_warc_scan": _q_x74_warc_scan,
-        "x75_kmeans_train": _q_x75_kmeans_train,
-        "x76_bloom_screen": _q_x76_bloom_screen,
-        "s13_stream_anomaly": _q_s13_stream_anomaly,
-        "x77_unigram_train": _q_x77_unigram_train,
-        "x78_unigram_encode": _q_x78_unigram_encode,
-        "x79_image_dedup": _q_x79_image_dedup,
-        "x80_audio_dedup": _q_x80_audio_dedup,
-        "x81_media_pipeline": _q_x81_media_pipeline,
-        "s14_stream_upsert": _q_s14_stream_upsert,
-        "x82_corpus_datasheet": _q_x82_corpus_datasheet,
-        "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
-        "s16_hdf4_linked_scan": _q_s16_hdf4_linked_scan,
-        "x83_ivfpq_rerank": _q_x83_ivfpq_rerank,
-        "x84_seeded_shuffle": _q_x84_seeded_shuffle,
-        "x85_length_batches": _q_x85_length_batches,
-        "x86_image_dedup_canonical": _q_x86_image_dedup_canonical,
-        "x87_token_budget": _q_x87_token_budget,
-        "x65_decode_jpeg": _q_x65_decode_jpeg,
-        "x66_ewma_partitioned": _q_x66_ewma_partitioned,
-        "x67_wav_spectrum": _q_x67_wav_spectrum,
-        "x68_mp4_metadata": _q_x68_mp4_metadata,
-        "x69_compression_screen": _q_x69_compression_screen,
-        "x70_bpe_train": _q_x70_bpe_train,
-        "x71_bpe_encode": _q_x71_bpe_encode,
-        "x72_pipeline_e2e": _q_x72_pipeline_e2e,
-        "r48_tpch_q7": _q_r48_tpch_q7,
-        "r49_tpch_q10": _q_r49_tpch_q10,
-        "r50_tpch_q18": _q_r50_tpch_q18,
-        "r51_tpch_q8": _q_r51_tpch_q8,
-        "r52_tpch_q14": _q_r52_tpch_q14,
-        "r53_tpch_q12": _q_r53_tpch_q12,
-        # -- last driver-recorded in round 1 -------------------------------------
-        "s2_granule_scan": _q_s2_granule_scan,
-        "x1_exact_dedup": _q_x1_exact_dedup,
-        "x2_text_stats": _q_x2_text_stats,
-        "x3_lang_id": _q_x3_lang_id,
-        "x4_ngram_jaccard": _q_x4_ngram_jaccard,
-        "x5_minhash_pairs": _q_x5_minhash_pairs,
-        "x6_simhash_pairs": _q_x6_simhash_pairs,
-        "x7_cosine_topk": _q_x7_cosine_topk,
+        # -- never driver-recorded (round-7 additions rotate in first) -----------
+        "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,
         # -- last driver-recorded in round 2 -------------------------------------
-        "m12_finalize": _q_m12_finalize,
-        "m13_monthly_reagg": _q_m13_monthly_reagg,
-        "m14_compare_grids": _q_m14_compare_grids,
-        "m15_alt_grid": _q_m15_alt_grid,
-        "m16_trim_1km": _q_m16_trim_1km,
-        "m17_climatology_anomaly": _q_m17_climatology_anomaly,
-        "r17_tpch_q3": _q_r17_tpch_q3,
-        "r18_tpch_q5": _q_r18_tpch_q5,
-        "r1_filter_project": _q_r1_filter_project,
         "r4_semi_anti": _q_r4_semi_anti,
         "r6_rownum_topk": _q_r6_rownum_topk,
         "r6_rank": _q_r6_rank,
@@ -8175,6 +8225,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_sampling": _q_m8_sampling,
         "m9_densify": _q_m9_densify,
         "m10_grid_counts": _q_m10_grid_counts,
+        # -- last driver-recorded in round 6 -------------------------------------
+        "x73_avi_frames": _q_x73_avi_frames,
+        "x74_warc_scan": _q_x74_warc_scan,
+        "x75_kmeans_train": _q_x75_kmeans_train,
+        "x76_bloom_screen": _q_x76_bloom_screen,
+        "s13_stream_anomaly": _q_s13_stream_anomaly,
+        "x77_unigram_train": _q_x77_unigram_train,
+        "x78_unigram_encode": _q_x78_unigram_encode,
+        "x79_image_dedup": _q_x79_image_dedup,
+        "x80_audio_dedup": _q_x80_audio_dedup,
+        "x81_media_pipeline": _q_x81_media_pipeline,
+        "s14_stream_upsert": _q_s14_stream_upsert,
+        "x82_corpus_datasheet": _q_x82_corpus_datasheet,
+        "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
+        "s16_hdf4_linked_scan": _q_s16_hdf4_linked_scan,
+        "x83_ivfpq_rerank": _q_x83_ivfpq_rerank,
+        "x84_seeded_shuffle": _q_x84_seeded_shuffle,
+        "x85_length_batches": _q_x85_length_batches,
+        "x86_image_dedup_canonical": _q_x86_image_dedup_canonical,
+        "x87_token_budget": _q_x87_token_budget,
+        "x65_decode_jpeg": _q_x65_decode_jpeg,
+        "x66_ewma_partitioned": _q_x66_ewma_partitioned,
+        "x67_wav_spectrum": _q_x67_wav_spectrum,
+        "x68_mp4_metadata": _q_x68_mp4_metadata,
+        "x69_compression_screen": _q_x69_compression_screen,
+        "x70_bpe_train": _q_x70_bpe_train,
+        "x71_bpe_encode": _q_x71_bpe_encode,
+        "x72_pipeline_e2e": _q_x72_pipeline_e2e,
+        "r48_tpch_q7": _q_r48_tpch_q7,
+        "r49_tpch_q10": _q_r49_tpch_q10,
+        "r50_tpch_q18": _q_r50_tpch_q18,
+        "r51_tpch_q8": _q_r51_tpch_q8,
+        "r52_tpch_q14": _q_r52_tpch_q14,
+        "r53_tpch_q12": _q_r53_tpch_q12,
+        "s2_granule_scan": _q_s2_granule_scan,
+        "x1_exact_dedup": _q_x1_exact_dedup,
+        "x2_text_stats": _q_x2_text_stats,
+        "x3_lang_id": _q_x3_lang_id,
+        "x4_ngram_jaccard": _q_x4_ngram_jaccard,
+        "x5_minhash_pairs": _q_x5_minhash_pairs,
+        "x6_simhash_pairs": _q_x6_simhash_pairs,
+        "x7_cosine_topk": _q_x7_cosine_topk,
+        "m12_finalize": _q_m12_finalize,
+        "m13_monthly_reagg": _q_m13_monthly_reagg,
+        "m14_compare_grids": _q_m14_compare_grids,
+        "m15_alt_grid": _q_m15_alt_grid,
+        "m16_trim_1km": _q_m16_trim_1km,
+        "m17_climatology_anomaly": _q_m17_climatology_anomaly,
+        "r17_tpch_q3": _q_r17_tpch_q3,
+        "r18_tpch_q5": _q_r18_tpch_q5,
+        "r1_filter_project": _q_r1_filter_project,
     }
 
 
@@ -8333,6 +8434,7 @@ def oracle_sql() -> dict[str, str]:
         "x82_corpus_datasheet": _SQL_X82,
         "s15_stream_dedup_ttl": _SQL_S15,
         "s16_hdf4_linked_scan": _SQL_S16,
+        "s17_hdf4_rle_external_scan": _SQL_S17,
         "x83_ivfpq_rerank": _SQL_X83,
         "x84_seeded_shuffle": _SQL_X84,
         "x85_length_batches": _SQL_X85,

@@ -629,9 +629,28 @@ def seeded_shuffle(
     # breaks the additive structure before a second (16-bit, overflow-
     # safe) multiply. Exact int64 arithmetic end to end — the oracle
     # repeats it verbatim in SQL.
-    k1 = ((F.col(id_col).cast("long") + F.lit(seed)) * F.lit(_MULT)) % F.lit(
-        _MOD
-    )
+    #
+    # Domain guard (map-side, no extra pass): the key math assumes a
+    # non-negative id (Java's % keeps the dividend sign, so a negative
+    # id would shiftright a negative key into bucket garbage) and
+    # (id + seed)·MULT must stay inside int64 (Java wraps SILENTLY past
+    # 2^63; DuckDB would error, so a wrap is also an oracle divergence).
+    # Past ~3.4e9 ids, rebase ids or switch to a 64-bit splitmix.
+    id_max = (2**63 - 1) // _MULT - max(seed, 0)
+    raw = F.col(id_col).cast("long")
+    guarded = F.when(
+        (raw < 0) | (raw > F.lit(id_max)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"seeded_shuffle: {id_col} out of domain "
+                    f"[0, {id_max}]: "
+                ),
+                raw.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(raw)
+    k1 = ((guarded + F.lit(seed)) * F.lit(_MULT)) % F.lit(_MOD)
     k2 = k1.bitwiseXOR(F.shiftright(k1, 16))
     key = (k2 * F.lit(40503)) % F.lit(_MOD)
     shift = 32 - bucket_bits
@@ -655,8 +674,9 @@ def seeded_shuffle(
     w = Window.partitionBy("__bkt").orderBy("shuffle_key", F.col(id_col))
     return (
         staged.withColumn(
+            # long, not int: positions past 2^31 rows must not wrap
             "shuffle_pos",
-            (off_expr + F.row_number().over(w)).cast("int"),
+            (off_expr + F.row_number().over(w)).cast("long"),
         )
         .drop("__bkt")
     )
@@ -667,6 +687,7 @@ def length_bucketed_batches(
     length_col: str,
     id_col: str = "doc_id",
     batch_size: int = 32,
+    max_distinct_lengths: int = 100_000,
 ) -> DataFrame:
     """Length-bucketed (dynamic) batching: group similar-length rows so
     per-batch padding-to-max is minimal — the standard throughput
@@ -692,6 +713,16 @@ def length_bucketed_batches(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if len(counts) > max_distinct_lengths:
+        # a continuous / un-quantized length column would otherwise
+        # become an unbounded create_map literal (planner blow-up) —
+        # fail loudly instead of building it
+        raise ValueError(
+            f"length_bucketed_batches: {len(counts)} distinct "
+            f"{length_col!r} values exceeds max_distinct_lengths="
+            f"{max_distinct_lengths}; pre-quantize the length column "
+            f"(e.g. floor(len/16)*16) or raise the cap"
+        )
     offsets, acc = {}, 0
     for length in sorted(counts, reverse=True):
         offsets[length] = acc

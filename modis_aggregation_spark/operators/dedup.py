@@ -334,23 +334,32 @@ def duplicate_window_profile(
     so 64-bit collisions only perturb counts (at ~1e-11 per pair), never
     surface a hash value.
 
-    The Catalyst plan consumes the fingerprint frame THREE times (distinct-
-    doc agg, flag join, per-doc base) and the subtrees differ, so no
-    ReusedExchange applies — the corpus is scanned and windowed up to
-    three times. Fine at test scale; a 100 TB pipeline should materialize
-    ``window_fingerprints`` once (a parquet table, same pattern as
-    ``minhash_signatures``) and pass it via ``fingerprints=``, making
-    every pass read the skinny fp table instead.
+    The Catalyst plan consumes the fingerprint frame TWICE (distinct-doc
+    agg and the flag join; the per-doc base reads only the id column of
+    ``df``) and the subtrees differ, so no ReusedExchange applies. When
+    the frame is built inline it is therefore PERSISTED
+    (memory-and-disk): both consumers read the one InMemoryRelation —
+    the same RDD, computed once — so the corpus is tokenized and
+    windowed exactly once per call (round 7; previously 3 scans, the
+    slowest bench query). The cache is corpus-sized × ~16 B/token and
+    evicts LRU; a 100 TB pipeline should still materialize
+    ``window_fingerprints`` to parquet once (same pattern as
+    ``minhash_signatures``) and pass it via ``fingerprints=`` so EVERY
+    downstream pass — not just this call — reads the skinny fp table
+    (the x60 posture, plan-locked in tests/test_plan_regressions.py).
 
     No counterpart in the reference (extension surface); complements
     ``exact_dedup`` (whole-doc) and ``minhash_lsh_pairs`` (near-dup) with
     the span-level third axis of the standard LLM dedup battery.
     """
-    fps = (
-        window_fingerprints(df, content_col, id_col, window)
-        if fingerprints is None
-        else fingerprints
-    )
+    if fingerprints is None:
+        from pyspark import StorageLevel
+
+        fps = window_fingerprints(df, content_col, id_col, window).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        fps = fingerprints
     per_fp = fps.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("__ndocs")
     )

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -201,27 +203,43 @@ def kmeans_train(
 
     1. broadcast the k×d centroid matrix (KBs) into a vectorized
        Pandas-UDF assignment (numpy matmul per Arrow batch),
-    2. posexplode to skinny ``(list_id, pos, v)`` rows and hash-aggregate
-       ``sum/count`` per (cluster, coordinate) — map-side partial
-       aggregation reduces the shuffle to ``tasks × k × d`` rows no
-       matter the corpus size,
+    2. posexplode to skinny ``(list_id, pos, micros)`` rows and
+       hash-aggregate an EXACT ``sum(int64)/count`` per (cluster,
+       coordinate) — map-side partial aggregation reduces the shuffle
+       to ``tasks × k × d`` rows no matter the corpus size,
     3. collect the k×d aggregate (≤MB — the model, not the data) and
-       form the next centroids on the driver.
+       form the next centroids on the driver with exact integer
+       arithmetic.
 
-    **Determinism by construction**: after every update the centroids
-    are QUANTIZED to ``quant_decimals`` decimals. Distributed float
-    sums are order-dependent (~1e-12 relative jitter across partition
-    layouts); quantizing each iteration's output absorbs that jitter,
-    so the learned model is bit-identical on 1 task or 1000 executors —
-    and independently recomputable (the x75 oracle golden re-derives it
-    with a separate loop-based implementation). Init is the k vectors
-    with the smallest ``id_col`` (reproducible across sessions, like
-    ``kmeans_centroids(order_col=...)``); an emptied cluster keeps its
-    previous centroid.
+    **Determinism by construction — exact integer staging** (the
+    unigram_train M-step discipline, ``operators/tokenizer.py``):
+    distributed float sums are order-dependent, and round-6 showed
+    that rounding an inexact float sum is NOT layout-invariant (a sum
+    landing within jitter of a ``x.xxx5`` boundary rounds differently
+    under different partitionings — driver hash-fail on
+    x75_kmeans_train). Instead each coordinate is quantized UP FRONT
+    to integer micros, ``floor(x·1e6 + 0.5)``, an element-wise op with
+    one answer everywhere; the shuffle then sums int64, which is
+    exact and commutative, so every partition layout produces the
+    *identical* integer. The new centroid is rounded to
+    ``quant_decimals`` decimals in pure integer arithmetic —
+    ``floor(s/(n·sub) + 1/2)`` grid units, computed as the single
+    exact floordiv ``(2s + n·sub) // (2·n·sub)`` — and only then
+    converted to float64.
+    No float op ever touches an aggregate, so the learned model is
+    bit-identical on 1 task or 1000 executors and independently
+    recomputable (the x75 oracle golden re-derives it with a separate
+    loop-based implementation under the same integer contract). Init
+    is the k vectors with the smallest ``id_col`` quantized the same
+    way; an emptied cluster keeps its previous centroid. int64 bound:
+    safe while ``n_rows × max|x| × 1e6 < 9.2e18`` (e.g. 1e12 unit-norm
+    vectors).
 
     Returns the model as ``(list_id, size, pos, val)`` rows — sizes
     from a final assignment pass under the converged centroids.
     """
+    scale = 10 ** quant_decimals          # centroid grid (milli for q=3)
+    sub = 10 ** (6 - quant_decimals)      # micros per grid unit
     emb = df.select(
         F.col(id_col).alias("__id"),
         F.col(emb_col).cast("array<double>").alias("__e"),
@@ -229,11 +247,19 @@ def kmeans_train(
     emb = emb.persist()
     try:
         init = emb.orderBy("__id").limit(k).collect()
-        cents = np.round(
-            np.array([r["__e"] for r in init], dtype=np.float64),
-            quant_decimals,
-        )
-        d = cents.shape[1]
+
+        def _qgrid(x: float) -> int:
+            # round(x * scale) half-up-toward-+inf, exact: the same
+            # floor(x·scale + 0.5) the Spark-side micros staging uses.
+            return math.floor(x * scale + 0.5)
+
+        cents_q = [
+            [_qgrid(float(v)) for v in r["__e"]] for r in init
+        ]  # integer grid units — the authoritative model state
+        d = len(cents_q[0])
+
+        def _floats(cq: list[list[int]]) -> np.ndarray:
+            return np.array(cq, dtype=np.float64) / scale
 
         def assigned(cur: np.ndarray) -> DataFrame:
             @pandas_udf("int")
@@ -249,26 +275,40 @@ def kmeans_train(
 
             return emb.withColumn("__list", _assign(F.col("__e")))
 
+        # element-wise micros: floor(v·1e6 + 0.5) — NOT F.round (Spark
+        # HALF_UP vs Python half-even would diverge on exact .5)
+        micros = F.floor(F.col("v") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+            "long"
+        )
         for _ in range(iters):
             agg = (
-                assigned(cents)
+                assigned(_floats(cents_q))
                 .select("__list", F.posexplode("__e").alias("pos", "v"))
                 .groupBy("__list", "pos")
-                .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+                .agg(F.sum(micros).alias("s"), F.count("v").alias("n"))
                 .collect()
             )
-            nxt = cents.copy()
-            sums = np.zeros((len(cents), d))
-            counts = np.zeros(len(cents), dtype=np.int64)
+            sums = [[0] * d for _ in range(k)]
+            counts = [[0] * d for _ in range(k)]
             for r in agg:
-                sums[r["__list"], r["pos"]] = r["s"]
-                counts[r["__list"]] = r["n"]
-            nonempty = counts > 0
-            nxt[nonempty] = np.round(
-                sums[nonempty] / counts[nonempty, None], quant_decimals
-            )
-            cents = nxt
+                sums[r["__list"]][r["pos"]] = int(r["s"])
+                counts[r["__list"]][r["pos"]] = int(r["n"])
+            for ci in range(k):
+                n = counts[ci][0]
+                if any(c != n for c in counts[ci]):
+                    raise ValueError(
+                        f"kmeans_train: ragged/NULL embedding elements in "
+                        f"cluster {ci} (per-coordinate counts {counts[ci]})"
+                    )
+                if n:
+                    # round(s / (n·sub·scale)) half-up in exact ints:
+                    # floor(s/(n·sub) + 1/2) grid units
+                    den = n * sub
+                    cents_q[ci] = [
+                        (2 * s + den) // (2 * den) for s in sums[ci]
+                    ]
 
+        cents = _floats(cents_q)
         sizes = dict(
             (r["__list"], r["n"])
             for r in assigned(cents).groupBy("__list").agg(

@@ -35,15 +35,29 @@ actually touches — named SDS arrays plus their per-variable attributes
   appendable-element layout — chained DFTAG_LINKED block tables
   (next_ref + num_blk block refs) over DFTAG_LINKED data blocks, with
   a distinct first-block length, short-stored trailing blocks, and
-  ref-0 slots reading as zeros (sparse append).
+  ref-0 slots reading as zeros (sparse append);
+* RLE compression (comp code 1), round 7: the HDF4 library's byte-run
+  codestream (semantics of the public hdf4 crle coder, restated — not
+  copied): control byte c — high bit set ⇒ a run of ``(c & 0x7f) + 3``
+  copies of the next byte (run lengths 3..130); high bit clear ⇒
+  ``c + 1`` literal bytes follow (1..128). Available standalone
+  (``compress="rle"``) and per-chunk inside chunked elements;
+* external special elements (SPECIAL_EXT=2), round 7: the element's
+  data lives in ANOTHER file — header ``sp_tag_desc(u16)=2,
+  length(i32), offset(i32)`` then the external filename as a
+  non-null-terminated string filling the rest of the special info
+  (per the format spec's External Element table). Read resolves the
+  filename against the directory of the .hdf file itself (plus an
+  absolute path as-is); a missing companion file raises with both
+  paths in the message. Write via ``external={name: filename}``.
 
 Deliberately still NOT implemented (honest gate, raises with a clear
-message): external (2) special elements (data lives in another file —
-a layout that cannot round-trip through a single granule payload) and
-non-deflate compression codes (RLE=1, NBIT=2, Skipping-Huffman=3,
-SZIP=5) — no ground-truth files for those layouts exist in this
-environment, and a guessed decoder that silently mis-parses real data
-would be worse than a loud gate.
+message): compression codes NBIT=2, Skipping-Huffman=3 and SZIP=5 —
+NBIT/Skipping-Huffman are long-obsolete codecs no archived MODIS
+granule uses, and SZIP is a patent-encumbered extended-Rice coder
+whose codestream is defined by the szip library, not the HDF4 format
+spec; a guessed decoder that silently mis-parses real data would be
+worse than a loud gate.
 
 Validation caveat for the special-element layouts: no pyhdf/libmfhdf is
 present to cross-read, so the byte layouts follow the public HDF4
@@ -70,6 +84,7 @@ the public HDF4 Specification and File Format document
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -105,8 +120,74 @@ SPECIAL_COMP = 18
 
 COMP_HEADER_VERSION = 0
 COMP_MODEL_STDIO = 0
+COMP_CODE_RLE = 1
 COMP_CODE_DEFLATE = 4
 _COMP_CODE_NAMES = {1: "RLE", 2: "NBIT", 3: "Skipping-Huffman", 5: "SZIP"}
+
+# RLE codestream constants (HDF4 library byte-run coder): a run block
+# stores lengths RLE_MIN_RUN..RLE_MIN_RUN+127 in the low 7 bits of the
+# control byte; a literal (mix) block stores 1..128 bytes.
+_RLE_MIN_RUN = 3
+_RLE_MAX_RUN = _RLE_MIN_RUN + 127
+_RLE_MIN_MIX = 1
+_RLE_MAX_MIX = _RLE_MIN_MIX + 127
+
+
+def rle_encode(data: bytes) -> bytes:
+    """HDF4 byte-run-length encode: greedy — any run of >= 3 identical
+    bytes becomes a run block (0x80 | (n-3), value); everything between
+    runs is chopped into literal blocks ((n-1), bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def _flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            take = min(end - j, _RLE_MAX_MIX)
+            out.append(take - _RLE_MIN_MIX)
+            out.extend(data[j : j + take])
+            j += take
+
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < _RLE_MAX_RUN:
+            run += 1
+        if run >= _RLE_MIN_RUN:
+            _flush_literals(i)
+            out.append(0x80 | (run - _RLE_MIN_RUN))
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    _flush_literals(n)
+    return bytes(out)
+
+
+def rle_decode(data: bytes, raw_len: int | None = None) -> bytes:
+    """Decode the HDF4 byte-run codestream (inverse of ``rle_encode``)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c & 0x80:
+            if i >= n:
+                raise ValueError("HDF4 RLE: truncated run block")
+            out += bytes([data[i]]) * ((c & 0x7F) + _RLE_MIN_RUN)
+            i += 1
+        else:
+            take = c + _RLE_MIN_MIX
+            if i + take > n:
+                raise ValueError("HDF4 RLE: truncated literal block")
+            out += data[i : i + take]
+            i += take
+    if raw_len is not None and len(out) != raw_len:
+        raise ValueError(
+            f"HDF4 RLE: decoded {len(out)} bytes, header says {raw_len}"
+        )
+    return bytes(out)
 
 _CHK_TBL_NAME = b"_HDF_CHK_TBL_"  # chunk-table Vdata name AND class
 
@@ -165,10 +246,13 @@ class H4Dataset:
 
 
 class _H4Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, path: str | None = None):
         if buf[:4] != MAGIC:
             raise ValueError("not an HDF4 file (bad magic)")
         self.buf = buf
+        # directory context for resolving EXTERNAL special elements;
+        # None when parsing an in-memory blob (external then raises)
+        self.path = path
         # (tag, ref) -> (offset, length); chained DD blocks. Special
         # (extended-tag) elements are kept under their BASE tag in a
         # separate map and resolved lazily by ``elt``.
@@ -210,12 +294,54 @@ class _H4Reader:
             return self._read_chunked(off)
         if kind == SPECIAL_LINKED:
             return self._read_linked(off)
-        name = {SPECIAL_EXT: "external"}.get(kind, f"kind {kind}")
+        if kind == SPECIAL_EXT:
+            return self._read_external(off, ln)
         raise NotImplementedError(
-            f"HDF4 special element ({name}) is not implemented — only "
-            "contiguous, deflate-compressed, chunked(+deflate), and "
-            "linked-block layouts are supported (see module docstring)"
+            f"HDF4 special element (kind {kind}) is not implemented — "
+            "contiguous, compressed (deflate/RLE), chunked, linked-block "
+            "and external layouts are supported (see module docstring)"
         )
+
+    def _read_external(self, off: int, ln: int) -> bytes:
+        """External special element: the data lives in a companion file.
+        Header ``sp_tag_desc(u16)=2, length(i32), offset(i32)``, then the
+        external filename (non-null-terminated ASCII, the remainder of
+        the special info — format spec "External Element" table). The
+        filename resolves against the directory of the .hdf file itself;
+        absolute paths are used as-is."""
+        _kind, length, ext_off = struct.unpack_from(">HiI", self.buf, off)
+        if length < 0:
+            raise ValueError(f"HDF4 external element: negative length {length}")
+        fname = (
+            self.buf[off + 10 : off + ln].split(b"\x00", 1)[0].decode("ascii")
+        )
+        if not fname:
+            raise ValueError("HDF4 external element: empty filename")
+        if self.path is None:
+            raise ValueError(
+                "HDF4 external element references companion file "
+                f"{fname!r}, but this reader was built from an in-memory "
+                "blob with no directory context — read via read_hdf4(path)"
+            )
+        cand = (
+            fname
+            if os.path.isabs(fname)
+            else os.path.join(os.path.dirname(os.path.abspath(self.path)), fname)
+        )
+        if not os.path.exists(cand):
+            raise FileNotFoundError(
+                f"HDF4 external element of {self.path!r} references "
+                f"{fname!r} (resolved {cand!r}), which does not exist"
+            )
+        with open(cand, "rb") as fh:
+            fh.seek(ext_off)
+            data = fh.read(length)
+        if len(data) != length:
+            raise ValueError(
+                f"HDF4 external element: {cand!r} holds {len(data)} bytes "
+                f"at offset {ext_off}, header says {length}"
+            )
+        return data
 
     def _read_linked(self, off: int) -> bytes:
         """Linked-block special element (the appendable-element layout —
@@ -285,11 +411,14 @@ class _H4Reader:
         _kind, _ver, raw_len, comp_ref, _model, code = struct.unpack_from(
             ">HHiHHH", self.buf, off
         )
+        if code == COMP_CODE_RLE:
+            return rle_decode(self.elt(TAG_COMPRESSED, comp_ref), raw_len)
         if code != COMP_CODE_DEFLATE:
             raise NotImplementedError(
                 "HDF4 compressed element uses codec "
                 f"{_COMP_CODE_NAMES.get(code, code)!r}; only deflate "
-                f"(code {COMP_CODE_DEFLATE}) is implemented"
+                f"(code {COMP_CODE_DEFLATE}) and RLE "
+                f"(code {COMP_CODE_RLE}) are implemented"
             )
         out = zlib.decompress(self.elt(TAG_COMPRESSED, comp_ref))
         if len(out) != raw_len:
@@ -546,12 +675,12 @@ class _H4Reader:
 
 def read_hdf4(path: str) -> dict[str, H4Dataset]:
     with open(path, "rb") as fh:
-        return _H4Reader(fh.read()).read()
+        return _H4Reader(fh.read(), path).read()
 
 
 def read_hdf4_file_attrs(path: str) -> dict:
     with open(path, "rb") as fh:
-        return _H4Reader(fh.read()).file_attrs()
+        return _H4Reader(fh.read(), path).file_attrs()
 
 
 # ==========================================================================
@@ -649,15 +778,24 @@ def _attr_elements(
 
 
 def _comp_header(raw_len: int, comp_ref: int, level: int) -> bytes:
-    return struct.pack(
+    """Compressed-special-element header. ``level`` 1-9 selects deflate
+    (coder info: the level, u16); ``level == -1`` selects RLE (no coder
+    info — the codestream is self-describing)."""
+    code = COMP_CODE_RLE if level == -1 else COMP_CODE_DEFLATE
+    hdr = struct.pack(
         ">HHiHHH",
         SPECIAL_COMP,
         COMP_HEADER_VERSION,
         raw_len,
         comp_ref,
         COMP_MODEL_STDIO,
-        COMP_CODE_DEFLATE,
-    ) + struct.pack(">H", level)
+        code,
+    )
+    return hdr if level == -1 else hdr + struct.pack(">H", level)
+
+
+def _compress_body(body: bytes, level: int) -> bytes:
+    return rle_encode(body) if level == -1 else zlib.compress(body, level)
 
 
 def write_hdf4(
@@ -665,9 +803,10 @@ def write_hdf4(
     datasets: dict[str, tuple[np.ndarray, dict]],
     file_attrs: dict | None = None,
     *,
-    compress: bool | int = False,
+    compress: bool | int | str = False,
     chunks: dict[str, tuple[int, ...]] | None = None,
     linked: dict[str, tuple[int, int]] | None = None,
+    external: dict[str, str] | None = None,
 ) -> None:
     """Write ``{name: (array, attrs)}`` as a classic HDF4 file using the
     SD-API metadata layout (Var0.0 vgroups + Attr0.0 vdatas under a
@@ -693,29 +832,62 @@ def write_hdf4(
       stored short), referenced from chained block tables of
       ``num_blk`` entries each. Uncompressed by design (HDF4 links OR
       compresses an element, not both); combining with ``compress``
-      or ``chunks`` on the same dataset raises.
+      or ``chunks`` on the same dataset raises;
+    * ``compress="rle"`` (round 7): the HDF4 byte-run codec instead of
+      deflate — applies wherever ``compress`` does (standalone
+      compressed elements and per-chunk);
+    * ``external[name] = filename`` (round 7): the SDS data is written
+      RAW into the companion file ``filename`` (created next to
+      ``path``; relative names only) and the main file carries an
+      external special element pointing at it — the multi-file layout
+      HDF4 produces via SDsetexternalfile. Externals are uncompressed
+      by design (the companion holds raw bytes); combining with
+      ``compress``, ``chunks`` or ``linked`` raises.
     """
-    level = 6 if compress is True else int(compress or 0)
-    if not 0 <= level <= 9:
-        raise ValueError(f"deflate level must be 1-9, got {compress!r}")
+    if isinstance(compress, str):
+        if compress.lower() != "rle":
+            raise ValueError(
+                f"compress= accepts False/True/1-9/'rle', got {compress!r}"
+            )
+        level = -1  # RLE sentinel (no deflate level)
+    else:
+        level = 6 if compress is True else int(compress or 0)
+        if not 0 <= level <= 9:
+            raise ValueError(f"deflate level must be 1-9, got {compress!r}")
     chunks = chunks or {}
     linked = linked or {}
-    unknown = set(chunks) - set(datasets)
-    if unknown:
-        raise KeyError(f"chunks given for unknown datasets: {sorted(unknown)}")
-    unknown = set(linked) - set(datasets)
-    if unknown:
-        raise KeyError(f"linked given for unknown datasets: {sorted(unknown)}")
-    both = set(linked) & set(chunks)
-    if both:
-        raise ValueError(
-            f"datasets cannot be both linked and chunked: {sorted(both)}"
-        )
+    external = external or {}
+    for label, sel in (("chunks", chunks), ("linked", linked),
+                       ("external", external)):
+        unknown = set(sel) - set(datasets)
+        if unknown:
+            raise KeyError(
+                f"{label} given for unknown datasets: {sorted(unknown)}"
+            )
+    layouts = {"chunked": chunks, "linked": linked, "external": external}
+    for a, b in (("linked", "chunked"), ("external", "chunked"),
+                 ("external", "linked")):
+        both = set(layouts[a]) & set(layouts[b])
+        if both:
+            raise ValueError(
+                f"datasets cannot be both {a} and {b}: {sorted(both)}"
+            )
     if level and linked:
         raise ValueError(
             "linked-block elements are uncompressed by design; drop "
             "compress= or linked= for " + ", ".join(sorted(linked))
         )
+    if level and external:
+        raise ValueError(
+            "external elements hold raw bytes by design; drop "
+            "compress= or external= for " + ", ".join(sorted(external))
+        )
+    for name, fname in external.items():
+        if os.path.isabs(fname) or os.path.dirname(fname):
+            raise ValueError(
+                f"external filename for {name!r} must be a bare name "
+                f"(written next to the .hdf file), got {fname!r}"
+            )
     elements: list[tuple[int, int, bytes]] = []
     ref = 1
     elements.append(
@@ -761,7 +933,7 @@ def write_hdf4(
                 if level:
                     ref += 1
                     elements.append(
-                        (TAG_COMPRESSED, ref, zlib.compress(body, level))
+                        (TAG_COMPRESSED, ref, _compress_body(body, level))
                     )
                     elements.append((
                         TAG_CHUNK | SPECIAL_BIT,
@@ -799,7 +971,10 @@ def write_hdf4(
                 hdr += struct.pack(">iii", 0, d, c)
             fill = b"\x00" * nt_size
             hdr += struct.pack(">i", len(fill)) + fill
-            if level:
+            if level == -1:
+                chdr = struct.pack(">HH", COMP_MODEL_STDIO, COMP_CODE_RLE)
+                hdr += struct.pack(">H", len(chdr)) + chdr
+            elif level:
                 chdr = struct.pack(
                     ">HHH", COMP_MODEL_STDIO, COMP_CODE_DEFLATE, level
                 )
@@ -845,10 +1020,18 @@ def write_hdf4(
                 tbl_refs[0],
             )
             elements.append((TAG_SD | SPECIAL_BIT, sds_ref, hdr))
+        elif name in external:
+            fname = external[name]
+            ext_path = os.path.join(os.path.dirname(os.path.abspath(path)), fname)
+            with open(ext_path, "wb") as fh:
+                fh.write(be.tobytes())
+            hdr = struct.pack(">HiI", SPECIAL_EXT, be.nbytes, 0)
+            hdr += fname.encode("ascii")
+            elements.append((TAG_SD | SPECIAL_BIT, sds_ref, hdr))
         elif level:
             ref += 1
             elements.append(
-                (TAG_COMPRESSED, ref, zlib.compress(be.tobytes(), level))
+                (TAG_COMPRESSED, ref, _compress_body(be.tobytes(), level))
             )
             elements.append((
                 TAG_SD | SPECIAL_BIT,

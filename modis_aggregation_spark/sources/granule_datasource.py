@@ -197,17 +197,22 @@ def write_granule_hdf4(
     ``compressed`` (deflate special elements), ``chunked`` (chunked +
     deflated special elements — the layout real archived NASA granules
     use, reference ``aggregate_functions.py:99-122`` reads it via
-    netCDF4), or ``linked`` (linked-block special elements — HDF4's
+    netCDF4), ``linked`` (linked-block special elements — HDF4's
     appendable-element layout, chained block tables over fixed-size
-    blocks). All four decode identically; the chunk shape deliberately
-    does NOT divide the swath so edge-chunk cropping is exercised, and
-    the linked block length deliberately does not divide the SDS byte
-    size so the short-trailing-block path is exercised."""
+    blocks), ``rle`` (round 7: byte-run-compressed special elements),
+    or ``external`` (round 7: each SDS's raw bytes in a companion
+    ``granule_<id>_<var>.dat`` file next to the .hdf — the
+    SDsetexternalfile multi-file layout). All six decode identically;
+    the chunk shape deliberately does NOT divide the swath so
+    edge-chunk cropping is exercised, and the linked block length
+    deliberately does not divide the SDS byte size so the
+    short-trailing-block path is exercised."""
     import os
 
     from modis_aggregation_spark.sinks.hdf4lite import write_hdf4
 
-    if layout not in ("contiguous", "compressed", "chunked", "linked"):
+    if layout not in ("contiguous", "compressed", "chunked", "linked",
+                      "rle", "external"):
         raise ValueError(f"unknown HDF4 layout {layout!r}")
     data = synth_granule(granule_id, variables, rows, cols)
     dsets: dict = {
@@ -250,6 +255,13 @@ def write_granule_hdf4(
         # a block length that does not divide any SDS byte size → the
         # short-trailing-block path runs for every dataset
         kw["linked"] = {name: (1000, 3) for name in dsets}
+    elif layout == "rle":
+        kw["compress"] = "rle"
+    elif layout == "external":
+        # one companion raw file per SDS, resolved relative to the .hdf
+        kw["external"] = {
+            name: f"granule_{granule_id}_{name}.dat" for name in dsets
+        }
     write_hdf4(path, dsets, file_attrs={"granule_id": int(granule_id)}, **kw)
     return path
 

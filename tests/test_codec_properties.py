@@ -50,16 +50,21 @@ def _hdf4_datasets(draw):
         if draw(st.booleans()):
             attrs["_FillValue"] = int(draw(st.integers(-32768, 32767)))
         out[f"var{i}"] = (arr, attrs)
-    # storage layout: contiguous, deflate special element, or chunked
-    # (+deflate) with an arbitrary (often non-divisor) chunk shape —
-    # all three must be read-indistinguishable (round-5 layouts)
+    # storage layout: contiguous, deflate or RLE special element, or
+    # chunked (+deflate/RLE) with an arbitrary (often non-divisor)
+    # chunk shape — all must be read-indistinguishable (round-5
+    # layouts + round-7 RLE)
     kwargs = {}
     layout = draw(st.sampled_from(["contiguous", "compressed", "chunked"]))
     if layout == "compressed":
-        kwargs["compress"] = draw(st.integers(1, 9))
+        kwargs["compress"] = draw(
+            st.one_of(st.integers(1, 9), st.just("rle"))
+        )
     elif layout == "chunked":
         if draw(st.booleans()):
-            kwargs["compress"] = draw(st.integers(1, 9))
+            kwargs["compress"] = draw(
+                st.one_of(st.integers(1, 9), st.just("rle"))
+            )
         kwargs["chunks"] = {
             name: tuple(
                 draw(st.integers(1, d + 2)) for d in arr.shape

@@ -234,6 +234,40 @@ def test_source_mix_epochs_repetition(spark):
     )
 
 
+def test_seeded_shuffle_domain_guard(spark):
+    """Negative / overflow-range ids must raise (the key math assumes a
+    non-negative id and int64-safe multiply), not silently produce
+    sign-garbled buckets."""
+    from modis_aggregation_spark.operators.curation import seeded_shuffle
+
+    bad = spark.createDataFrame([(-3, "d")], "doc_id LONG, text STRING")
+    with pytest.raises(Exception, match="out of domain"):
+        seeded_shuffle(bad, seed=1).collect()
+    huge = spark.createDataFrame(
+        [(2**62, "d")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(Exception, match="out of domain"):
+        seeded_shuffle(huge, seed=1).collect()
+
+
+def test_length_batches_distinct_cap(spark):
+    """An un-quantized high-cardinality length column fails loudly
+    instead of building an unbounded create_map literal."""
+    from modis_aggregation_spark.operators.curation import (
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 7 % 97) for i in range(60)], "doc_id LONG, n_tokens LONG"
+    )
+    with pytest.raises(ValueError, match="pre-quantize"):
+        length_bucketed_batches(
+            df, "n_tokens", max_distinct_lengths=10
+        )
+    ok = length_bucketed_batches(df, "n_tokens", max_distinct_lengths=1000)
+    assert ok.count() == 60
+
+
 def test_seeded_shuffle_permutation_and_invariance(spark):
     from modis_aggregation_spark.operators.curation import seeded_shuffle
 

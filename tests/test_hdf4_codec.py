@@ -113,24 +113,22 @@ def _minimal_sds_elements(h4, special_sd_body):
 
 
 def test_unsupported_special_kinds_raise(tmp_path):
-    """Special-element kinds with no local ground truth (external,
-    unknown) must raise loudly when referenced — a guessed decode would
-    be worse than a gate (CLAUDE.md rule 5). (Linked-block left this
-    list in round 6 — see the linked round-trip tests.)"""
+    """Unknown special-element kinds must raise loudly when referenced —
+    a guessed decode would be worse than a gate (CLAUDE.md rule 5).
+    (Linked-block left this list in round 6, external in round 7 — see
+    their round-trip tests.)"""
     import modis_aggregation_spark.sinks.hdf4lite as h4
 
-    for body, match in [
-        (struct.pack(">H", h4.SPECIAL_EXT) + b"\x00" * 12, "external"),
-        (struct.pack(">H", 99) + b"\x00" * 12, "kind 99"),
-    ]:
-        p = str(tmp_path / f"sp_{match[:4]}.hdf")
-        _write_raw(p, _minimal_sds_elements(h4, body))
-        with pytest.raises(NotImplementedError, match=match):
-            read_hdf4(p)
+    body = struct.pack(">H", 99) + b"\x00" * 12
+    p = str(tmp_path / "sp_kind99.hdf")
+    _write_raw(p, _minimal_sds_elements(h4, body))
+    with pytest.raises(NotImplementedError, match="kind 99"):
+        read_hdf4(p)
 
 
 def test_non_deflate_compression_raises(tmp_path):
-    """SPECIAL_COMP with a non-deflate codec (SZIP etc.) is gated."""
+    """SPECIAL_COMP with a still-gated codec (SZIP etc.) raises; RLE
+    left this gate in round 7."""
     import modis_aggregation_spark.sinks.hdf4lite as h4
 
     body = struct.pack(">HHiHHH", h4.SPECIAL_COMP, 0, 8, 3, 0, 5)
@@ -140,6 +138,101 @@ def test_non_deflate_compression_raises(tmp_path):
     _write_raw(p, elements)
     with pytest.raises(NotImplementedError, match="SZIP"):
         read_hdf4(p)
+
+
+def test_rle_codestream_roundtrip():
+    """The byte-run codec round-trips adversarial inputs: empty, all
+    boundary run lengths (3 = min run, 130 = max run, 131 = max + 1
+    spills into a second block), max literal block (128), runs abutting
+    literals, and incompressible bytes."""
+    from modis_aggregation_spark.sinks.hdf4lite import rle_decode, rle_encode
+
+    cases = [
+        b"",
+        b"x",
+        b"ab",
+        b"a" * 3,
+        b"a" * 130,
+        b"a" * 131,
+        b"a" * 1000,
+        bytes(range(128)),
+        bytes(range(256)) * 2,
+        b"lit" + b"r" * 7 + b"tail",
+        b"ab" * 64 + b"\x00" * 5 + b"ab" * 64,
+    ]
+    for data in cases:
+        enc = rle_encode(data)
+        assert rle_decode(enc, len(data)) == data
+    # run blocks actually compress: 1000 identical bytes → 8 blocks of 2
+    assert len(rle_encode(b"a" * 1000)) == 2 * 8
+
+
+def test_rle_truncated_codestream_raises():
+    from modis_aggregation_spark.sinks.hdf4lite import rle_decode
+
+    with pytest.raises(ValueError, match="truncated run"):
+        rle_decode(b"\x85")  # run block with no value byte
+    with pytest.raises(ValueError, match="truncated literal"):
+        rle_decode(b"\x05abc")  # literal block promising 6 bytes
+    with pytest.raises(ValueError, match="decoded"):
+        rle_decode(b"\x00a", raw_len=5)  # raw_len mismatch
+
+
+def test_rle_roundtrip_all_dtypes(tmp_path):
+    """compress='rle' files round-trip every supported dtype with
+    attributes intact (the deflate round-trip test's twin)."""
+    arrays = {
+        "i16": (np.arange(60, dtype=np.int16).reshape(6, 10) % 5, {"u": "x"}),
+        "f32": (np.ones((4, 4), dtype=np.float32) * 2.5, {}),
+        "f64": (np.linspace(0, 1, 12).reshape(3, 4), {}),
+        "u8": (np.zeros((8, 8), dtype=np.uint8), {}),
+    }
+    p = str(tmp_path / "rle.hdf")
+    write_hdf4(p, arrays, compress="rle")
+    got = read_hdf4(p)
+    for name, (arr, attrs) in arrays.items():
+        assert np.array_equal(got[name].data, arr), name
+        for k, v in attrs.items():
+            assert got[name].attrs[k] == v
+
+
+def test_external_roundtrip_and_errors(tmp_path):
+    """External special elements: data round-trips through the companion
+    file; a deleted companion raises FileNotFoundError naming both
+    paths; an in-memory parse (no directory context) raises."""
+    import modis_aggregation_spark.sinks.hdf4lite as h4
+
+    arr = np.arange(35, dtype=np.int16).reshape(5, 7)
+    p = str(tmp_path / "ext.hdf")
+    write_hdf4(p, {"ctp": (arr, {"units": "hPa"})},
+               external={"ctp": "ctp_raw.dat"})
+    got = read_hdf4(p)
+    assert np.array_equal(got["ctp"].data, arr)
+    assert got["ctp"].attrs["units"] == "hPa"
+    assert (tmp_path / "ctp_raw.dat").exists()
+
+    # no directory context (in-memory blob) → loud error, not a guess
+    with open(p, "rb") as fh:
+        buf = fh.read()
+    with pytest.raises(ValueError, match="no directory context"):
+        h4._H4Reader(buf).read()
+
+    (tmp_path / "ctp_raw.dat").unlink()
+    with pytest.raises(FileNotFoundError, match="ctp_raw.dat"):
+        read_hdf4(p)
+
+
+def test_external_writer_rejects_paths(tmp_path):
+    """Companion filenames must be bare names (written next to the .hdf);
+    absolute or directory-qualified names are rejected."""
+    arr = np.zeros((2, 2), dtype=np.int16)
+    for bad in ("/abs/path.dat", "sub/dir.dat"):
+        with pytest.raises(ValueError, match="bare name"):
+            write_hdf4(str(tmp_path / "x.hdf"), {"a": (arr, {})},
+                       external={"a": bad})
+    with pytest.raises(ValueError, match="raw bytes by design"):
+        write_hdf4(str(tmp_path / "x.hdf"), {"a": (arr, {})},
+                   external={"a": "a.dat"}, compress=6)
 
 
 def test_compressed_roundtrip_all_dtypes(tmp_path):
@@ -309,7 +402,7 @@ def test_chunked_granule_scan_equals_contiguous(spark, tmp_path):
     spark.dataSource.register(GranuleDataSource)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     results = {}
-    for layout in ("contiguous", "compressed", "chunked"):
+    for layout in ("contiguous", "compressed", "chunked", "rle", "external"):
         d = tmp_path / layout
         d.mkdir()
         for gid in (5, 6):
@@ -325,8 +418,8 @@ def test_chunked_granule_scan_equals_contiguous(spark, tmp_path):
         )
         results[layout] = df.orderBy("granule_id", "i", "j").collect()
     assert len(results["contiguous"]) == 2 * 11 * 7
-    assert results["chunked"] == results["contiguous"]
-    assert results["compressed"] == results["contiguous"]
+    for layout in ("compressed", "chunked", "rle", "external"):
+        assert results[layout] == results["contiguous"], layout
 
 
 def test_hdf4_decoder_pushdown_prunes_files(spark, tmp_path):

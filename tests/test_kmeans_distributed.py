@@ -1,7 +1,11 @@
 """Distributed Lloyd k-means (operators/similarity.kmeans_train):
-partition-layout invariance (the property the per-iteration centroid
-quantization buys), agreement with a plain sequential reference, and
-model-shape/empty-cluster semantics."""
+partition-layout invariance (the property the exact integer staging
+buys — round 7, after the round-6 driver hash-fail proved rounding a
+float sum is NOT layout-invariant), agreement with a plain sequential
+reference under the same integer contract, and model-shape /
+empty-cluster semantics."""
+
+import math
 
 import numpy as np
 import pytest
@@ -24,23 +28,34 @@ def _blobs(n_per=40, k=3, d=6, seed=4):
 
 
 def _seq_kmeans(rows, k, iters=5, q=3):
-    """Sequential reference with the same spec (init = k smallest ids,
-    per-update 3-decimal quantization, empty keeps centroid)."""
+    """Sequential reference under the SAME exact-integer contract as the
+    operator (init = k smallest ids quantized to the 10^-q grid,
+    per-element micros = floor(x*1e6 + 0.5), exact int sums, new
+    centroid = (2s + n*sub)//(2*n*sub) grid units, empty keeps
+    centroid)."""
+    scale, sub = 10 ** q, 10 ** (6 - q)
     vecs = [np.asarray(v, dtype=np.float64) for _, v in sorted(rows)]
-    cents = [np.round(v, q) for v in vecs[:k]]
+    micros = [
+        [math.floor(float(x) * 1_000_000.0 + 0.5) for x in v] for v in vecs
+    ]
+    cents_q = [
+        [math.floor(float(x) * scale + 0.5) for x in v] for v in vecs[:k]
+    ]
     for _ in range(iters):
-        sums = [np.zeros_like(cents[0]) for _ in range(k)]
+        cents = [np.array(c, dtype=np.float64) / scale for c in cents_q]
+        sums = [[0] * len(cents_q[0]) for _ in range(k)]
         counts = [0] * k
-        for x in vecs:
+        for x, xm in zip(vecs, micros):
             ci = int(
                 np.argmin([((x - c) ** 2).sum() for c in cents])
             )
-            sums[ci] += x
+            sums[ci] = [s + m for s, m in zip(sums[ci], xm)]
             counts[ci] += 1
-        cents = [
-            np.round(sums[ci] / counts[ci], q) if counts[ci] else cents[ci]
-            for ci in range(k)
-        ]
+        for ci in range(k):
+            if counts[ci]:
+                den = counts[ci] * sub
+                cents_q[ci] = [(2 * s + den) // (2 * den) for s in sums[ci]]
+    cents = [np.array(c, dtype=np.float64) / scale for c in cents_q]
     sizes = [0] * k
     for x in vecs:
         sizes[int(np.argmin([((x - c) ** 2).sum() for c in cents]))] += 1
@@ -64,10 +79,41 @@ def test_matches_sequential_reference(spark):
     assert sorted(sizes) == [40, 40, 40]
 
 
+def test_boundary_sums_layout_invariant(spark):
+    """Adversarial case reproducing the round-6 driver hash-fail class:
+    a cluster whose per-coordinate mean lands EXACTLY on a 0.0005
+    rounding boundary (64 members, 32 at 0.001 + 32 at 0.002 → mean
+    0.0015). Rounding a distributed float sum flips x.xxx5 cases with
+    the partial-sum order; the exact integer staging must give the
+    identical half-up answer (0.002) under 1, 7, and 32 partitions,
+    matching the sequential integer-contract reference."""
+    rows = [(0, [0.001] * 4), (1, [10.0] * 4)]
+    for i in range(2, 65):  # 63 more cluster-A members: 31×0.001, 32×0.002
+        v = 0.001 if i <= 32 else 0.002
+        rows.append((i, [v] * 4))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents, sizes = _seq_kmeans(rows, k=2, iters=3)
+    assert cents[0][0] == 0.002  # the boundary rounded half-up, not truncated
+    outs = []
+    for parts in (1, 7, 32):
+        out = S.kmeans_train(df.repartition(parts), k=2, iters=3)
+        outs.append(
+            sorted(
+                (r["list_id"], r["pos"], r["val"], r["size"])
+                for r in out.collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    got = {(li, pos): val for li, pos, val, _ in outs[0]}
+    for ci in range(2):
+        for pos in range(4):
+            assert got[(ci, pos)] == cents[ci][pos], (ci, pos)
+
+
 def test_partition_layout_invariance(spark):
     """The same corpus through 1, 3, and 16 partitions must learn the
-    bit-identical model — distributed sum jitter is absorbed by the
-    per-iteration quantization."""
+    bit-identical model — distributed sums are staged as exact int64
+    micros, so no layout can perturb them."""
     rows = _blobs(n_per=50, k=4, d=5, seed=9)
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     outs = []

@@ -15,6 +15,13 @@ a failure. Array/list cells fail loudly, mirroring the driver
 canonicalizer's ``unhashable type: 'list'`` crash (round-1 r20 err).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+With an explicit ``sf_dir`` the gate runs at that one scale. With NO
+arguments it sweeps BOTH sf0.001 and sf0.01 (round 7: the x75 k-means
+red was invisible at any single local scale — it flipped with the
+partition layout, which differs per scale/corpus; a two-scale sweep is
+the cheap local approximation of "a different layout than the one you
+tuned on").
 """
 
 from __future__ import annotations
@@ -83,23 +90,15 @@ def normalize_pdf(pdf):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), cols
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def _run_scale(spark, sf_dir, only, qs, osql):
     import duckdb
 
-    import __spark_entry__ as entrymod
-    from modis_aggregation_spark import get_spark
-
-    spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, osql = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -151,6 +150,29 @@ def main():
             print(f"      duck : {dn[i]}")
             continue
         print(f"ok    {name}: rows={len(sn)}")
+    con.close()
+    return failures
+
+
+def main():
+    if len(sys.argv) > 1:
+        sf_dirs = [sys.argv[1]]
+    else:
+        sf_dirs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from modis_aggregation_spark import get_spark
+
+    spark = get_spark("correctness-check")
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for sf_dir in sf_dirs:
+        print(f"== {sf_dir} ==")
+        failures += [
+            f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}:{n}"
+            for n in _run_scale(spark, sf_dir, only, qs, osql)
+        ]
 
     spark.stop()
     if failures:

@@ -33,6 +33,7 @@ Rerun after any testdata refresh: python tools/make_goldens.py
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import re
 import sys
@@ -1126,28 +1127,45 @@ def x76_bloom_golden() -> pa.Table:
 def x75_kmeans_golden() -> pa.Table:
     """Independently re-derive the x75 DISTRIBUTED k-means model per sf
     dir: same spec as operators/similarity.kmeans_train (init = k
-    smallest vec_ids, 5 Lloyd iterations, centroids quantized to 3
-    decimals after init and after every update, empty cluster keeps its
-    centroid, sizes from a final assignment pass) but a separate
-    loop-based implementation — per-point direct ``||x-c||**2`` argmin
-    instead of the operator's broadcast ``||c||^2 - 2 x.c`` matmul, and
-    plain Python accumulation instead of a Spark aggregation. The
-    quantization step is what makes the two executions comparable at
-    all: distributed float sums are order-dependent, rounding each
-    iteration's output absorbs that jitter on both sides. Keyed by
-    corpus_key (recomputed inside the oracle SQL)."""
+    smallest vec_ids, 5 Lloyd iterations, EXACT-INTEGER centroid
+    quantization to 3 decimals after init and after every update,
+    empty cluster keeps its centroid, sizes from a final assignment
+    pass) but a separate loop-based implementation: per-point loops
+    and plain Python integer accumulation instead of a Spark
+    aggregation. Both implementations share the direct ``||x-c||**2``
+    assignment form BY CONTRACT (the expanded ``||c||^2 - 2 x.c`` form
+    rounds differently on near-ties and must not be introduced on
+    either side). Determinism contract (round 7, after the round-6
+    driver hash-fail proved rounding a float sum is not
+    layout-invariant): each coordinate is quantized element-wise to
+    integer micros ``floor(x*1e6 + 0.5)``, sums are exact integers,
+    and the new centroid is ``(2*s + n*sub) // (2*n*sub)`` grid units
+    (sub = 1000 for q=3), i.e. round-half-up in pure integer
+    arithmetic — bit-identical regardless of partition layout or
+    summation order on both sides. Keyed by corpus_key (recomputed
+    inside the oracle SQL)."""
     con = duckdb.connect()
     cols = {"corpus_key": [], "list_id": [], "size": [], "pos": [], "val": []}
     k, iters, q = 8, 5, 3
+    scale = 10 ** q
+    sub = 10 ** (6 - q)
     for sf in SF_DIRS:
         path = os.path.join(sf, "embeddings.parquet")
         key = int(con.execute(CORPUS_KEY_SQL, [path]).fetchone()[0])
         emb = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
         emb = emb.sort_values("vec_id")
         vecs = [np.asarray(e, dtype=np.float64) for e in emb["embedding"]]
-        cents = [np.round(v, q) for v in vecs[:k]]
+        micros = [
+            [math.floor(float(v) * 1_000_000.0 + 0.5) for v in x] for x in vecs
+        ]
+        cents_q = [
+            [math.floor(float(v) * scale + 0.5) for v in x] for x in vecs[:k]
+        ]
 
-        def nearest(x):
+        def cents_f():
+            return [np.array(c, dtype=np.float64) / scale for c in cents_q]
+
+        def nearest(x, cents):
             best, bd = 0, None
             for ci, c in enumerate(cents):
                 dd = float(((x - c) ** 2).sum())
@@ -1156,19 +1174,23 @@ def x75_kmeans_golden() -> pa.Table:
             return best
 
         for _ in range(iters):
-            sums = [np.zeros_like(cents[0]) for _ in range(k)]
+            cents = cents_f()
+            sums = [[0] * len(cents_q[0]) for _ in range(k)]
             counts = [0] * k
-            for x in vecs:
-                ci = nearest(x)
-                sums[ci] = sums[ci] + x
+            for x, xm in zip(vecs, micros):
+                ci = nearest(x, cents)
+                sums[ci] = [s + m for s, m in zip(sums[ci], xm)]
                 counts[ci] += 1
-            cents = [
-                np.round(sums[ci] / counts[ci], q) if counts[ci] else cents[ci]
-                for ci in range(k)
-            ]
+            for ci in range(k):
+                if counts[ci]:
+                    den = counts[ci] * sub
+                    cents_q[ci] = [
+                        (2 * s + den) // (2 * den) for s in sums[ci]
+                    ]
+        cents = cents_f()
         sizes = [0] * k
         for x in vecs:
-            sizes[nearest(x)] += 1
+            sizes[nearest(x, cents)] += 1
         for ci in range(k):
             for pos, val in enumerate(cents[ci]):
                 cols["corpus_key"].append(key)
