@@ -2755,6 +2755,53 @@ JOIN read_parquet('/root/repo/goldens/x65_jpeg_decode.parquet') g
 """
 
 
+def _q_x88_decode_progressive(spark, sf_dir):
+    """REAL PROGRESSIVE JPEG decode (SOF2, T.81 Annex G — round 7): the
+    same exact-subspace fixture as x65 (each document's first utf-8
+    bytes as a 2×2 grid of constant even-valued 8×8 blocks) but encoded
+    through ``encode_jpeg_progressive`` — a genuine multi-scan stream:
+    interleaved DC-first with successive approximation (Al=1), a
+    per-component EOB-run-coded AC-first scan (Ss=1..63), and a DC
+    refinement scan (Ah=1) restoring the low DC bit.
+    ``decode_images(decoder="jpeg")`` then runs the progressive decode
+    passes (spectral accumulation into raster block grids) for real.
+    Because the AC scans carry Al=0 and DC refinement is exact, the
+    progressive path reproduces the baseline-quantized coefficients
+    bit-for-bit, so the oracle is the SAME codec-free golden as x65
+    (goldens/x65_jpeg_decode.parquet) — any divergence between the
+    progressive and sequential decode paths fails the join values.
+    Cross-validated both directions vs javax.imageio (its progressive
+    writer, our progressive writer) in tests/test_jpeglite.py."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_jpeg(it):
+        from modis_aggregation_spark.sinks.jpeglite import (
+            encode_jpeg_progressive,
+        )
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                vals = np.resize(np.frombuffer(data, np.uint8), (2, 2)) & 0xFE
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                payloads.append(encode_jpeg_progressive(img, quality=50))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
+    out = ops_mm.decode_images(imgs, decoder="jpeg", out_hw=(8, 8))
+    return out.select(
+        "id", "height", "width", "channels",
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X88 = _SQL_X65  # same exact-subspace expectation, progressive path
+
+
 def _q_x73_avi_frames(spark, sf_dir):
     """REAL video decode end-to-end (no fake): each document's utf-8
     bytes tile into three 16×16 frames of constant even-valued 8×8
@@ -8094,6 +8141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-recorded (round-7 additions rotate in first) -----------
         "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,
+        "x88_decode_progressive": _q_x88_decode_progressive,
         # -- last driver-recorded in round 2 -------------------------------------
         "r4_semi_anti": _q_r4_semi_anti,
         "r6_rownum_topk": _q_r6_rownum_topk,
@@ -8435,6 +8483,7 @@ def oracle_sql() -> dict[str, str]:
         "s15_stream_dedup_ttl": _SQL_S15,
         "s16_hdf4_linked_scan": _SQL_S16,
         "s17_hdf4_rle_external_scan": _SQL_S17,
+        "x88_decode_progressive": _SQL_X88,
         "x83_ivfpq_rerank": _SQL_X83,
         "x84_seeded_shuffle": _SQL_X84,
         "x85_length_batches": _SQL_X85,

@@ -1,23 +1,27 @@
-"""Pure-Python baseline JPEG codec (stdlib struct + numpy).
+"""Pure-Python JPEG codec (stdlib struct + numpy).
 
 The dominant image format of any real multimodal training corpus; the
 bundled PNG/GIF codecs cover lossless only.  This module implements the
-baseline sequential DCT process of the public ITU-T T.81 (1992)
-specification:
+DCT processes of the public ITU-T T.81 (1992) specification:
 
 * ``decode_jpeg`` — baseline/extended sequential Huffman streams (SOF0/
-  SOF1), 8-bit samples, grayscale or 3-component YCbCr with arbitrary
-  sampling factors 1-4 (4:4:4, 4:2:2, 4:2:0, ...), restart markers,
-  JFIF and Adobe APP14 color handling.  The entropy scan is decoded in
-  one sequential Python pass (Huffman is inherently serial); everything
-  after — dequantize, IDCT, upsample, color convert — is batched numpy
-  over all blocks at once.
+  SOF1) AND progressive streams (SOF2, round 7 — Annex G spectral
+  selection + successive approximation: interleaved/non-interleaved DC
+  first and refinement passes, per-component AC first and refinement
+  passes with EOB-run coding, per-scan restart intervals and table
+  redefinition between scans), 8-bit samples, grayscale or 3-component
+  YCbCr with arbitrary sampling factors 1-4 (4:4:4, 4:2:2, 4:2:0, ...),
+  restart markers, JFIF and Adobe APP14 color handling.  The entropy
+  scans are decoded in sequential Python passes (Huffman/bit streams
+  are inherently serial) into per-component raster block grids;
+  everything after — dequantize, IDCT, upsample, color convert — is
+  batched numpy over all blocks at once.
 * ``encode_jpeg`` — baseline sequential, grayscale or RGB as 4:4:4
   YCbCr, Annex K quantization tables scaled by the libjpeg quality
   formula, Annex K "typical" Huffman tables, optional restart interval.
 
-Progressive (SOF2), lossless/hierarchical (SOF3, SOF5-7, SOF11),
-arithmetic-coded (SOF9/SOF10/DAC) and 12-bit-precision streams raise
+Lossless/hierarchical (SOF3, SOF5-7, SOF11), arithmetic-coded
+(SOF9/SOF10/DAC) and 12-bit-precision streams raise
 ``NotImplementedError`` — honest gates per repo rule 5, not silent
 fallbacks.  CMYK/YCCK (4-component) streams likewise.
 
@@ -291,18 +295,223 @@ def _parse_segments(buf: bytes):
             yield marker, payload, None
 
 
+def _scan_segments(scan_data: bytes, restart_interval: int) -> list[bytes]:
+    """Split entropy data on restart markers and unstuff each segment.
+    Restart markers reset the DC predictors (and, in progressive scans,
+    the EOB run) and byte-align the reader; FF D0-D7 can never be
+    stuffing, which is always FF 00."""
+    if restart_interval:
+        import re as _re
+
+        return [_unstuff(p) for p in _re.split(b"\xff[\xd0-\xd7]", scan_data)]
+    return [_unstuff(scan_data)]
+
+
+def _decode_seq_scan(segments, units, comps, sel, htables, ri):
+    """Baseline/extended sequential scan: full-band Huffman decode of
+    every unit (T.81 F.2)."""
+    tabs = {}
+    for ci, c in enumerate(comps):
+        if c["id"] in sel:
+            td, ta = sel[c["id"]]
+            if (0, td) not in htables or (1, ta) not in htables:
+                raise ValueError("missing Huffman table referenced by SOS")
+            tabs[ci] = (htables[(0, td)], htables[(1, ta)])
+    u, n_units = 0, len(units)
+    for seg in segments:
+        rd = _BitReader(seg)
+        pred = {ci: 0 for ci in tabs}
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for ci, row in units[u]:
+                dc_t, ac_t = tabs[ci]
+                s_ = rd.huff(dc_t)
+                if s_ > 15:
+                    raise ValueError("invalid DC magnitude category")
+                pred[ci] += _extend(rd.bits(s_), s_)
+                row[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(ac_t)
+                    r, s_ = rs >> 4, rs & 15
+                    if s_ == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    row[k] = _extend(rd.bits(s_), s_)
+                    k += 1
+            u += 1
+    if u != n_units:
+        raise ValueError(f"scan ended after {u}/{n_units} MCUs")
+
+
+def _decode_dc_first(segments, units, sel, comps, htables, al, ri):
+    """Progressive first DC scan (T.81 G.1.2.1): DC diffs as in the
+    sequential process, coefficient stored point-shifted left by Al."""
+    tabs = {}
+    for ci, c in enumerate(comps):
+        if c["id"] in sel:
+            td = sel[c["id"]][0]
+            if (0, td) not in htables:
+                raise ValueError("missing DC Huffman table referenced by SOS")
+            tabs[ci] = htables[(0, td)]
+    u, n_units = 0, len(units)
+    for seg in segments:
+        rd = _BitReader(seg)
+        pred = {ci: 0 for ci in tabs}
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for ci, row in units[u]:
+                s_ = rd.huff(tabs[ci])
+                if s_ > 15:
+                    raise ValueError("invalid DC magnitude category")
+                pred[ci] += _extend(rd.bits(s_), s_)
+                row[0] = pred[ci] << al
+            u += 1
+    if u != n_units:
+        raise ValueError(f"DC scan ended after {u}/{n_units} units")
+
+
+def _decode_dc_refine(segments, units, al, ri):
+    """Progressive DC refinement (T.81 G.1.2.1): one appended magnitude
+    bit per block; no Huffman tables involved."""
+    u, n_units = 0, len(units)
+    p1 = 1 << al
+    for seg in segments:
+        rd = _BitReader(seg)
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for _ci, row in units[u]:
+                if rd.bits(1):
+                    row[0] = int(row[0]) | p1
+            u += 1
+    if u != n_units:
+        raise ValueError(f"DC refinement ended after {u}/{n_units} units")
+
+
+def _decode_ac_first(segments, units, ss, se, al, ac_t, ri):
+    """Progressive first AC scan (T.81 G.1.2.2): band [Ss..Se] of one
+    component, EOB-run coded, values point-shifted left by Al."""
+    u, n_units = 0, len(units)
+    for seg in segments:
+        rd = _BitReader(seg)
+        eobrun = 0
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            (_ci, row) = units[u][0]
+            if eobrun:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    rs = rd.huff(ac_t)
+                    r, s_ = rs >> 4, rs & 15
+                    if s_ == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    row[k] = _extend(rd.bits(s_), s_) << al
+                    k += 1
+            u += 1
+    if u != n_units:
+        raise ValueError(f"AC scan ended after {u}/{n_units} units")
+
+
+def _decode_ac_refine(segments, units, ss, se, al, ac_t, ri):
+    """Progressive AC refinement (T.81 G.1.2.3): each already-nonzero
+    coefficient in the band receives an appended magnitude bit as it is
+    passed over; zero-history coefficients newly become ±2^Al as
+    directed by the run/EOB structure."""
+    u, n_units = 0, len(units)
+    p1 = 1 << al
+
+    def _correct(row, k):
+        # append one magnitude bit to an already-nonzero coefficient
+        if rd.bits(1):
+            v = int(row[k])
+            if abs(v) & p1 == 0:
+                row[k] = v + p1 if v > 0 else v - p1
+
+    for seg in segments:
+        rd = _BitReader(seg)
+        eobrun = 0
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            (_ci, row) = units[u][0]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.huff(ac_t)
+                    r, s_ = rs >> 4, rs & 15
+                    newval = 0
+                    if s_ == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.bits(r)
+                            break
+                        # r == 15: ZRL — pass 16 zero-history positions
+                    else:
+                        if s_ != 1:
+                            raise ValueError(
+                                "AC refinement code with size > 1"
+                            )
+                        newval = p1 if rd.bits(1) else -p1
+                    # advance past r zero-history coefficients, appending
+                    # bits to nonzero-history ones passed on the way
+                    while k <= se:
+                        if row[k] != 0:
+                            _correct(row, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        row[k] = newval
+                    k += 1
+            if eobrun:
+                # EOB region: remaining nonzero coefficients in the band
+                # still receive their appended bit
+                while k <= se:
+                    if row[k] != 0:
+                        _correct(row, k)
+                    k += 1
+                eobrun -= 1
+            u += 1
+    if u != n_units:
+        raise ValueError(f"AC refinement ended after {u}/{n_units} units")
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG → uint8 array, (H, W) for
-    grayscale or (H, W, 3) RGB."""
+    """Decode a baseline-sequential or progressive JPEG → uint8 array,
+    (H, W) for grayscale or (H, W, 3) RGB.
+
+    Coefficients live in per-component PADDED raster block grids
+    (mcuy·v × mcux·h blocks), so interleaved and non-interleaved scans
+    address the same storage; the entropy passes are sequential Python
+    (Huffman/bit streams are inherently serial) and everything after —
+    dequantize, IDCT, upsample, color convert — is batched numpy over
+    all blocks at once. Progressive streams (SOF2, T.81 Annex G:
+    spectral selection + successive approximation, DC/AC first and
+    refinement passes, EOB runs, per-scan restart intervals) decode
+    into the same grids, one scan at a time."""
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     frame = None
+    progressive = False
     restart_interval = 0
     adobe_transform: int | None = None
-    scan = None
+    scans = []  # (sel, ss, se, ah, al, data, ri, table-snapshot)
 
     for marker, payload, scan_data in _parse_segments(bytes(buf)):
-        if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise _gate(f"{prec}-bit sample precision")
@@ -310,13 +519,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise _gate("DNL-deferred image height (SOF height 0)")
             if ncomp not in (1, 3):
                 raise _gate(f"{ncomp}-component (CMYK/YCCK) color")
+            progressive = marker == 0xC2
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", payload, 1 + 5 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise _gate("progressive DCT (SOF2)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
             raise _gate(f"SOF{marker - 0xC0} (lossless/hierarchical) coding")
         elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
@@ -358,14 +566,22 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cs, tdta = struct.unpack_from(">BB", payload, 1 + 2 * i)
                 sel[cs] = (tdta >> 4, tdta & 15)
             ss, se, ahl = struct.unpack_from(">BBB", payload, 1 + 2 * ns)
-            if (ss, se) != (0, 63) or ahl != 0:
-                raise _gate("non-baseline spectral selection / approximation")
-            scan = (sel, scan_data)
-            break  # baseline: single scan
+            ah, al = ahl >> 4, ahl & 15
+            if not progressive and ((ss, se) != (0, 63) or ahl != 0):
+                raise ValueError(
+                    "sequential frame with non-full spectral selection"
+                )
+            # tables are mutable between scans (DHT/DRI may interleave):
+            # snapshot the CURRENT table dict + restart interval
+            scans.append(
+                (sel, ss, se, ah, al, scan_data, restart_interval,
+                 dict(htables))
+            )
+            if not progressive:
+                break  # sequential: single scan
 
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG stream has no SOF/SOS")
-    sel, scan_data = scan
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
@@ -375,69 +591,77 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    # per-component zig-zag coefficient store, one row per block in MCU
-    # scan order; filled by the sequential pass, transformed in batch after
-    n_mcus = mcux * mcuy
+    # per-component zig-zag coefficient store: PADDED raster block grid,
+    # one row per block at flat index by*(mcux*h) + bx
     coef = [
-        np.zeros((n_mcus * c["h"] * c["v"], 64), np.int64) for c in comps
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), np.int64)
+        for c in comps
     ]
     for c in comps:
         if c["tq"] not in qtables:
             raise ValueError(f"missing quantization table {c['tq']}")
-        td, ta = sel[c["id"]]
-        if (0, td) not in htables or (1, ta) not in htables:
-            raise ValueError("missing Huffman table referenced by SOS")
 
-    # ---- sequential entropy decode (restart-interval aware) ----
-    # restart markers reset the DC predictors and byte-align the reader;
-    # split the scan on them so each segment starts clean (FF D0-D7 can
-    # never be stuffing, which is always FF 00)
-    if restart_interval:
-        import re as _re
+    def _units(sel_comps: list[int]) -> list[list[tuple[int, np.ndarray]]]:
+        """Decoding units in scan order: MCUs of interleaved blocks when
+        the scan holds >1 component, single blocks over the component's
+        REAL (unpadded) grid otherwise (T.81 A.2)."""
+        if len(sel_comps) > 1:
+            out = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for ci in sel_comps:
+                        cc = comps[ci]
+                        gw = mcux * cc["h"]
+                        for bv in range(cc["v"]):
+                            for bh in range(cc["h"]):
+                                idx = (my * cc["v"] + bv) * gw + (
+                                    mx * cc["h"] + bh
+                                )
+                                unit.append((ci, coef[ci][idx]))
+                    out.append(unit)
+            return out
+        ci = sel_comps[0]
+        cc = comps[ci]
+        gw = mcux * cc["h"]
+        # non-interleaved scans cover the component's REAL grid:
+        # ceil(ceil(dim * sampling / max_sampling) / 8) blocks per axis
+        cw = -(-(w * cc["h"]) // hmax)
+        chh = -(-(h * cc["v"]) // vmax)
+        nbw = -(-cw // 8)
+        nbh = -(-chh // 8)
+        return [
+            [(ci, coef[ci][by * gw + bx])]
+            for by in range(nbh)
+            for bx in range(nbw)
+        ]
 
-        segments = [_unstuff(p) for p in _re.split(b"\xff[\xd0-\xd7]", scan_data)]
-    else:
-        segments = [_unstuff(scan_data)]
-
-    mcu = 0
-    # per-component table refs hoisted out of the MCU loop
-    ctabs = [
-        (htables[(0, sel[c["id"]][0])], htables[(1, sel[c["id"]][1])], c["h"] * c["v"])
-        for c in comps
-    ]
-    for seg in segments:
-        rd = _BitReader(seg)
-        pred = [0] * len(comps)
-        seg_mcus = restart_interval or (n_mcus - mcu)
-        for _ in range(min(seg_mcus, n_mcus - mcu)):
-            for ci, (dc_t, ac_t, nb) in enumerate(ctabs):
-                for b in range(nb):
-                    # the coef rows are pre-zeroed: write decoded values
-                    # straight in, no per-block scratch/memset
-                    row = coef[ci][mcu * nb + b]
-                    s_ = rd.huff(dc_t)
-                    if s_ > 15:
-                        raise ValueError("invalid DC magnitude category")
-                    diff = _extend(rd.bits(s_), s_)
-                    pred[ci] += diff
-                    row[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = rd.huff(ac_t)
-                        r, s_ = rs >> 4, rs & 15
-                        if s_ == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        row[k] = _extend(rd.bits(s_), s_)
-                        k += 1
-            mcu += 1
-    if mcu != n_mcus:
-        raise ValueError(f"scan ended after {mcu}/{n_mcus} MCUs")
+    for sel, ss, se, ah, al, scan_data, ri, tabs in scans:
+        sel_comps = [ci for ci, c in enumerate(comps) if c["id"] in sel]
+        if len(sel_comps) != len(sel):
+            raise ValueError("SOS references a component not in the frame")
+        units = _units(sel_comps)
+        segments = _scan_segments(scan_data, ri)
+        if not progressive:
+            _decode_seq_scan(segments, units, comps, sel, tabs, ri)
+            continue
+        if ss == 0:  # DC scan (Se must be 0 in progressive)
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if ah == 0:
+                _decode_dc_first(segments, units, sel, comps, tabs, al, ri)
+            else:
+                _decode_dc_refine(segments, units, al, ri)
+        else:  # AC scan: exactly one component
+            if len(sel_comps) != 1:
+                raise ValueError("progressive AC scan with >1 component")
+            ta = sel[comps[sel_comps[0]]["id"]][1]
+            if (1, ta) not in tabs:
+                raise ValueError("missing AC Huffman table referenced by SOS")
+            if ah == 0:
+                _decode_ac_first(segments, units, ss, se, al, tabs[(1, ta)], ri)
+            else:
+                _decode_ac_refine(segments, units, ss, se, al, tabs[(1, ta)], ri)
 
     # ---- batched dequantize + IDCT + assembly (numpy, all blocks) ----
     planes = []
@@ -449,13 +673,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         b8 = blocks.reshape(-1, 8, 8)
         pix = np.einsum("ux,nuv,vy->nxy", _DCT_T, b8, _DCT_T, optimize=True)
         pix = np.clip(np.round(pix) + 128, 0, 255)
-        # MCU-order blocks -> component plane
+        # raster-grid blocks -> component plane
         ch, cv = c["h"], c["v"]
-        plane = np.empty((mcuy * cv * 8, mcux * ch * 8), np.float64)
-        # index: block t = mcu*ch*cv + v*ch + h_, mcu = my*mcux + mx
-        p4 = pix.reshape(mcuy, mcux, cv, ch, 8, 8)
-        plane = p4.transpose(0, 2, 4, 1, 3, 5).reshape(
-            mcuy * cv * 8, mcux * ch * 8
+        gy, gx = mcuy * cv, mcux * ch
+        plane = pix.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            gy * 8, gx * 8
         )
         # replicate-upsample to full resolution, crop to (h, w)
         plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
@@ -669,6 +891,188 @@ def encode_jpeg(
     wr.flush()
     out += wr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _flat_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A valid canonical Huffman table with every symbol at 8 bits —
+    deliberately non-optimal (fixture compression is irrelevant) but
+    legal for any symbol set up to 255 entries, which Annex K's
+    sequential AC tables are NOT for progressive EOBn symbols (0x10,
+    0x20, … are undefined there)."""
+    syms = sorted(set(symbols))
+    if len(syms) > 255:
+        raise ValueError("too many symbols for a flat 8-bit table")
+    bits = [0] * 16
+    bits[7] = len(syms)
+    return bits, syms
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 50) -> bytes:
+    """Encode uint8 (H, W) grayscale or (H, W, 3) RGB as a REAL
+    progressive JPEG (SOF2, T.81 Annex G), 4:4:4, with the scan script
+
+    1. DC first scan, interleaved, successive approximation Al=1
+       (diff-coded over the point-transformed ``dc >> 1`` values);
+    2. one AC first scan per component, Ss=1..Se=63, Al=0, EOB-RUN
+       coded (all-zero-band blocks accumulate into EOBn symbols —
+       the decoder path sequential streams never exercise);
+    3. DC refinement scan, interleaved, Ah=1/Al=0 (one raw bit per
+       block).
+
+    DC uses the Annex K DC tables; each AC scan carries its own flat
+    8-bit Huffman table because EOBn symbols don't exist in the Annex K
+    sequential AC tables. Because Al=0 for the AC scans and the DC
+    refinement restores the low DC bit exactly, decode reproduces the
+    same quantized coefficients as the baseline encoder at the same
+    quality — the exact-subspace fixtures (x65) stay exact through the
+    progressive path (x88)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive wants uint8")
+    if img.ndim == 2:
+        gray = True
+    elif img.ndim == 3 and img.shape[2] == 3:
+        gray = False
+    else:
+        raise ValueError("encode_jpeg_progressive wants (H, W) or (H, W, 3)")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qluma, qchroma = quality_tables(quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = [(0, ph - h), (0, pw - w)] + ([(0, 0)] if not gray else [])
+    padded = np.pad(img.astype(np.float64), pad, mode="edge")
+
+    if gray:
+        planes = [padded - 128.0]
+        qts = [qluma]
+        comps = [(1, 0)]  # (id, tq)
+    else:
+        r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [qluma, qchroma, qchroma]
+        comps = [(1, 0), (2, 1), (3, 1)]
+    nc = len(comps)
+    qcoef = []
+    for plane, qt in zip(planes, qts):
+        f = _fdct_blocks(plane).reshape(-1, 64)
+        qz = np.round(f / qt[np.newaxis, :]).astype(np.int64)
+        qcoef.append(qz[:, ZIGZAG])
+    n_blocks = qcoef[0].shape[0]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tq, qt in enumerate(qts[:1] if gray else qts[:2]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in qt[ZIGZAG]
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, tq in comps:
+        out += struct.pack(">BBB", cid, 0x11, tq)  # 4:4:4
+
+    def _dht(tcth: int, bits: list[int], values: list[int]) -> bytes:
+        return (
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + len(values), tcth)
+            + bytes(bits)
+            + bytes(values)
+        )
+
+    def _sos(comp_sel: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        seg = struct.pack(">HB", 6 + 2 * len(comp_sel), len(comp_sel))
+        for cid, td, ta in comp_sel:
+            seg += struct.pack(">BB", cid, (td << 4) | ta)
+        seg += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + seg
+
+    # ---- scan 1: interleaved DC first, Al=1 ----
+    out += _dht(0x00, *HUFF_DC_LUMA)
+    if not gray:
+        out += _dht(0x01, *HUFF_DC_CHROMA)
+    dc_enc = [
+        _enc_table(*(HUFF_DC_LUMA if ci == 0 else HUFF_DC_CHROMA))
+        for ci in range(nc)
+    ]
+    out += _sos([(cid, 0 if i == 0 else 1, 0) for i, (cid, _) in enumerate(comps)],
+                0, 0, 0, 1)
+    wr = _BitWriter()
+    pred = [0] * nc
+    for t in range(n_blocks):
+        for ci in range(nc):
+            v = int(qcoef[ci][t][0]) >> 1  # point transform (Al=1)
+            s, field = _magnitude(v - pred[ci])
+            pred[ci] = v
+            code, ln = dc_enc[ci][s]
+            wr.write(code, ln)
+            if s:
+                wr.write(field, s)
+    wr.flush()
+    out += wr.out
+
+    # ---- per-component AC first scans, Ss=1..63, Al=0, EOB-run coded ----
+    for ci, (cid, _tq) in enumerate(comps):
+        events: list[tuple[int, int, int]] = []  # (symbol, extra, nbits)
+        eobrun = 0
+
+        def _flush_eob():
+            nonlocal eobrun
+            while eobrun:
+                run = min(eobrun, 32767)
+                r = run.bit_length() - 1  # 1<<r <= run
+                events.append(((r << 4) | 0, run - (1 << r), r))
+                eobrun -= run
+
+        for t in range(n_blocks):
+            zz = qcoef[ci][t]
+            nz = [k for k in range(1, 64) if zz[k]]
+            if not nz:
+                eobrun += 1
+                continue
+            _flush_eob()
+            k = 1
+            for pos in nz:
+                run = pos - k
+                while run > 15:
+                    events.append((0xF0, 0, 0))  # ZRL
+                    run -= 16
+                s, field = _magnitude(int(zz[pos]))
+                events.append(((run << 4) | s, field, s))
+                k = pos + 1
+            if k <= 63:
+                eobrun += 1  # this block's trailing zeros start a run
+        _flush_eob()
+        bits, values = _flat_table([sym for sym, _, _ in events] or [0x00])
+        out += _dht(0x10 + ci, bits, values)
+        enc = _enc_table(bits, values)
+        out += _sos([(cid, 0, ci)], 1, 63, 0, 0)
+        wr = _BitWriter()
+        for sym, extra, nbits in events:
+            code, ln = enc[sym]
+            wr.write(code, ln)
+            if nbits:
+                wr.write(extra, nbits)
+        wr.flush()
+        out += wr.out
+
+    # ---- final scan: interleaved DC refinement, Ah=1, Al=0 ----
+    out += _sos([(cid, 0, 0) for cid, _ in comps], 0, 0, 1, 0)
+    wr = _BitWriter()
+    for t in range(n_blocks):
+        for ci in range(nc):
+            wr.write(int(qcoef[ci][t][0]) & 1, 1)
+    wr.flush()
+    out += wr.out
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 

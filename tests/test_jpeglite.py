@@ -199,23 +199,135 @@ def test_jpeglite_decodes_imageio_rgb_420(spark, tmp_path):
     assert diff.mean() <= 4 and diff.max() <= 16
 
 
-def test_progressive_stream_gated(spark, tmp_path):
-    """A REAL progressive stream (written by imageio) must hit the
-    honest NotImplementedError gate, not mis-decode."""
-    jvm = spark.sparkContext._gateway.jvm
-    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+def _write_imageio_progressive_gray(jvm, img, p):
     iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     param = iw.getDefaultWriteParam()
     param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
-    p = str(tmp_path / "prog.jpg")
     fos = jvm.javax.imageio.stream.FileImageOutputStream(jvm.java.io.File(p))
     iw.setOutput(fos)
     iw.write(None, jvm.javax.imageio.IIOImage(_set_gray(jvm, img), None, None), param)
     fos.close()
+
+
+def test_jpeglite_decodes_imageio_progressive_gray(spark, tmp_path):
+    """A REAL progressive stream written by a production encoder
+    (imageio's default progressive scan script: spectral selection +
+    successive approximation with AC refinement passes) must decode
+    within IDCT-rounding tolerance — the round-7 un-gating of SOF2."""
+    jvm = spark.sparkContext._gateway.jvm
+    x = np.linspace(0, 255, 48)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    p = str(tmp_path / "prog.jpg")
+    _write_imageio_progressive_gray(jvm, img, p)
     data = open(p, "rb").read()
     assert b"\xff\xc2" in data  # really progressive (SOF2)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(data)
+    ours = decode_jpeg(data)
+    assert ours.shape == (48, 48)
+    assert np.abs(ours.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeglite_decodes_imageio_progressive_rgb_420(spark, tmp_path):
+    """Progressive + 4:2:0 subsampling together: non-interleaved AC
+    scans over the chroma components' REAL (unpadded) block grids —
+    the geometry sequential streams never exercise."""
+    jvm = spark.sparkContext._gateway.jvm
+    img = np.zeros((24, 32, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, 32).astype(np.uint8)[None, :]
+    img[..., 1] = np.linspace(20, 200, 24).astype(np.uint8)[:, None]
+    img[..., 2] = 99
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    bi = BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for r in range(24):
+        for c in range(32):
+            bi.setRGB(
+                c, r,
+                _s32(
+                    (0xFF << 24)
+                    | (int(img[r, c, 0]) << 16)
+                    | (int(img[r, c, 1]) << 8)
+                    | int(img[r, c, 2])
+                ),
+            )
+    iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = iw.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    p = str(tmp_path / "prog_rgb.jpg")
+    fos = jvm.javax.imageio.stream.FileImageOutputStream(jvm.java.io.File(p))
+    iw.setOutput(fos)
+    iw.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    fos.close()
+    data = open(p, "rb").read()
+    assert b"\xff\xc2" in data
+    ours = decode_jpeg(data)
+    assert ours.shape == (24, 32, 3)
+    diff = np.abs(ours.astype(int) - img.astype(int))
+    assert diff.mean() <= 4 and diff.max() <= 16
+
+
+def test_imageio_decodes_jpeglite_progressive(spark, tmp_path):
+    """The other direction: imageio (independent production codec) must
+    decode OUR progressive streams — DC-first/AC-first-with-EOB-runs/
+    DC-refine scan script, per-scan flat Huffman tables."""
+    from modis_aggregation_spark.sinks.jpeglite import encode_jpeg_progressive
+
+    jvm = spark.sparkContext._gateway.jvm
+    x = np.linspace(0, 255, 48)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    p = str(tmp_path / "ours_prog.jpg")
+    open(p, "wb").write(encode_jpeg_progressive(img, quality=95))
+    d = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert d is not None, "imageio rejected our progressive stream"
+    ras = d.getRaster()
+    got = np.array(
+        [[ras.getSample(c, r, 0) for c in range(48)] for r in range(48)]
+    )
+    assert np.abs(got - img.astype(int)).max() <= 2
+
+
+def test_progressive_roundtrip_equals_baseline():
+    """At the same quality, the progressive scan script encodes the
+    SAME quantized coefficients as the baseline encoder (Al=0 AC scans,
+    DC low bit restored by the refinement pass) — decode must be
+    bit-identical, including odd dimensions and RGB."""
+    from modis_aggregation_spark.sinks.jpeglite import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    for shape in [(48, 48), (24, 32, 3), (17, 23), (8, 8), (9, 15, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=50))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=50))
+        assert np.array_equal(base, prog), shape
+    # smooth image -> long all-zero AC bands -> real EOB runs on the wire
+    x = np.linspace(0, 255, 64)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=50)),
+        decode_jpeg(encode_jpeg_progressive(img, quality=50)),
+    )
+
+
+def test_progressive_exact_subspace():
+    """Constant even-valued 8x8 blocks at quality 50 (the x65/x88 oracle
+    subspace) survive the progressive path bit-exactly."""
+    from modis_aggregation_spark.sinks.jpeglite import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    vals = (rng.integers(0, 128, (2, 2)) * 2).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, quality=50)), img
+    )
+
+
+def test_arithmetic_coding_still_gated():
+    """SOF9 (arithmetic-coded sequential) stays an honest gate: flip a
+    real baseline stream's SOF0 marker to SOF9."""
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    data = bytearray(encode_jpeg(img, quality=75))
+    sof = bytes(data).index(b"\xff\xc0")
+    data[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(data))
 
 
 # ---- the Spark seam: decode_images(decoder="jpeg") ----
