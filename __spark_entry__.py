@@ -5332,6 +5332,33 @@ WHERE g.corpus_key = (
 """
 
 
+def _q_x89_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters WITHOUT a vocabulary-sized shuffle
+    (operators/screening.py:heavy_hitters — two-pass Misra-Gries):
+    per-partition k-counter summaries inside one Arrow pass give a
+    candidate SUPERSET of every token with count > n/k under any
+    partitioning (pigeonhole), then a broadcast-candidate exact recount
+    filters to precisely the true heavy hitters — the
+    exact-after-approximate discipline of the IVF re-rank (x83), here
+    applied to frequency statistics. The layout-dependent intermediate
+    (the candidate set) never reaches the output, so the oracle is
+    plain GROUP BY / HAVING over the same tokenization."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_scr.heavy_hitters(docs, "text", k=200)
+    return out.select("term", "cnt", "n_tokens")
+
+
+_SQL_X89 = f"""
+WITH tok AS (
+  SELECT unnest({_D_TOKS}) AS term FROM documents
+), n AS (SELECT count(*) AS n_tokens FROM tok)
+SELECT term, count(*) AS cnt, n.n_tokens
+FROM tok CROSS JOIN n
+GROUP BY term, n.n_tokens
+HAVING count(*) > n.n_tokens / 200.0
+"""
+
+
 def _q_x76_bloom_screen(spark, sf_dir):
     """Bloom-filter benchmark decontamination
     (operators/screening.py:bloom_screen — the constant-size Dolma-style
@@ -5418,6 +5445,87 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
+"""
+
+
+_S18_SHARDS = 8
+
+
+def _ensure_s18_fixture(sf_dir) -> str:
+    """Materialize the documents table as REAL sharded gzip JSONL — the
+    interchange format web-scale corpora actually arrive in (Dolma/
+    RedPajama/CC dumps): one JSON object per line, N compressed shards
+    (gzip is not splittable, so shard-per-task IS the parallelism unit
+    at 100 TB). Round-robin by doc_id so every shard is non-empty at
+    every sf."""
+    import gzip
+    import json
+
+    import pyarrow.parquet as pq
+
+    tag = _corpus_tag(sf_dir)
+    out_dir = f"/tmp/spark_graft_s18_{tag}"
+    if os.path.isdir(out_dir):
+        return out_dir
+    tmp_dir = f"{out_dir}.{os.getpid()}.tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    writers = [
+        gzip.open(os.path.join(tmp_dir, f"part-{i:03d}.jsonl.gz"), "wt",
+                  encoding="utf-8")
+        for i in range(_S18_SHARDS)
+    ]
+    try:
+        for row in tbl.to_pylist():
+            writers[row["doc_id"] % _S18_SHARDS].write(
+                json.dumps(row, ensure_ascii=False) + "\n"
+            )
+    finally:
+        for wtr in writers:
+            wtr.close()
+    try:
+        os.replace(tmp_dir, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent creator won
+    return out_dir
+
+
+def _q_s18_jsonl_scan(spark, sf_dir):
+    """Sharded gzip-JSONL corpus SOURCE (the LLM-pipeline interchange
+    format) scanned with Spark's native json reader under an EXPLICIT
+    schema — no sampling inference pass, the 100 TB posture (schema
+    inference reads the data twice) — then a per-source rollup proving
+    values survived the round-trip: row counts, char sums, and text
+    lengths recomputed FROM THE JSON-carried text, compared against an
+    oracle reading the same physical .jsonl.gz shards with DuckDB's
+    independent JSON reader."""
+    jdir = _ensure_s18_fixture(sf_dir)
+    df = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).json(jdir)
+    return df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# oracle recomputes the rollup straight from the documents table the
+# shards were derived from (the s11 pattern): any JSON write/parse
+# corruption on the Spark side — lost rows, mangled text, wrong types —
+# diverges the sums
+_SQL_S18 = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+GROUP BY source, lang
 """
 
 
@@ -8142,6 +8250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-recorded (round-7 additions rotate in first) -----------
         "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,
         "x88_decode_progressive": _q_x88_decode_progressive,
+        "x89_heavy_hitters": _q_x89_heavy_hitters,
+        "s18_jsonl_scan": _q_s18_jsonl_scan,
         # -- last driver-recorded in round 2 -------------------------------------
         "r4_semi_anti": _q_r4_semi_anti,
         "r6_rownum_topk": _q_r6_rownum_topk,
@@ -8484,6 +8594,8 @@ def oracle_sql() -> dict[str, str]:
         "s16_hdf4_linked_scan": _SQL_S16,
         "s17_hdf4_rle_external_scan": _SQL_S17,
         "x88_decode_progressive": _SQL_X88,
+        "x89_heavy_hitters": _SQL_X89,
+        "s18_jsonl_scan": _SQL_S18,
         "x83_ivfpq_rerank": _SQL_X83,
         "x84_seeded_shuffle": _SQL_X84,
         "x85_length_batches": _SQL_X85,

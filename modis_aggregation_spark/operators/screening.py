@@ -399,3 +399,92 @@ def bloom_screen(
         F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
         (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).alias("flagged"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    content_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """EXACT corpus heavy hitters — every token whose total count
+    exceeds ``n_tokens / k`` — without ever shuffling the full
+    vocabulary (the standard way to surface boilerplate/stop tokens and
+    mass-duplicated fragments in a web-scale corpus before building a
+    tokenizer or a filter list).
+
+    A plain ``groupBy(term)`` shuffles one aggregate row per DISTINCT
+    term — unbounded at 100 TB (web vocab grows with corpus size). This
+    uses the two-pass Misra-Gries construction instead:
+
+    1. **Candidate pass**: each partition runs a Misra-Gries summary
+       with ``k`` counters over its own tokens inside one Arrow
+       ``mapInPandas`` stage (state carried across the partition's
+       batches), emitting at most ``k`` candidate terms plus its local
+       token count. Pigeonhole guarantee: any term with global count
+       > n/k exceeds the local threshold n_p/k in at least one
+       partition, so the union of per-partition candidates is a
+       SUPERSET of the true heavy hitters — under ANY partitioning.
+       Shuffle volume: ≤ k terms per task, not the vocabulary.
+    2. **Exact recount**: the corpus is re-tokenized once and
+       inner-joined against the BROADCAST candidate set (≤ k × tasks
+       rows), then exactly counted and filtered by ``count > n/k``.
+
+    The candidate SET depends on the partition layout, but the OUTPUT
+    does not: the exact recount + threshold filter keeps precisely the
+    true heavy hitters, which every layout's superset contains — the
+    same exact-after-approximate discipline as the IVF re-rank (x83).
+    Cost: two corpus scans; the win is that no stage is
+    vocabulary-sized. Oracle: plain GROUP BY / HAVING in SQL.
+    """
+    import pandas as pd
+
+    toks = df.select(
+        F.explode(fn_text.tokens(F.col(content_col))).alias("term")
+    )
+
+    def mg_partition(it):
+        counters: dict[str, int] = {}
+        n_local = 0
+        for pdf in it:
+            for term in pdf["term"]:
+                n_local += 1
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < k:
+                    counters[term] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        yield pd.DataFrame(
+            {
+                "term": list(counters) + [None],
+                "n_local": [0] * len(counters) + [n_local],
+            }
+        )
+
+    # one candidate-pass job; the summary is ≤ k × tasks rows + one
+    # count row per task — collect it (model-sized, like the tokenizer
+    # vocab collects) so the returned plan holds a LITERAL candidate
+    # relation instead of a re-executable MG subtree
+    rows = toks.mapInPandas(
+        mg_partition, "term STRING, n_local BIGINT"
+    ).collect()
+    n_total = sum(r["n_local"] for r in rows)
+    cand_terms = sorted({r["term"] for r in rows if r["term"] is not None})
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [(t,) for t in cand_terms] or [(None,)], "term STRING"
+    ).filter(F.col("term").isNotNull())
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(n_total / k))
+        .select("term", "cnt", F.lit(int(n_total)).alias("n_tokens"))
+    )

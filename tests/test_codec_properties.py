@@ -98,6 +98,34 @@ def test_hdf4_roundtrip_property(tmp_path_factory, drawn):
 
 
 @given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    quality=st.integers(10, 95),
+    seed=st.integers(0, 2**31),
+)
+@settings(**_SETTINGS)
+def test_jpeg_progressive_equals_baseline_property(h, w, color, quality, seed):
+    """For ANY image and quality, the progressive scan script encodes
+    the same quantized coefficients as the baseline encoder, so decode
+    must be bit-identical — locking the SOF2 decode passes (DC
+    successive approximation, EOB runs, non-interleaved grids) against
+    the sequential path."""
+    from modis_aggregation_spark.sinks.jpeglite import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    assert np.array_equal(base, prog)
+
+
+@given(
     h=st.integers(1, 12),
     w=st.integers(1, 12),
     nframes=st.integers(1, 4),

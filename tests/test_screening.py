@@ -279,3 +279,55 @@ def test_bloom_screen_tiny_filter_forces_false_positives(spark):
     )
     out = S.bloom_screen(train, bench, n=3, m_bits=2, k_hashes=1).collect()
     assert out[0]["flagged"]
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """heavy_hitters must equal the naive full-shuffle groupBy + HAVING
+    on the same corpus — including a term sitting just ABOVE the n/k
+    threshold and one just BELOW it."""
+    # 100 tokens total, k=10 -> threshold count > 10
+    docs = [
+        (1, " ".join(["hot"] * 11)),          # 11 > 10: heavy
+        (2, " ".join(["edge"] * 10)),         # 10 is NOT > 10: excluded
+        (3, " ".join(f"w{i}" for i in range(79))),  # 79 singletons
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r["term"], r["cnt"], r["n_tokens"])
+        for r in S.heavy_hitters(df, "text", k=10).collect()
+    }
+    assert got == {("hot", 11, 100)}
+
+
+def test_heavy_hitters_layout_invariant(spark):
+    """The candidate set is layout-dependent (per-partition Misra-Gries)
+    but the OUTPUT must not be: exact recount + threshold filter under
+    1, 7, and 32 partitions."""
+    rng = __import__("numpy").random.default_rng(5)
+    words = [f"t{i}" for i in range(50)]
+    # skewed corpus: "alpha" (5/doc) and "beta" (3/doc) clear the n/20
+    # threshold; the 50-word uniform tail stays far below it
+    docs = [
+        (
+            i,
+            " ".join(
+                ["alpha"] * 5 + ["beta"] * 3
+                + list(rng.choice(words, size=32))
+            ),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    outs = []
+    for parts in (1, 7, 32):
+        outs.append(
+            sorted(
+                (r["term"], r["cnt"], r["n_tokens"])
+                for r in S.heavy_hitters(
+                    df.repartition(parts), "text", k=20
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    # sanity: with 50 uniform words and k=20 some terms do clear n/20
+    assert len(outs[0]) > 0
