@@ -3182,6 +3182,61 @@ WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
 """
 
 
+def _q_x90_wordpiece_train(spark, sf_dir):
+    """Distributed WordPiece training (operators/tokenizer.py:
+    wordpiece_train — the BERT vocabulary algorithm, third tokenizer
+    family next to BPE/x70 and unigram/x77): iterative merges over the
+    distinct-word vocab argmaxing the likelihood score
+    count(l,r)/(count(l)·count(r)) with ##-prefixed continuation
+    symbols. Per round: two skinny aggregations (pair + unit counts)
+    and a 1-row argmax collect; corpus text never shuffles. Oracle: an
+    INDEPENDENT dict-based trainer (tools/make_goldens.py:
+    _independent_wordpiece) committed as goldens/x90_wordpiece.parquet
+    keyed by a corpus fingerprint the SQL twin recomputes — the two
+    implementations must pick the identical merge sequence with
+    identical exact-integer counts (the float score never reaches the
+    compared values)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ops_tok.wordpiece_train(docs, "text", num_merges=8)
+    return out.select(
+        "rank", "left", "right", "merged",
+        "pair_count", "left_count", "right_count",
+    )
+
+
+_SQL_X90 = """
+SELECT g.rank, g.left, g.right, g.merged,
+       g.pair_count, g.left_count, g.right_count
+FROM read_parquet('/root/repo/goldens/x90_wordpiece.parquet') g
+WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
+"""
+
+
+def _q_x91_wordpiece_encode(spark, sf_dir):
+    """Corpus-wide WordPiece ENCODE (operators/tokenizer.py:
+    wordpiece_encode — BERT greedy longest-match-first with ##
+    continuations and all-or-nothing [UNK]) under the x90 model: text
+    never shuffles or enters Python; posexplode to skinny (id, pos,
+    word) triples, longest-match over DISTINCT words only (one Arrow
+    pass, vocab in the closure), hash-join re-attach, JVM reassembly —
+    the x71/x78 plan shape. Oracle: the independent trainer + matcher
+    (tools/make_goldens.py:_wordpiece_match) must reproduce every
+    document's piece stream verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    model = ops_tok.wordpiece_train(docs, "text", num_merges=8)
+    out = ops_tok.wordpiece_encode(docs, model, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_words", "n_pieces", "n_unk", "pieces_preview"
+    )
+
+
+_SQL_X91 = """
+SELECT g.doc_id, g.n_words, g.n_pieces, g.n_unk, g.pieces_preview
+FROM read_parquet('/root/repo/goldens/x91_wordpiece_encode.parquet') g
+WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
+"""
+
+
 def _q_x78_unigram_encode(spark, sf_dir):
     """Corpus-wide unigram-LM ENCODE (operators/tokenizer.py:
     unigram_encode — SentencePiece Viterbi inference under the x77
@@ -8252,6 +8307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x88_decode_progressive": _q_x88_decode_progressive,
         "x89_heavy_hitters": _q_x89_heavy_hitters,
         "s18_jsonl_scan": _q_s18_jsonl_scan,
+        "x90_wordpiece_train": _q_x90_wordpiece_train,
+        "x91_wordpiece_encode": _q_x91_wordpiece_encode,
         # -- last driver-recorded in round 2 -------------------------------------
         "r4_semi_anti": _q_r4_semi_anti,
         "r6_rownum_topk": _q_r6_rownum_topk,
@@ -8596,6 +8653,8 @@ def oracle_sql() -> dict[str, str]:
         "x88_decode_progressive": _SQL_X88,
         "x89_heavy_hitters": _SQL_X89,
         "s18_jsonl_scan": _SQL_S18,
+        "x90_wordpiece_train": _SQL_X90,
+        "x91_wordpiece_encode": _SQL_X91,
         "x83_ivfpq_rerank": _SQL_X83,
         "x84_seeded_shuffle": _SQL_X84,
         "x85_length_batches": _SQL_X85,

@@ -42,6 +42,8 @@ __all__ = [
     "unigram_encode",
     "unigram_train",
     "word_vocab",
+    "wordpiece_encode",
+    "wordpiece_train",
 ]
 
 
@@ -63,14 +65,18 @@ def _chars(word: Column) -> Column:
     )
 
 
-def _apply_merge(symbols: Column, left: str, right: str) -> Column:
+def _apply_merge(
+    symbols: Column, left: str, right: str, merged: str | None = None
+) -> Column:
     """Greedy left-to-right non-overlapping merge of adjacent
     (left, right) symbol pairs, as a pure-JVM fold: walking the array,
     an element that completes the pair with the accumulator's last
     element replaces it with the merged token (the already-merged token
     then competes as `left` for the NEXT element, reproducing the
-    sequential scan exactly — see the x70 oracle twin)."""
-    l_, r_, m_ = F.lit(left), F.lit(right), F.lit(left + right)
+    sequential scan exactly — see the x70 oracle twin). ``merged``
+    overrides the replacement token (WordPiece strips the right
+    symbol's ``##`` continuation prefix; plain BPE concatenates)."""
+    l_, r_, m_ = F.lit(left), F.lit(right), F.lit(merged or (left + right))
     return F.aggregate(
         symbols,
         F.array().cast("array<string>"),
@@ -525,6 +531,239 @@ def unigram_encode(
             F.col("id").alias(id_col),
             "n_words",
             F.size("toks").alias("n_pieces"),
+            F.array_join(F.slice("toks", 1, preview_k), " ").alias(
+                "pieces_preview"
+            ),
+        )
+    )
+
+
+def _wp_chars(word: Column) -> Column:
+    """WordPiece symbol array: first character plain, every later
+    character carrying the ``##`` continuation prefix (the BERT
+    convention, Devlin et al. 2019 / Schuster & Nakajima 2012)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.when(i == 1, word.substr(i, F.lit(1))).otherwise(
+            F.concat(F.lit("##"), word.substr(i, F.lit(1)))
+        ),
+    )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` WordPiece merges from the corpus — the
+    third tokenizer family next to BPE (x70) and unigram-LM (x77).
+
+    Same iterative merge loop as ``bpe_train`` but the selection rule
+    is WordPiece's LIKELIHOOD score, not the raw pair count: each round
+    merges the adjacent symbol pair maximizing
+    ``count(l,r) / (count(l) · count(r))`` — the pair whose merge most
+    increases corpus likelihood under a unigram symbol model (the
+    public algorithm behind BERT vocabularies; HuggingFace tokenizers'
+    WordPiece trainer implements the same rule). Symbols carry the
+    ``##`` continuation prefix from the start, and a merge strips the
+    right side's prefix (``a + ##b → ab``, ``##a + ##b → ##ab``).
+
+    Distributed shape per round (same scale posture as BPE): one
+    pair-count aggregation and one symbol-count aggregation over the
+    DISTINCT-WORD vocab (skinny shuffles, corpus text never moves),
+    one 1-row argmax collect, one pure-JVM merge fold.
+
+    Determinism: counts are exact int64; the score is one IEEE
+    division ``double(cnt) / (double(l_cnt) · double(r_cnt))`` computed
+    identically in any engine; ties break lexicographically on
+    (left, right) — so the learned table is a pure function of the
+    corpus and an independent dict-based trainer (tools/make_goldens)
+    reproduces it bit-for-bit. Output rows carry the exact integer
+    counts, never the float score, so the contract hash is
+    float-free.
+
+    Returns ``(rank, left, right, merged, pair_count, left_count,
+    right_count)``; stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    spark = df.sparkSession
+    vocab = (
+        word_vocab(df, text_col)
+        .select(_wp_chars(F.col("word")).alias("syms"), "count")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    for rank in range(1, num_merges + 1):
+        units = (
+            vocab.select(F.explode("syms").alias("s"), "count")
+            .groupBy("s")
+            .agg(F.sum("count").alias("u_cnt"))
+        )
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "count",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("count").alias("cnt"))
+        )
+        lc = units.select(
+            F.col("s").alias("l"), F.col("u_cnt").alias("l_cnt")
+        )
+        rc = units.select(
+            F.col("s").alias("r"), F.col("u_cnt").alias("r_cnt")
+        )
+        scored = (
+            pairs.join(lc, "l")
+            .join(rc, "r")
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (
+                    F.col("l_cnt").cast("double")
+                    * F.col("r_cnt").cast("double")
+                ),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        l_, r_ = best[0]["l"], best[0]["r"]
+        merged = l_ + (r_[2:] if r_.startswith("##") else r_)
+        merges.append(
+            (
+                rank,
+                l_,
+                r_,
+                merged,
+                int(best[0]["cnt"]),
+                int(best[0]["l_cnt"]),
+                int(best[0]["r_cnt"]),
+            )
+        )
+        vocab = vocab.select(
+            _apply_merge(F.col("syms"), l_, r_, merged).alias("syms"),
+            "count",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank INT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT, left_count BIGINT, right_count BIGINT",
+    )
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    preview_k: int = 10,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Tokenize the corpus under a learned WordPiece vocabulary with
+    BERT's greedy LONGEST-MATCH-FIRST rule: at each position take the
+    longest vocab piece that matches (continuations must carry ##); if
+    no piece matches at some position the WHOLE word becomes ``unk``
+    (the all-or-nothing BERT semantics, not per-character fallback).
+
+    ``model`` is the ``wordpiece_train`` result (DataFrame with a
+    ``merged`` column) or any iterable of vocabulary pieces; the
+    single-character alphabet (first-char + ##continuation forms) is
+    derived from the corpus itself, matching the trainer's seed
+    symbols.
+
+    Distributed shape = ``unigram_encode``'s: text never shuffles or
+    enters Python; posexplode to skinny (id, pos, word) triples,
+    longest-match over DISTINCT words only (one Arrow pass, vocab in
+    the closure), hash-join re-attach, JVM reassembly.
+    """
+    if isinstance(model, DataFrame):
+        pieces = {r["merged"] for r in model.select("merged").collect()}
+    else:
+        pieces = {str(p) for p in model}
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    alphabet = (
+        exploded.filter(F.col("word").isNotNull())
+        .select(F.explode(_wp_chars(F.col("word"))).alias("s"))
+        .distinct()
+        .collect()
+    )
+    vocab = pieces | {r["s"] for r in alphabet}
+
+    def enc(it):
+        import pandas as pd
+
+        max_l = max(len(p) for p in vocab)
+        for pdf in it:
+            toks_col = []
+            for w in pdf["word"]:
+                out, i, n = [], 0, len(w)
+                while i < n:
+                    # continuation candidates carry "##", so they fit 2
+                    # fewer source chars under the max piece length
+                    j = min(n, i + (max_l if i == 0 else max_l - 2))
+                    piece = None
+                    while j > i:
+                        cand = w[i:j] if i == 0 else "##" + w[i:j]
+                        if cand in vocab:
+                            piece = cand
+                            break
+                        j -= 1
+                    if piece is None:
+                        out = [unk]  # all-or-nothing BERT semantics
+                        break
+                    out.append(piece)
+                    i = j
+                toks_col.append(out)
+            yield pd.DataFrame({"word": pdf["word"], "toks": toks_col})
+
+    word_toks = (
+        exploded.filter(F.col("word").isNotNull())
+        .select("word")
+        .distinct()
+        .mapInPandas(enc, "word STRING, toks ARRAY<STRING>")
+    )
+    return (
+        exploded.join(word_toks, "word", "left")
+        .groupBy("id")
+        .agg(
+            F.count("word").alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("pos", "toks"),
+                            )
+                        )
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("toks"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.size("toks").alias("n_pieces"),
+            F.size(F.filter("toks", lambda t: t == F.lit(unk))).alias(
+                "n_unk"
+            ),
             F.array_join(F.slice("toks", 1, preview_k), " ").alias(
                 "pieces_preview"
             ),

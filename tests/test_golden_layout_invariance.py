@@ -14,6 +14,9 @@ layout-invariant:
   test_unigram_tokenizer.py; corpus-level sweep here.
 - x70/x71 BPE — integer pair counts with fixed (count desc, pair asc)
   tie-break; sweep here.
+- x90/x91 WordPiece — exact integer counts, one IEEE-division score per
+  candidate with lexicographic tie-break; swept in
+  test_wordpiece.py::test_layout_invariance.
 - r9b HLL++ — per-value register hashes, element-wise-max merge; sweep
   here.
 - x9/x56/x57 centroids & PQ codebooks — driver-side sample taken via a

@@ -1338,7 +1338,174 @@ def main() -> None:
     x56 = x56_codebook_golden()
     pq.write_table(x56, os.path.join(OUT_DIR, "x56_codebooks.parquet"))
     print(f"x56_codebooks.parquet: {x56.num_rows} rows ({x56.num_rows // (8 * 16 * 8)} corpora)")
+    x90 = x90_wordpiece_golden()
+    pq.write_table(x90, os.path.join(OUT_DIR, "x90_wordpiece.parquet"))
+    print(f"x90_wordpiece.parquet: {x90.num_rows} rows")
+    x91 = x91_wordpiece_encode_golden()
+    pq.write_table(x91, os.path.join(OUT_DIR, "x91_wordpiece_encode.parquet"))
+    print(f"x91_wordpiece_encode.parquet: {x91.num_rows} rows")
 
 
 if __name__ == "__main__":
     main()
+
+
+def _independent_wordpiece(texts, num_merges: int = 8, min_pair_count: int = 2):
+    """INDEPENDENT dict-based WordPiece trainer (the BERT vocabulary
+    algorithm: iterative merges argmaxing the likelihood score
+    ``count(l,r) / (count(l)*count(r))`` over ##-prefixed symbols) —
+    deliberately NOT importing operators/tokenizer.py, so the x90/x91
+    oracles pit two separate implementations of the same public
+    algorithm against each other. Score contract mirrors the operator
+    bit-for-bit: one IEEE division float(cnt)/(float(l)*float(r)),
+    ties lexicographic on (left, right). Returns
+    ([(rank, left, right, merged, cnt, l_cnt, r_cnt)], vocab)."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for text in texts:
+        for w in _TOKEN_WS.split(text.lower()):
+            if w:
+                wc[w] += 1
+    vocab = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wc}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        uc: Counter = Counter()
+        for w, syms in vocab.items():
+            n = wc[w]
+            for s in syms:
+                uc[s] += n
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (l_, r_), cnt = min(
+            pc.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / (float(uc[kv[0][0]]) * float(uc[kv[0][1]]))),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        if cnt < min_pair_count:
+            break
+        merged = l_ + (r_[2:] if r_.startswith("##") else r_)
+        merges.append((rank, l_, r_, merged, cnt, uc[l_], uc[r_]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def _wordpiece_match(word: str, vocab: set, unk: str = "[UNK]") -> list:
+    """BERT greedy longest-match-first; whole word -> [UNK] when stuck."""
+    max_l = max(len(p) for p in vocab)
+    out, i, n = [], 0, len(word)
+    while i < n:
+        j = min(n, i + (max_l if i == 0 else max_l - 2))
+        piece = None
+        while j > i:
+            cand = word[i:j] if i == 0 else "##" + word[i:j]
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return [unk]
+        out.append(piece)
+        i = j
+    return out
+
+
+def x90_wordpiece_golden() -> pa.Table:
+    """WordPiece merge table learned by ``_independent_wordpiece`` per
+    sf dir, keyed by corpus_key (the x70 shape + merged/unit counts —
+    all exact integers, no float ever reaches the compared values)."""
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "rank", "left", "right", "merged",
+        "pair_count", "left_count", "right_count",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["text"])
+        merges, _ = _independent_wordpiece(docs.column("text").to_pylist())
+        for rank, l_, r_, merged, cnt, lc, rc in merges:
+            cols["corpus_key"].append(int(key))
+            cols["rank"].append(rank)
+            cols["left"].append(l_)
+            cols["right"].append(r_)
+            cols["merged"].append(merged)
+            cols["pair_count"].append(int(cnt))
+            cols["left_count"].append(int(lc))
+            cols["right_count"].append(int(rc))
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "rank": pa.array(cols["rank"], pa.int32()),
+            "left": pa.array(cols["left"], pa.string()),
+            "right": pa.array(cols["right"], pa.string()),
+            "merged": pa.array(cols["merged"], pa.string()),
+            "pair_count": pa.array(cols["pair_count"], pa.int64()),
+            "left_count": pa.array(cols["left_count"], pa.int64()),
+            "right_count": pa.array(cols["right_count"], pa.int64()),
+        }
+    )
+
+
+def x91_wordpiece_encode_golden() -> pa.Table:
+    """Per-document WordPiece ENCODE expectation: train with the
+    independent trainer (x90 model), derive the alphabet exactly as the
+    operator does (first-char + ##continuation forms over corpus
+    words), then greedy-longest-match every word (the x78 shape plus
+    n_unk)."""
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "doc_id", "n_words", "n_pieces", "n_unk",
+        "pieces_preview",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["doc_id", "text"])
+        texts = docs.column("text").to_pylist()
+        merges, wvocab = _independent_wordpiece(texts)
+        vocab = {m[3] for m in merges}
+        for w in wvocab:
+            vocab.add(w[0])
+            vocab.update("##" + c for c in w[1:])
+        memo: dict[str, list] = {}
+        for doc_id, text in zip(docs.column("doc_id").to_pylist(), texts):
+            words = [w for w in _TOKEN_WS.split(text.lower()) if w]
+            pieces: list[str] = []
+            for w in words:
+                if w not in memo:
+                    memo[w] = _wordpiece_match(w, vocab)
+                pieces.extend(memo[w])
+            cols["corpus_key"].append(int(key))
+            cols["doc_id"].append(int(doc_id))
+            cols["n_words"].append(len(words))
+            cols["n_pieces"].append(len(pieces))
+            cols["n_unk"].append(sum(1 for t in pieces if t == "[UNK]"))
+            cols["pieces_preview"].append(" ".join(pieces[:10]))
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "n_words": pa.array(cols["n_words"], pa.int64()),
+            "n_pieces": pa.array(cols["n_pieces"], pa.int64()),
+            "n_unk": pa.array(cols["n_unk"], pa.int64()),
+            "pieces_preview": pa.array(cols["pieces_preview"], pa.string()),
+        }
+    )
