@@ -8297,10 +8297,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_contract_consistency.py::test_window_rotation_freshness
     # enforces this ordering from the committed CORRECTNESS files, so a
     # skipped rotation fails the suite.
-    # Round-7 window: the 27 queries last recorded in round 2 (r4,
-    # r6x3, r7-r16, r19-r30, r9b — r9b finally gets its first oracle
-    # record for the round-6 HLL golden), then the leading 23 of the
-    # round-3 cohort (r31-r44, x8-x21).  Keys and aliases unchanged.
+    # Round-7 window (50 slots): the 6 new round-7 queries (s17, x88,
+    # x89, s18, x90, x91 — never recorded), then the 27 queries last
+    # recorded in round 2 (r4, r6x3, r7-r16, r19-r30, r9b — r9b finally
+    # gets its first oracle record for the round-6 HLL golden), then
+    # the leading 17 of the round-3 cohort (r31-r44, x8 through x15 —
+    # x16-x21 sit just OUTSIDE the window and stay round-3-recorded).
+    # Keys and aliases unchanged.
     return {
         # -- never driver-recorded (round-7 additions rotate in first) -----------
         "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,

@@ -630,13 +630,19 @@ def seeded_shuffle(
     # safe) multiply. Exact int64 arithmetic end to end — the oracle
     # repeats it verbatim in SQL.
     #
-    # Domain guard (map-side, no extra pass): the key math assumes a
-    # non-negative id (Java's % keeps the dividend sign, so a negative
-    # id would shiftright a negative key into bucket garbage) and
+    # Domain guard: the key math assumes a non-negative (id + seed)
+    # (Java's % keeps the dividend sign, so a negative dividend would
+    # shiftright a negative key into bucket garbage) and
     # (id + seed)·MULT must stay inside int64 (Java wraps SILENTLY past
     # 2^63; DuckDB would error, so a wrap is also an oracle divergence).
-    # Past ~3.4e9 ids, rebase ids or switch to a 64-bit splitmix.
-    id_max = (2**63 - 1) // _MULT - max(seed, 0)
+    # The seed is validated driver-side, the id map-side (no extra
+    # pass). Past ~3.4e9 ids, rebase ids or switch to a 64-bit splitmix.
+    if not 0 <= seed <= (2**63 - 1) // _MULT:
+        raise ValueError(
+            f"seeded_shuffle: seed must be in [0, {(2**63 - 1) // _MULT}], "
+            f"got {seed} (a negative seed sign-garbles the bucket keys)"
+        )
+    id_max = (2**63 - 1) // _MULT - seed
     raw = F.col(id_col).cast("long")
     guarded = F.when(
         (raw < 0) | (raw > F.lit(id_max)),

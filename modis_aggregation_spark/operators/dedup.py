@@ -301,6 +301,12 @@ def window_fingerprints(
     )
 
 
+# single-slot holder for the most recent inline-persisted fingerprint
+# frame (see duplicate_window_profile) — bounds the session's cache
+# footprint to one corpus
+_INLINE_FP_SLOT: dict = {}
+
+
 def duplicate_window_profile(
     df: DataFrame,
     content_col: str = "text",
@@ -358,6 +364,19 @@ def duplicate_window_profile(
         fps = window_fingerprints(df, content_col, id_col, window).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # single-slot cache discipline: the persist outlives this call
+        # (the returned plan references it lazily, so it cannot be
+        # unpersisted here), but a long-lived session profiling many
+        # corpora must not accumulate corpus-sized cache entries —
+        # evict the PREVIOUS inline frame, bounding the leak to one
+        # corpus; callers needing tighter control pass fingerprints=
+        prev = _INLINE_FP_SLOT.pop("fps", None)
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
+        _INLINE_FP_SLOT["fps"] = fps
     else:
         fps = fingerprints
     per_fp = fps.groupBy("fp").agg(

@@ -577,12 +577,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 (sel, ss, se, ah, al, scan_data, restart_interval,
                  dict(htables))
             )
-            if not progressive:
-                break  # sequential: single scan
+            # NO early break on sequential frames: T.81 allows a
+            # sequential frame to spread its components over several
+            # scans (one SOS per component is a layout real encoders
+            # emit) — keep collecting every scan to EOI
 
     if frame is None or not scans:
         raise ValueError("JPEG stream has no SOF/SOS")
     comps = frame["comps"]
+    if not progressive:
+        # every frame component must be entropy-coded by some scan;
+        # a gap would silently IDCT to a flat 128 plane
+        scanned = {cid for sel, *_ in scans for cid in sel}
+        missing = [c["id"] for c in comps if c["id"] not in scanned]
+        if missing:
+            raise ValueError(
+                f"sequential frame components {missing} appear in no SOS"
+            )
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

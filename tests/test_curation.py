@@ -248,6 +248,13 @@ def test_seeded_shuffle_domain_guard(spark):
     )
     with pytest.raises(Exception, match="out of domain"):
         seeded_shuffle(huge, seed=1).collect()
+    # negative / overflow-range seeds are rejected driver-side: a
+    # negative (id + seed) would sign-garble the bucket keys silently
+    ok = spark.createDataFrame([(3, "d")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="seed must be"):
+        seeded_shuffle(ok, seed=-5)
+    with pytest.raises(ValueError, match="seed must be"):
+        seeded_shuffle(ok, seed=2**62)
 
 
 def test_length_batches_distinct_cap(spark):

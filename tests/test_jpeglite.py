@@ -361,3 +361,112 @@ def test_decode_images_jpeg_rejects_non_jpeg(spark):
     )
     with pytest.raises(Exception, match="non-JPEG"):
         M.decode_images(df, decoder="jpeg").collect()
+
+
+def _multiscan_sequential_rgb(img, quality=75, drop_last_scan=False):
+    """Build a VALID sequential (SOF0) JPEG that spreads its three
+    components over three single-component scans — the T.81 layout the
+    round-7 review found decode_jpeg silently mis-decoding (it used to
+    stop after the first SOS). Reuses jpeglite's own encode pieces."""
+    import struct as _struct
+
+    from modis_aggregation_spark.sinks import jpeglite as J
+
+    h, w = img.shape[:2]
+    qluma, qchroma = J.quality_tables(quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(
+        img.astype(np.float64), [(0, ph - h), (0, pw - w), (0, 0)],
+        mode="edge",
+    )
+    r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    qts = [qluma, qchroma, qchroma]
+    qcoef = []
+    for plane, qt in zip(planes, qts):
+        f = J._fdct_blocks(plane).reshape(-1, 64)
+        qz = np.round(f / qt[np.newaxis, :]).astype(np.int64)
+        qcoef.append(qz[:, J.ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qts[:2]):
+        out += b"\xff\xdb" + _struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in qt[J.ZIGZAG]
+        )
+    out += b"\xff\xc0" + _struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += _struct.pack(">BBB", cid, 0x11, tq)
+    hts = [
+        (0x00, J.HUFF_DC_LUMA), (0x10, J.HUFF_AC_LUMA),
+        (0x01, J.HUFF_DC_CHROMA), (0x11, J.HUFF_AC_CHROMA),
+    ]
+    enc_tabs = {}
+    for tcth, (bits, values) in hts:
+        out += b"\xff\xc4" + _struct.pack(">HB", 19 + len(values), tcth)
+        out += bytes(bits) + bytes(values)
+        enc_tabs[tcth] = J._enc_table(bits, values)
+    n_scans = 2 if drop_last_scan else 3
+    for ci in range(n_scans):
+        cid = ci + 1
+        td, ta = (0x00, 0x10) if ci == 0 else (0x01, 0x11)
+        out += b"\xff\xda" + _struct.pack(">HB", 8, 1)
+        out += _struct.pack(">BB", cid, ((0 if ci == 0 else 1) << 4)
+                            | (0 if ci == 0 else 1))
+        out += _struct.pack(">BBB", 0, 63, 0)
+        wr = J._BitWriter()
+        pred = 0
+        for t in range(qcoef[ci].shape[0]):
+            zz = qcoef[ci][t]
+            s, field = J._magnitude(int(zz[0]) - pred)
+            pred = int(zz[0])
+            code, ln = enc_tabs[td][s]
+            wr.write(code, ln)
+            if s:
+                wr.write(field, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_tabs[ta][0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                s, field = J._magnitude(v)
+                code, ln = enc_tabs[ta][(run << 4) | s]
+                wr.write(code, ln)
+                wr.write(field, s)
+                run = 0
+            if run:
+                code, ln = enc_tabs[ta][0x00]
+                wr.write(code, ln)
+        wr.flush()
+        out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multiscan_sequential_decodes():
+    """A sequential frame with one SOS per component must decode
+    identically to the interleaved single-scan encoding of the same
+    coefficients (round-7 review fix — previously silently grayscale)."""
+    img = np.zeros((16, 24, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, 24).astype(np.uint8)[None, :]
+    img[..., 1] = np.linspace(20, 200, 16).astype(np.uint8)[:, None]
+    img[..., 2] = 99
+    multi = decode_jpeg(_multiscan_sequential_rgb(img, quality=75))
+    single = decode_jpeg(encode_jpeg(img, quality=75))
+    assert np.array_equal(multi, single)
+
+
+def test_multiscan_missing_component_raises():
+    """A sequential frame whose scans never cover one component must
+    raise, not IDCT the gap to a flat plane."""
+    img = np.full((8, 8, 3), 120, np.uint8)
+    data = _multiscan_sequential_rgb(img, drop_last_scan=True)
+    with pytest.raises(ValueError, match="appear in no SOS"):
+        decode_jpeg(data)
