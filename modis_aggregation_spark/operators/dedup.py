@@ -361,22 +361,32 @@ def duplicate_window_profile(
     if fingerprints is None:
         from pyspark import StorageLevel
 
-        fps = window_fingerprints(df, content_col, id_col, window).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
         # single-slot cache discipline: the persist outlives this call
         # (the returned plan references it lazily, so it cannot be
         # unpersisted here), but a long-lived session profiling many
-        # corpora must not accumulate corpus-sized cache entries —
-        # evict the PREVIOUS inline frame, bounding the leak to one
-        # corpus; callers needing tighter control pass fingerprints=
-        prev = _INLINE_FP_SLOT.pop("fps", None)
+        # corpora must not accumulate corpus-sized cache entries. A
+        # repeat call on the SAME corpus (plan-identical frame) reuses
+        # the slot's warm cache outright; a different corpus evicts it,
+        # bounding the footprint to one corpus. Callers needing tighter
+        # control pass fingerprints= (the x60 posture).
+        plan = window_fingerprints(df, content_col, id_col, window)
+        prev = _INLINE_FP_SLOT.get("fps")
+        same = False
         if prev is not None:
             try:
-                prev.unpersist(blocking=False)
+                same = prev.sameSemantics(plan)
             except Exception:  # noqa: BLE001 — session may be gone
-                pass
-        _INLINE_FP_SLOT["fps"] = fps
+                prev = None
+        if same:
+            fps = prev
+        else:
+            if prev is not None:
+                try:
+                    prev.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001
+                    pass
+            fps = plan.persist(StorageLevel.MEMORY_AND_DISK)
+            _INLINE_FP_SLOT["fps"] = fps
     else:
         fps = fingerprints
     per_fp = fps.groupBy("fp").agg(
