@@ -496,3 +496,32 @@ def test_x84_seeded_shuffle_no_global_window(spark):
     assert "SinglePartition" not in plan
     exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert any("__bkt" in l for l in exch)
+
+
+def test_x89_heavy_hitters_broadcast_recount(spark):
+    """x89's exact recount joins the corpus tokens against the LITERAL
+    candidate relation via broadcast — never a vocabulary-sized
+    SortMergeJoin — and the count aggregation is map-side partial."""
+    plan = _plan(spark, "x89_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_x90_wordpiece_train_partial_aggs(spark):
+    """Each WordPiece round's pair/unit counts partial-aggregate map-side
+    (skinny shuffles over the distinct-word vocab, never the corpus)."""
+    import __spark_entry__ as e
+
+    docs = e.queries()  # noqa: F841 — ensure registry import parity
+    from modis_aggregation_spark.operators.tokenizer import word_vocab
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        word_vocab(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
