@@ -579,8 +579,16 @@ class _H4Reader:
             struct.unpack_from(">HH", body, 4 * k)
             for k in range(len(body) // 4)
         ]
-        sdd_ref = next(r for t, r in members if t == TAG_SDD)
-        sd_ref = next(r for t, r in members if t == TAG_SD)
+        # sentinel default instead of a bare next(): a corrupted NDG
+        # missing its SDD/SD member must raise ValueError, not leak a
+        # StopIteration into whatever generator called the reader
+        sdd_ref = next((r for t, r in members if t == TAG_SDD), None)
+        sd_ref = next((r for t, r in members if t == TAG_SD), None)
+        if sdd_ref is None or sd_ref is None:
+            raise ValueError(
+                f"HDF4 NDG {ref} ({name!r}) lacks an SDD/SD member pair: "
+                f"{members}"
+            )
         sdd = self.elt(TAG_SDD, sdd_ref)
         (rank,) = struct.unpack_from(">H", sdd, 0)
         dims = struct.unpack_from(f">{rank}I", sdd, 2)

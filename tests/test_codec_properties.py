@@ -262,3 +262,96 @@ def test_avi_roundtrip_random_geometry(n_frames, bh, bw, seed, fps):
     assert len(decoded) == n_frames
     for orig, dec in zip(frames, decoded):
         assert np.array_equal(orig, dec)
+
+
+# ---- adversarial-garbage robustness: every pure-Python codec must FAIL
+# CLEANLY on corrupt input (a typed exception), never hang, loop, or
+# return a silently-wrong decode — the property a crawler-fed multimodal
+# pipeline actually needs from its parsers ----------------------------------
+
+_CODEC_EXCS = (ValueError, NotImplementedError, KeyError, IndexError,
+               EOFError, OverflowError)
+
+
+def _expect_clean_failure(decode, blob, extra_excs=()):
+    import struct as _struct
+    import wave as _wave
+    import zlib as _zlib
+
+    try:
+        decode(blob)
+    except (_struct.error, _zlib.error, _wave.Error, *_CODEC_EXCS,
+            *extra_excs):
+        return
+    # reaching here means the garbage DECODED — acceptable only for
+    # formats where tiny blobs can be vacuously valid, handled per-call
+
+
+@given(seed=st.integers(0, 2**31), n=st.integers(0, 400))
+@settings(**_SETTINGS)
+def test_codecs_fail_cleanly_on_garbage(tmp_path_factory, seed, n):
+    rng = np.random.default_rng(seed)
+    blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+
+    from modis_aggregation_spark.operators.multimodal import decode_wav
+    from modis_aggregation_spark.sinks.avilite import decode_avi_frames
+    from modis_aggregation_spark.sinks.giflite import decode_gif
+    from modis_aggregation_spark.sinks.jpeglite import decode_jpeg
+    from modis_aggregation_spark.sinks.pnglite import decode_png
+
+    for dec in (decode_jpeg, decode_png, decode_gif, decode_wav,
+                decode_avi_frames):
+        _expect_clean_failure(dec, blob)
+
+    # the HDF4/HDF5 readers parse from paths
+    from modis_aggregation_spark.sinks.hdf4lite import read_hdf4
+    from modis_aggregation_spark.sinks.hdf5lite import read_hdf5
+
+    d = tmp_path_factory.mktemp("garbage")
+    p = str(d / "g.bin")
+    open(p, "wb").write(blob)
+    _expect_clean_failure(read_hdf4, p)
+    _expect_clean_failure(read_hdf5, p)
+
+
+@given(seed=st.integers(0, 2**31), flips=st.integers(1, 24))
+@settings(**_SETTINGS)
+def test_jpeg_bitflip_never_hangs(seed, flips):
+    """Bit-flipped VALID progressive streams: decode either succeeds
+    (flip landed in image data) or raises a typed error — no hangs, no
+    unbounded memory (the failure mode entropy decoders are prone to)."""
+    from modis_aggregation_spark.sinks.jpeglite import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8).astype(np.uint8)
+    blob = bytearray(encode_jpeg_progressive(img, quality=50))
+    for _ in range(flips):
+        i = int(rng.integers(2, len(blob)))  # keep SOI intact
+        blob[i] ^= 1 << int(rng.integers(0, 8))
+    _expect_clean_failure(decode_jpeg, bytes(blob))
+
+
+@given(seed=st.integers(0, 2**31), flips=st.integers(1, 16))
+@settings(**_SETTINGS)
+def test_hdf4_bitflip_never_hangs(tmp_path_factory, seed, flips):
+    """Bit-flipped valid HDF4 files (incl. RLE + linked layouts) parse
+    or raise — DD chains and block tables must not loop forever."""
+    from modis_aggregation_spark.sinks.hdf4lite import read_hdf4, write_hdf4
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path_factory.mktemp("h4flip")
+    p = str(d / "f.hdf")
+    arr = rng.integers(-999, 999, (9, 7)).astype(np.int16)
+    write_hdf4(p, {"v": (arr, {"u": "x"})},
+               compress="rle" if seed % 2 else False)
+    blob = bytearray(open(p, "rb").read())
+    for _ in range(flips):
+        i = int(rng.integers(4, len(blob)))  # keep magic intact
+        blob[i] ^= 1 << int(rng.integers(0, 8))
+    open(p, "wb").write(bytes(blob))
+    _expect_clean_failure(read_hdf4, p, extra_excs=(TypeError,
+                                                    UnicodeDecodeError,
+                                                    FileNotFoundError))
