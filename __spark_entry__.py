@@ -8297,67 +8297,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_contract_consistency.py::test_window_rotation_freshness
     # enforces this ordering from the committed CORRECTNESS files, so a
     # skipped rotation fails the suite.
-    # Round-7 window (50 slots): the 6 new round-7 queries (s17, x88,
-    # x89, s18, x90, x91 — never recorded), then the 27 queries last
-    # recorded in round 2 (r4, r6x3, r7-r16, r19-r30, r9b — r9b finally
-    # gets its first oracle record for the round-6 HLL golden), then
-    # the leading 17 of the round-3 cohort (r31-r44, x8 through x15 —
-    # x16-x21 sit just OUTSIDE the window and stay round-3-recorded).
+    # Round-8 window (50 slots): any new round-8 queries (prepended as
+    # built), then the 32 queries last recorded in round 3 (x16-x41,
+    # s1/s3-s7), then m11 (round 4), then the leading slots of the
+    # round-5 cohort (s12, x42...).  x75_kmeans_train is pre-ordered to
+    # HEAD its round-6 cohort (VERDICT r7 authorization) so its r7 fix
+    # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
-        # -- never driver-recorded (round-7 additions rotate in first) -----------
-        "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,
-        "x88_decode_progressive": _q_x88_decode_progressive,
-        "x89_heavy_hitters": _q_x89_heavy_hitters,
-        "s18_jsonl_scan": _q_s18_jsonl_scan,
-        "x90_wordpiece_train": _q_x90_wordpiece_train,
-        "x91_wordpiece_encode": _q_x91_wordpiece_encode,
-        # -- last driver-recorded in round 2 -------------------------------------
-        "r4_semi_anti": _q_r4_semi_anti,
-        "r6_rownum_topk": _q_r6_rownum_topk,
-        "r6_rank": _q_r6_rank,
-        "r6_sliding": _q_r6_sliding,
-        "r7_topk": _q_r7_topk,
-        "r8_setops": _q_r8_setops,
-        "r9_distinct": _q_r9_distinct,
-        "r9b_approx_distinct": _q_r9b_approx_distinct,
-        "r10_scalar_battery": _q_r10_scalar_battery,
-        "r11_dedup_exact": _q_r11_dedup_exact,
-        "r12_text_terms": _q_r12_text_terms,
-        "r13_json_props": _q_r13_json_props,
-        "r14_subquery": _q_r14_subquery,
-        "r15_cube": _q_r15_cube,
-        "r16_sessionize": _q_r16_sessionize,
-        "r19_percentiles": _q_r19_percentiles,
-        "r20_collect_list": _q_r20_collect_list,
-        "r21_having_in": _q_r21_having_in,
-        "r22_outer_joins": _q_r22_outer_joins,
-        "r23_pivot": _q_r23_pivot,
-        "r24_tumbling_window": _q_r24_tumbling_window,
-        "r25_asof_join": _q_r25_asof_join,
-        "r26_range_join": _q_r26_range_join,
-        "r27_merge_upsert": _q_r27_merge_upsert,
-        "r28_scd2": _q_r28_scd2,
-        "r29_unpivot": _q_r29_unpivot,
-        "r30_snapshot_diff": _q_r30_snapshot_diff,
-        # -- last driver-recorded in round 3 -------------------------------------
-        "r31_hopping_window": _q_r31_hopping_window,
-        "r32_session_window": _q_r32_session_window,
-        "r33_tpch_q4": _q_r33_tpch_q4,
-        "r34_tpch_q13": _q_r34_tpch_q13,
-        "r35_tpch_q17": _q_r35_tpch_q17,
-        "r37_tpch_q22": _q_r37_tpch_q22,
-        "r43_funnel": _q_r43_funnel,
-        "r44_cohort_retention": _q_r44_cohort_retention,
-        "x8_embedding_pairs": _q_x8_embedding_pairs,
-        "x9_ivf_topk": _q_x9_ivf_topk,
-        "x9b_ivf_full_probe": _q_x9b_ivf_full_probe,
-        "x10_media_meta": _q_x10_media_meta,
-        "x11_decode_images": _q_x11_decode_images,
-        "x12_curate_corpus": _q_x12_curate_corpus,
-        "x13_tfidf": _q_x13_tfidf,
-        "x14_quality_quantile": _q_x14_quality_quantile,
-        "x15_label_centroids": _q_x15_label_centroids,
+        # -- last driver-recorded in round 3 -----------------------------------
         "x16_train_split": _q_x16_train_split,
         "x17_winnow_fps": _q_x17_winnow_fps,
         "x18_quantize": _q_x18_quantize,
@@ -8390,9 +8338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_stream_granules": _q_s5_stream_granules,
         "s6_stream_screen": _q_s6_stream_screen,
         "s7_stream_static_dedup": _q_s7_stream_static_dedup,
-        # -- last driver-recorded in round 4 -------------------------------------
+        # -- last driver-recorded in round 4 -----------------------------------
         "m11_catalog": _q_m11_catalog,
-        # -- last driver-recorded in round 5 -------------------------------------
+        # -- last driver-recorded in round 5 -----------------------------------
         "s12_hdf4_chunked_scan": _q_s12_hdf4_chunked_scan,
         "x42_bm25": _q_x42_bm25,
         "x43_ewma": _q_x43_ewma,
@@ -8443,10 +8391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_sampling": _q_m8_sampling,
         "m9_densify": _q_m9_densify,
         "m10_grid_counts": _q_m10_grid_counts,
-        # -- last driver-recorded in round 6 -------------------------------------
+        # -- last driver-recorded in round 6 (x75 pre-ordered first) -----------
+        "x75_kmeans_train": _q_x75_kmeans_train,
         "x73_avi_frames": _q_x73_avi_frames,
         "x74_warc_scan": _q_x74_warc_scan,
-        "x75_kmeans_train": _q_x75_kmeans_train,
         "x76_bloom_screen": _q_x76_bloom_screen,
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
@@ -8494,6 +8442,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r17_tpch_q3": _q_r17_tpch_q3,
         "r18_tpch_q5": _q_r18_tpch_q5,
         "r1_filter_project": _q_r1_filter_project,
+        # -- last driver-recorded in round 7 -----------------------------------
+        "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,
+        "x88_decode_progressive": _q_x88_decode_progressive,
+        "x89_heavy_hitters": _q_x89_heavy_hitters,
+        "s18_jsonl_scan": _q_s18_jsonl_scan,
+        "x90_wordpiece_train": _q_x90_wordpiece_train,
+        "x91_wordpiece_encode": _q_x91_wordpiece_encode,
+        "r4_semi_anti": _q_r4_semi_anti,
+        "r6_rownum_topk": _q_r6_rownum_topk,
+        "r6_rank": _q_r6_rank,
+        "r6_sliding": _q_r6_sliding,
+        "r7_topk": _q_r7_topk,
+        "r8_setops": _q_r8_setops,
+        "r9_distinct": _q_r9_distinct,
+        "r9b_approx_distinct": _q_r9b_approx_distinct,
+        "r10_scalar_battery": _q_r10_scalar_battery,
+        "r11_dedup_exact": _q_r11_dedup_exact,
+        "r12_text_terms": _q_r12_text_terms,
+        "r13_json_props": _q_r13_json_props,
+        "r14_subquery": _q_r14_subquery,
+        "r15_cube": _q_r15_cube,
+        "r16_sessionize": _q_r16_sessionize,
+        "r19_percentiles": _q_r19_percentiles,
+        "r20_collect_list": _q_r20_collect_list,
+        "r21_having_in": _q_r21_having_in,
+        "r22_outer_joins": _q_r22_outer_joins,
+        "r23_pivot": _q_r23_pivot,
+        "r24_tumbling_window": _q_r24_tumbling_window,
+        "r25_asof_join": _q_r25_asof_join,
+        "r26_range_join": _q_r26_range_join,
+        "r27_merge_upsert": _q_r27_merge_upsert,
+        "r28_scd2": _q_r28_scd2,
+        "r29_unpivot": _q_r29_unpivot,
+        "r30_snapshot_diff": _q_r30_snapshot_diff,
+        "r31_hopping_window": _q_r31_hopping_window,
+        "r32_session_window": _q_r32_session_window,
+        "r33_tpch_q4": _q_r33_tpch_q4,
+        "r34_tpch_q13": _q_r34_tpch_q13,
+        "r35_tpch_q17": _q_r35_tpch_q17,
+        "r37_tpch_q22": _q_r37_tpch_q22,
+        "r43_funnel": _q_r43_funnel,
+        "r44_cohort_retention": _q_r44_cohort_retention,
+        "x8_embedding_pairs": _q_x8_embedding_pairs,
+        "x9_ivf_topk": _q_x9_ivf_topk,
+        "x9b_ivf_full_probe": _q_x9b_ivf_full_probe,
+        "x10_media_meta": _q_x10_media_meta,
+        "x11_decode_images": _q_x11_decode_images,
+        "x12_curate_corpus": _q_x12_curate_corpus,
+        "x13_tfidf": _q_x13_tfidf,
+        "x14_quality_quantile": _q_x14_quality_quantile,
+        "x15_label_centroids": _q_x15_label_centroids,
     }
 
 
