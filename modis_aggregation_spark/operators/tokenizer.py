@@ -708,7 +708,9 @@ def wordpiece_encode(
     def enc(it):
         import pandas as pd
 
-        max_l = max(len(p) for p in vocab)
+        # empty vocab (empty model over a word-free corpus): every word
+        # falls through the greedy match and becomes [UNK]
+        max_l = max((len(p) for p in vocab), default=0)
         for pdf in it:
             toks_col = []
             for w in pdf["word"]:

@@ -146,3 +146,15 @@ def test_encode_matches_independent_matcher(spark):
             sum(1 for p in pieces if p == "[UNK]"),
             " ".join(pieces[:10]),
         )
+
+
+def test_encode_empty_vocab_yields_unk(spark):
+    """Empty model over a word-free corpus: the alphabet set is empty, so
+    vocab == {} and the greedy matcher's max-piece-length must degrade
+    gracefully (max(default=0)) instead of raising ValueError inside the
+    Arrow task (round-8 ADVICE fix).  Note: Spark skips the UDF on empty
+    partitions, so vocab == {} with invoked tasks is a latent path —
+    this test pins the end-to-end empty-corpus behavior either way."""
+    out = T.wordpiece_encode(_docs(spark, [(1, ""), (2, "  ")]), []).collect()
+    got = sorted((r["doc_id"], r["n_words"], r["n_unk"]) for r in out)
+    assert got == [(1, 0, 0), (2, 0, 0)]

@@ -1346,8 +1346,6 @@ def main() -> None:
     print(f"x91_wordpiece_encode.parquet: {x91.num_rows} rows")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _independent_wordpiece(texts, num_merges: int = 8, min_pair_count: int = 2):
@@ -1509,3 +1507,6 @@ def x91_wordpiece_encode_golden() -> pa.Table:
             "pieces_preview": pa.array(cols["pieces_preview"], pa.string()),
         }
     )
+
+if __name__ == "__main__":
+    main()
