@@ -109,13 +109,24 @@ def tf_idf(
     ``idf = ln((N + 1) / (df + 1)) + 1`` (sklearn's smooth_idf convention —
     never divides by zero, never negative). ``top_k`` keeps the k highest-
     scoring terms per document (ties broken by term for determinism).
+
+    Scale shape (round-8 fix): the tf table is slot-persisted so the
+    corpus tokenizes ONCE — its two consumers (the df aggregation and
+    the score join) read the cache.  Exchange reuse cannot save this
+    one: the count-distinct rewrite + column pruning make the two tf
+    subtrees non-identical, so unpersisted they each re-tokenize.  No
+    broadcast hint on df_ — it is vocabulary-sized, unbounded at corpus
+    scale (same rule as the pmi/bigram marginals); AQE may still elect a
+    broadcast when actually small.
     """
     n_docs = docs.select(id_col).distinct().count()
-    tf = term_frequencies(docs, content_col, id_col)
+    tf = _slot_persist(
+        _TFIDF_SLOT, "tf", term_frequencies(docs, content_col, id_col)
+    )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("tfidf", F.col("tf") * idf)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
@@ -148,15 +159,19 @@ def bm25(
     ``score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))`` with the
     standard robust idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
 
-    Scale shape — NO doc-keyed shuffle at all: the corpus-wide state is
-    two skinny aggregates (per-query-term document frequencies pivoted
-    into a one-row map, and the (avgdl, N) scalar row), both broadcast
-    back via crossJoin; scoring is then a single MAP-ONLY projection that
-    counts each query term inside the token array (|q| is a small
-    constant). The naive explode→groupBy(doc,term)→join-back plan
-    shuffles the corpus by doc_id three times; this one never does —
-    the difference between a pipeline stage and three at 100 TB.
-    Terms absent from the corpus contribute 0 (their tf is 0 everywhere).
+    Scale shape — NO doc-keyed shuffle at all: the corpus-wide state
+    (per-query-term document frequencies, avgdl, N) is ONE skinny 1-row
+    aggregate — every df_t is a conditional sum in the same agg pass
+    (|q| is a small constant, so |q| extra agg expressions are free) —
+    broadcast back via crossJoin; scoring is then a single MAP-ONLY
+    projection that counts each query term inside the token array. The
+    naive explode→groupBy(doc,term)→join-back plan shuffles the corpus
+    by doc_id three times; this one never does — and the corpus is
+    tokenized exactly TWICE (the stats agg and the scoring projection —
+    the stats pass is inherent, as in any standardization; round 7
+    shipped three tokenize passes, with df and (avgdl, N) as separate
+    aggregates). Terms absent from the corpus contribute 0 (their tf is
+    0 everywhere).
 
     No counterpart in the reference; extends the TF-IDF family above for
     retrieval-style corpus triage (e.g., topic-targeted data selection).
@@ -165,38 +180,31 @@ def bm25(
     staged = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
     )
-    # skinny corpus-wide state: df per query term (as a 1-row map) + scalars
-    qhits = staged.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(F.col("__toks"), lambda t: t.isin(*terms))
-            )
-        ).alias("term"),
-    )
-    df_map = qhits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    ).agg(
-        F.map_from_arrays(
-            F.collect_list("term"), F.collect_list("df")
-        ).alias("__dfmap")
-    )
-    scalars = staged.agg(
+    # skinny corpus-wide state in ONE agg pass: df per query term
+    # (conditional sums — indexed aliases, term text may not be a safe
+    # column name) + (avgdl, N) scalars
+    stats = staged.agg(
         F.avg(F.size("__toks").cast("double")).alias("__avgdl"),
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        *(
+            F.sum(
+                F.when(F.array_contains("__toks", F.lit(t)), 1.0).otherwise(
+                    0.0
+                )
+            ).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ),
     )
-    scored = staged.crossJoin(F.broadcast(df_map)).crossJoin(F.broadcast(scalars))
+    scored = staged.crossJoin(F.broadcast(stats))
     dl = F.size("__toks").cast("double")
     contribs = []
-    for t in terms:
+    for i, t in enumerate(terms):
 
         def _eq(term: str):
             return lambda x: x == term
 
         tf = F.size(F.filter(F.col("__toks"), _eq(t))).cast("double")
-        df_t = F.coalesce(
-            F.try_element_at(F.col("__dfmap"), F.lit(t)), F.lit(0.0)
-        )
+        df_t = F.col(f"__df_{i}")
         idf = F.log(
             F.lit(1.0) + (F.col("__n_docs") - df_t + 0.5) / (df_t + 0.5)
         )
@@ -241,6 +249,41 @@ def _doc_bigrams(
     )
 
 
+# One-slot caches for lm_doc_score's inline-built frames, keyed by plan
+# semantics (CLAUDE.md rule 3c: an unconditional unpersist evicts
+# same-plan successors too — CacheManager matches canonicalized plans, so
+# a slot only swaps when the incoming plan genuinely differs).
+_LM_OCC_SLOT: dict = {}
+# Same, for tf_idf's term-frequency table (two consumers: df agg + join).
+_TFIDF_SLOT: dict = {}
+
+
+def _slot_persist(slot: dict, key: str, plan: DataFrame) -> DataFrame:
+    """Persist ``plan`` MEMORY_AND_DISK through a sameSemantics-guarded
+    module slot (the q_dup_spans pattern, dedup.py:_INLINE_FP_SLOT): a
+    repeat call with a semantically-identical plan reuses the warm cache;
+    a different plan evicts the old entry first."""
+    from pyspark import StorageLevel
+
+    prev = slot.get(key)
+    same = False
+    if prev is not None:
+        try:
+            same = prev.sameSemantics(plan)
+        except Exception:  # noqa: BLE001 — session may be gone
+            prev = None
+    if same:
+        return prev
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001
+            pass
+    out = plan.persist(StorageLevel.MEMORY_AND_DISK)
+    slot[key] = out
+    return out
+
+
 def lm_doc_score(
     docs: DataFrame,
     content_col: str = "text",
@@ -257,18 +300,44 @@ def lm_doc_score(
     so the join to the probability table is total (smoothing still shapes
     p via the k·V denominator mass).
 
-    Scale shape: three skinny shuffles — bigram counts keyed (w1, w2),
-    left-token totals keyed w1, and the occurrence→probability join keyed
-    (w1, w2); neither count table is broadcast (vocabulary² is unbounded
-    at corpus scale — same rule as dsir_importance); the final roll-up is
-    a hash agg keyed by doc_id. Token text shuffles once (the occurrence
-    rows); documents never do.
+    Scale shape: the corpus is tokenized EXACTLY ONCE — the (doc_id, w1,
+    w2) occurrence frame is persisted (memory-and-disk, sameSemantics-
+    guarded module slot — the q_dup_spans pattern) and feeds BOTH the LM
+    count aggregation (doc_id dropped) and the occurrence→probability
+    join; V derives from the aggregated count table inside ``bigram_lm``.
+    Three skinny shuffles follow — bigram counts keyed (w1, w2),
+    left-token totals keyed w1, and the probability join keyed (w1, w2);
+    neither count table is broadcast (vocabulary² is unbounded at corpus
+    scale — same rule as dsir_importance); the final roll-up is a hash
+    agg keyed by doc_id. Token text shuffles once (the occurrence rows);
+    documents never do. (Round 7 shipped four tokenize passes here —
+    occ, the LM's own pairs, and a pairs∪pairs V union; at 100 TB
+    tokenization IS the cost, hence the shared frame.)
 
     No counterpart in the reference (extension surface); composes
     ``bigram_lm`` into the per-document quality-screen shape.
     """
-    occ = _doc_bigrams(docs, content_col, id_col)
-    lm = bigram_lm(docs, content_col, k_smooth).select("w1", "w2", "p")
+    occ = _slot_persist(
+        _LM_OCC_SLOT, "occ", _doc_bigrams(docs, content_col, id_col)
+    )
+    # The count table is vocabulary²-bounded (one row per observed
+    # bigram) — orders of magnitude below the occurrence frame.  It has
+    # three consumers inside the LM (probability join, w1-marginal, V),
+    # and TableCacheQueryStage inputs defeat AQE exchange/stage reuse
+    # (observed: the (w1,w2) agg over the occurrence cache ran 2-4x), so
+    # it is slot-persisted too: one agg pass over the occurrence cache,
+    # three cheap cache reads.
+    # NOT persisted: the count table.  Measured at sf0.1 (warm best-of-5):
+    # occ-only 0.72 s; +persisted count table 1.04 s; +collected-literal V
+    # 1.54 s — the extra cache materializations/jobs cost more than the
+    # 1-2 duplicate agg passes they save, and those duplicates re-read the
+    # SKINNY occurrence cache (post-tokenize), never the corpus.  At scale
+    # the same holds: re-aggregating cached (w1, w2) rows is shuffle-local
+    # work; the expensive parts (text scan, tokenize, bigram formation)
+    # happen exactly once below the cache.
+    lm = bigram_lm(
+        docs, content_col, k_smooth, pairs=occ.select("w1", "w2")
+    ).select("w1", "w2", "p")
     nll = -F.log(F.col("p"))
     return (
         occ.join(lm, ["w1", "w2"])
@@ -396,6 +465,7 @@ def bigram_lm(
     docs: DataFrame,
     content_col: str = "text",
     k_smooth: float = 0.5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Add-k-smoothed bigram language model over the corpus:
     ``p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` with V = unigram
@@ -411,13 +481,25 @@ def bigram_lm(
     when small) — same rule as dsir_importance. V rides as a 1-row scalar
     crossJoin. Only observed bigrams are returned (the smoothed mass of
     unseen pairs is implied by the formula).
+
+    V is derived from the AGGREGATED count table (distinct over the union
+    of its w1/w2 key columns — set-identical to distinct words over the
+    occurrence rows, since every occurring pair appears as a key), never
+    by re-scanning the occurrences: at 100 TB the occurrence frame is one
+    row per corpus token and tokenization dominates, while the count
+    table is vocabulary²-bounded and already in hand.
+
+    ``pairs`` (optional): a pre-formed (w1, w2) occurrence frame —
+    callers that also consume the occurrences themselves pass their
+    persisted frame so the corpus is tokenized exactly once.
     """
-    pairs = _doc_bigrams(docs, content_col, None)
+    if pairs is None:
+        pairs = _doc_bigrams(docs, content_col, None)
     bg_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     w1_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
-        pairs.select(F.col("w1").alias("w"))
-        .unionAll(pairs.select(F.col("w2").alias("w")))
+        bg_counts.select(F.col("w1").alias("w"))
+        .unionAll(bg_counts.select(F.col("w2").alias("w")))
         .agg(F.countDistinct("w").cast("double").alias("__v"))
     )
     return (

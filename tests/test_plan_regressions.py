@@ -180,12 +180,13 @@ def test_x34_source_mix_broadcasts_rates(spark):
 
 
 def test_x42_bm25_no_doc_shuffle(spark):
-    """BM25 scoring must be map-only over the corpus: skinny df/scalar
-    aggregates broadcast back, never a doc_id-keyed join chain."""
+    """BM25 scoring must be map-only over the corpus: the skinny 1-row
+    stats aggregate broadcasts back, never a doc_id-keyed join chain.
+    (Round 8 fused df+scalars into ONE agg pass — a single crossJoin.)"""
     plan = _plan(spark, "x42_bm25")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 2  # two 1-row scalar crossJoins
-    # only the two skinny aggregates exchange; no hashpartitioning on doc_id
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # one 1-row stats crossJoin
+    # only the stats aggregate exchanges; no hashpartitioning on doc_id
     assert "hashpartitioning(doc_id" not in plan
 
 
@@ -525,3 +526,135 @@ def test_x90_wordpiece_train_partial_aggs(spark):
     )
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_x53_lm_score_single_tokenize_pass(spark):
+    """lm_doc_score (round-8 fix): the corpus must be tokenized exactly
+    once — the (doc_id, w1, w2) occurrence frame is slot-persisted and
+    every consumer (LM count agg, probability-join probe) reads the ONE
+    InMemoryRelation.  Round 7 shipped four tokenize passes here (occ,
+    the LM's own pairs, and a pairs∪pairs V union).  Assert on the AQE
+    final plan: >= 2 cache consumers, and every documents FileScan /
+    bigram-formation Generate lives only inside the cached-relation
+    description (counts equal InMemoryRelation occurrences)."""
+    df = entry.queries()["x53_lm_score"](spark, SF)
+    df.collect()  # finalize AQE so reuse/caches are resolved
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    n_cache_refs = final.count("InMemoryRelation")
+    assert final.count("InMemoryTableScan") >= 2          # both consumers cached
+    assert final.count("FileScan parquet") == n_cache_refs  # no scan outside cache
+    assert final.count("zip_with") == n_cache_refs          # formation only in cache
+    assert "CartesianProduct" not in final
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # only the 1-row V scalar carries a broadcast hint; the count tables
+    # (vocabulary²-unbounded at scale) must never be hinted
+    assert logical.count("strategy=broadcast") <= 1
+
+
+def test_x13_tfidf_single_tokenize_pass(spark):
+    """tf_idf (round-8 audit): the tf table is slot-persisted — its two
+    consumers (df agg, score join) read ONE InMemoryRelation, so the
+    corpus tokenizes once.  (Exchange reuse cannot cover this query: the
+    count-distinct rewrite + pruning de-duplicate the subtrees.)  Also:
+    no broadcast hint anywhere — df_ is vocabulary-sized."""
+    df = entry.queries()["x13_tfidf"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    assert final.count("FileScan parquet") == final.count("InMemoryRelation")
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+
+
+def test_x42_bm25_two_scans_no_shuffle(spark):
+    """bm25 (round-8 audit): exactly TWO corpus scans — the 1-row
+    stats agg (df per query term + avgdl + N as conditional sums in ONE
+    agg; round 7 ran df and scalars as separate passes = three scans)
+    and the map-only scoring projection.  No doc-keyed shuffle at all:
+    the only exchanges are the single-partition stats agg and the
+    top-k sort."""
+    df = entry.queries()["x42_bm25"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    assert final.count("FileScan parquet") == 2
+    assert final.count("Exchange hashpartitioning") == 0
+
+
+def test_x63_inverted_index_reused_tokenize(spark):
+    """inverted_index (round-8 audit): the distinct (doc_id, term)
+    exchange is REUSED between the df aggregation and the posting join,
+    so the corpus tokenizes once (the second FileScan is the tokenless
+    n_docs count).  WindowGroupLimit keeps hot posting lists capped
+    below the window sort."""
+    df = entry.queries()["x63_inverted_index"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    n_scans = final.count("FileScan parquet")
+    n_reused = final.count("ReusedExchange")
+    # one tokenizing scan + one count scan; the dfreq side reuses
+    assert n_scans <= 2 and n_reused >= 1, (n_scans, n_reused)
+    assert "WindowGroupLimit" in plan
+
+
+def test_m5_hist_1d_single_shuffle_partial_agg(spark):
+    """M5 per-cell histogram (round-8 lock after the r7 bench drift,
+    attributed to host noise — r8 re-measured 0.471 s vs r6's 0.451 s):
+    one parquet scan, map-side partial aggregation, exactly ONE
+    (cell-keyed) exchange, no join/window anywhere."""
+    plan = _plan(spark, "m5_hist_1d")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+    assert "Join" not in plan and "Window [" not in plan
+
+
+def test_r27_merge_upsert_plan_shape(spark):
+    """R27 MERGE snapshot rewrite (round-8 lock after the r7 bench
+    drift, attributed to host noise — r8 re-measured 0.376 s vs r6's
+    0.380 s): the source→target match stays ONE equi-join (SMJ on the
+    full snapshots is the intended co-partitioned shape at scale; AQE
+    may elect broadcast when small), never a cartesian, and no more
+    than the two key exchanges."""
+    plan = _plan(spark, "r27_merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_x92_incremental_no_index_reshingle(spark):
+    """Incremental MinHash-LSH (round 8): the INDEX side must read only
+    the materialized signatures artifact — every shingle/normalize
+    expression and every documents scan in the plan belongs to the (one,
+    cached) NEW-batch signature build; the index enters as bare
+    (id, sh, sig) parquet relations.  Bucket caps stay broadcast
+    anti-joins; no cartesian anywhere."""
+    df = entry.queries()["x92_incremental_minhash"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    # STRUCTURAL leaf walk (string counts are unstable: a materialized
+    # cache prints its adaptive plan twice — final + initial sections):
+    # every leaf carrying raw document text must BE the InMemoryRelation
+    # of the cached new-batch build; the index enters only as bare
+    # (id, sh, sig) parquet relations.
+    leaves = plan.collectLeaves()
+    kinds = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        kinds.append(leaf.nodeName())
+        if leaf.nodeName() != "InMemoryRelation":
+            first = leaf.toString().splitlines()[0]
+            assert "text#" not in first, f"raw text outside cache: {first}"
+    assert "InMemoryRelation" in kinds  # the one cached new-batch build
+    import re
+
+    logical = plan.toString()
+    assert re.search(r"Relation \[id#\d+L?,sh#\d+,sig#\d+\] parquet", logical)
+    assert logical.count("LeftAnti") >= 2          # both sides capped
+    assert logical.count("strategy=broadcast") >= 2  # caps broadcast
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
