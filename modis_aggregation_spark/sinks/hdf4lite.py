@@ -49,15 +49,24 @@ actually touches — named SDS arrays plus their per-variable attributes
   (per the format spec's External Element table). Read resolves the
   filename against the directory of the .hdf file itself (plus an
   absolute path as-is); a missing companion file raises with both
-  paths in the message. Write via ``external={name: filename}``.
+  paths in the message. Write via ``external={name: filename}``;
+* N-bit elements (comp code NBIT=2), round 8: the SDsetnbitdataset
+  storage — only a ``bit_len``-bit field (leftmost bit ``start_bit``,
+  HDF4 bit numbering: 0 = element LSB) of each element is stored,
+  fields packed contiguously MSB-first across elements with a
+  zero-padded final byte; expansion fills the out-of-field bits with
+  ``fill_one`` background and, when ``sign_ext``, replicates the
+  field's top bit above ``start_bit``. Coder info in the compressed
+  special header: nt(i32), sign_ext(u16), fill_one(u16),
+  start_bit(i32), bit_len(i32). Write via ``nbit={name: {...}}``.
 
 Deliberately still NOT implemented (honest gate, raises with a clear
-message): compression codes NBIT=2, Skipping-Huffman=3 and SZIP=5 —
-NBIT/Skipping-Huffman are long-obsolete codecs no archived MODIS
-granule uses, and SZIP is a patent-encumbered extended-Rice coder
-whose codestream is defined by the szip library, not the HDF4 format
-spec; a guessed decoder that silently mis-parses real data would be
-worse than a loud gate.
+message): compression codes Skipping-Huffman=3 and SZIP=5 —
+Skipping-Huffman is a long-obsolete codec no archived MODIS granule
+uses, and SZIP is a patent-encumbered extended-Rice coder whose
+codestream is defined by the szip library, not the HDF4 format spec;
+a guessed decoder that silently mis-parses real data would be worse
+than a loud gate.
 
 Validation caveat for the special-element layouts: no pyhdf/libmfhdf is
 present to cross-read, so the byte layouts follow the public HDF4
@@ -121,6 +130,7 @@ SPECIAL_COMP = 18
 COMP_HEADER_VERSION = 0
 COMP_MODEL_STDIO = 0
 COMP_CODE_RLE = 1
+COMP_CODE_NBIT = 2
 COMP_CODE_DEFLATE = 4
 _COMP_CODE_NAMES = {1: "RLE", 2: "NBIT", 3: "Skipping-Huffman", 5: "SZIP"}
 
@@ -188,6 +198,82 @@ def rle_decode(data: bytes, raw_len: int | None = None) -> bytes:
             f"HDF4 RLE: decoded {len(out)} bytes, header says {raw_len}"
         )
     return bytes(out)
+
+def nbit_encode(
+    data: bytes, nt_size: int, start_bit: int, bit_len: int
+) -> bytes:
+    """HDF4 N-bit encode (the SDsetnbitdataset storage, library coder
+    ``cnbit.c``, comp code 2): each element of the big-endian byte
+    stream keeps only the ``bit_len``-bit field whose LEFTMOST (most
+    significant) bit is ``start_bit``; the fields of consecutive
+    elements pack contiguously MSB-first with no per-element alignment,
+    and the final partial byte is zero-padded.
+
+    Bit numbering is the HDF4 convention: bit 0 is the least
+    significant bit of the element (the LSB of the LAST byte in the
+    big-endian file representation), bit ``8*nt_size - 1`` the MSB of
+    the first byte; ``start_bit >= bit_len - 1`` so the field fits.
+    """
+    nbits = 8 * nt_size
+    if not (0 < bit_len <= start_bit + 1 <= nbits):
+        raise ValueError(
+            f"NBIT field (start_bit={start_bit}, bit_len={bit_len}) does "
+            f"not fit a {nbits}-bit number type"
+        )
+    if len(data) % nt_size:
+        raise ValueError(
+            f"NBIT: {len(data)} data bytes is not a multiple of the "
+            f"{nt_size}-byte number type"
+        )
+    n = len(data) // nt_size
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    bits = bits.reshape(n, nbits)
+    # np.unpackbits is MSB-first per byte, so column j holds element bit
+    # number (nbits - 1 - j); the field occupies a contiguous column run
+    c0 = nbits - 1 - start_bit
+    return np.packbits(bits[:, c0 : c0 + bit_len].reshape(-1)).tobytes()
+
+
+def nbit_decode(
+    stream: bytes,
+    raw_len: int,
+    nt_size: int,
+    sign_ext: bool,
+    fill_one: bool,
+    start_bit: int,
+    bit_len: int,
+) -> bytes:
+    """Inverse of ``nbit_encode`` with the HDF4 expansion semantics
+    (HDF4 UG, SDsetnbitdataset): bits outside the stored field are the
+    background — all-ones when ``fill_one`` else zeros — and when
+    ``sign_ext`` the bits ABOVE ``start_bit`` instead replicate the
+    field's top (sign) bit, overriding the background."""
+    nbits = 8 * nt_size
+    if not (0 < bit_len <= start_bit + 1 <= nbits):
+        raise ValueError(
+            f"NBIT field (start_bit={start_bit}, bit_len={bit_len}) does "
+            f"not fit a {nbits}-bit number type"
+        )
+    if raw_len % nt_size:
+        raise ValueError(
+            f"NBIT: element length {raw_len} is not a multiple of the "
+            f"{nt_size}-byte number type"
+        )
+    n = raw_len // nt_size
+    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8))
+    if len(bits) < n * bit_len:
+        raise ValueError(
+            f"NBIT codestream holds {len(bits)} bits; {n} elements of "
+            f"{bit_len} bits need {n * bit_len}"
+        )
+    field = bits[: n * bit_len].reshape(n, bit_len)
+    out = np.full((n, nbits), 1 if fill_one else 0, dtype=np.uint8)
+    c0 = nbits - 1 - start_bit
+    out[:, c0 : c0 + bit_len] = field
+    if sign_ext and c0:
+        out[:, :c0] = field[:, :1]
+    return np.packbits(out.reshape(-1)).tobytes()
+
 
 _CHK_TBL_NAME = b"_HDF_CHK_TBL_"  # chunk-table Vdata name AND class
 
@@ -407,18 +493,36 @@ class _H4Reader:
         """Compressed special element: sp_code(u16)=18, header version
         (u16), uncompressed length (i32), ref of the DFTAG_COMPRESSED
         codestream element (u16), model type (u16, 0=stdio), compression
-        code (u16); coder-specific info follows (deflate: level, u16)."""
+        code (u16); coder-specific info follows (deflate: level, u16;
+        N-bit: nt code i32, sign_ext u16, fill_one u16, start_bit i32,
+        bit_len i32 — the HDF4 library's compression-header layout for
+        COMP_CODE_NBIT, hcomp.c)."""
         _kind, _ver, raw_len, comp_ref, _model, code = struct.unpack_from(
             ">HHiHHH", self.buf, off
         )
         if code == COMP_CODE_RLE:
             return rle_decode(self.elt(TAG_COMPRESSED, comp_ref), raw_len)
+        if code == COMP_CODE_NBIT:
+            nt, sign_ext, fill_one, start_bit, bit_len = struct.unpack_from(
+                ">iHHii", self.buf, off + 14
+            )
+            if nt not in _DFNT:
+                raise ValueError(f"HDF4 NBIT element: unknown DFNT {nt}")
+            return nbit_decode(
+                self.elt(TAG_COMPRESSED, comp_ref),
+                raw_len,
+                np.dtype(_DFNT[nt]).itemsize,
+                bool(sign_ext),
+                bool(fill_one),
+                start_bit,
+                bit_len,
+            )
         if code != COMP_CODE_DEFLATE:
             raise NotImplementedError(
                 "HDF4 compressed element uses codec "
-                f"{_COMP_CODE_NAMES.get(code, code)!r}; only deflate "
-                f"(code {COMP_CODE_DEFLATE}) and RLE "
-                f"(code {COMP_CODE_RLE}) are implemented"
+                f"{_COMP_CODE_NAMES.get(code, code)!r}; only deflate, "
+                f"RLE and N-bit (codes {COMP_CODE_DEFLATE}, "
+                f"{COMP_CODE_RLE}, {COMP_CODE_NBIT}) are implemented"
             )
         out = zlib.decompress(self.elt(TAG_COMPRESSED, comp_ref))
         if len(out) != raw_len:
@@ -806,6 +910,34 @@ def _compress_body(body: bytes, level: int) -> bytes:
     return rle_encode(body) if level == -1 else zlib.compress(body, level)
 
 
+def _nbit_header(
+    raw_len: int,
+    comp_ref: int,
+    nt: int,
+    sign_ext: bool,
+    fill_one: bool,
+    start_bit: int,
+    bit_len: int,
+) -> bytes:
+    """Compressed-special-element header for the N-bit coder: the common
+    prefix, then nt(i32), sign_ext(u16), fill_one(u16), start_bit(i32),
+    bit_len(i32) — mirrored by ``_read_compressed``."""
+    return struct.pack(
+        ">HHiHHHiHHii",
+        SPECIAL_COMP,
+        COMP_HEADER_VERSION,
+        raw_len,
+        comp_ref,
+        COMP_MODEL_STDIO,
+        COMP_CODE_NBIT,
+        nt,
+        int(bool(sign_ext)),
+        int(bool(fill_one)),
+        start_bit,
+        bit_len,
+    )
+
+
 def write_hdf4(
     path: str,
     datasets: dict[str, tuple[np.ndarray, dict]],
@@ -815,6 +947,7 @@ def write_hdf4(
     chunks: dict[str, tuple[int, ...]] | None = None,
     linked: dict[str, tuple[int, int]] | None = None,
     external: dict[str, str] | None = None,
+    nbit: dict[str, dict] | None = None,
 ) -> None:
     """Write ``{name: (array, attrs)}`` as a classic HDF4 file using the
     SD-API metadata layout (Var0.0 vgroups + Attr0.0 vdatas under a
@@ -850,7 +983,13 @@ def write_hdf4(
       external special element pointing at it — the multi-file layout
       HDF4 produces via SDsetexternalfile. Externals are uncompressed
       by design (the companion holds raw bytes); combining with
-      ``compress``, ``chunks`` or ``linked`` raises.
+      ``compress``, ``chunks`` or ``linked`` raises;
+    * ``nbit[name] = {"start_bit": s, "bit_len": n, "sign_ext": bool,
+      "fill_one": bool}`` (round 8): N-bit storage (the
+      SDsetnbitdataset layout, comp code 2) — only the n-bit field of
+      each element is stored, fields packed contiguously MSB-first.
+      One storage layout per SDS: combining with ``compress``,
+      ``chunks``, ``linked`` or ``external`` raises.
     """
     if isinstance(compress, str):
         if compress.lower() != "rle":
@@ -865,16 +1004,19 @@ def write_hdf4(
     chunks = chunks or {}
     linked = linked or {}
     external = external or {}
+    nbit = nbit or {}
     for label, sel in (("chunks", chunks), ("linked", linked),
-                       ("external", external)):
+                       ("external", external), ("nbit", nbit)):
         unknown = set(sel) - set(datasets)
         if unknown:
             raise KeyError(
                 f"{label} given for unknown datasets: {sorted(unknown)}"
             )
-    layouts = {"chunked": chunks, "linked": linked, "external": external}
+    layouts = {"chunked": chunks, "linked": linked, "external": external,
+               "nbit": nbit}
     for a, b in (("linked", "chunked"), ("external", "chunked"),
-                 ("external", "linked")):
+                 ("external", "linked"), ("nbit", "chunked"),
+                 ("nbit", "linked"), ("nbit", "external")):
         both = set(layouts[a]) & set(layouts[b])
         if both:
             raise ValueError(
@@ -889,6 +1031,11 @@ def write_hdf4(
         raise ValueError(
             "external elements hold raw bytes by design; drop "
             "compress= or external= for " + ", ".join(sorted(external))
+        )
+    if level and nbit:
+        raise ValueError(
+            "N-bit elements carry their own coder; drop compress= or "
+            "nbit= for " + ", ".join(sorted(nbit))
         )
     for name, fname in external.items():
         if os.path.isabs(fname) or os.path.dirname(fname):
@@ -1036,6 +1183,37 @@ def write_hdf4(
             hdr = struct.pack(">HiI", SPECIAL_EXT, be.nbytes, 0)
             hdr += fname.encode("ascii")
             elements.append((TAG_SD | SPECIAL_BIT, sds_ref, hdr))
+        elif name in nbit:
+            spec = dict(nbit[name])
+            start_bit = int(spec.pop("start_bit"))
+            bit_len = int(spec.pop("bit_len"))
+            sign_ext = bool(spec.pop("sign_ext", False))
+            fill_one = bool(spec.pop("fill_one", False))
+            if spec:
+                raise ValueError(
+                    f"unknown nbit option(s) for {name!r}: {sorted(spec)}"
+                )
+            if arr.dtype.kind not in "iu":
+                raise TypeError(
+                    f"N-bit storage needs an integer SDS, got {arr.dtype} "
+                    f"for {name!r}"
+                )
+            ref += 1
+            elements.append((
+                TAG_COMPRESSED,
+                ref,
+                nbit_encode(
+                    be.tobytes(), be.dtype.itemsize, start_bit, bit_len
+                ),
+            ))
+            elements.append((
+                TAG_SD | SPECIAL_BIT,
+                sds_ref,
+                _nbit_header(
+                    be.nbytes, ref, dfnt, sign_ext, fill_one,
+                    start_bit, bit_len,
+                ),
+            ))
         elif level:
             ref += 1
             elements.append(

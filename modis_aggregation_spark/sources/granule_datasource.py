@@ -202,17 +202,23 @@ def write_granule_hdf4(
     blocks), ``rle`` (round 7: byte-run-compressed special elements),
     or ``external`` (round 7: each SDS's raw bytes in a companion
     ``granule_<id>_<var>.dat`` file next to the .hdf — the
-    SDsetexternalfile multi-file layout). All six decode identically;
-    the chunk shape deliberately does NOT divide the swath so
-    edge-chunk cropping is exercised, and the linked block length
-    deliberately does not divide the SDS byte size so the
-    short-trailing-block path is exercised."""
+    SDsetexternalfile multi-file layout), or ``nbit`` (round 8: the
+    SDsetnbitdataset storage — the science variables are written as
+    MYD06-style QUANTIZED int16 with scale_factor=0.1 calibration and
+    stored as 15-bit sign-extended N-bit fields; the int8 cloud-mask
+    byte as an unsigned 6-bit field; lat/lon stay contiguous floats).
+    All layouts decode identically (the nbit layout up to its int16
+    quantization, which its parquet twin must replicate); the chunk
+    shape deliberately does NOT divide the swath so edge-chunk cropping
+    is exercised, and the linked block length deliberately does not
+    divide the SDS byte size so the short-trailing-block path is
+    exercised."""
     import os
 
     from modis_aggregation_spark.sinks.hdf4lite import write_hdf4
 
     if layout not in ("contiguous", "compressed", "chunked", "linked",
-                      "rle", "external"):
+                      "rle", "external", "nbit"):
         raise ValueError(f"unknown HDF4 layout {layout!r}")
     data = synth_granule(granule_id, variables, rows, cols)
     dsets: dict = {
@@ -231,6 +237,25 @@ def write_granule_hdf4(
     }
     for v in variables:
         vals = data[v].reshape(rows, cols).copy()
+        if layout == "nbit":
+            # MYD06-style quantized science variable: int16 raw with
+            # scale_factor calibration (the storage NBIT was designed
+            # for) — raw in [1000, 10000] plus the -9999 fill, all
+            # inside a 15-bit two's-complement field
+            raw = np.where(
+                np.isnan(vals), -9999, np.round(vals * 10.0)
+            ).astype(np.int16)
+            dsets[v] = (
+                raw,
+                {
+                    "units": "none",
+                    "long_name": v,
+                    "scale_factor": 0.1,
+                    "add_offset": 0.0,
+                    "_FillValue": -9999,
+                },
+            )
+            continue
         vals[np.isnan(vals)] = -9999.0
         dsets[v] = (
             vals,
@@ -261,6 +286,19 @@ def write_granule_hdf4(
         # one companion raw file per SDS, resolved relative to the .hdf
         kw["external"] = {
             name: f"granule_{granule_id}_{name}.dat" for name in dsets
+        }
+    elif layout == "nbit":
+        # integer SDSs only: 15-bit sign-extended fields for the
+        # quantized int16 science variables, a 6-bit unsigned field for
+        # the cloud-mask byte (values 0..63); lat/lon stay contiguous
+        kw["nbit"] = {
+            "Cloud_Mask_Byte0": {
+                "start_bit": 5, "bit_len": 6, "sign_ext": False,
+            },
+            **{
+                v: {"start_bit": 14, "bit_len": 15, "sign_ext": True}
+                for v in variables
+            },
         }
     write_hdf4(path, dsets, file_attrs={"granule_id": int(granule_id)}, **kw)
     return path

@@ -561,3 +561,184 @@ def test_linked_malformed_raises(tmp_path):
             compress=6,
             linked={"v": (8, 2)},
         )
+
+
+def test_nbit_known_answer_bitstream():
+    """Hand-derived vectors pin the NBIT bit conventions so the encoder
+    and decoder cannot share a hidden wrong convention: uint16 elements,
+    field = bits 8..4 (start_bit=8, bit_len=5, HDF4 numbering: bit 0 =
+    element LSB), fields packed MSB-first across elements, final byte
+    zero-padded.
+
+      0x05A0 -> field 11010 ; 0xFFFF -> 11111 ; 0x0000 -> 00000
+      stream = 11010 11111 00000 (15 bits) = 0xD7 0xC0
+    """
+    from modis_aggregation_spark.sinks.hdf4lite import (
+        nbit_decode,
+        nbit_encode,
+    )
+
+    raw = struct.pack(">3H", 0x05A0, 0xFFFF, 0x0000)
+    enc = nbit_encode(raw, 2, start_bit=8, bit_len=5)
+    assert enc == bytes([0xD7, 0xC0])
+    # zero background
+    dec = nbit_decode(enc, 6, 2, False, False, 8, 5)
+    assert struct.unpack(">3H", dec) == (0x01A0, 0x01F0, 0x0000)
+    # ones background
+    dec1 = nbit_decode(enc, 6, 2, False, True, 8, 5)
+    assert struct.unpack(">3H", dec1) == (0xFFAF, 0xFFFF, 0xFE0F)
+    # sign extension overrides the background above start_bit
+    decs = nbit_decode(enc, 6, 2, True, False, 8, 5)
+    assert struct.unpack(">3H", decs) == (0xFFA0, 0xFFF0, 0x0000)
+
+
+def test_nbit_signed_roundtrip_semantics():
+    """5-bit two's-complement fields in int16 with sign_ext recover the
+    original negative values exactly (the SDsetnbitdataset use case)."""
+    from modis_aggregation_spark.sinks.hdf4lite import (
+        nbit_decode,
+        nbit_encode,
+    )
+
+    vals = np.array([-16, -5, -1, 0, 1, 7, 15], dtype=">i2")
+    enc = nbit_encode(vals.tobytes(), 2, start_bit=4, bit_len=5)
+    dec = nbit_decode(enc, vals.nbytes, 2, True, False, 4, 5)
+    out = np.frombuffer(dec, dtype=">i2")
+    assert np.array_equal(out, vals)
+
+
+def test_nbit_roundtrip_geometries():
+    """Byte-straddling fields, every supported integer width, odd
+    element counts (padding), full-width fields (identity)."""
+    from modis_aggregation_spark.sinks.hdf4lite import (
+        nbit_decode,
+        nbit_encode,
+    )
+
+    rng = np.random.default_rng(8)
+    cases = [
+        (">u1", 7, 3), (">u1", 7, 8),          # full byte / identity
+        (">u2", 11, 7), (">u2", 8, 2),         # straddles the byte seam
+        (">i2", 12, 9),
+        (">u4", 27, 13), (">i4", 30, 22),      # multi-byte straddles
+    ]
+    for dt, start_bit, bit_len in cases:
+        d = np.dtype(dt)
+        for n in (1, 5, 8, 33):
+            lo, hi = (0, 2 ** min(8 * d.itemsize, 31) - 1)
+            arr = rng.integers(lo, hi, n).astype(dt)
+            raw = arr.tobytes()
+            enc = nbit_encode(raw, d.itemsize, start_bit, bit_len)
+            assert len(enc) == -(-n * bit_len // 8)
+            dec = nbit_decode(
+                enc, len(raw), d.itemsize, False, False, start_bit, bit_len
+            )
+            # the stored field survives exactly; everything else is 0
+            width = 8 * d.itemsize
+            mask = ((1 << bit_len) - 1) << (start_bit - bit_len + 1)
+            mask &= (1 << width) - 1
+            got = np.frombuffer(dec, dtype=dt).astype(f">u{d.itemsize}")
+            want = arr.astype(f">u{d.itemsize}")
+            assert np.array_equal(
+                got, want & np.array(mask, dtype=f">u{d.itemsize}")
+            ), (dt, start_bit, bit_len, n)
+
+
+def test_nbit_invalid_inputs_raise():
+    from modis_aggregation_spark.sinks.hdf4lite import (
+        nbit_decode,
+        nbit_encode,
+    )
+
+    with pytest.raises(ValueError, match="does not fit"):
+        nbit_encode(b"\x00\x00", 2, start_bit=16, bit_len=4)
+    with pytest.raises(ValueError, match="does not fit"):
+        nbit_encode(b"\x00\x00", 2, start_bit=3, bit_len=5)
+    with pytest.raises(ValueError, match="not a multiple"):
+        nbit_encode(b"\x00\x00\x00", 2, start_bit=8, bit_len=4)
+    with pytest.raises(ValueError, match="codestream holds"):
+        nbit_decode(b"\x00", 4, 2, False, False, 8, 5)
+
+
+def test_nbit_file_roundtrip_and_contiguous_twin(tmp_path):
+    """write_hdf4(nbit=...) -> read_hdf4 recovers the masked values and
+    matches a contiguous twin of the pre-masked data (the cross-
+    container equality pattern of the other codecs)."""
+    rng = np.random.default_rng(81)
+    # 9-bit unsigned counts stored in uint16 (fits: start_bit 8, len 9)
+    vals = rng.integers(0, 512, (7, 11)).astype(np.uint16)
+    p = str(tmp_path / "nbit.hdf")
+    write_hdf4(
+        p,
+        {"counts": (vals, {"long_name": "counts"})},
+        nbit={"counts": {"start_bit": 8, "bit_len": 9}},
+    )
+    ds = read_hdf4(p)
+    assert np.array_equal(ds["counts"].data, vals)
+    assert ds["counts"].attrs["long_name"] == "counts"
+    # signed field with sign extension
+    svals = rng.integers(-64, 64, (5, 4)).astype(np.int16)
+    p2 = str(tmp_path / "nbit_signed.hdf")
+    write_hdf4(
+        p2,
+        {"anom": (svals, {})},
+        nbit={"anom": {"start_bit": 6, "bit_len": 7, "sign_ext": True}},
+    )
+    assert np.array_equal(read_hdf4(p2)["anom"].data, svals)
+    # contiguous twin equality
+    p3 = str(tmp_path / "twin.hdf")
+    write_hdf4(p3, {"counts": (vals, {})})
+    assert np.array_equal(read_hdf4(p3)["counts"].data, vals)
+
+
+def test_nbit_writer_rejects_bad_layouts(tmp_path):
+    arr = np.zeros((2, 2), dtype=np.uint16)
+    p = str(tmp_path / "x.hdf")
+    with pytest.raises(ValueError, match="both nbit and chunked"):
+        write_hdf4(
+            p, {"a": (arr, {})},
+            nbit={"a": {"start_bit": 8, "bit_len": 9}}, chunks={"a": (1, 1)},
+        )
+    with pytest.raises(ValueError, match="carry their own coder"):
+        write_hdf4(
+            p, {"a": (arr, {})},
+            nbit={"a": {"start_bit": 8, "bit_len": 9}}, compress=True,
+        )
+    with pytest.raises(TypeError, match="integer SDS"):
+        write_hdf4(
+            p, {"a": (arr.astype(np.float32), {})},
+            nbit={"a": {"start_bit": 8, "bit_len": 9}},
+        )
+    with pytest.raises(ValueError, match="unknown nbit option"):
+        write_hdf4(
+            p, {"a": (arr, {})},
+            nbit={"a": {"start_bit": 8, "bit_len": 9, "bogus": 1}},
+        )
+
+
+def test_nbit_granule_layout_roundtrip():
+    """layout="nbit" granules load back exactly: lat/lon/cm_raw
+    bit-identical to synth_granule; the science variable equals the
+    documented int16 quantization (round(v*10) cast int16, * 0.1 in
+    float64 — the twin derivation s19's oracle replicates)."""
+    import tempfile
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        load_granule_hdf4,
+        synth_granule,
+        write_granule_hdf4,
+    )
+
+    d = tempfile.mkdtemp()
+    write_granule_hdf4(d, 4410, ["ctp"], layout="nbit")
+    got = load_granule_hdf4(d, 4410, ["ctp"])
+    want = synth_granule(4410, ["ctp"])
+    assert np.array_equal(got["lat"], want["lat"])
+    assert np.array_equal(got["lon"], want["lon"])
+    assert np.array_equal(got["cm_raw"], want["cm_raw"])
+    v = want["ctp"]
+    raw = np.where(np.isnan(v), -9999, np.round(v * 10.0)).astype(np.int16)
+    twin = np.where(raw == -9999, np.nan, raw * 0.1)
+    m = np.isnan(got["ctp"])
+    assert np.array_equal(m, np.isnan(twin))
+    assert np.array_equal(got["ctp"][~m], twin[~m])  # bit-exact
