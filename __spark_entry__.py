@@ -5219,6 +5219,212 @@ GROUP BY granule_id
 """
 
 
+_HDF4N_IDS = list(range(4400, 4406))
+_HDF4N_DIR = "/tmp/spark_graft_hdf4n_4400_4405"
+_FIXTURE_S19 = "/tmp/spark_graft_hdf4n_twin_4400_4405.parquet"
+
+
+def _ensure_s19_fixture() -> str:
+    """Materialize 6 REAL HDF4 granule files in a MIXED archive — N-bit
+    elements (even ids: MYD06-style quantized int16 science variables
+    stored as 15-bit sign-extended fields + a 6-bit cloud-mask byte, the
+    SDsetnbitdataset layout round 8 un-gated in ``sinks/hdf4lite.py``)
+    alongside plain contiguous granules (odd ids) — plus a parquet twin
+    of the same content (the s12/s16/s17 pattern).  The twin replicates
+    the nbit granules' int16 quantization exactly (round(v*10) cast
+    int16, calibrated *0.1 in float64 — the identical op sequence the
+    reader runs), so the oracle compares like for like."""
+    if os.path.exists(_FIXTURE_S19) and os.path.isdir(_HDF4N_DIR):
+        return _HDF4N_DIR
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        synth_granule,
+        write_granule_hdf4,
+    )
+
+    tmp_dir = f"{_HDF4N_DIR}.{os.getpid()}.tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    tables = []
+    for gid in _HDF4N_IDS:
+        layout = "nbit" if gid % 2 == 0 else "contiguous"
+        write_granule_hdf4(tmp_dir, gid, ["ctp"], layout=layout)
+        data = synth_granule(gid, ["ctp"])
+        if layout == "nbit":
+            v = data["ctp"]
+            raw = np.where(np.isnan(v), -9999, np.round(v * 10.0)).astype(
+                np.int16
+            )
+            data["ctp"] = np.where(raw == -9999, np.nan, raw * 0.1)
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S19}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S19)
+    try:
+        os.replace(tmp_dir, _HDF4N_DIR)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent creator won
+    return _HDF4N_DIR
+
+
+def _q_s19_hdf4_nbit_scan(spark, sf_dir):
+    """The round-8 codec closure on the real-granule path: a MIXED
+    archive of N-bit HDF4 granules (comp code NBIT=2 — quantized int16
+    science variables as 15-bit sign-extended bit fields, the cloud-mask
+    byte as a 6-bit field; ``sinks/hdf4lite.py`` round 8) and plain
+    contiguous granules, scanned through the same Python DataSource as
+    s9/s12/s16/s17 and reduced to the per-granule decode audit (here
+    including the cloud-mask byte, which exercises the unsigned-field
+    path end-to-end).  Oracle reads the parquet twin with the identical
+    quantization; bit-level conventions are pinned by hand-derived
+    vectors in tests/test_hdf4_codec.py."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    hdf_dir = _ensure_s19_fixture()
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _HDF4N_IDS))
+        .option("decoder", "hdf")
+        .option("path", hdf_dir)
+        .option("variables", "ctp")
+        .load()
+    )
+    return df.groupBy("granule_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.count("ctp").alias("n_ctp"),
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        F.sum(F.col("cm_raw").cast("long")).alias("cm_sum"),
+        _r6(F.min("lat")).alias("lat_min"),
+        _r6(F.max("lat")).alias("lat_max"),
+    )
+
+
+_SQL_S19 = f"""
+SELECT granule_id,
+       count(*) AS n_px,
+       count(ctp) AS n_ctp,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       round(avg(ctp), 6) AS ctp_mean,
+       CAST(sum(CAST(cm_raw AS BIGINT)) AS BIGINT) AS cm_sum,
+       round(min(lat), 6) AS lat_min,
+       round(max(lat), 6) AS lat_max
+FROM read_parquet('{_FIXTURE_S19}')
+GROUP BY granule_id
+"""
+
+
+def _q_x92_incremental_minhash(spark, sf_dir):
+    """Incremental MinHash-LSH dedup against a MATERIALIZED signature
+    index (operators/dedup.py:minhash_lsh_incremental — the production
+    shape: yesterday's corpus indexed once, today's batch joins its band
+    keys without re-shingling the indexed side; round-7 VERDICT item 7).
+    Index = documents with doc_id % 4 != 0, materialized to a parquet
+    signatures artifact (the x60 pattern, content-keyed tag); new batch
+    = doc_id % 4 == 0.  Oracle: re-derives the asymmetric band join,
+    union bucket cap, exact hashed-shingle Jaccard verification and the
+    greedy keep rule in SQL from the same independent-XXH64 golden
+    artifacts x5 uses (goldens/x5_minhash.parquet, keyed by
+    sha256(text)).  Plan lock: the index side reads ONLY the signatures
+    artifact (tests/test_plan_regressions.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    tag = _corpus_tag(sf_dir)
+    sig_path = f"/tmp/spark_graft_x92_sigs_{tag}/sigs.parquet"
+    if not os.path.exists(sig_path):
+        index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+        ops_dedup.minhash_signatures(index_docs, "text", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{sig_path}.{os.getpid()}.tmp")
+        try:
+            os.replace(f"{sig_path}.{os.getpid()}.tmp", sig_path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(f"{sig_path}.{os.getpid()}.tmp", ignore_errors=True)
+            # concurrent creator won; content is identical
+    index_sigs = spark.read.parquet(sig_path)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    out = ops_dedup.minhash_lsh_incremental(
+        batch, index_sigs, "text", "doc_id", threshold=0.5
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_index_dups",
+        "n_batch_prior_dups",
+        "keep",
+    )
+
+
+_SQL_X92 = """
+WITH d AS (
+  SELECT doc_id, text, (doc_id % 4 = 0) AS is_new FROM documents
+),
+g AS (
+  SELECT d.doc_id AS id, d.is_new, gold.sh, gold.bands
+  FROM d
+  JOIN read_parquet('/root/repo/goldens/x5_minhash.parquet') gold
+    ON gold.sha256 = sha256(d.text)
+),
+banded AS (
+  SELECT id, is_new, generate_subscripts(bands, 1) - 1 AS band,
+         unnest(bands) AS key
+  FROM g
+),
+ok_buckets AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.id AS nid, b.id AS pid, b.is_new AS partner_new
+  FROM banded a
+  JOIN ok_buckets ob ON a.band = ob.band AND a.key = ob.key
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+  WHERE a.is_new AND (NOT b.is_new OR b.id < a.id)
+),
+verified AS (
+  SELECT c.nid, c.partner_new,
+         len(list_intersect(ga.sh, gb.sh)) AS inter,
+         len(ga.sh) AS la, len(gb.sh) AS lb
+  FROM cand c
+  JOIN g ga ON ga.id = c.nid
+  JOIN g gb ON gb.id = c.pid
+),
+agg AS (
+  SELECT nid,
+         CAST(sum(CASE WHEN NOT partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_index,
+         CAST(sum(CASE WHEN partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prior
+  FROM verified
+  WHERE inter / nullif(la + lb - inter, 0) >= 0.5
+  GROUP BY nid
+)
+SELECT g.id AS doc_id,
+       coalesce(a.n_index, 0) AS n_index_dups,
+       coalesce(a.n_prior, 0) AS n_batch_prior_dups,
+       (coalesce(a.n_index, 0) = 0 AND coalesce(a.n_prior, 0) = 0) AS keep
+FROM g
+LEFT JOIN agg a ON a.nid = g.id
+WHERE g.is_new
+"""
+
+
 def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     """Materialize the documents table as two REAL archives — a zip (even
     doc_ids) and a tar (odd) with one ``doc_<id>.txt`` member each — so
@@ -8305,6 +8511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
+        # -- never driver-recorded (round-8 additions rotate in first) ---------
+        "s19_hdf4_nbit_scan": _q_s19_hdf4_nbit_scan,
+        "x92_incremental_minhash": _q_x92_incremental_minhash,
         # -- last driver-recorded in round 3 -----------------------------------
         "x16_train_split": _q_x16_train_split,
         "x17_winnow_fps": _q_x17_winnow_fps,
@@ -8652,6 +8861,8 @@ def oracle_sql() -> dict[str, str]:
         "s15_stream_dedup_ttl": _SQL_S15,
         "s16_hdf4_linked_scan": _SQL_S16,
         "s17_hdf4_rle_external_scan": _SQL_S17,
+        "s19_hdf4_nbit_scan": _SQL_S19,
+        "x92_incremental_minhash": _SQL_X92,
         "x88_decode_progressive": _SQL_X88,
         "x89_heavy_hitters": _SQL_X89,
         "s18_jsonl_scan": _SQL_S18,

@@ -173,6 +173,28 @@ _INLINE_SIG_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
 )
 
 
+def _cache_inline_sigs(session: "SparkSession", plan: DataFrame) -> DataFrame:
+    """Persist an inline-built signatures frame through the per-session
+    slot, sameSemantics-guarded (CLAUDE.md rule 3c): CacheManager matches
+    CANONICALIZED plans, so persisting a same-plan frame and then
+    unpersisting the previous slot entry would evict the new registration
+    too — the new frame would silently run uncached (and re-shingle per
+    consumer).  A repeat call with an identical plan therefore reuses the
+    warm slot; only a genuinely different plan evicts."""
+    prev = _INLINE_SIG_CACHE.get(session)
+    if prev is not None:
+        try:
+            if prev.sameSemantics(plan):
+                return prev
+            prev.unpersist()
+        except Exception:
+            pass
+        _INLINE_SIG_CACHE.pop(session, None)
+    out = plan.persist()
+    _INLINE_SIG_CACHE[session] = out
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame | None = None,
     content_col: str = "text",
@@ -214,15 +236,10 @@ def minhash_lsh_pairs(
     else:
         # reused by the band branch and the candidate-verification branch —
         # persist so shingling/signatures run once per returned plan
-        base = minhash_signatures(df, content_col, id_col, num_hashes, k).persist()
-        session = df.sparkSession
-        prev = _INLINE_SIG_CACHE.pop(session, None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        _INLINE_SIG_CACHE[session] = base
+        base = _cache_inline_sigs(
+            df.sparkSession,
+            minhash_signatures(df, content_col, id_col, num_hashes, k),
+        )
     # the band self-join shuffles ONLY (id, band, key) — the shingle arrays
     # (the wide payload) are fetched once per candidate pair below; at
     # corpus scale this is the difference between shuffling ~24 B/row×B
@@ -267,6 +284,165 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame | None = None,
+    index_signatures: DataFrame | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    new_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup of a NEW batch against a
+    MATERIALIZED signature index — the production shape: yesterday's
+    corpus is indexed once (``minhash_signatures`` written to a table),
+    and today's batch joins against it WITHOUT recomputing or
+    re-shingling the indexed documents.  Closes the gap between the
+    batch dedup stack (x5/x30) and the streaming/incremental story
+    (s7 covers exact-hash only).
+
+    Output: one row per new-batch document —
+
+        (id, n_index_dups, n_batch_prior_dups, keep)
+
+    where ``n_index_dups`` counts verified near-dup partners in the
+    index, ``n_batch_prior_dups`` counts verified partners WITHIN the
+    new batch having a smaller id, and ``keep`` is true iff both are
+    zero (the greedy drop-if-any-prior-match rule: deterministic and
+    single-pass, unlike the transitive-closure keep-one of
+    ``dedup_by_pairs`` — a doc matching only a DROPPED prior doc is
+    still dropped; chains wanting CC semantics run x30 on the batch
+    survivors).  The pair set examined is exactly the pair set a batch
+    ``minhash_lsh_pairs`` run over index ∪ batch would examine, minus
+    the index-index pairs (bucket caps are computed over the UNION's
+    band keys, so capping behavior is identical); the index side's
+    shingles/signatures are read from the artifact, never recomputed.
+
+    Scale shape: both band-key explosions shuffle skinny (id, band,
+    key) rows; the oversized-bucket set broadcasts into LEFT ANTI caps
+    on each side; the asymmetric new×index and the intra-batch
+    new×new joins are equi-joins on (band, key); shingle arrays are
+    fetched per candidate (id-keyed joins), never shuffled with the
+    band keys.  Index-index pairs are never formed — the whole point:
+    daily cost is O(batch × collision rate), not O(corpus²).
+    """
+    rows_per_band = num_hashes // num_bands
+    if index_signatures is None:
+        raise ValueError("pass index_signatures (a minhash_signatures frame)")
+    if new_signatures is not None:
+        new_sigs = new_signatures
+    elif new_df is None:
+        raise ValueError("pass a new-batch DataFrame or new_signatures")
+    else:
+        new_sigs = _cache_inline_sigs(
+            new_df.sparkSession,
+            minhash_signatures(new_df, content_col, id_col, num_hashes, k),
+        )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.explode(
+                _band_keys(F.col("sig"), num_bands, rows_per_band)
+            ).alias("bk"),
+        ).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    new_banded = banded(new_sigs)
+    idx_banded = banded(index_signatures)
+    # bucket sizes over the UNION — identical capping to a batch run on
+    # index ∪ batch; the oversized set is tiny and broadcasts
+    big = (
+        new_banded.unionByName(idx_banded)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > max_bucket)
+        .select("band", "key")
+    )
+    capped_new = new_banded.join(F.broadcast(big), ["band", "key"], "left_anti")
+    capped_idx = idx_banded.join(F.broadcast(big), ["band", "key"], "left_anti")
+
+    cand_index = (
+        capped_new.alias("l")
+        .join(
+            capped_idx.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("nid"),
+            F.col("r.id").alias("pid"),
+            F.lit(False).alias("partner_new"),
+        )
+    )
+    cand_batch = (
+        capped_new.alias("l")
+        .join(
+            capped_new.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col("r.id") < F.col("l.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("nid"),
+            F.col("r.id").alias("pid"),
+            F.lit(True).alias("partner_new"),
+        )
+    )
+    cand = cand_index.unionByName(cand_batch).dropDuplicates(["nid", "pid"])
+
+    sh_lookup = index_signatures.select("id", "sh").unionByName(
+        new_sigs.select("id", "sh")
+    )
+    verified = (
+        cand.join(
+            new_sigs.select(F.col("id").alias("nid"), F.col("sh").alias("sh_n")),
+            "nid",
+        )
+        .join(
+            sh_lookup.select(F.col("id").alias("pid"), F.col("sh").alias("sh_p")),
+            "pid",
+        )
+        .withColumn("__j", jaccard(F.col("sh_n"), F.col("sh_p")))
+        .filter(F.col("__j") >= threshold)
+        .groupBy("nid")
+        .agg(
+            F.sum(
+                F.when(~F.col("partner_new"), 1).otherwise(0)
+            ).cast("long").alias("n_index_dups"),
+            F.sum(
+                F.when(F.col("partner_new"), 1).otherwise(0)
+            ).cast("long").alias("n_batch_prior_dups"),
+        )
+    )
+    return (
+        new_sigs.select("id")
+        .join(verified, new_sigs["id"] == verified["nid"], "left")
+        .select(
+            "id",
+            F.coalesce("n_index_dups", F.lit(0).cast("long")).alias(
+                "n_index_dups"
+            ),
+            F.coalesce("n_batch_prior_dups", F.lit(0).cast("long")).alias(
+                "n_batch_prior_dups"
+            ),
+            (
+                F.coalesce("n_index_dups", F.lit(0)) + F.coalesce(
+                    "n_batch_prior_dups", F.lit(0)
+                ) == 0
+            ).alias("keep"),
+        )
     )
 
 

@@ -192,11 +192,36 @@ def test_minhash_inline_cache_is_per_session(spark):
     assert D._INLINE_SIG_CACHE[spark] is mine
     assert mine.storageLevel.useMemory
     assert D._INLINE_SIG_CACHE[other].storageLevel.useMemory
-    # while a repeat call on the SAME session still evicts its own slot
+    # a repeat call with a DIFFERENT canonical plan evicts the slot
+    # (createDataFrame local relations never canonicalize equal, so
+    # each _docs() call is a fresh plan)
     D.minhash_lsh_pairs(_docs(spark), threshold=0.5).count()
     assert D._INLINE_SIG_CACHE[spark] is not mine
     assert not mine.storageLevel.useMemory
     D._INLINE_SIG_CACHE.pop(other).unpersist()
+    D._INLINE_SIG_CACHE.pop(spark).unpersist()
+
+
+def test_minhash_inline_cache_warm_reuse_same_plan(spark):
+    """Round 8 (CLAUDE.md rule 3c): a repeat inline call whose signature
+    plan canonicalizes EQUAL to the cached slot must REUSE the warm
+    frame — the previous evict-then-persist order deregistered the new
+    frame from the CacheManager (same canonicalized plan), so it
+    silently ran uncached and re-shingled per consumer.  Needs a
+    deterministic source (parquet scan): createDataFrame plans never
+    canonicalize equal."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).count()
+    mine = D._INLINE_SIG_CACHE[spark]
+    assert mine.storageLevel.useMemory
+    D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).count()
+    assert D._INLINE_SIG_CACHE[spark] is mine
+    assert mine.storageLevel.useMemory
+    # a genuinely different plan still evicts
+    D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, k=4).count()
+    assert D._INLINE_SIG_CACHE[spark] is not mine
+    assert not mine.storageLevel.useMemory
+    D._INLINE_SIG_CACHE.pop(spark).unpersist()
 
 
 def test_simhash_pairs(spark):
@@ -1054,3 +1079,51 @@ def test_hash_embed_matches_python_reference(spark):
             assert got[did][b] == pytest.approx(v), (did, b)
         # unit norm
         assert sum(x * x for x in got[did].values()) == pytest.approx(1.0)
+
+
+def test_minhash_incremental_equals_batch_restriction(spark):
+    """minhash_lsh_incremental's documented contract: the examined pair
+    set equals a batch minhash_lsh_pairs run over index UNION batch
+    minus the index-index pairs (union bucket caps, same threshold).
+    Verified on the real sf0.001 corpus: per-new-doc partner counts
+    derived from the batch pairs must equal the incremental output."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    index_docs = docs.filter("doc_id % 4 != 0")
+    batch_docs = docs.filter("doc_id % 4 = 0")
+    index_ids = {r["doc_id"] for r in index_docs.select("doc_id").collect()}
+    batch_ids = {r["doc_id"] for r in batch_docs.select("doc_id").collect()}
+
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    from collections import defaultdict
+
+    n_index = defaultdict(int)
+    n_prior = defaultdict(int)
+    for r in pairs:
+        for n, p in ((r["id_a"], r["id_b"]), (r["id_b"], r["id_a"])):
+            if n not in batch_ids:
+                continue
+            if p in index_ids:
+                n_index[n] += 1
+            elif p < n:
+                n_prior[n] += 1
+
+    sigs = D.minhash_signatures(index_docs, "text", "doc_id").persist()
+    got = {
+        r["id"]: (r["n_index_dups"], r["n_batch_prior_dups"], r["keep"])
+        for r in D.minhash_lsh_incremental(
+            batch_docs, sigs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    sigs.unpersist()
+    assert set(got) == batch_ids
+    for i in sorted(batch_ids):
+        want = (n_index[i], n_prior[i], n_index[i] + n_prior[i] == 0)
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_minhash_incremental_validation(spark):
+    sigs = D.minhash_signatures(_docs(spark), "text", "doc_id")
+    with pytest.raises(ValueError, match="index_signatures"):
+        D.minhash_lsh_incremental(_docs(spark), None)
+    with pytest.raises(ValueError, match="new-batch DataFrame"):
+        D.minhash_lsh_incremental(index_signatures=sigs)
