@@ -62,6 +62,12 @@ def main() -> None:
         "q_dup_spans": qs["x51_dup_spans"],
         "q_lm_score": qs["x53_lm_score"],
         "q_editdist_join": qs["x54_editdist_join"],
+        # round 8: the tokenizer-train family (x70/x77/x90) is the
+        # heaviest operator group in the repo and was previously
+        # invisible to the driver bench; WordPiece is the newest and
+        # slowest of the three (8 iterative merge rounds, two skinny
+        # aggs + a 1-row argmax collect per round)
+        "q_tokenizer_train": qs["x90_wordpiece_train"],
     }
 
     # JVM/codegen warmup on a trivial plan
