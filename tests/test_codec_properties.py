@@ -355,3 +355,51 @@ def test_hdf4_bitflip_never_hangs(tmp_path_factory, seed, flips):
     _expect_clean_failure(read_hdf4, p, extra_excs=(TypeError,
                                                     UnicodeDecodeError,
                                                     FileNotFoundError))
+
+
+@given(
+    dt=st.sampled_from([">u1", ">i1", ">u2", ">i2", ">u4", ">i4"]),
+    n=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+    sign_ext=st.booleans(),
+    fill_one=st.booleans(),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_nbit_codec_property(dt, n, seed, sign_ext, fill_one, data):
+    """NBIT (round 8) against an INDEPENDENT arithmetic model: for any
+    integer width, any valid (start_bit, bit_len) and any values,
+    decode(encode(x)) must equal field<<shift | background, where the
+    background is fill_one below the field and sign/fill above it —
+    computed here with shifts/masks, never with the implementation's
+    bit matrices."""
+    from modis_aggregation_spark.sinks.hdf4lite import (
+        nbit_decode,
+        nbit_encode,
+    )
+
+    d = np.dtype(dt)
+    width = 8 * d.itemsize
+    bit_len = data.draw(st.integers(1, width))
+    start_bit = data.draw(st.integers(bit_len - 1, width - 1))
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 1 << width, size=n, dtype=np.uint64)
+    raw = u.astype(f">u{d.itemsize}").tobytes()
+    enc = nbit_encode(raw, d.itemsize, start_bit, bit_len)
+    assert len(enc) == -(-n * bit_len // 8)
+    dec = nbit_decode(
+        enc, len(raw), d.itemsize, sign_ext, fill_one, start_bit, bit_len
+    )
+    got = np.frombuffer(dec, dtype=f">u{d.itemsize}").astype(np.uint64)
+    shift = start_bit - bit_len + 1
+    full = np.uint64((1 << width) - 1)
+    field = (u >> np.uint64(shift)) & np.uint64((1 << bit_len) - 1)
+    low = np.uint64((1 << shift) - 1 if fill_one else 0)
+    high_mask = np.uint64(((1 << width) - 1) ^ ((1 << (start_bit + 1)) - 1))
+    sign = (field >> np.uint64(bit_len - 1)) & np.uint64(1)
+    if sign_ext:
+        high = np.where(sign == 1, high_mask, np.uint64(0))
+    else:
+        high = high_mask if fill_one else np.uint64(0)
+    want = ((field << np.uint64(shift)) | low | high) & full
+    assert np.array_equal(got, want)
