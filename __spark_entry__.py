@@ -5331,6 +5331,153 @@ GROUP BY granule_id
 """
 
 
+def _q_s20_stream_minhash(spark, sf_dir):
+    """Stream-static MinHash-LSH near-dup detection — the streaming half
+    of the incremental-dedup story (x92 is the batch half; s7 covers
+    exact-hash only): documents arrive as a file stream, each row's
+    shingle hashes / signature / band keys are computed with the SAME
+    pure-JVM column expressions the batch stack uses
+    (operators/dedup.py:shingle_hashes / signature_from_hashes /
+    _band_keys — no Python boundary per row), the band keys join a
+    STATIC banded index (doc_id < 250, oversized index buckets capped by
+    broadcast anti-join), and candidates are verified with the exact
+    hashed-shingle Jaccard.  Output: verified (doc_id, index_id,
+    jaccard) match pairs for the new arrivals (doc_id >= 250);
+    multi-band hits dedupe through the stateful dropDuplicates (the
+    s3/s15 state machinery).  availableNow, so the memory-sink result
+    equals the batch join exactly; the oracle re-derives the asymmetric
+    banded join from the independent-XXH64 x5 goldens."""
+    import shutil
+    import tempfile
+    import uuid
+
+    _ensure_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    docs = spark.read.parquet(src)
+    index_sigs = ops_dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") < 250), "text", "doc_id"
+    )
+    rows_per_band = 32 // 8
+    idx_banded = index_sigs.select(
+        F.col("id").alias("index_id"),
+        F.explode(
+            ops_dedup._band_keys(F.col("sig"), 8, rows_per_band)
+        ).alias("bk"),
+    ).select(
+        "index_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    big = (
+        idx_banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > 1000)
+        .select("band", "key")
+    )
+    idx_capped = idx_banded.join(F.broadcast(big), ["band", "key"], "left_anti")
+    idx_sh = index_sigs.select(
+        F.col("id").alias("index_id"), F.col("sh").alias("sh_i")
+    )
+    src_dir = tempfile.mkdtemp(prefix="s20_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s20_ckpt_")
+    name = f"s20_minhash_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(src, os.path.join(src_dir, "documents.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("doc_id") >= 250)
+            .select(
+                "doc_id", ops_dedup.shingle_hashes(F.col("text")).alias("sh")
+            )
+            .withColumn(
+                "sig", ops_dedup.signature_from_hashes(F.col("sh"), 32)
+            )
+            .select(
+                "doc_id",
+                "sh",
+                F.explode(
+                    ops_dedup._band_keys(F.col("sig"), 8, rows_per_band)
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id",
+                "sh",
+                F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"),
+            )
+            .join(idx_capped, ["band", "key"])
+            .join(idx_sh, "index_id")
+            .withColumn(
+                "jaccard", ops_dedup.jaccard(F.col("sh"), F.col("sh_i"))
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .select(
+                "doc_id", "index_id", F.round("jaccard", 6).alias("jaccard")
+            )
+            .dropDuplicates(["doc_id", "index_id"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s20_stream_minhash: stream timeout")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S20 = """
+WITH d AS (
+  SELECT doc_id, text, (doc_id < 250) AS is_idx FROM documents
+),
+g AS (
+  SELECT d.doc_id AS id, d.is_idx, gold.sh, gold.bands
+  FROM d
+  JOIN read_parquet('/root/repo/goldens/x5_minhash.parquet') gold
+    ON gold.sha256 = sha256(d.text)
+),
+banded AS (
+  SELECT id, is_idx, generate_subscripts(bands, 1) - 1 AS band,
+         unnest(bands) AS key
+  FROM g
+),
+idx_banded AS (SELECT * FROM banded WHERE is_idx),
+ok AS (
+  SELECT band, key FROM idx_banded GROUP BY band, key
+  HAVING count(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT s.id AS doc_id, i.id AS index_id
+  FROM banded s
+  JOIN idx_banded i ON s.band = i.band AND s.key = i.key
+  JOIN ok ON i.band = ok.band AND i.key = ok.key
+  WHERE NOT s.is_idx
+),
+verified AS (
+  SELECT c.doc_id, c.index_id,
+         len(list_intersect(gs.sh, gi.sh)) AS inter,
+         len(gs.sh) AS ls, len(gi.sh) AS li
+  FROM cand c
+  JOIN g gs ON gs.id = c.doc_id
+  JOIN g gi ON gi.id = c.index_id
+)
+SELECT doc_id, index_id,
+       round(inter / nullif(ls + li - inter, 0), 6) AS jaccard
+FROM verified
+WHERE inter / nullif(ls + li - inter, 0) >= 0.5
+"""
+
+
 def _q_x92_incremental_minhash(spark, sf_dir):
     """Incremental MinHash-LSH dedup against a MATERIALIZED signature
     index (operators/dedup.py:minhash_lsh_incremental — the production
@@ -8514,6 +8661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-recorded (round-8 additions rotate in first) ---------
         "s19_hdf4_nbit_scan": _q_s19_hdf4_nbit_scan,
         "x92_incremental_minhash": _q_x92_incremental_minhash,
+        "s20_stream_minhash": _q_s20_stream_minhash,
         # -- last driver-recorded in round 3 -----------------------------------
         "x16_train_split": _q_x16_train_split,
         "x17_winnow_fps": _q_x17_winnow_fps,
@@ -8863,6 +9011,7 @@ def oracle_sql() -> dict[str, str]:
         "s17_hdf4_rle_external_scan": _SQL_S17,
         "s19_hdf4_nbit_scan": _SQL_S19,
         "x92_incremental_minhash": _SQL_X92,
+        "s20_stream_minhash": _SQL_S20,
         "x88_decode_progressive": _SQL_X88,
         "x89_heavy_hitters": _SQL_X89,
         "s18_jsonl_scan": _SQL_S18,
