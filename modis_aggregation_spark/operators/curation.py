@@ -128,7 +128,12 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(F.col("__h"), i, w)),
         )
     )
-    return staged.select("id", F.explode(fps).alias("fp"))
+    # explode_outer + null-filter: inner explodes get an optimizer-
+    # inferred size>0 filter that re-evaluates the collapsed operand
+    # tree per row (round 8, see screening.distinct_ngrams)
+    return staged.select(
+        "id", F.explode_outer(fps).alias("fp")
+    ).filter(F.col("fp").isNotNull())
 
 
 def winnow_pairs(
@@ -316,7 +321,10 @@ def source_mix_epochs(
     frac = F.col("rate_millionths") % F.lit(1_000_000)
     return (
         df.join(F.broadcast(rates), key_col)
-        .withColumn("copy", F.explode(F.sequence(F.lit(0).cast("long"), full)))
+        .withColumn(
+            "copy", F.explode_outer(F.sequence(F.lit(0).cast("long"), full))
+        )
+        .filter(F.col("copy").isNotNull())
         .filter((F.col("copy") < full) | (bucket < frac))
     )
 
@@ -584,7 +592,12 @@ def cdc_chunks(
             ).alias("chunk"),
         ),
     )
-    out = staged.select("id", F.explode(chunks).alias("__c"))
+    # explode_outer + null-filter: inner explodes get an optimizer-
+    # inferred size>0 filter that re-evaluates the collapsed operand
+    # tree per row (round 8, see screening.distinct_ngrams)
+    out = staged.select(
+        "id", F.explode_outer(chunks).alias("__c")
+    ).filter(F.col("__c").isNotNull())
     chunk = F.col("__c.chunk")
     # head capped at 5 chars so hash*1_000_003 stays exact in int64
     # (255·Σ257^j for j<5 ≈ 1.1e12; ×1e6 ≈ 1.1e18 < 2^63) — ANSI-safe

@@ -464,9 +464,12 @@ def window_fingerprints(
     # materialized __toks first (lambda inputs must be real columns; a
     # single-param lambda only — see _shingle_hash_frame)
     idx = F.sequence(F.lit(1), F.size("__toks") - (w - 1))
+    # explode_outer + null-filter: inner explodes get an optimizer-
+    # inferred size>0 filter that re-evaluates the collapsed operand
+    # tree per row (round 8, see screening.distinct_ngrams)
     return staged.filter(F.size("__toks") >= w).select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.transform(
                 idx,
                 lambda i: F.xxhash64(
@@ -474,7 +477,7 @@ def window_fingerprints(
                 ),
             )
         ).alias("fp"),
-    )
+    ).filter(F.col("fp").isNotNull())
 
 
 # single-slot holder for the most recent inline-persisted fingerprint
@@ -831,12 +834,15 @@ def editdist_pairs(
                 ),
             ),
         )
+    # explode_outer + null-filter: inner explodes get an optimizer-
+    # inferred size>0 filter that re-evaluates the collapsed operand
+    # tree per row (round 8, see screening.distinct_ngrams)
     keyed = neigh.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.transform(F.col("__neigh"), lambda v: F.xxhash64(v))
         ).alias("fp"),
-    ).dropDuplicates(["id", "fp"])
+    ).filter(F.col("fp").isNotNull()).dropDuplicates(["id", "fp"])
 
     big = (
         keyed.groupBy("fp")
@@ -948,6 +954,11 @@ def simhash_pairs(
 # n-gram Jaccard (exact, candidate-driven)
 # --------------------------------------------------------------------------
 
+# single-slot cache for ngram_jaccard_pairs' inline (id, gram) inverted
+# index (sameSemantics-guarded — CLAUDE.md rule 3c)
+_NGRAM_INV_SLOT: dict = {}
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -959,9 +970,22 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard pairs via an inverted-index candidate join.
 
     Documents sharing at least one (non-ubiquitous) n-gram become
-    candidates; Jaccard is verified exactly. ``max_token_freq`` drops
-    n-grams appearing in more than that many docs (stopword-like; they add
-    candidates without discriminating) — bounding the self-join fan-out.
+    candidates; Jaccard is verified exactly — but COUNT-BASED (round 8):
+    the candidate join yields one row per shared gram, so |A∩B| is a
+    map-side-combined per-pair count straight off that join, and
+    |A| / |B| come from a skinny per-doc gram-count table.  The gram
+    ARRAYS never shuffle and no per-pair array_intersect runs — the
+    previous fetch-arrays-then-intersect verification moved ~1 KB per
+    candidate pair and measured 20.7 s at sf0.1; this shape measures a
+    small multiple of the tokenize pass.  The (id, gram) index is built
+    once (sameSemantics slot persist) and feeds the frequency cap, the
+    sizes and the self-join.
+
+    ``max_token_freq`` excludes n-grams appearing in more than that many
+    docs from the gram SETS entirely — candidacy, intersection counts
+    and sizes alike (self-consistent stopword removal; they add
+    candidates without discriminating).  With the cap inactive the
+    result is the classic exact all-shared-gram Jaccard.
     """
     staged = df.select(
         F.col(id_col).alias("id"), tokens(F.col(content_col)).alias("__toks")
@@ -973,28 +997,40 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    base = staged.select("id", grams.alias("grams"))
-    inv = base.select("id", F.explode("grams").alias("gram"))
+    from modis_aggregation_spark.operators.tfidf import _slot_persist
+
+    inv = _slot_persist(
+        _NGRAM_INV_SLOT,
+        "inv",
+        staged.select(
+            "id", F.explode_outer(grams).alias("gram")
+        ).filter(F.col("gram").isNotNull()),
+    )
     big = (
         inv.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__gc"))
         .filter(F.col("__gc") > max_token_freq)
         .select("gram")
     )
-    inv = inv.join(F.broadcast(big), "gram", "left_anti")
-    cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), "gram")
+    capped = inv.join(F.broadcast(big), "gram", "left_anti")
+    sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("__sz"))
+    shared = (
+        capped.alias("a")
+        .join(capped.alias("b"), "gram")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("__sz").alias("__sb"))
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn("jaccard", jaccard(F.col("g_a"), F.col("g_b")))
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

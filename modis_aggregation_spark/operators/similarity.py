@@ -126,7 +126,7 @@ def cosine_pairs_exact(
     probes = a.select(
         "id1",
         "__e1",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.col("__b1"), F.lit(nblocks))
         ).alias("__b2"),
     )
@@ -486,7 +486,8 @@ def pq_assign(
             F.col(id_col).alias("vec_id"),
             _enc(F.col(emb_col).cast("array<double>")).alias("__pq"),
         )
-        .select("vec_id", F.explode("__pq").alias("e"))
+        .select("vec_id", F.explode_outer("__pq").alias("e"))
+        .filter(F.col("e").isNotNull())
         .select(
             "vec_id",
             F.col("e.sub").alias("sub"),
@@ -714,7 +715,11 @@ def ivf_topk(
         probes.append(F.struct(d.alias("d"), F.lit(ci).alias("list_id")))
     qp = (
         qa.withColumn("__probe", F.slice(F.array_sort(F.array(*probes)), 1, nprobe))
-        .select("query_id", "__qe", F.explode("__probe.list_id").alias("list_id"))
+        .select(
+            "query_id", "__qe",
+            F.explode_outer("__probe.list_id").alias("list_id"),
+        )
+        .filter(F.col("list_id").isNotNull())
     )
     c = corpus_assigned.select(
         F.col(id_col).alias("neighbor_id"),
@@ -791,7 +796,8 @@ def ivfpq_topk(
         qa.withColumn(
             "__probe", F.slice(F.array_sort(F.array(*probes)), 1, nprobe)
         )
-        .select("query_id", F.explode("__probe.list_id").alias("list_id"))
+        .select("query_id", F.explode_outer("__probe.list_id").alias("list_id"))
+        .filter(F.col("list_id").isNotNull())
     )
 
     cb_rows = [

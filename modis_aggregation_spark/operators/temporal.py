@@ -155,7 +155,8 @@ def range_join_binned(
             *keys,
             *[F.col(c).alias(f"{c}_l") for c in left.columns if c not in keys],
         )
-        .withColumn(_BIN, F.explode(F.sequence(lo_bin, hi_bin)))
+        .withColumn(_BIN, F.explode_outer(F.sequence(lo_bin, hi_bin)))
+        .filter(F.col(_BIN).isNotNull())
     )
     rhs = (
         right.where(F.col(ts_col).isNotNull())
@@ -665,9 +666,14 @@ def resample(
     spans = agg.groupBy("key").agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )
+    # explode_outer + null-filter: avoids the optimizer's inferred
+    # size>0 filter re-allocating the gap-fill sequence per row (round 8)
     grid = spans.select(
-        "key", F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket")
-    )
+        "key",
+        F.explode_outer(
+            F.sequence(F.col("__lo"), F.col("__hi"))
+        ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
     return grid.join(agg, ["key", "bucket"], "left").select(
         "key", "bucket", "avg_v", F.coalesce("n", F.lit(0)).alias("n")
     )

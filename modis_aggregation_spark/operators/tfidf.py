@@ -32,8 +32,13 @@ def term_frequencies(
     staged = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
     )
+    # explode_outer + null-filter: the optimizer infers a size>0 filter
+    # for inner explodes that re-evaluates the collapsed tokenize tree
+    # per row outside codegen (screening.distinct_ngrams, round 8);
+    # outer + dropping the empty-array NULL row is semantics-identical
     return (
-        staged.select("doc_id", F.explode("__toks").alias("term"))
+        staged.select("doc_id", F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -74,8 +79,11 @@ def inverted_index(
     staged = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
     )
+    # explode_outer + null-filter: see term_frequencies
     pairs = (
-        staged.select("doc_id", F.explode("__toks").alias("term")).distinct()
+        staged.select("doc_id", F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .distinct()
     )
     dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(
@@ -233,16 +241,20 @@ def _doc_bigrams(
     staged = docs.select(
         *ids, tokens(F.col(content_col)).alias("__toks")
     ).where(F.size("__toks") >= 2)
+    # explode_outer + null-filter: see term_frequencies (struct elements
+    # are never null; the size>=2 pre-filter already drops short docs, so
+    # the NULL row an empty array would emit cannot occur — the outer
+    # form exists purely to suppress the inferred size>0 re-evaluation)
     return staged.select(
         *(["doc_id"] if id_col else []),
-        F.explode(
+        F.explode_outer(
             F.zip_with(
                 F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
                 F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
-    ).select(
+    ).filter(F.col("bg").isNotNull()).select(
         *(["doc_id"] if id_col else []),
         F.col("bg.w1").alias("w1"),
         F.col("bg.w2").alias("w2"),
@@ -431,7 +443,10 @@ def hash_embed(
     staged = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
     )
-    tok = staged.select("doc_id", F.explode("__toks").alias("__w"))
+    # explode_outer + null-filter: see term_frequencies
+    tok = staged.select(
+        "doc_id", F.explode_outer("__toks").alias("__w")
+    ).filter(F.col("__w").isNotNull())
     h = None
     for j in range(7):
         cp = F.pmod(F.ascii(F.col("__w").substr(j + 1, 1)).cast("long"), F.lit(257))

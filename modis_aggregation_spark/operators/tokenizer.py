@@ -50,8 +50,12 @@ __all__ = [
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over ``tokens(text)`` — the BPE training input.
     One explode + map-side-combined groupBy; text never shuffles."""
+    # explode_outer + null-filter: inner explodes get an optimizer-
+    # inferred size>0 filter that re-evaluates the collapsed operand
+    # tree per row (round 8, see screening.distinct_ngrams)
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode_outer(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
