@@ -462,12 +462,22 @@ def window_fingerprints(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
     )
     # materialized __toks first (lambda inputs must be real columns; a
-    # single-param lambda only — see _shingle_hash_frame)
-    idx = F.sequence(F.lit(1), F.size("__toks") - (w - 1))
+    # single-param lambda only — see _shingle_hash_frame).  The index
+    # range is CLAMPED to empty for short documents instead of a
+    # size>=w pre-filter: predicate pushdown substitutes the alias into
+    # the scan filter, re-running the whole tokenize once per row there
+    # (round 8 — same family as the inferred-filter explode trap).
+    last = F.size("__toks") - (w - 1)
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(last, F.lit(1))),
+        lambda i: i <= last,
+    )
     # explode_outer + null-filter: inner explodes get an optimizer-
     # inferred size>0 filter that re-evaluates the collapsed operand
-    # tree per row (round 8, see screening.distinct_ngrams)
-    return staged.filter(F.size("__toks") >= w).select(
+    # tree per row (round 8, see screening.distinct_ngrams); short
+    # documents yield an empty index -> one NULL row -> dropped, exactly
+    # the rows the old size>=w pre-filter removed
+    return staged.select(
         "doc_id",
         F.explode_outer(
             F.transform(
@@ -907,6 +917,34 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _simhash_assemble_frame(staged: DataFrame) -> DataFrame:
+    """(id, sh) from a staged (id, __th ARRAY<BIGINT>) frame — the numpy
+    bit assembly (one Arrow pass; ±1 per-bit sums, bit set iff sum > 0).
+    Value-identical to ``_simhash_from_hashes`` including the null/empty
+    degenerations (null or empty hash list -> sh 0 — the expression's
+    ``when`` swallows the null) — differential-tested against it."""
+    import pandas as pd
+
+    def assemble(it):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            out = []
+            for th in pdf["__th"]:
+                if th is None or len(th) == 0:
+                    out.append(0)
+                    continue
+                h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                sums = (2 * bits - 1).sum(axis=0)
+                sh = int(np.sum((sums > 0).astype(np.uint64) << shifts))
+                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "sh": pd.array(out, dtype="int64")}
+            )
+
+    return staged.mapInPandas(assemble, "id BIGINT, sh BIGINT")
+
+
 def simhash_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -915,12 +953,21 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into 4 x 16-bit
     chunks (any pair within Hamming distance 3 shares >= 1 exact chunk),
-    join per chunk, verify Hamming distance."""
+    join per chunk, verify Hamming distance.
+
+    Bit assembly (round 8): the token hashes stay a JVM expression
+    (xxhash64 — the value contract the x6 golden reproduces with an
+    independent XXH64), but the 64 per-bit ±1 sums run as one numpy pass
+    inside an Arrow ``mapInPandas``: the expression form was 64
+    interpreted ``aggregate`` folds per row (~7.5 s at sf0.1; ~1 s
+    vectorized, bit-identical — ``_simhash_from_hashes`` remains the
+    expression twin, differential-tested).
+    """
     staged = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokens(F.col(content_col)), lambda t: F.xxhash64(t)).alias("__th"),
     )
-    base = staged.select("id", _simhash_from_hashes(F.col("__th")).alias("sh"))
+    base = _simhash_assemble_frame(staged)
     chunks = base.select(
         "id",
         "sh",
@@ -1072,36 +1119,47 @@ def embedding_pairs(
     verified with exact cosine. Hyperplanes ride along as literal arrays —
     constant-folded, broadcast-free.
     """
+    import pandas as pd
+
     planes = _hyperplanes(dim, n_planes, seed)
-
-    def plane_bit(p: int) -> Column:
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(F.col("e"), lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dot > 0, 1).otherwise(0)
-
     bits_per_band = n_planes // n_bands
     base = df.select(
         F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
     )
-    for p in range(n_planes):
-        base = base.withColumn(f"__b{p}", plane_bit(p))
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "", *[F.col(f"__b{b * bits_per_band + r}") for r in range(bits_per_band)]
-            ).alias("key"),
-        )
-        for b in range(n_bands)
-    ]
-    # skinny band join (id, band, key); embeddings fetched per candidate
-    banded = base.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    # the (id, band, key) signature stage runs as one numpy Arrow pass
+    # (round 8): the expression form was n_planes interpreted fold-dots
+    # per row.  np.cumsum accumulates LEFT-TO-RIGHT like the fold, so the
+    # sign bits (and therefore the candidate set and the recorded oracle
+    # values) are reproduced bit-for-bit — a pairwise/SIMD dot would
+    # round borderline signs differently.
+    def banded_batches(it):
+        P = planes  # (n_planes, dim)
+        for pdf in it:
+            ids, bands, keys = [], [], []
+            for id_, e in zip(pdf["id"], pdf["e"]):
+                if e is None or len(e) != dim:
+                    continue  # malformed vectors form no candidates
+                v = np.asarray(e, dtype=np.float64)
+                prods = P * v[None, :]                   # (n_planes, dim)
+                dots = np.cumsum(prods, axis=1)[:, -1]   # sequential order
+                bits = (dots > 0).astype(np.int64)
+                for b in range(n_bands):
+                    chunk = bits[b * bits_per_band : (b + 1) * bits_per_band]
+                    ids.append(id_)
+                    bands.append(b)
+                    keys.append("".join("1" if x else "0" for x in chunk))
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "band": pd.array(bands, dtype="int32"),
+                    "key": pd.array(keys, dtype="string"),
+                }
+            )
+
+    banded = base.mapInPandas(
+        banded_batches, "id BIGINT, band INT, key STRING"
+    )
     cand = (
         banded.select("band", "key", F.col("id").alias("id_a"))
         .join(banded.select("band", "key", F.col("id").alias("id_b")), ["band", "key"])

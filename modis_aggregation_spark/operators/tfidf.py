@@ -238,9 +238,13 @@ def _doc_bigrams(
     tweak can never drift between the LM and its consumers. Pass
     ``id_col=None`` to omit the id column."""
     ids = [F.col(id_col).alias("doc_id")] if id_col else []
+    # no size>=2 pre-filter: predicate pushdown substitutes the alias
+    # into the scan filter, re-running the tokenize once per row there
+    # (round 8); the CLAMPED slice length makes short documents yield
+    # empty pair arrays instead -> the explode_outer NULL row is dropped
     staged = docs.select(
         *ids, tokens(F.col(content_col)).alias("__toks")
-    ).where(F.size("__toks") >= 2)
+    )
     # explode_outer + null-filter: see term_frequencies (struct elements
     # are never null; the size>=2 pre-filter already drops short docs, so
     # the NULL row an empty array would emit cannot occur — the outer
@@ -249,8 +253,14 @@ def _doc_bigrams(
         *(["doc_id"] if id_col else []),
         F.explode_outer(
             F.zip_with(
-                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                F.slice(
+                    F.col("__toks"), 1,
+                    F.greatest(F.size("__toks") - 1, F.lit(0)),
+                ),
+                F.slice(
+                    F.col("__toks"), 2,
+                    F.greatest(F.size("__toks") - 1, F.lit(0)),
+                ),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),

@@ -1127,3 +1127,59 @@ def test_minhash_incremental_validation(spark):
         D.minhash_lsh_incremental(_docs(spark), None)
     with pytest.raises(ValueError, match="new-batch DataFrame"):
         D.minhash_lsh_incremental(index_signatures=sigs)
+
+
+def test_winnow_numpy_equals_hof_twin(spark):
+    """winnow_fingerprints (round 8, Arrow-vectorized numpy) must match
+    the pure-Catalyst construction bit-for-bit on adversarial inputs:
+    empty strings, docs shorter than k, shorter than k+w-1, repeated
+    chars, whitespace runs, non-ASCII codepoints."""
+    rows = [
+        (1, ""),
+        (2, "ab"),                      # < k
+        (3, "abcde"),                   # == k
+        (4, "abcdefg"),                 # < k+w-1
+        (5, "aaaaaaaaaaaaaaaa"),        # constant
+        (6, "the  quick\tbrown\nfox jumps over the lazy dog"),
+        (7, "Ünïcødé çhärs — ß and ΔΣΩ everywhere"),
+        (8, "x" * 200 + "y" * 200),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import modis_aggregation_spark.operators.curation as C
+
+    a = {(r["id"], r["fp"]) for r in C.winnow_fingerprints(df).collect()}
+    b = {(r["id"], r["fp"]) for r in C._winnow_fps_hof(df).collect()}
+    assert a == b and a
+
+
+def test_simhash_numpy_assembly_equals_expr_twin(spark):
+    """simhash_pairs' numpy bit assembly (round 8,
+    D._simhash_assemble_frame) must match the _simhash_from_hashes
+    expression twin bit-for-bit: sign bit, empty token lists and null
+    text (both degrade to sh 0 — the expression's `when` swallows the
+    null), unicode tokens."""
+    rows = [
+        (1, "the quick brown fox"),
+        (2, ""),
+        (3, None),
+        (4, "z"),
+        (5, "a a a a a a a a"),
+        (6, "\u00dcn\u00efc\u00f8d\u00e9 \u00df \u0394\u03a3\u03a9 tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    staged = df.select(
+        F.col("doc_id").alias("id"),
+        F.transform(T.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
+            "__th"
+        ),
+    )
+    expr = {
+        r["id"]: r["sh"]
+        for r in staged.select(
+            "id", D._simhash_from_hashes(F.col("__th")).alias("sh")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["sh"] for r in D._simhash_assemble_frame(staged).collect()
+    }
+    assert got == expr and got[2] == 0 and got[3] == 0
