@@ -130,18 +130,45 @@ def cosine_pairs_exact(
             F.sequence(F.col("__b1"), F.lit(nblocks))
         ).alias("__b2"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__e1"), F.col("__e2"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
+    # per-pair verification as one numpy Arrow pass (round 8): the
+    # expression form ran an interpreted 64-element fold per pair (O(n²)
+    # pairs make that the whole runtime — 12.3 s at sf0.1, ~2 s
+    # vectorized).  np.cumsum accumulates LEFT-TO-RIGHT like the fold,
+    # so the cosine doubles (and the threshold/rounding decisions made
+    # on them) are bit-identical; rounding stays a Spark expression
+    # (F.round is HALF_UP, np.round is banker's).
+    import pandas as pd
+
+    joined = (
         probes.join(b, "__b2")
         .where(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", dot)
-        .where(F.col("cosine") >= threshold)
-        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        .select("id1", "id2", "__e1", "__e2")
     )
+
+    def verify(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"id1": pd.array([], dtype="int64"),
+                     "id2": pd.array([], dtype="int64"),
+                     "cosine": pd.array([], dtype="float64")}
+                )
+                continue
+            e1 = np.array(pdf["__e1"].tolist(), dtype=np.float64)
+            e2 = np.array(pdf["__e2"].tolist(), dtype=np.float64)
+            cos = np.cumsum(e1 * e2, axis=1)[:, -1]
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id1": pdf["id1"].array[keep],
+                    "id2": pdf["id2"].array[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(
+        verify, "id1 BIGINT, id2 BIGINT, cosine DOUBLE"
+    ).select("id1", "id2", F.round("cosine", 6).alias("cosine"))
 
 
 def lloyd_kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 5) -> np.ndarray:
