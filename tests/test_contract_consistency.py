@@ -84,3 +84,30 @@ def test_readme_query_count_in_sync():
     readme = open("/root/repo/README.md").read()
     n = len(entry.queries())
     assert f"{n} queries" in readme, f"README query count != {n}"
+
+
+def test_rotation_tool_matches_committed_order():
+    """tools/rotate_window.py (round 8) must derive exactly the committed
+    queries() order from the CORRECTNESS records — so next round's
+    mechanical rotation is one --write run instead of a hand-built
+    script.  x75 heads its cohort via the authorized --front amendment."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.rotate_window import (
+        current_entries,
+        latest_records,
+        required_order,
+    )
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    names = [n for n, _ in current_entries(src)]
+    latest = latest_records()
+    want = required_order(names, latest, ["x75_kmeans_train"])
+    assert names == want
+
+    # policy unit: unrecorded first, cohorts ascending, front-of-cohort
+    fake = {"b": 2, "c": 1, "d": 2, "e": 2}
+    assert required_order(["a", "b", "c", "d", "e"], fake, ["d"]) == [
+        "a", "c", "d", "b", "e",
+    ]
