@@ -385,3 +385,59 @@ def test_ewma_null_values_dropped_identically_both_engines(spark):
     # adjusted EWMA over [10, 30] with alpha=.5: (0.5*10·... ) second pos:
     # (30 + 0.5*10)/(1 + 0.5) = 23.333...
     assert a[2][2] == pytest.approx(35.0 / 1.5)
+
+
+def test_cdc_chunks_hypothesis_differential(spark):
+    """cdc_chunks' numpy path (round 8) vs the tests' independent
+    pure-Python reference on random ASCII texts — random lengths
+    straddling every edge (empty after norm, < k, < min_len, long)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("ab x.\t"))
+
+    @given(texts=st.lists(st.text(alphabet, max_size=120), min_size=1, max_size=8))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {
+            (r.id, r.chunk_idx): (r.chunk_hash, r.chunk_len)
+            for r in cdc_chunks(df).collect()
+        }
+        ref = {}
+        for doc_id, t in rows:
+            if not re.sub(r"\s+", " ", t.lower()):
+                continue
+            for idx, h, ln in _py_cdc(t):
+                ref[(doc_id, idx)] = (h, ln)
+        assert got == ref
+
+    run()
+
+
+def test_winnow_hypothesis_differential(spark):
+    """winnow_fingerprints' numpy path vs the Catalyst expression twin
+    on random texts (includes whitespace runs and non-ASCII)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from modis_aggregation_spark.operators.curation import (
+        _winnow_fps_hof,
+        winnow_fingerprints,
+    )
+
+    alphabet = st.sampled_from(list("abc \tzé"))
+
+    @given(texts=st.lists(st.text(alphabet, max_size=80), min_size=1, max_size=6))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        a = {(r.id, r.fp) for r in winnow_fingerprints(df).collect()}
+        b = {(r.id, r.fp) for r in _winnow_fps_hof(df).collect()}
+        assert a == b
+
+    run()
