@@ -466,11 +466,15 @@ def window_fingerprints(
     # range is CLAMPED to empty for short documents instead of a
     # size>=w pre-filter: predicate pushdown substitutes the alias into
     # the scan filter, re-running the whole tokenize once per row there
-    # (round 8 — same family as the inferred-filter explode trap).
+    # (round 8 — same family as the inferred-filter explode trap).  The
+    # clamp is a lambda-free slice (slice length 0 -> empty array): a
+    # filter lambda capturing `last` would re-evaluate size(__toks) —
+    # and after projection collapse the whole tokenize — per element.
     last = F.size("__toks") - (w - 1)
-    idx = F.filter(
+    idx = F.slice(
         F.sequence(F.lit(1), F.greatest(last, F.lit(1))),
-        lambda i: i <= last,
+        F.lit(1),
+        F.greatest(last, F.lit(0)),
     )
     # explode_outer + null-filter: inner explodes get an optimizer-
     # inferred size>0 filter that re-evaluates the collapsed operand
