@@ -8658,60 +8658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
-        # -- never driver-recorded (round-8 additions rotate in first) ---------
-        "s19_hdf4_nbit_scan": _q_s19_hdf4_nbit_scan,
-        "x92_incremental_minhash": _q_x92_incremental_minhash,
-        "s20_stream_minhash": _q_s20_stream_minhash,
-        # -- last driver-recorded in round 3 -----------------------------------
-        "x16_train_split": _q_x16_train_split,
-        "x17_winnow_fps": _q_x17_winnow_fps,
-        "x18_quantize": _q_x18_quantize,
-        "x19_chunk_docs": _q_x19_chunk_docs,
-        "x20_stratified_sample": _q_x20_stratified_sample,
-        "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
-        "x22_subword_tokens": _q_x22_subword_tokens,
-        "x23_dedup_clusters": _q_x23_dedup_clusters,
-        "x24_quality_checks": _q_x24_quality_checks,
-        "x25_fk_orphans": _q_x25_fk_orphans,
-        "x26_pii_scrub": _q_x26_pii_scrub,
-        "x27_pack_sequences": _q_x27_pack_sequences,
-        "x28_repetition": _q_x28_repetition,
-        "x29_decontaminate": _q_x29_decontaminate,
-        "x30_dedup_canonical": _q_x30_dedup_canonical,
-        "x31_c4_clean": _q_x31_c4_clean,
-        "x32_gopher_quality": _q_x32_gopher_quality,
-        "x33_domain_cap": _q_x33_domain_cap,
-        "x34_source_mix": _q_x34_source_mix,
-        "x35_salted_agg": _q_x35_salted_agg,
-        "x36_incremental_dedup": _q_x36_incremental_dedup,
-        "x37_pagerank": _q_x37_pagerank,
-        "x38_curation_pipeline": _q_x38_curation_pipeline,
-        "x39_dsir_importance": _q_x39_dsir_importance,
-        "x40_dedup_audit": _q_x40_dedup_audit,
-        "x41_source_mix_epochs": _q_x41_source_mix_epochs,
-        "s1_stream_daily": _q_s1_stream_daily,
-        "s3_stream_dedup": _q_s3_stream_dedup,
-        "s4_stream_join": _q_s4_stream_join,
-        "s5_stream_granules": _q_s5_stream_granules,
-        "s6_stream_screen": _q_s6_stream_screen,
-        "s7_stream_static_dedup": _q_s7_stream_static_dedup,
-        # -- last driver-recorded in round 4 -----------------------------------
-        "m11_catalog": _q_m11_catalog,
         # -- last driver-recorded in round 5 -----------------------------------
-        "s12_hdf4_chunked_scan": _q_s12_hdf4_chunked_scan,
-        "x42_bm25": _q_x42_bm25,
-        "x43_ewma": _q_x43_ewma,
-        "x44_zorder": _q_x44_zorder,
-        "x45_weighted_sample": _q_x45_weighted_sample,
-        "x46_cdc_chunks": _q_x46_cdc_chunks,
-        "x47_zscore_outliers": _q_x47_zscore_outliers,
-        "x48_resample_interp": _q_x48_resample_interp,
-        "x49_triangles": _q_x49_triangles,
-        "x50_bigram_lm": _q_x50_bigram_lm,
-        "x51_dup_spans": _q_x51_dup_spans,
-        "x52_semdedup": _q_x52_semdedup,
-        "x53_lm_score": _q_x53_lm_score,
-        "x54_editdist_join": _q_x54_editdist_join,
         "x55_pmi_collocations": _q_x55_pmi_collocations,
         "x56_pq_codes": _q_x56_pq_codes,
         "x57_pq_adc_topk": _q_x57_pq_adc_topk,
@@ -8748,7 +8695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_sampling": _q_m8_sampling,
         "m9_densify": _q_m9_densify,
         "m10_grid_counts": _q_m10_grid_counts,
-        # -- last driver-recorded in round 6 (x75 pre-ordered first) -----------
+        # -- last driver-recorded in round 6 -----------------------------------
         "x75_kmeans_train": _q_x75_kmeans_train,
         "x73_avi_frames": _q_x73_avi_frames,
         "x74_warc_scan": _q_x74_warc_scan,
@@ -8850,6 +8797,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_tfidf": _q_x13_tfidf,
         "x14_quality_quantile": _q_x14_quality_quantile,
         "x15_label_centroids": _q_x15_label_centroids,
+        # -- last driver-recorded in round 8 -----------------------------------
+        "s19_hdf4_nbit_scan": _q_s19_hdf4_nbit_scan,
+        "x92_incremental_minhash": _q_x92_incremental_minhash,
+        "s20_stream_minhash": _q_s20_stream_minhash,
+        "x16_train_split": _q_x16_train_split,
+        "x17_winnow_fps": _q_x17_winnow_fps,
+        "x18_quantize": _q_x18_quantize,
+        "x19_chunk_docs": _q_x19_chunk_docs,
+        "x20_stratified_sample": _q_x20_stratified_sample,
+        "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
+        "x22_subword_tokens": _q_x22_subword_tokens,
+        "x23_dedup_clusters": _q_x23_dedup_clusters,
+        "x24_quality_checks": _q_x24_quality_checks,
+        "x25_fk_orphans": _q_x25_fk_orphans,
+        "x26_pii_scrub": _q_x26_pii_scrub,
+        "x27_pack_sequences": _q_x27_pack_sequences,
+        "x28_repetition": _q_x28_repetition,
+        "x29_decontaminate": _q_x29_decontaminate,
+        "x30_dedup_canonical": _q_x30_dedup_canonical,
+        "x31_c4_clean": _q_x31_c4_clean,
+        "x32_gopher_quality": _q_x32_gopher_quality,
+        "x33_domain_cap": _q_x33_domain_cap,
+        "x34_source_mix": _q_x34_source_mix,
+        "x35_salted_agg": _q_x35_salted_agg,
+        "x36_incremental_dedup": _q_x36_incremental_dedup,
+        "x37_pagerank": _q_x37_pagerank,
+        "x38_curation_pipeline": _q_x38_curation_pipeline,
+        "x39_dsir_importance": _q_x39_dsir_importance,
+        "x40_dedup_audit": _q_x40_dedup_audit,
+        "x41_source_mix_epochs": _q_x41_source_mix_epochs,
+        "s1_stream_daily": _q_s1_stream_daily,
+        "s3_stream_dedup": _q_s3_stream_dedup,
+        "s4_stream_join": _q_s4_stream_join,
+        "s5_stream_granules": _q_s5_stream_granules,
+        "s6_stream_screen": _q_s6_stream_screen,
+        "s7_stream_static_dedup": _q_s7_stream_static_dedup,
+        "m11_catalog": _q_m11_catalog,
+        "s12_hdf4_chunked_scan": _q_s12_hdf4_chunked_scan,
+        "x42_bm25": _q_x42_bm25,
+        "x43_ewma": _q_x43_ewma,
+        "x44_zorder": _q_x44_zorder,
+        "x45_weighted_sample": _q_x45_weighted_sample,
+        "x46_cdc_chunks": _q_x46_cdc_chunks,
+        "x47_zscore_outliers": _q_x47_zscore_outliers,
+        "x48_resample_interp": _q_x48_resample_interp,
+        "x49_triangles": _q_x49_triangles,
+        "x50_bigram_lm": _q_x50_bigram_lm,
+        "x51_dup_spans": _q_x51_dup_spans,
+        "x52_semdedup": _q_x52_semdedup,
+        "x53_lm_score": _q_x53_lm_score,
+        "x54_editdist_join": _q_x54_editdist_join,
     }
 
 
