@@ -5572,6 +5572,153 @@ WHERE g.is_new
 """
 
 
+def _q_x93_minhash_index_update(spark, sf_dir):
+    """Two-day incremental loop exercising the index-MAINTENANCE half
+    (operators/dedup.py:minhash_index_update — round-8 VERDICT item 5):
+    day-0 index = doc_id % 4 in (2,3), materialized as a signatures
+    artifact; the day-1 batch (doc_id % 4 == 1) is deduped incrementally
+    and its SURVIVORS are upserted into the index (broadcast anti-join
+    delete + union — signatures only, never re-shingled), the updated
+    index is written back (the daily compaction — the artifact IS the
+    production handoff); day-2 (doc_id % 4 == 0) then dedupes against
+    the UPDATED index.  Returns the day-2 decisions — they differ from
+    x92's precisely because day-1's DROPPED docs are absent from this
+    index.  Oracle: re-derives both days in SQL from the independent
+    XXH64 golden signatures (goldens/x5_minhash.parquet).  Plan locks
+    (tests/test_plan_regressions.py): the update plan carries no text
+    column and no hash expression at all; the day-2 plan re-shingles
+    only the cached new-batch build, index side bare (id, sh, sig)
+    parquet."""
+    docs = _t(spark, sf_dir, "documents")
+    tag = _corpus_tag(sf_dir)
+    upd_path = f"/tmp/spark_graft_x93_idx_{tag}/updated.parquet"
+    if not os.path.exists(upd_path):
+        idx_sigs = ops_dedup.minhash_signatures(
+            docs.filter(F.col("doc_id") % 4 >= 2), "text", "doc_id"
+        ).localCheckpoint()
+        b1_sigs = ops_dedup.minhash_signatures(
+            docs.filter(F.col("doc_id") % 4 == 1), "text", "doc_id"
+        ).localCheckpoint()
+        day1 = ops_dedup.minhash_lsh_incremental(
+            index_signatures=idx_sigs, new_signatures=b1_sigs, threshold=0.5
+        )
+        survivors = b1_sigs.join(
+            day1.filter(F.col("keep")).select("id"), "id", "left_semi"
+        )
+        updated = ops_dedup.minhash_index_update(idx_sigs, survivors)
+        updated.write.mode("overwrite").parquet(
+            f"{upd_path}.{os.getpid()}.tmp"
+        )
+        try:
+            os.replace(f"{upd_path}.{os.getpid()}.tmp", upd_path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(f"{upd_path}.{os.getpid()}.tmp", ignore_errors=True)
+            # concurrent creator won; content is identical
+    updated_index = spark.read.parquet(upd_path)
+    batch2 = docs.filter(F.col("doc_id") % 4 == 0)
+    out = ops_dedup.minhash_lsh_incremental(
+        batch2, updated_index, "text", "doc_id", threshold=0.5
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_index_dups",
+        "n_batch_prior_dups",
+        "keep",
+    )
+
+
+_SQL_X93 = """
+WITH d AS (
+  SELECT doc_id, text, (doc_id % 4) AS m FROM documents
+),
+g AS (
+  SELECT d.doc_id AS id, d.m, gold.sh, gold.bands
+  FROM d
+  JOIN read_parquet('/root/repo/goldens/x5_minhash.parquet') gold
+    ON gold.sha256 = sha256(d.text)
+),
+banded AS (
+  SELECT id, m, generate_subscripts(bands, 1) - 1 AS band,
+         unnest(bands) AS key
+  FROM g
+),
+-- day 1: index = m in (2,3), new batch = m = 1; caps over their union
+d1 AS (SELECT * FROM banded WHERE m >= 1),
+ok1 AS (
+  SELECT band, key FROM d1 GROUP BY band, key HAVING count(*) <= 1000
+),
+cand1 AS (
+  SELECT DISTINCT a.id AS nid, b.id AS pid
+  FROM d1 a
+  JOIN ok1 o ON a.band = o.band AND a.key = o.key
+  JOIN d1 b ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+  WHERE a.m = 1 AND (b.m <> 1 OR b.id < a.id)
+),
+ver1 AS (
+  SELECT c.nid,
+         len(list_intersect(ga.sh, gb.sh)) AS inter,
+         len(ga.sh) AS la, len(gb.sh) AS lb
+  FROM cand1 c
+  JOIN g ga ON ga.id = c.nid
+  JOIN g gb ON gb.id = c.pid
+),
+dup1 AS (
+  SELECT DISTINCT nid FROM ver1
+  WHERE inter / nullif(la + lb - inter, 0) >= 0.5
+),
+-- updated index: day-0 index + day-1 SURVIVORS (greedy keep rule)
+idx2 AS (
+  SELECT id FROM g WHERE m >= 2
+  UNION ALL
+  SELECT id FROM g
+  WHERE m = 1 AND id NOT IN (SELECT nid FROM dup1)
+),
+-- day 2: new batch = m = 0 against idx2; caps over their union
+d2 AS (
+  SELECT b.id, (b.m = 0) AS is_new, b.band, b.key
+  FROM banded b
+  WHERE b.m = 0 OR b.id IN (SELECT id FROM idx2)
+),
+ok2 AS (
+  SELECT band, key FROM d2 GROUP BY band, key HAVING count(*) <= 1000
+),
+cand2 AS (
+  SELECT DISTINCT a.id AS nid, b.id AS pid, b.is_new AS partner_new
+  FROM d2 a
+  JOIN ok2 o ON a.band = o.band AND a.key = o.key
+  JOIN d2 b ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+  WHERE a.is_new AND (NOT b.is_new OR b.id < a.id)
+),
+ver2 AS (
+  SELECT c.nid, c.partner_new,
+         len(list_intersect(ga.sh, gb.sh)) AS inter,
+         len(ga.sh) AS la, len(gb.sh) AS lb
+  FROM cand2 c
+  JOIN g ga ON ga.id = c.nid
+  JOIN g gb ON gb.id = c.pid
+),
+agg AS (
+  SELECT nid,
+         CAST(sum(CASE WHEN NOT partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_index,
+         CAST(sum(CASE WHEN partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prior
+  FROM ver2
+  WHERE inter / nullif(la + lb - inter, 0) >= 0.5
+  GROUP BY nid
+)
+SELECT g.id AS doc_id,
+       coalesce(a.n_index, 0) AS n_index_dups,
+       coalesce(a.n_prior, 0) AS n_batch_prior_dups,
+       (coalesce(a.n_index, 0) = 0 AND coalesce(a.n_prior, 0) = 0) AS keep
+FROM g
+LEFT JOIN agg a ON a.nid = g.id
+WHERE g.m = 0
+"""
+
+
 def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     """Materialize the documents table as two REAL archives — a zip (even
     doc_ids) and a tar (odd) with one ``doc_<id>.txt`` member each — so
@@ -8658,6 +8805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
+        # -- new in round 9 (no driver record yet) -----------------------------
+        "x93_minhash_index_update": _q_x93_minhash_index_update,
         # -- last driver-recorded in round 5 -----------------------------------
         "x55_pmi_collocations": _q_x55_pmi_collocations,
         "x56_pq_codes": _q_x56_pq_codes,
@@ -8853,6 +9002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x93_minhash_index_update": _SQL_X93,
         "m1_bbox_cell_count": _SQL_M1,
         "m2_cell_stats": _SQL_M2,
         "m3_cloud_fraction": _SQL_M3,

@@ -446,6 +446,37 @@ def minhash_lsh_incremental(
     )
 
 
+def minhash_index_update(
+    index_signatures: DataFrame,
+    survivor_signatures: DataFrame,
+) -> DataFrame:
+    """Merge a batch's SURVIVING signatures into the materialized index —
+    the maintenance half of the incremental story (round-8 VERDICT item
+    5: ``minhash_lsh_incremental`` consumes the index; this produces
+    tomorrow's).  Last-writer-wins upsert by id — the ``stream_upsert``
+    / s14 MERGE shape applied to the ``minhash_signatures`` artifact:
+    any re-ingested id's old row is deleted (idempotent replay — re-
+    running a day's update REPLACES rather than duplicates), then the
+    survivors append.
+
+    Both inputs are signature frames ``(id, sh, sig)``; document text
+    never appears in either, so neither side can be re-shingled by
+    construction (the x93 plan lock asserts the produced plan carries
+    no text column and no hash expressions at all).
+
+    Scale shape: the index side is never shuffled — the survivor id set
+    is batch-sized and skinny (8 B/row) and broadcasts into a LEFT ANTI
+    delete; the union is partition-local.  Writing the result back over
+    the index artifact is the daily compaction; with the index stored
+    bucketed by id the anti-join stays narrow even without the
+    broadcast.
+    """
+    surv = survivor_signatures.select("id", "sh", "sig")
+    return index_signatures.select("id", "sh", "sig").join(
+        F.broadcast(surv.select("id")), "id", "left_anti"
+    ).unionByName(surv)
+
+
 def window_fingerprints(
     df: DataFrame,
     content_col: str = "text",

@@ -70,6 +70,7 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     block_size: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold (id1 < id2).
 
@@ -83,16 +84,27 @@ def cosine_pairs_exact(
     task while every comparison stays JVM-side (``zip_with``/``aggregate``
     dot product, no Python). At corpus scale use ``embedding_pairs`` and
     reserve this for auditing its recall on a sample. Zero-norm vectors
-    have no defined cosine and are dropped.
+    have no defined cosine and are dropped; NULL embeddings likewise
+    (a NULL array makes the staged norm NULL, which fails the ``> 0``
+    filter).  Embeddings must be FIXED-DIMENSION: the numpy verifier
+    stacks each Arrow batch into one (rows, dim) matrix, so a
+    wrong-length vector would raise inside the task instead of yielding
+    a silent NULL cosine.  Pass ``dim`` to pre-filter mismatched rows
+    JVM-side (the same guard ``operators.dedup.embedding_pairs`` applies
+    per row in Python); leave it ``None`` only when the source schema
+    already guarantees the width.
     """
     # normalize ONCE per row (norm staged as a real column — lambda inputs
     # must be materialized, and an inline norm would re-evaluate per pair):
     # per-pair work then collapses to a single dot product
+    staged = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+    if dim is not None:
+        staged = staged.where(F.size("__e") == dim)
     unit = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.col(emb_col).cast("array<double>").alias("__e"),
-        )
+        staged
         .withColumn(
             "__n",
             F.sqrt(

@@ -246,9 +246,11 @@ def _doc_bigrams(
         *ids, tokens(F.col(content_col)).alias("__toks")
     )
     # explode_outer + null-filter: see term_frequencies (struct elements
-    # are never null; the size>=2 pre-filter already drops short docs, so
-    # the NULL row an empty array would emit cannot occur — the outer
-    # form exists purely to suppress the inferred size>0 re-evaluation)
+    # are never null; the clamped slice yields an EMPTY pair array for
+    # 0/1-token docs, so the only NULL rows explode_outer emits are those
+    # empty-array placeholders — the isNotNull filter below drops them,
+    # and the outer form also suppresses the inferred size>0
+    # re-evaluation of the whole tokenize tree)
     return staged.select(
         *(["doc_id"] if id_col else []),
         F.explode_outer(

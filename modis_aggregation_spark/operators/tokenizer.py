@@ -93,16 +93,65 @@ def _apply_merge(
     )
 
 
+def _select_disjoint(rows, budget: int, min_count: int, merged_of):
+    """Greedy front-of-ranking selection of pairwise NON-INTERACTING
+    merges from one round's ordered candidate rows (the batched-merge
+    rule, docs/SCALING.md §tokenizers).
+
+    A merge (l, r) interacts with a previously selected (l', r') iff
+    they share a symbol: merging (l', r') leaves both the pair count of
+    any symbol-disjoint pair and its operands' unit counts untouched,
+    so every selected merge's recorded counts are EXACT under
+    sequential application in selection order.  Candidates are taken in
+    ranking order; one sharing a symbol with an earlier selection is
+    skipped (it will be re-scored next round against the updated
+    vocab).  If the TOP candidate misses ``min_count`` training stops
+    (same rule as batch size 1); later sub-threshold candidates are
+    merely skipped.  ``merged_of(l, r)`` names the merged symbol (BPE:
+    concatenation; WordPiece strips the ``##`` continuation prefix).
+    """
+    picked, used = [], set()
+    for row in rows:
+        if len(picked) >= budget:
+            break
+        l_, r_ = row["l"], row["r"]
+        if int(row["cnt"]) < min_count:
+            if not picked and not used:
+                break  # top candidate below threshold -> stop training
+            continue
+        if l_ in used or r_ in used or merged_of(l_, r_) in used:
+            continue
+        picked.append(row)
+        used.update((l_, r_, merged_of(l_, r_)))
+    return picked
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
     min_pair_count: int = 2,
+    merge_batch: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
     Returns ``(rank, left, right, pair_count)`` — rank 1-based in learn
     order; stops early when no pair reaches ``min_pair_count``.
+
+    ``merge_batch`` (round 9, docs/SCALING.md §tokenizers): with the
+    default 1 this is the exact sequential Sennrich rule — one argmax
+    collect per merge, so a production 30k-merge vocab costs 30k Spark
+    jobs of pure scheduler latency.  With B > 1 each round collects the
+    top ``8·B`` candidates (still model-sized) and applies up to B
+    pairwise symbol-DISJOINT merges from the front of that ranking:
+    disjoint merges leave each other's pair counts and unit counts
+    unchanged, so every recorded count stays exact and the result is a
+    deterministic pure function of the corpus — but the merge ORDER may
+    differ from sequential (a new pair created by an earlier merge in
+    the batch can't be seen until the next round).  This is the
+    standard count-batched BPE scheduling trade; use it past ~1k merges
+    or hand the word-frequency table to a single-node trainer
+    (bit-identical scores) as SCALING.md describes.
     """
     spark = df.sparkSession
     vocab = (
@@ -110,8 +159,10 @@ def bpe_train(
         .select(_chars(F.col("word")).alias("syms"), "count")
         .localCheckpoint()
     )
+    batch = max(1, int(merge_batch))
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
+    applied_since_ckpt = 0
+    while len(merges) < num_merges:
         pairs = (
             vocab.select(
                 F.explode(
@@ -126,21 +177,29 @@ def bpe_train(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("count").alias("cnt"))
         )
-        best = (
+        budget = min(batch, num_merges - len(merges))
+        top = (
             pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(budget if budget == 1 else 8 * budget)
             .collect()
         )
-        if not best or best[0]["cnt"] < min_pair_count:
-            break
-        l_, r_, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        merges.append((rank, l_, r_, cnt))
-        # lazy merge stacking + periodic checkpoint — see wordpiece_train
-        vocab = vocab.select(
-            _apply_merge(F.col("syms"), l_, r_).alias("syms"), "count"
+        picked = _select_disjoint(
+            top, budget, min_pair_count, lambda l_, r_: l_ + r_
         )
-        if rank % 4 == 0 and rank < num_merges:
+        if not picked:
+            break
+        for row in picked:
+            l_, r_ = row["l"], row["r"]
+            merges.append((len(merges) + 1, l_, r_, int(row["cnt"])))
+            # lazy merge stacking + periodic checkpoint — see
+            # wordpiece_train
+            vocab = vocab.select(
+                _apply_merge(F.col("syms"), l_, r_).alias("syms"), "count"
+            )
+            applied_since_ckpt += 1
+        if applied_since_ckpt >= 4 and len(merges) < num_merges:
             vocab = vocab.localCheckpoint()
+            applied_since_ckpt = 0
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT"
     )
@@ -562,6 +621,7 @@ def wordpiece_train(
     text_col: str = "text",
     num_merges: int = 8,
     min_pair_count: int = 2,
+    merge_batch: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` WordPiece merges from the corpus — the
     third tokenizer family next to BPE (x70) and unigram-LM (x77).
@@ -593,6 +653,15 @@ def wordpiece_train(
     Returns ``(rank, left, right, merged, pair_count, left_count,
     right_count)``; stops early when no pair reaches
     ``min_pair_count``.
+
+    ``merge_batch`` (round 9): same batched-merge scheduling as
+    ``bpe_train`` — up to B pairwise symbol-disjoint merges per round,
+    taken front-of-ranking from the top ``8·B`` collected candidates.
+    Disjointness keeps every recorded pair/unit count exact (a merge
+    cannot change the counts of a symbol-disjoint pair), so scores and
+    tie-breaks are computed on exact numbers; only the merge ORDER may
+    differ from the sequential rule.  Default 1 = exact sequential
+    (the contract/golden behavior).
     """
     spark = df.sparkSession
     vocab = (
@@ -600,8 +669,14 @@ def wordpiece_train(
         .select(_wp_chars(F.col("word")).alias("syms"), "count")
         .localCheckpoint()
     )
+
+    def _wp_merged(l_: str, r_: str) -> str:
+        return l_ + (r_[2:] if r_.startswith("##") else r_)
+
+    batch = max(1, int(merge_batch))
     merges: list[tuple[int, str, str, str, int, int, int]] = []
-    for rank in range(1, num_merges + 1):
+    applied_since_ckpt = 0
+    while len(merges) < num_merges:
         units = (
             vocab.select(F.explode("syms").alias("s"), "count")
             .groupBy("s")
@@ -639,37 +714,43 @@ def wordpiece_train(
                 ),
             )
         )
-        best = (
+        budget = min(batch, num_merges - len(merges))
+        top = (
             scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(budget if budget == 1 else 8 * budget)
             .collect()
         )
-        if not best or best[0]["cnt"] < min_pair_count:
+        picked = _select_disjoint(top, budget, min_pair_count, _wp_merged)
+        if not picked:
             break
-        l_, r_ = best[0]["l"], best[0]["r"]
-        merged = l_ + (r_[2:] if r_.startswith("##") else r_)
-        merges.append(
-            (
-                rank,
-                l_,
-                r_,
-                merged,
-                int(best[0]["cnt"]),
-                int(best[0]["l_cnt"]),
-                int(best[0]["r_cnt"]),
+        for row in picked:
+            l_, r_ = row["l"], row["r"]
+            merged = _wp_merged(l_, r_)
+            merges.append(
+                (
+                    len(merges) + 1,
+                    l_,
+                    r_,
+                    merged,
+                    int(row["cnt"]),
+                    int(row["l_cnt"]),
+                    int(row["r_cnt"]),
+                )
             )
-        )
-        # merge applications stack LAZILY on the checkpointed base — a
-        # pure-JVM transform per round; materializing per round cost a
-        # full job each (round 8: 4.0 s -> 3.3 s at sf0.1).  Checkpoint
-        # every few rounds so the stacked plan stays bounded for large
-        # num_merges (Catalyst analysis is superlinear in plan depth).
-        vocab = vocab.select(
-            _apply_merge(F.col("syms"), l_, r_, merged).alias("syms"),
-            "count",
-        )
-        if rank % 4 == 0 and rank < num_merges:
+            # merge applications stack LAZILY on the checkpointed base —
+            # a pure-JVM transform per round; materializing per round
+            # cost a full job each (round 8: 4.0 s -> 3.3 s at sf0.1).
+            # Checkpoint every few applied merges so the stacked plan
+            # stays bounded for large num_merges (Catalyst analysis is
+            # superlinear in plan depth).
+            vocab = vocab.select(
+                _apply_merge(F.col("syms"), l_, r_, merged).alias("syms"),
+                "count",
+            )
+            applied_since_ckpt += 1
+        if applied_since_ckpt >= 4 and len(merges) < num_merges:
             vocab = vocab.localCheckpoint()
+            applied_since_ckpt = 0
     return spark.createDataFrame(
         merges,
         "rank INT, left STRING, right STRING, merged STRING, "

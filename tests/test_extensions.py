@@ -242,6 +242,78 @@ def test_ngram_jaccard_pairs(spark):
     assert all(4 not in p for p in got)
 
 
+def test_minhash_index_update_upsert_and_replay(spark):
+    """Last-writer-wins upsert by id + idempotent replay: a re-ingested
+    id's old index row is replaced (never duplicated), fresh ids append,
+    untouched index rows pass through, and re-applying the same survivor
+    batch is a no-op."""
+    schema = "id long, sh array<long>, sig array<long>"
+    idx = spark.createDataFrame(
+        [(1, [10, 11], [1, 2]), (2, [20], [3, 4])], schema
+    )
+    surv = spark.createDataFrame(
+        [(2, [21], [5, 6]), (9, [90], [7, 8])], schema
+    )
+    out = D.minhash_index_update(idx, surv)
+    rows = {r["id"]: (r["sh"], r["sig"]) for r in out.collect()}
+    assert rows == {
+        1: ([10, 11], [1, 2]),   # untouched
+        2: ([21], [5, 6]),       # replaced, not duplicated
+        9: ([90], [7, 8]),       # appended
+    }
+    replay = D.minhash_index_update(out, surv)
+    assert {r["id"]: (r["sh"], r["sig"]) for r in replay.collect()} == rows
+
+
+def test_ngram_jaccard_capped_set_semantics(spark):
+    """Pins the round-8 COUNT-BASED cap semantics (ADVICE r8): a gram over
+    ``max_token_freq`` is excluded from the gram SETS themselves — |A|,
+    |B| and the intersection — not just from candidacy.  The old
+    array-form operator only dropped capped grams from the candidate
+    join, so (d1,d2) below scored 2/(3+3-2)=0.5; the count-based form
+    scores 2/(2+3-2)=2/3.  Asserting 2/3 locks the intended semantics."""
+    df = spark.createDataFrame(
+        [
+            (1, "x y common"),
+            (2, "x y z"),
+            (3, "common aa"),
+            (4, "common bb"),
+        ],
+        ["doc_id", "text"],
+    )
+    # "common" appears in 3 docs > cap=2 -> removed from every gram set
+    pairs = D.ngram_jaccard_pairs(
+        df, n=1, threshold=0.1, max_token_freq=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got == {(1, 2): pytest.approx(2 / 3, abs=1e-6)}
+    # (3,4) share ONLY the capped gram: no candidacy, no pair — and with
+    # the cap inactive the classic all-gram jaccard comes back
+    uncapped = D.ngram_jaccard_pairs(
+        df, n=1, threshold=0.1, max_token_freq=10**9
+    )
+    got2 = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    assert got2[(3, 4)] == pytest.approx(1 / 3, abs=1e-6)
+    assert got2[(1, 2)] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_cosine_pairs_exact_dim_prefilter(spark):
+    """ADVICE r8: the numpy verifier stacks each batch to (rows, dim); a
+    ragged embedding would raise inside the Arrow task.  ``dim=`` drops
+    wrong-length and NULL rows JVM-side before the join."""
+    df, vecs = _emb_df(spark)
+    bad = spark.createDataFrame(
+        [(900, [1.0, 2.0]), (901, None)],
+        df.schema,
+    )
+    clean = S.cosine_pairs_exact(df, threshold=0.3, block_size=8).collect()
+    guarded = S.cosine_pairs_exact(
+        df.union(bad), threshold=0.3, block_size=8, dim=8
+    ).collect()
+    key = lambda rows: {(r["id1"], r["id2"]): r["cosine"] for r in rows}
+    assert key(guarded) == key(clean)
+
+
 def test_embedding_pairs(spark):
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((20, 64))

@@ -658,3 +658,56 @@ def test_x92_incremental_no_index_reshingle(spark):
     assert logical.count("strategy=broadcast") >= 2  # caps broadcast
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
+
+
+def test_x93_index_update_never_reshingles(spark, tmp_path):
+    """Index maintenance (round 9): ``minhash_index_update`` consumes
+    and produces SIGNATURE frames only — its plan must carry no text
+    column and no hash expression at all (re-shingling survivors would
+    defeat the artifact), and the delete side must be a broadcast LEFT
+    ANTI on the (skinny) survivor ids, never a shuffle of the index."""
+    from modis_aggregation_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i} " * 3) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    idx_p, srv_p = str(tmp_path / "idx.parquet"), str(tmp_path / "srv.parquet")
+    # artifact builds shingle once, by design — the lock is on the UPDATE
+    D.minhash_signatures(docs.filter("doc_id % 2 = 0")).write.parquet(idx_p)
+    D.minhash_signatures(docs.filter("doc_id % 2 = 1")).write.parquet(srv_p)
+    upd = D.minhash_index_update(
+        spark.read.parquet(idx_p), spark.read.parquet(srv_p)
+    )
+    logical = upd._jdf.queryExecution().optimizedPlan().toString()
+    assert "text#" not in logical and "xxhash" not in logical.lower()
+    assert "LeftAnti" in logical and "strategy=broadcast" in logical
+    physical = upd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical and "SortMergeJoin" not in physical
+    assert "Exchange hashpartitioning" not in physical  # index never shuffles
+
+
+def test_x93_day2_only_batch_reshingled(spark):
+    """The x93 day-2 dedup against the UPDATED index keeps the x92
+    posture: every leaf carrying raw document text is the one cached
+    new-batch signature build; the updated index enters as a bare
+    (id, sh, sig) parquet relation (the compaction artifact)."""
+    df = entry.queries()["x93_minhash_index_update"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    leaves = plan.collectLeaves()
+    kinds = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        kinds.append(leaf.nodeName())
+        if leaf.nodeName() != "InMemoryRelation":
+            first = leaf.toString().splitlines()[0]
+            assert "text#" not in first, f"raw text outside cache: {first}"
+    assert "InMemoryRelation" in kinds
+    import re
+
+    logical = plan.toString()
+    assert re.search(r"Relation \[id#\d+L?,sh#\d+,sig#\d+\] parquet", logical)
+    assert logical.count("LeftAnti") >= 2          # both sides capped
+    assert logical.count("strategy=broadcast") >= 2  # caps broadcast
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical

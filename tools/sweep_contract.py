@@ -1,0 +1,199 @@
+"""Full-contract timing sweep — the per-round guardrail version of the
+one-off round-8 audit that exposed 10-20x HOF-evaluation pathologies the
+21-slot bench and the sf0.01 oracle gate never saw (docs/ROUND8.md).
+
+Times EVERY ``__spark_entry__.queries()`` entry at one scale (default
+sf0.1) with bench.py's full-materialization action (noop write — computes
+everything, sinks nothing) and writes ``SWEEP_r{N}.json`` at the repo
+root:
+
+    {"sf_dir": ..., "sf": 0.1, "cpus": 32, "repeat": 1,
+     "timings": {"x4_ngram_jaccard": 2.41, ...},
+     "errors": {}, "total_sec": ...}
+
+Regression gate: after timing, the sweep is diffed against the NEWEST
+other committed ``SWEEP_r*.json``. A query regresses when it is BOTH
+>3x slower AND >1.0 s absolutely slower (the absolute floor keeps
+sub-second slots from tripping the gate on tenant noise — the bench host
+shows ±15-50 % drift; a genuine pathology of the round-8 class is
+10-20x on multi-second queries). Regressions print as a table and the
+tool exits 1 unless ``--no-gate`` (soft mode: warn only). New queries
+(no baseline entry) and removed ones are listed informationally.
+
+Usage:
+    python tools/sweep_contract.py --round 9                  # full sweep
+    python tools/sweep_contract.py --round 9 --repeat 2       # best-of-2
+    python tools/sweep_contract.py --only x4_ngram_jaccard    # spot-check
+                                                              # (no file)
+
+Single-run timings are noisier than bench's best-of-3, but the gate's
+3x-AND-1s threshold sits far above the documented noise band; use
+``--repeat`` when a regression needs confirming before it counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RATIO_GATE = 3.0
+ABS_GATE_SEC = 1.0
+
+
+def _sf(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def newest_committed_sweep(exclude: str | None = None) -> tuple[str, dict] | None:
+    """The highest-round SWEEP_r*.json at the repo root (skip ``exclude``)."""
+    best = None
+    for path in glob.glob(os.path.join(REPO, "SWEEP_r*.json")):
+        if exclude and os.path.abspath(path) == os.path.abspath(exclude):
+            continue
+        m = re.search(r"SWEEP_r(\d+)\.json$", path)
+        if not m:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None
+    with open(best[1]) as f:
+        return best[1], json.load(f)
+
+
+def diff_sweeps(prev: dict, cur: dict) -> dict:
+    """Classify cur vs prev: regressions (gate), improvements, new, gone."""
+    pt, ct = prev.get("timings", {}), cur.get("timings", {})
+    out = {"regressions": [], "improved": [], "new": sorted(set(ct) - set(pt)),
+           "gone": sorted(set(pt) - set(ct))}
+    for name in sorted(set(ct) & set(pt)):
+        a, b = pt[name], ct[name]
+        if a <= 0:
+            continue
+        ratio = b / a
+        if ratio > RATIO_GATE and (b - a) > ABS_GATE_SEC:
+            out["regressions"].append(
+                {"query": name, "prev": a, "cur": b, "ratio": round(ratio, 2)}
+            )
+        elif ratio < 1 / RATIO_GATE and (a - b) > ABS_GATE_SEC:
+            out["improved"].append(
+                {"query": name, "prev": a, "cur": b, "ratio": round(ratio, 2)}
+            )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--round", type=int, default=None,
+                    help="write SWEEP_r{N}.json at the repo root")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="best-of-N per query (default 1: full sweep is "
+                         "~186 queries; the gate threshold absorbs "
+                         "single-run noise)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="time just these queries; skips the file write "
+                         "and the gate")
+    ap.add_argument("--no-gate", action="store_true",
+                    help="report regressions but exit 0 (soft mode)")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from modis_aggregation_spark import get_spark
+
+    spark = get_spark("sweep-contract")
+    qs = entry.queries()
+    if args.only:
+        missing = [q for q in args.only if q not in qs]
+        if missing:
+            print(f"unknown queries: {missing}", file=sys.stderr)
+            return 2
+        qs = {k: qs[k] for k in args.only}
+
+    # JVM/codegen warmup on a trivial plan (same as bench.py)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    t_sweep = time.perf_counter()
+    for i, (name, fn) in enumerate(qs.items(), 1):
+        best = float("inf")
+        try:
+            for _ in range(max(1, args.repeat)):
+                t0 = time.perf_counter()
+                fn(spark, args.sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"[{i:3}/{len(qs)}] {name}: {timings[name]:.3f}s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[{i:3}/{len(qs)}] {name}: ERROR {errors[name]}",
+                  flush=True)
+    total = round(time.perf_counter() - t_sweep, 3)
+    spark.stop()
+
+    result = {
+        "sf_dir": args.sf_dir,
+        "sf": _sf(args.sf_dir),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "repeat": max(1, args.repeat),
+        "timings": timings,
+        "errors": errors,
+        "total_sec": total,
+    }
+
+    out_path = None
+    if args.round is not None and not args.only:
+        out_path = os.path.join(REPO, f"SWEEP_r{args.round:02d}.json")
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        print(f"\nwrote {out_path} ({len(timings)} timings, "
+              f"{len(errors)} errors, {total:.1f}s wall)")
+
+    rc = 1 if errors else 0
+    if not args.only:
+        prev = newest_committed_sweep(exclude=out_path)
+        if prev is None:
+            print("no previous SWEEP_r*.json — gate skipped (first sweep)")
+        else:
+            prev_path, prev_data = prev
+            d = diff_sweeps(prev_data, result)
+            print(f"\ndiff vs {os.path.basename(prev_path)}:")
+            print(f"  new: {len(d['new'])}  gone: {len(d['gone'])}  "
+                  f"improved>3x: {len(d['improved'])}")
+            for r in d["improved"]:
+                print(f"  improved  {r['query']}: {r['prev']:.2f}s -> "
+                      f"{r['cur']:.2f}s ({r['ratio']}x)")
+            if d["regressions"]:
+                print(f"  {len(d['regressions'])} REGRESSIONS "
+                      f"(> {RATIO_GATE}x and > {ABS_GATE_SEC}s):")
+                for r in d["regressions"]:
+                    print(f"    {r['query']}: {r['prev']:.2f}s -> "
+                          f"{r['cur']:.2f}s ({r['ratio']}x)")
+                if not args.no_gate:
+                    rc = 1
+            else:
+                print("  no gated regressions")
+    if errors:
+        print(f"\n{len(errors)} queries ERRORED: {sorted(errors)}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
