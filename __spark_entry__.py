@@ -3474,6 +3474,31 @@ WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
 """
 
 
+def _q_x94_bpe_train_batched(spark, sf_dir):
+    """BATCHED BPE merge learning (round 9 —
+    operators/tokenizer.py:bpe_train(merge_batch=3), the schedule that
+    makes a 30k-merge production vocab ~B× fewer Spark jobs,
+    docs/SCALING.md §tokenizers): per round the top 8·B candidates are
+    collected (model-sized) and up to B pairwise symbol-DISJOINT merges
+    applied front-of-ranking — disjointness keeps every recorded
+    pair_count exact; only the merge ORDER may differ from the
+    sequential x70 rule.  Oracle: an INDEPENDENT dict-based trainer
+    implementing the same documented schedule
+    (tools/make_goldens.py:_independent_bpe_batched), committed as
+    goldens/x94_bpe_batched.parquet keyed by a corpus fingerprint the
+    SQL twin recomputes — both implementations must learn the IDENTICAL
+    table."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops_tok.bpe_train(docs, "text", num_merges=8, merge_batch=3)
+
+
+_SQL_X94 = """
+SELECT g.rank, g."left", g."right", g.pair_count
+FROM read_parquet('/root/repo/goldens/x94_bpe_batched.parquet') g
+WHERE g.corpus_key = (SELECT bit_xor(hash(doc_id, text)) FROM documents)
+"""
+
+
 def _q_x71_bpe_encode(spark, sf_dir):
     """Distributed BPE ENCODE — the at-scale half of x70
     (operators/tokenizer.py:bpe_encode): train the 8-rule merge table,
@@ -8807,6 +8832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 9 (no driver record yet) -----------------------------
         "x93_minhash_index_update": _q_x93_minhash_index_update,
+        "x94_bpe_train_batched": _q_x94_bpe_train_batched,
         # -- last driver-recorded in round 5 -----------------------------------
         "x55_pmi_collocations": _q_x55_pmi_collocations,
         "x56_pq_codes": _q_x56_pq_codes,
@@ -9003,6 +9029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "x93_minhash_index_update": _SQL_X93,
+        "x94_bpe_train_batched": _SQL_X94,
         "m1_bbox_cell_count": _SQL_M1,
         "m2_cell_stats": _SQL_M2,
         "m3_cloud_fraction": _SQL_M3,

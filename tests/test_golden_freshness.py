@@ -30,6 +30,7 @@ SF_DIRS = [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
 
 CORPUS_KEYED_DOCS = [
     "x70_bpe_merges.parquet",
+    "x94_bpe_batched.parquet",
     "x71_bpe_encode.parquet",
 ]
 CORPUS_KEYED_EMB = ["x9_centroids.parquet", "x56_codebooks.parquet"]

@@ -660,6 +660,34 @@ def test_x92_incremental_no_index_reshingle(spark):
     assert "CartesianProduct" not in physical
 
 
+def test_x54_editdist_join_plan_shape(spark):
+    """SymSpell edit-distance join (round-9 lock after three rounds of
+    sub-noise upward bench drift — r7 0.832 s, r8 0.863 s, r9 0.876 s:
+    each step inside the ±15 % band, so only a structural lock can tell
+    real regressions from host noise).  The shape: candidate generation
+    is ONE equi-join on the 64-bit variant fingerprints (skinny — never
+    the strings), both sides capped by broadcast LEFT ANTI bucket
+    drops, the two string payloads fetched by id-keyed joins, and
+    exact levenshtein verification living in the join, never a
+    post-cartesian filter."""
+    df = entry.queries()["x54_editdist_join"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    joins = re.findall(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p
+    )
+    # fp candidate join + 2 id payload joins + 2 anti-join caps
+    assert len(joins) == 5, joins
+    assert p.count("LeftAnti") == 2
+    # verification is a join condition over the fetched payloads
+    assert "levenshtein" in p
+    lev_lines = [l for l in p.splitlines() if "levenshtein" in l]
+    assert any("Join" in l for l in lev_lines), lev_lines
+
+
 def test_x93_index_update_never_reshingles(spark, tmp_path):
     """Index maintenance (round 9): ``minhash_index_update`` consumes
     and produces SIGNATURE frames only — its plan must carry no text

@@ -611,6 +611,99 @@ def _independent_bpe(texts, num_merges: int = 8, min_pair_count: int = 2):
     return merges, vocab
 
 
+def _independent_bpe_batched(
+    texts, num_merges: int = 8, min_pair_count: int = 2, batch: int = 3
+):
+    """INDEPENDENT dict-based trainer for the round-9 BATCHED merge
+    schedule (``bpe_train(merge_batch=B)``): per round, rank all pairs
+    by (count DESC, left, right), keep the top ``8*batch`` and apply up
+    to ``batch`` pairwise symbol-DISJOINT merges front-of-ranking —
+    disjoint merges cannot change each other's pair counts, so every
+    recorded count is exact.  Deliberately NOT importing
+    operators/tokenizer.py (the x94 oracle pits two implementations of
+    the same documented schedule against each other)."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for text in texts:
+        for w in _TOKEN_WS.split(text.lower()):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges:
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            n = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        budget = min(batch, num_merges - len(merges))
+        ranked = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: (budget if budget == 1 else 8 * budget)]
+        picked, used = [], set()
+        for (l_, r_), cnt in ranked:
+            if len(picked) >= budget:
+                break
+            if cnt < min_pair_count:
+                if not picked:
+                    break
+                continue
+            if l_ in used or r_ in used or (l_ + r_) in used:
+                continue
+            picked.append((l_, r_, cnt))
+            used.update((l_, r_, l_ + r_))
+        if not picked:
+            break
+        for l_, r_, cnt in picked:
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
+                        out.append(l_ + r_)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+            merges.append((len(merges) + 1, l_, r_, cnt))
+    return merges, vocab
+
+
+def x94_bpe_batched_golden() -> pa.Table:
+    """Batched-schedule merge table (batch=3) learned by
+    ``_independent_bpe_batched`` per sf dir, keyed by corpus_key =
+    DuckDB bit_xor(hash(doc_id, text)) over the documents view (the
+    x70 pattern)."""
+    cols: dict[str, list] = {k: [] for k in (
+        "corpus_key", "rank", "left", "right", "pair_count",
+    )}
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "documents.parquet")
+        key = duckdb.sql(
+            f"SELECT bit_xor(hash(doc_id, text)) FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        docs = pq.read_table(p, columns=["text"])
+        merges, _ = _independent_bpe_batched(docs.column("text").to_pylist())
+        for rank, l_, r_, cnt in merges:
+            cols["corpus_key"].append(int(key))
+            cols["rank"].append(rank)
+            cols["left"].append(l_)
+            cols["right"].append(r_)
+            cols["pair_count"].append(cnt)
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "rank": pa.array(cols["rank"], pa.int32()),
+            "left": pa.array(cols["left"], pa.string()),
+            "right": pa.array(cols["right"], pa.string()),
+            "pair_count": pa.array(cols["pair_count"], pa.int64()),
+        }
+    )
+
+
 def _independent_unigram(
     texts: list[str],
     seed_multi: int = 48,
@@ -1296,6 +1389,9 @@ def main() -> None:
     x70 = x70_bpe_golden()
     pq.write_table(x70, os.path.join(OUT_DIR, "x70_bpe_merges.parquet"))
     print(f"x70_bpe_merges.parquet: {x70.num_rows} rows")
+    x94 = x94_bpe_batched_golden()
+    pq.write_table(x94, os.path.join(OUT_DIR, "x94_bpe_batched.parquet"))
+    print(f"x94_bpe_batched.parquet: {x94.num_rows} rows")
     x71 = x71_bpe_encode_golden()
     pq.write_table(x71, os.path.join(OUT_DIR, "x71_bpe_encode.parquet"))
     print(f"x71_bpe_encode.parquet: {x71.num_rows} rows")

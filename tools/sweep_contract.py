@@ -109,7 +109,25 @@ def main() -> int:
                          "and the gate")
     ap.add_argument("--no-gate", action="store_true",
                     help="report regressions but exit 0 (soft mode)")
+    ap.add_argument("--warm", action="store_true",
+                    help="keep existing /tmp/spark_graft_* artifacts. "
+                         "Default is COLD: artifact-building queries "
+                         "(x92/x93 signature indexes, s11 archives, ...) "
+                         "rebuild inside their timing, mirroring the "
+                         "driver's fresh container — the reproducible "
+                         "convention for round-over-round diffs")
     args = ap.parse_args()
+
+    if not args.warm and not args.only:
+        import shutil
+
+        for p in glob.glob("/tmp/spark_graft_*"):
+            shutil.rmtree(p, ignore_errors=True)
+            if os.path.exists(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     import __spark_entry__ as entry
     from modis_aggregation_spark import get_spark
