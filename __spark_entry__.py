@@ -5618,18 +5618,25 @@ def _q_x93_minhash_index_update(spark, sf_dir):
     tag = _corpus_tag(sf_dir)
     upd_path = f"/tmp/spark_graft_x93_idx_{tag}/updated.parquet"
     if not os.path.exists(upd_path):
-        idx_sigs = ops_dedup.minhash_signatures(
-            docs.filter(F.col("doc_id") % 4 >= 2), "text", "doc_id"
+        # ONE shingle/signature pass over day-0+day-1 (the id split is a
+        # filter over the checkpointed frame, not a second corpus scan —
+        # round 9: two separate minhash_signatures builds each repartition
+        # + re-shingle their slice; one build halves the artifact-creation
+        # jobs)
+        sig_01 = ops_dedup.minhash_signatures(
+            docs.filter(F.col("doc_id") % 4 >= 1), "text", "doc_id"
         ).localCheckpoint()
-        b1_sigs = ops_dedup.minhash_signatures(
-            docs.filter(F.col("doc_id") % 4 == 1), "text", "doc_id"
-        ).localCheckpoint()
+        idx_sigs = sig_01.filter(F.col("id") % 4 >= 2)
+        b1_sigs = sig_01.filter(F.col("id") % 4 == 1)
         day1 = ops_dedup.minhash_lsh_incremental(
             index_signatures=idx_sigs, new_signatures=b1_sigs, threshold=0.5
         )
-        survivors = b1_sigs.join(
-            day1.filter(F.col("keep")).select("id"), "id", "left_semi"
-        )
+        # the keep set is consumed twice below (broadcast anti-join ids
+        # AND the union's survivor frame) — checkpoint the (tiny, id-only)
+        # day-1 decisions so the dedup itself runs ONCE; in production
+        # these decisions are a materialized artifact anyway
+        day1_keep = day1.filter(F.col("keep")).select("id").localCheckpoint()
+        survivors = b1_sigs.join(day1_keep, "id", "left_semi")
         updated = ops_dedup.minhash_index_update(idx_sigs, survivors)
         updated.write.mode("overwrite").parquet(
             f"{upd_path}.{os.getpid()}.tmp"
