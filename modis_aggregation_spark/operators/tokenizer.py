@@ -126,12 +126,102 @@ def _select_disjoint(rows, budget: int, min_count: int, merged_of):
     return picked
 
 
+def _train_local(
+    wc: dict,
+    num_merges: int,
+    min_pair_count: int,
+    batch: int,
+    wordpiece: bool,
+):
+    """Driver-side merge loop over a COLLECTED word-frequency table —
+    the single-node handoff of docs/SCALING.md §tokenizers option (b):
+    the cluster's job is producing ``(word, count)`` (one corpus scan);
+    training then runs here with the SAME exact-integer counts, IEEE
+    score division, ranking keys, ``_select_disjoint`` batching and
+    greedy merge fold as the distributed rounds — bit-identical output
+    for any ``merge_batch``, without one Spark job per merge round.
+    Returns the merge rows in the engine-specific tuple shape."""
+    from collections import Counter
+
+    vocab = {
+        w: ([w[0]] + ["##" + c for c in w[1:]] if wordpiece else list(w))
+        for w in wc
+    }
+    if wordpiece:
+        def merged_of(l_, r_):
+            return l_ + (r_[2:] if r_.startswith("##") else r_)
+    else:
+        def merged_of(l_, r_):
+            return l_ + r_
+
+    merges = []
+    while len(merges) < num_merges:
+        pc: Counter = Counter()
+        uc: Counter = Counter()
+        for w, syms in vocab.items():
+            n = wc[w]
+            if wordpiece:
+                for s in syms:
+                    uc[s] += n
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        budget = min(batch, num_merges - len(merges))
+        if wordpiece:
+            # the distributed round's exact score: ONE IEEE division of
+            # exact int64 counts (same doubles -> same order)
+            def key(kv):
+                return (
+                    -(float(kv[1])
+                      / (float(uc[kv[0][0]]) * float(uc[kv[0][1]]))),
+                    kv[0][0],
+                    kv[0][1],
+                )
+        else:
+            def key(kv):
+                return (-kv[1], kv[0][0], kv[0][1])
+        ranked = sorted(pc.items(), key=key)[
+            : (budget if budget == 1 else 8 * budget)
+        ]
+        rows = [
+            {"l": l_, "r": r_, "cnt": c,
+             "l_cnt": uc[l_], "r_cnt": uc[r_]}
+            for (l_, r_), c in ranked
+        ]
+        picked = _select_disjoint(rows, budget, min_pair_count, merged_of)
+        if not picked:
+            break
+        for row in picked:
+            l_, r_ = row["l"], row["r"]
+            m_ = merged_of(l_, r_)
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
+                        out.append(m_)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+            if wordpiece:
+                merges.append(
+                    (len(merges) + 1, l_, r_, m_, int(row["cnt"]),
+                     int(row["l_cnt"]), int(row["r_cnt"]))
+                )
+            else:
+                merges.append((len(merges) + 1, l_, r_, int(row["cnt"])))
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
     min_pair_count: int = 2,
     merge_batch: int = 1,
+    engine: str = "rounds",
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
@@ -152,14 +242,34 @@ def bpe_train(
     standard count-batched BPE scheduling trade; use it past ~1k merges
     or hand the word-frequency table to a single-node trainer
     (bit-identical scores) as SCALING.md describes.
+
+    ``engine="local"`` (round 9) IS that handoff, implemented: the
+    cluster produces ``(word, count)`` (one corpus scan — the only part
+    whose cost scales with the corpus), the table is collected
+    (~10⁷ rows / low-hundreds of MB for a 100 TB web corpus — the
+    documented driver bound), and the merge loop runs driver-side with
+    the same exact-integer arithmetic, ranking keys and batching —
+    bit-identical to ``engine="rounds"`` for any ``merge_batch``
+    (pinned by test), without one Spark job per round.
     """
     spark = df.sparkSession
+    batch = max(1, int(merge_batch))
+    if engine == "local":
+        wc = {
+            r["word"]: r["count"]
+            for r in word_vocab(df, text_col).collect()
+        }
+        return spark.createDataFrame(
+            _train_local(wc, num_merges, min_pair_count, batch, False),
+            "rank INT, left STRING, right STRING, pair_count BIGINT",
+        )
+    if engine != "rounds":
+        raise ValueError(f"unknown engine {engine!r} (rounds|local)")
     vocab = (
         word_vocab(df, text_col)
         .select(_chars(F.col("word")).alias("syms"), "count")
         .localCheckpoint()
     )
-    batch = max(1, int(merge_batch))
     merges: list[tuple[int, str, str, int]] = []
     applied_since_ckpt = 0
     while len(merges) < num_merges:
@@ -622,6 +732,7 @@ def wordpiece_train(
     num_merges: int = 8,
     min_pair_count: int = 2,
     merge_batch: int = 1,
+    engine: str = "rounds",
 ) -> DataFrame:
     """Learn ``num_merges`` WordPiece merges from the corpus — the
     third tokenizer family next to BPE (x70) and unigram-LM (x77).
@@ -662,8 +773,28 @@ def wordpiece_train(
     tie-breaks are computed on exact numbers; only the merge ORDER may
     differ from the sequential rule.  Default 1 = exact sequential
     (the contract/golden behavior).
+
+    ``engine="local"`` (round 9): the single-node handoff — see
+    ``bpe_train``; bit-identical to ``engine="rounds"`` for any
+    ``merge_batch`` (the score is the same IEEE division of the same
+    exact int64 counts).
     """
     spark = df.sparkSession
+    if engine == "local":
+        wc = {
+            r["word"]: r["count"]
+            for r in word_vocab(df, text_col).collect()
+        }
+        return spark.createDataFrame(
+            _train_local(
+                wc, num_merges, min_pair_count, max(1, int(merge_batch)),
+                True,
+            ),
+            "rank INT, left STRING, right STRING, merged STRING, "
+            "pair_count BIGINT, left_count BIGINT, right_count BIGINT",
+        )
+    if engine != "rounds":
+        raise ValueError(f"unknown engine {engine!r} (rounds|local)")
     vocab = (
         word_vocab(df, text_col)
         .select(_wp_chars(F.col("word")).alias("syms"), "count")
