@@ -193,6 +193,28 @@ class _HuffTable:
         self.lookup16 = lut
 
 
+_HUFF_CACHE: dict[tuple[bytes, bytes], _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], values: list[int]) -> _HuffTable:
+    """Memoized `_HuffTable` construction — the 64K-entry peek table
+    costs ~0.5 ms to build, and real streams reuse a handful of tables
+    (Annex K's four, or one encoder's fixed set) across every file."""
+    key = (bytes(bits), bytes(values))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        t = _HuffTable(bits, values)
+        if len(_HUFF_CACHE) < 512:
+            _HUFF_CACHE[key] = t
+    return t
+
+
+# T.81 F.12 EXTEND as table lookups: v >= _EXT_HALF[s] keeps v, else
+# v - _EXT_SUB[s]; s == 0 never reaches the tables (no magnitude bits).
+_EXT_HALF = [1 << (s - 1) if s else 1 for s in range(17)]
+_EXT_SUB = [(1 << s) - 1 for s in range(17)]
+
+
 def _unstuff(seg: bytes) -> bytes:
     """Remove FF 00 byte stuffing, validating that every FF in the
     entropy segment IS stuffed (a bare FF xx is a stray marker)."""
@@ -284,12 +306,15 @@ def _parse_segments(buf: bytes):
         pos += seglen
         if marker == 0xDA:  # SOS: entropy data follows until next marker
             start = pos
-            while pos < n - 1:
-                if buf[pos] == 0xFF and buf[pos + 1] not in (0x00,) and not (
-                    0xD0 <= buf[pos + 1] <= 0xD7
-                ):
+            while True:  # hop FF to FF; skip stuffing (FF 00) and RSTs
+                pos = buf.find(b"\xff", pos, n - 1)
+                if pos == -1:
+                    pos = n - 1
                     break
-                pos += 1
+                nxt = buf[pos + 1]
+                if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                    break
+                pos += 2
             yield marker, payload, buf[start:pos]
         else:
             yield marker, payload, None
@@ -309,39 +334,92 @@ def _scan_segments(scan_data: bytes, restart_interval: int) -> list[bytes]:
 
 def _decode_seq_scan(segments, units, comps, sel, htables, ri):
     """Baseline/extended sequential scan: full-band Huffman decode of
-    every unit (T.81 F.2)."""
+    every unit (T.81 F.2). The bit reader is inlined as local ints (the
+    `_BitReader` semantics exactly: MSB-first, 1-bit padding past the
+    segment end) — this loop is the whole-file hot path and attribute
+    dispatch per symbol costs ~3x."""
     tabs = {}
     for ci, c in enumerate(comps):
         if c["id"] in sel:
             td, ta = sel[c["id"]]
             if (0, td) not in htables or (1, ta) not in htables:
                 raise ValueError("missing Huffman table referenced by SOS")
-            tabs[ci] = (htables[(0, td)], htables[(1, ta)])
+            tabs[ci] = (htables[(0, td)].lookup16, htables[(1, ta)].lookup16)
     u, n_units = 0, len(units)
+    ext_half, ext_sub = _EXT_HALF, _EXT_SUB
     for seg in segments:
-        rd = _BitReader(seg)
+        data, npos = seg, len(seg)
+        pos = acc = nbits = 0
         pred = {ci: 0 for ci in tabs}
         for _ in range(min(ri or (n_units - u), n_units - u)):
             for ci, row in units[u]:
-                dc_t, ac_t = tabs[ci]
-                s_ = rd.huff(dc_t)
+                dc_lut, ac_lut = tabs[ci]
+                # refill to >=32 bits: one Huffman code (<=16) plus its
+                # magnitude field (<=16) never needs another refill
+                if nbits < 32:
+                    if pos + 4 <= npos:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos : pos + 4], "big"
+                        )
+                        nbits += 32
+                        pos += 4
+                    else:
+                        while nbits < 32:
+                            acc = (acc << 8) | (
+                                data[pos] if pos < npos else 0xFF
+                            )
+                            pos += 1
+                            nbits += 8
+                hit = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if hit is None:
+                    raise ValueError("invalid Huffman code in entropy data")
+                s_, length = hit
                 if s_ > 15:
                     raise ValueError("invalid DC magnitude category")
-                pred[ci] += _extend(rd.bits(s_), s_)
+                nbits -= length
+                if s_:
+                    nbits -= s_
+                    v = (acc >> nbits) & ext_sub[s_]
+                    pred[ci] += v if v >= ext_half[s_] else v - ext_sub[s_]
+                acc &= (1 << nbits) - 1
                 row[0] = pred[ci]
                 k = 1
                 while k < 64:
-                    rs = rd.huff(ac_t)
-                    r, s_ = rs >> 4, rs & 15
+                    if nbits < 32:
+                        if pos + 4 <= npos:
+                            acc = (acc << 32) | int.from_bytes(
+                                data[pos : pos + 4], "big"
+                            )
+                            nbits += 32
+                            pos += 4
+                        else:
+                            while nbits < 32:
+                                acc = (acc << 8) | (
+                                    data[pos] if pos < npos else 0xFF
+                                )
+                                pos += 1
+                                nbits += 8
+                    hit = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if hit is None:
+                        raise ValueError(
+                            "invalid Huffman code in entropy data"
+                        )
+                    rs, length = hit
+                    nbits -= length
+                    s_ = rs & 15
                     if s_ == 0:
-                        if r == 15:
+                        acc &= (1 << nbits) - 1
+                        if rs == 0xF0:
                             k += 16  # ZRL
                             continue
                         break  # EOB
-                    k += r
+                    k += rs >> 4
                     if k > 63:
                         raise ValueError("AC run past end of block")
-                    row[k] = _extend(rd.bits(s_), s_)
+                    nbits -= s_
+                    v = (acc >> nbits) & ext_sub[s_]
+                    acc &= (1 << nbits) - 1
+                    row[k] = v if v >= ext_half[s_] else v - ext_sub[s_]
                     k += 1
             u += 1
     if u != n_units:
@@ -359,15 +437,40 @@ def _decode_dc_first(segments, units, sel, comps, htables, al, ri):
                 raise ValueError("missing DC Huffman table referenced by SOS")
             tabs[ci] = htables[(0, td)]
     u, n_units = 0, len(units)
+    luts = {ci: t.lookup16 for ci, t in tabs.items()}
+    ext_half, ext_sub = _EXT_HALF, _EXT_SUB
     for seg in segments:
-        rd = _BitReader(seg)
+        data, npos = seg, len(seg)
+        pos = acc = nbits = 0
         pred = {ci: 0 for ci in tabs}
         for _ in range(min(ri or (n_units - u), n_units - u)):
             for ci, row in units[u]:
-                s_ = rd.huff(tabs[ci])
+                if nbits < 32:
+                    if pos + 4 <= npos:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos : pos + 4], "big"
+                        )
+                        nbits += 32
+                        pos += 4
+                    else:
+                        while nbits < 32:
+                            acc = (acc << 8) | (
+                                data[pos] if pos < npos else 0xFF
+                            )
+                            pos += 1
+                            nbits += 8
+                hit = luts[ci][(acc >> (nbits - 16)) & 0xFFFF]
+                if hit is None:
+                    raise ValueError("invalid Huffman code in entropy data")
+                s_, length = hit
                 if s_ > 15:
                     raise ValueError("invalid DC magnitude category")
-                pred[ci] += _extend(rd.bits(s_), s_)
+                nbits -= length
+                if s_:
+                    nbits -= s_
+                    v = (acc >> nbits) & ext_sub[s_]
+                    pred[ci] += v if v >= ext_half[s_] else v - ext_sub[s_]
+                acc &= (1 << nbits) - 1
                 row[0] = pred[ci] << al
             u += 1
     if u != n_units:
@@ -392,10 +495,15 @@ def _decode_dc_refine(segments, units, al, ri):
 
 def _decode_ac_first(segments, units, ss, se, al, ac_t, ri):
     """Progressive first AC scan (T.81 G.1.2.2): band [Ss..Se] of one
-    component, EOB-run coded, values point-shifted left by Al."""
+    component, EOB-run coded, values point-shifted left by Al. Bit
+    reader inlined as locals (same `_BitReader` semantics) — this is
+    the progressive-decode hot path."""
     u, n_units = 0, len(units)
+    ac_lut = ac_t.lookup16
+    ext_half, ext_sub = _EXT_HALF, _EXT_SUB
     for seg in segments:
-        rd = _BitReader(seg)
+        data, npos = seg, len(seg)
+        pos = acc = nbits = 0
         eobrun = 0
         for _ in range(min(ri or (n_units - u), n_units - u)):
             (_ci, row) = units[u][0]
@@ -404,20 +512,49 @@ def _decode_ac_first(segments, units, ss, se, al, ac_t, ri):
             else:
                 k = ss
                 while k <= se:
-                    rs = rd.huff(ac_t)
+                    # one code (<=16) + max(r, s) bits (<=16) per symbol
+                    if nbits < 32:
+                        if pos + 4 <= npos:
+                            acc = (acc << 32) | int.from_bytes(
+                                data[pos : pos + 4], "big"
+                            )
+                            nbits += 32
+                            pos += 4
+                        else:
+                            while nbits < 32:
+                                acc = (acc << 8) | (
+                                    data[pos] if pos < npos else 0xFF
+                                )
+                                pos += 1
+                                nbits += 8
+                    hit = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if hit is None:
+                        raise ValueError(
+                            "invalid Huffman code in entropy data"
+                        )
+                    rs, length = hit
+                    nbits -= length
                     r, s_ = rs >> 4, rs & 15
                     if s_ == 0:
                         if r < 15:
                             eobrun = (1 << r) - 1
                             if r:
-                                eobrun += rd.bits(r)
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ext_sub[r]
+                            acc &= (1 << nbits) - 1
                             break
+                        acc &= (1 << nbits) - 1
                         k += 16  # ZRL
                         continue
                     k += r
                     if k > se:
                         raise ValueError("AC run past end of band")
-                    row[k] = _extend(rd.bits(s_), s_) << al
+                    nbits -= s_
+                    v = (acc >> nbits) & ext_sub[s_]
+                    acc &= (1 << nbits) - 1
+                    row[k] = (
+                        v if v >= ext_half[s_] else v - ext_sub[s_]
+                    ) << al
                     k += 1
             u += 1
     if u != n_units:
@@ -553,7 +690,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 nval = sum(bits)
                 values = list(payload[p + 17 : p + 17 + nval])
-                htables[(tc, th)] = _HuffTable(bits, values)
+                htables[(tc, th)] = _huff_table(bits, values)
                 p += 17 + nval
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
@@ -682,7 +819,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         blocks[:, ZIGZAG] = coef[ci]  # zig-zag -> raster
         blocks *= q[np.newaxis, :]
         b8 = blocks.reshape(-1, 8, 8)
-        pix = np.einsum("ux,nuv,vy->nxy", _DCT_T, b8, _DCT_T, optimize=True)
+        # IDCT = A.T @ B @ A per block; fixed matmuls (einsum's per-call
+        # path search costs more than the 8x8 contraction itself)
+        pix = np.matmul(np.matmul(_DCT_T.T, b8), _DCT_T)
         pix = np.clip(np.round(pix) + 128, 0, 255)
         # raster-grid blocks -> component plane
         ch, cv = c["h"], c["v"]
@@ -736,7 +875,12 @@ class _BitWriter:
 
 
 def _enc_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) for encoding."""
+    """symbol -> (code, length) for encoding. Memoized — encoders reuse
+    the same fixed tables (Annex K or `_flat_table`) for every file."""
+    key = (bytes(bits), bytes(values))
+    cached = _ENC_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -746,7 +890,12 @@ def _enc_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]
             code += 1
             k += 1
         code <<= 1
+    if len(_ENC_CACHE) < 512:
+        _ENC_CACHE[key] = out
     return out
+
+
+_ENC_CACHE: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -776,7 +925,8 @@ def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
     blocks in raster order."""
     h, w = plane.shape
     b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return np.einsum("ux,nxy,vy->nuv", _DCT_T, b, _DCT_T, optimize=True)
+    # FDCT = A @ B @ A.T per block (see the matching matmul IDCT note)
+    return np.matmul(np.matmul(_DCT_T, b), _DCT_T.T)
 
 
 def encode_jpeg(
@@ -859,48 +1009,99 @@ def encode_jpeg(
         out += struct.pack(">BB", cid, (td << 4) | ta)
     out += struct.pack(">BBB", 0, 63, 0)
 
-    # entropy-coded data: interleaved MCUs (one block per component)
+    # entropy-coded data: interleaved MCUs (one block per component).
+    # The bit writer is inlined as local ints (same `_BitWriter`
+    # semantics: MSB-first, FF 00 stuffing, 1-bit flush padding) and the
+    # coefficient rows iterate as Python lists — this loop dominates
+    # whole-file encode cost and numpy scalar reads per coefficient
+    # cost ~3x.
     n_blocks = qcoef[0].shape[0]
-    wr = _BitWriter()
+    qlists = [q.tolist() for q in qcoef]
+    ctabs = [
+        (enc_tabs[0x00 if ci == 0 else 0x01], enc_tabs[0x10 if ci == 0 else 0x11])
+        for ci in range(nc)
+    ]
+    ebuf = bytearray()
+    eappend = ebuf.append
+    acc = nbits = 0
     pred = [0] * nc
     rst = 0
     for t in range(n_blocks):
         if restart_interval and t and t % restart_interval == 0:
-            wr.flush()
-            wr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            if nbits:  # flush: pad to byte with 1-bits (stuffed if FF)
+                pad = 8 - nbits
+                b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+                eappend(b)
+                if b == 0xFF:
+                    eappend(0)
+                acc = nbits = 0
+            eappend(0xFF)
+            eappend(0xD0 + (rst & 7))
             rst += 1
             pred = [0] * nc
-        for ci, (cid, tq, td, ta) in enumerate(comps):
-            dc_tab = enc_tabs[0x00] if ci == 0 else enc_tabs[0x01]
-            ac_tab = enc_tabs[0x10] if ci == 0 else enc_tabs[0x11]
-            zz = qcoef[ci][t]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s, field = _magnitude(diff)
+        for ci in range(nc):
+            dc_tab, ac_tab = ctabs[ci]
+            zz = qlists[ci][t]
+            dc = zz[0]
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            if diff == 0:
+                s = field = 0
+            else:
+                s = (diff if diff > 0 else -diff).bit_length()
+                field = diff if diff >= 0 else diff + (1 << s) - 1
             code, ln = dc_tab[s]
-            wr.write(code, ln)
-            if s:
-                wr.write(field, s)
+            acc = (acc << (ln + s)) | (code << s) | field
+            nbits += ln + s
+            while nbits >= 8:
+                nbits -= 8
+                b = (acc >> nbits) & 0xFF
+                eappend(b)
+                if b == 0xFF:
+                    eappend(0)
+            acc &= (1 << nbits) - 1
             run = 0
             for k in range(1, 64):
-                v = int(zz[k])
+                v = zz[k]
                 if v == 0:
                     run += 1
                     continue
                 while run > 15:
                     code, ln = ac_tab[0xF0]  # ZRL
-                    wr.write(code, ln)
+                    acc = (acc << ln) | code
+                    nbits += ln
                     run -= 16
-                s, field = _magnitude(v)
+                s = (v if v > 0 else -v).bit_length()
+                field = v if v >= 0 else v + (1 << s) - 1
                 code, ln = ac_tab[(run << 4) | s]
-                wr.write(code, ln)
-                wr.write(field, s)
+                acc = (acc << (ln + s)) | (code << s) | field
+                nbits += ln + s
+                while nbits >= 8:
+                    nbits -= 8
+                    b = (acc >> nbits) & 0xFF
+                    eappend(b)
+                    if b == 0xFF:
+                        eappend(0)
+                acc &= (1 << nbits) - 1
                 run = 0
             if run:
                 code, ln = ac_tab[0x00]  # EOB
-                wr.write(code, ln)
-    wr.flush()
-    out += wr.out
+                acc = (acc << ln) | code
+                nbits += ln
+                while nbits >= 8:
+                    nbits -= 8
+                    b = (acc >> nbits) & 0xFF
+                    eappend(b)
+                    if b == 0xFF:
+                        eappend(0)
+                acc &= (1 << nbits) - 1
+    if nbits:  # final flush: pad with 1-bits
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        eappend(b)
+        if b == 0xFF:
+            eappend(0)
+    out += ebuf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
