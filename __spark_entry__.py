@@ -32,6 +32,7 @@ from modis_aggregation_spark.operators import screening as ops_scr
 from modis_aggregation_spark.operators import tokenizer as ops_tok
 from modis_aggregation_spark.operators import similarity as ops_sim
 from modis_aggregation_spark.functions.histogram import hist_bucket_sql
+from modis_aggregation_spark.functions.layout import spread_small_scan as _spread
 from modis_aggregation_spark.functions.dayrules import day_definition_null, day_definition_sql
 from modis_aggregation_spark.operators import stats as ops_stats
 from modis_aggregation_spark.operators import tfidf as ops_tfidf
@@ -2575,7 +2576,7 @@ def _q_x61_decode_png(spark, sf_dir):
                 payloads.append(encode_png(img))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    imgs = docs.mapInPandas(to_png, "id BIGINT, payload BINARY")
+    imgs = _spread(docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
     out = ops_mm.decode_images(imgs, decoder="png", out_hw=(8, 8))
     return out.select(
         "id", "height", "width", "channels",
@@ -2613,7 +2614,7 @@ def _q_x79_image_dedup(spark, sf_dir):
                 payloads.append(encode_png(img))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    imgs = docs.mapInPandas(to_png, "id BIGINT, payload BINARY")
+    imgs = _spread(docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
     hashes = ops_mm.dhash_images(imgs, decoder="png")
     pairs = ops_mm.dhash_dup_pairs(hashes, max_hamming=3)
     return pairs.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
@@ -2658,7 +2659,7 @@ def _q_x86_image_dedup_canonical(spark, sf_dir):
                 payloads.append(encode_png(img))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    imgs = docs.select("doc_id", "text").mapInPandas(
+    imgs = _spread(docs.select("doc_id", "text")).mapInPandas(
         to_png, "id BIGINT, payload BINARY"
     )
     hashes = ops_mm.dhash_images(imgs, decoder="png")
@@ -2738,7 +2739,7 @@ def _q_x65_decode_jpeg(spark, sf_dir):
                 payloads.append(encode_jpeg(img, quality=50))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    imgs = docs.mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
+    imgs = _spread(docs).mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
     out = ops_mm.decode_images(imgs, decoder="jpeg", out_hw=(8, 8))
     return out.select(
         "id", "height", "width", "channels",
@@ -2791,7 +2792,7 @@ def _q_x88_decode_progressive(spark, sf_dir):
                 payloads.append(encode_jpeg_progressive(img, quality=50))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    imgs = docs.mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
+    imgs = _spread(docs).mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
     out = ops_mm.decode_images(imgs, decoder="jpeg", out_hw=(8, 8))
     return out.select(
         "id", "height", "width", "channels",
@@ -2850,7 +2851,7 @@ def _q_x73_avi_frames(spark, sf_dir):
                 )
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    avis = docs.mapInPandas(to_avi, "id BIGINT, payload BINARY")
+    avis = _spread(docs).mapInPandas(to_avi, "id BIGINT, payload BINARY")
     out = ops_mm.sample_frames(avis, every_n=1, n_frames=3, decoder="avi")
     return out.select(
         "id", "frame_idx", "height", "width",
@@ -2901,7 +2902,7 @@ def _q_x80_audio_dedup(spark, sf_dir):
                 payloads.append(encode_wav(x, sample_rate=8000))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    wavs = docs.mapInPandas(to_wav, "id BIGINT, payload BINARY")
+    wavs = _spread(docs).mapInPandas(to_wav, "id BIGINT, payload BINARY")
     fps = ops_mm.audio_fingerprint(wavs)
     pairs = ops_mm.dhash_dup_pairs(fps, max_hamming=3, hash_col="afp")
     return pairs.select(
@@ -2969,7 +2970,7 @@ def _q_x81_media_pipeline(spark, sf_dir):
                     payloads.append(encode_wav(x, sample_rate=8000))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(to_media, "id BIGINT, payload BINARY")
+    media = _spread(docs).mapInPandas(to_media, "id BIGINT, payload BINARY")
     tagged = ops_mm.attach_media_metadata(media).select(
         "id", "payload", F.col("media_meta.mime").alias("mime")
     )
@@ -3037,7 +3038,7 @@ def _q_x62_wav_features(spark, sf_dir):
                 payloads.append(encode_wav(x, sample_rate=8000))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    wavs = docs.mapInPandas(to_wav, "id BIGINT, payload BINARY")
+    wavs = _spread(docs).mapInPandas(to_wav, "id BIGINT, payload BINARY")
     out = ops_mm.extract_audio_features(wavs, decoder="wav")
     return out.select(
         "id", "sample_rate", "n_samples",
@@ -3078,7 +3079,7 @@ def _q_x67_wav_spectrum(spark, sf_dir):
                 payloads.append(encode_wav(x, sample_rate=8000))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    wavs = docs.mapInPandas(to_wav, "id BIGINT, payload BINARY")
+    wavs = _spread(docs).mapInPandas(to_wav, "id BIGINT, payload BINARY")
     out = ops_mm.extract_audio_spectrum(wavs)
     return out.select(
         "id", "sample_rate", "n_samples",
@@ -3130,7 +3131,7 @@ def _q_x68_mp4_metadata(spark, sf_dir):
                 )
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    mp4s = docs.mapInPandas(to_mp4, "id BIGINT, payload BINARY")
+    mp4s = _spread(docs).mapInPandas(to_mp4, "id BIGINT, payload BINARY")
     out = ops_mm.extract_video_metadata(mp4s)
     return out.select(
         "id", "major_brand", "timescale",
@@ -3659,7 +3660,7 @@ def _q_x64_gif_frames(spark, sf_dir):
                 payloads.append(encode_gif(frames, palette=gray, delay_cs=7))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    gifs = docs.mapInPandas(to_gif, "id BIGINT, payload BINARY")
+    gifs = _spread(docs).mapInPandas(to_gif, "id BIGINT, payload BINARY")
     out = ops_mm.sample_frames(gifs, every_n=1, n_frames=3, decoder="gif")
     return out.select(
         "id", "frame_idx", "height", "width", "delay_cs",
@@ -5402,6 +5403,12 @@ def _q_s20_stream_minhash(spark, sf_dir):
     idx_sh = index_sigs.select(
         F.col("id").alias("index_id"), F.col("sh").alias("sh_i")
     )
+    # the static side is read three times inside the micro-batch (cap
+    # count + anti-join + payload fetch) — persist so the index corpus
+    # is shingled/hashed ONCE, not once per consumer (measured 26 -> 9 s
+    # standalone at sf0.1)
+    idx_capped = idx_capped.persist()
+    idx_sh = idx_sh.persist()
     src_dir = tempfile.mkdtemp(prefix="s20_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="s20_ckpt_")
     name = f"s20_minhash_{uuid.uuid4().hex[:8]}"
@@ -5411,6 +5418,11 @@ def _q_s20_stream_minhash(spark, sf_dir):
             spark.readStream.schema(schema)
             .parquet(src_dir)
             .filter(F.col("doc_id") >= 250)
+            # a micro-batch arrives as ONE file -> one input split, which
+            # would serialize the CPU-bound shingle/signature stage onto
+            # one core (measured 19 -> 3 s at sf0.1); spread it the same
+            # way minhash_signatures does for batch small-file corpora
+            .repartition(spark.sparkContext.defaultParallelism)
             .select(
                 "doc_id", ops_dedup.shingle_hashes(F.col("text")).alias("sh")
             )
@@ -5456,6 +5468,11 @@ def _q_s20_stream_minhash(spark, sf_dir):
             spark.table(name).collect(), spark.table(name).schema
         )
     finally:
+        for f in (idx_capped, idx_sh):
+            try:
+                f.unpersist()
+            except Exception:
+                pass
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     return rows_df

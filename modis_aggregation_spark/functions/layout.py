@@ -111,3 +111,32 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a CPU-bound stage's input up to cluster
+    parallelism when the scan yields fewer partitions than cores.
+
+    Small-file corpora (one parquet file = one input split) would
+    otherwise serialize a whole Python/Arrow decode or hash pass onto
+    ONE core — measured 6-19x wall-clock on the sf0.1 media/minhash
+    queries. At real corpus scale the scan already carries thousands of
+    splits and this is a no-op: no shuffle is added. Call it on the
+    SKINNY projection feeding the expensive stage (id + payload), never
+    on the wide scan.
+
+    Only physical layout changes — row content is untouched, so keyed
+    joins/aggregations downstream are semantics-identical. Do NOT use
+    under partition-layout-sensitive expressions
+    (``monotonically_increasing_id``, ``input_file_name``,
+    ``spark_partition_id``). Streaming frames are returned unchanged
+    (micro-batch inputs repartition explicitly where profitable — the
+    s20 pattern — because ``.rdd`` is undefined for them).
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

@@ -30,6 +30,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from modis_aggregation_spark.functions.layout import spread_small_scan
 from modis_aggregation_spark.functions.text import char_shingles, fingerprint, tokens
 
 
@@ -1158,8 +1159,11 @@ def embedding_pairs(
 
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // n_bands
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("e")
+    base = spread_small_scan(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(emb_col).cast("array<double>").alias("e"),
+        )
     )
 
     # the (id, band, key) signature stage runs as one numpy Arrow pass
@@ -1195,18 +1199,67 @@ def embedding_pairs(
     banded = base.mapInPandas(
         banded_batches, "id BIGINT, band INT, key STRING"
     )
+    # in-bucket pair explosion instead of a banded self-join: the
+    # signature stage (a Python pass over the corpus) runs ONCE, and one
+    # groupBy shuffle replaces the join's two scans + exchange. The
+    # candidate set is identical — every unordered id pair sharing a
+    # (band, key) bucket, deduped across bands.
+    buckets = banded.groupBy("band", "key").agg(
+        F.collect_list("id").alias("__ids")
+    )
     cand = (
-        banded.select("band", "key", F.col("id").alias("id_a"))
-        .join(banded.select("band", "key", F.col("id").alias("id_b")), ["band", "key"])
+        buckets.select(
+            F.explode_outer("__ids").alias("id_a"), F.col("__ids").alias("__ids")
+        )
+        .select("id_a", F.explode_outer("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     emb = base.select("id", "e")
-    return (
-        cand.join(emb.select(F.col("id").alias("id_a"), F.col("e").alias("e_a")), "id_a")
+    # pin the candidate frame's partitioning: the (id_a, id_b) shuffle is
+    # tiny, so AQE would coalesce the fetch-join stage to a couple of
+    # tasks — but each candidate blows up to ~1 KB once both embeddings
+    # attach, and the verify below is the query's hot loop. A user
+    # repartition is exempt from AQE coalescing.
+    p = df.sparkSession.sparkContext.defaultParallelism
+    joined = (
+        cand.repartition(p, "id_a")
+        .join(emb.select(F.col("id").alias("id_a"), F.col("e").alias("e_a")), "id_a")
         .join(emb.select(F.col("id").alias("id_b"), F.col("e").alias("e_b")), "id_b")
-        .withColumn("cosine", cosine(F.col("e_a"), F.col("e_b")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+    # exact-cosine verify as one numpy Arrow pass: the expression form ran
+    # an interpreted per-element fold per candidate (461k candidates at
+    # sf0.1 made it the whole runtime). np.cumsum accumulates
+    # LEFT-TO-RIGHT like the fold, so cosines and threshold decisions are
+    # bit-identical; rounding stays a Spark expression (HALF_UP).
+    def _verify(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "id_a": pd.array([], dtype="int64"),
+                        "id_b": pd.array([], dtype="int64"),
+                        "cosine": pd.array([], dtype="float64"),
+                    }
+                )
+                continue
+            ea = np.array(pdf["e_a"].tolist(), dtype=np.float64)
+            eb = np.array(pdf["e_b"].tolist(), dtype=np.float64)
+            na = np.sqrt(np.cumsum(ea * ea, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(eb * eb, axis=1)[:, -1])
+            den = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.cumsum(ea * eb, axis=1)[:, -1] / den
+            keep = (den > 0) & (cos >= threshold)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].array[keep],
+                    "id_b": pdf["id_b"].array[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(
+        _verify, "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from modis_aggregation_spark.functions.layout import spread_small_scan
+
 MEDIA_META_SCHEMA = (
     "size_bytes BIGINT, mime STRING, sha256 STRING"
 )
@@ -185,7 +187,7 @@ def decode_images(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, DECODED_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(batches, DECODED_SCHEMA)
 
 
 AUDIO_SCHEMA = (
@@ -306,7 +308,7 @@ def extract_audio_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(batches, AUDIO_SCHEMA)
 
 
 SPECTRUM_SCHEMA = (
@@ -372,7 +374,7 @@ def extract_audio_spectrum(
                 cols["hf_energy_ratio"].append(hf)
             yield pd.DataFrame(dict(cols))
 
-    return df.select(id_col, payload_col).mapInPandas(batches, SPECTRUM_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(batches, SPECTRUM_SCHEMA)
 
 
 VIDEO_META_SCHEMA = (
@@ -416,7 +418,7 @@ def extract_video_metadata(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_META_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(batches, VIDEO_META_SCHEMA)
 
 
 FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame BINARY"
@@ -496,7 +498,7 @@ def sample_frames(
                         rows["frame"].append(fr.tobytes())
                 yield pd.DataFrame(rows)
 
-        return df.select(id_col, payload_col).mapInPandas(
+        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(
             avi_batches, AVI_FRAME_SCHEMA
         )
     if decoder == "gif":
@@ -528,7 +530,7 @@ def sample_frames(
                         rows["frame"].append(fr.tobytes())
                 yield pd.DataFrame(rows)
 
-        return df.select(id_col, payload_col).mapInPandas(
+        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(
             gif_batches, GIF_FRAME_SCHEMA
         )
     if decoder != "fake":
@@ -544,7 +546,7 @@ def sample_frames(
                     frames.append(_fake_decode(bytes(b) + bytes([fi]), 4, 4).tobytes())
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(batches, FRAME_SCHEMA)
 
 
 DHASH_SCHEMA = "id BIGINT, dhash BIGINT"
@@ -605,7 +607,7 @@ def dhash_images(
                 {"id": pdf[id_col].to_numpy(), "dhash": hashes}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, DHASH_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(batches, DHASH_SCHEMA)
 
 
 def dhash_dup_pairs(
@@ -733,4 +735,4 @@ def audio_fingerprint(
                 fps.append(v)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "afp": fps})
 
-    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FP_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(batches, AUDIO_FP_SCHEMA)

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from modis_aggregation_spark.functions.layout import spread_small_scan
 from modis_aggregation_spark.operators.dedup import cosine
 
 
@@ -78,11 +79,12 @@ def cosine_pairs_exact(
     (``operators.dedup.embedding_pairs`` — random-hyperplane LSH): exact
     all-pairs is inherently O(n²) dot products, so it is only runnable on
     a corpus slice, a candidate pool, or an eval set. The join itself is
-    still distributed and shuffle-skinny: the right side is blocked on
-    ``id div block_size`` and each block pairs only with blocks at or
-    after it, so the equi-join on block pairs avoids a single cartesian
-    task while every comparison stays JVM-side (``zip_with``/``aggregate``
-    dot product, no Python). At corpus scale use ``embedding_pairs`` and
+    still distributed and shuffle-skinny: rows are blocked on ``id div
+    block_size``, each block's unit vectors ship ONCE per partner block
+    as a collect_list'd matrix (n·nblocks rows through the exchange, not
+    n² pair payloads), and each equi-joined (b1, b2) task scores a
+    block×block outer product in numpy — no cartesian task, no per-pair
+    Arrow transfer. At corpus scale use ``embedding_pairs`` and
     reserve this for auditing its recall on a sample. Zero-norm vectors
     have no defined cosine and are dropped; NULL embeddings likewise
     (a NULL array makes the staged norm NULL, which fails the ``> 0``
@@ -119,64 +121,93 @@ def cosine_pairs_exact(
             F.transform(F.col("__e"), lambda v: v / F.col("__n")).alias("__e"),
         )
     )
-    a = unit.select(
-        F.col("__id").alias("id1"),
-        F.col("__e").alias("__e1"),
-        (F.col("__id").cast("long") / block_size).cast("long").alias("__b1"),
+    # block decomposition is semantics-neutral (every id1<id2 pair lands in
+    # exactly one ordered block pair), so block_size is an UPPER bound:
+    # shrink it until the id range yields at least defaultParallelism join
+    # keys, else a small corpus (one block) funnels the whole O(n²) verify
+    # into ONE task (measured 8 s -> ~1 s at sf0.1). At real scale the id
+    # range already spans thousands of blocks and the cap never binds.
+    max_id = df.agg(F.max(F.col(id_col).cast("long"))).first()[0]
+    if max_id is not None:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        block_size = max(1, min(block_size, (int(max_id) + p) // p))
+    # block-matrix form (round 9): the earlier per-pair join shipped BOTH
+    # embeddings for every one of the O(n²) pairs through the exchange and
+    # the Arrow boundary (~2 GB at sf0.1) — the transfer, not the math,
+    # was the whole runtime. Instead each block's unit vectors travel
+    # ONCE per partner block as a collect_list'd matrix (n·nblocks rows
+    # total), and every (b1, b2) task scores a block×block outer product.
+    nblocks = int(max_id // block_size) if max_id is not None else 0
+    blocks = (
+        unit.select(
+            "__id",
+            "__e",
+            (F.col("__id").cast("long") / block_size).cast("long").alias("__b"),
+        )
+        .groupBy("__b")
+        .agg(F.collect_list(F.struct("__id", "__e")).alias("__rows"))
     )
-    b = unit.select(
-        F.col("__id").alias("id2"),
-        F.col("__e").alias("__e2"),
-        (F.col("__id").cast("long") / block_size).cast("long").alias("__b2"),
-    )
-    # explode each left row to every right block ≥ its own: keeps the join
-    # an equi-join (hash-partitioned on block id), never a nested loop
-    nblocks = df.agg(
-        (F.max(F.col(id_col).cast("long")) / block_size).cast("long")
-    ).first()[0]
-    nblocks = int(nblocks or 0)
-    probes = a.select(
-        "id1",
-        "__e1",
-        F.explode_outer(
-            F.sequence(F.col("__b1"), F.lit(nblocks))
-        ).alias("__b2"),
-    )
-    # per-pair verification as one numpy Arrow pass (round 8): the
-    # expression form ran an interpreted 64-element fold per pair (O(n²)
-    # pairs make that the whole runtime — 12.3 s at sf0.1, ~2 s
-    # vectorized).  np.cumsum accumulates LEFT-TO-RIGHT like the fold,
-    # so the cosine doubles (and the threshold/rounding decisions made
-    # on them) are bit-identical; rounding stays a Spark expression
-    # (F.round is HALF_UP, np.round is banker's).
+    # explode each left block to every right block ≥ its own: keeps the
+    # join an equi-join (hash-partitioned on block id), never a nested loop
+    probes = blocks.select(
+        F.col("__b").alias("__b1"),
+        F.col("__rows").alias("__rows1"),
+        F.explode_outer(F.sequence(F.col("__b"), F.lit(nblocks))).alias("__b2"),
+    ).filter(F.col("__b2").isNotNull())
+    joined = probes.join(
+        blocks.select(
+            F.col("__b").alias("__b2"), F.col("__rows").alias("__rows2")
+        ),
+        "__b2",
+    ).select("__rows1", "__rows2")
+
+    # per-pair cosine as broadcast numpy (round 8/9): np.cumsum
+    # accumulates LEFT-TO-RIGHT like the expression fold this replaced,
+    # so the cosine doubles (and the threshold/rounding decisions made on
+    # them) are bit-identical; rounding stays a Spark expression (F.round
+    # is HALF_UP, np.round is banker's). Left rows are chunked so the
+    # (rows1, rows2, dim) product tensor stays ~64 MB regardless of
+    # block_size.
     import pandas as pd
 
-    joined = (
-        probes.join(b, "__b2")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "__e1", "__e2")
-    )
-
     def verify(it):
+        empty = pd.DataFrame(
+            {
+                "id1": pd.array([], dtype="int64"),
+                "id2": pd.array([], dtype="int64"),
+                "cosine": pd.array([], dtype="float64"),
+            }
+        )
         for pdf in it:
             if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"id1": pd.array([], dtype="int64"),
-                     "id2": pd.array([], dtype="int64"),
-                     "cosine": pd.array([], dtype="float64")}
-                )
+                yield empty
                 continue
-            e1 = np.array(pdf["__e1"].tolist(), dtype=np.float64)
-            e2 = np.array(pdf["__e2"].tolist(), dtype=np.float64)
-            cos = np.cumsum(e1 * e2, axis=1)[:, -1]
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "id1": pdf["id1"].array[keep],
-                    "id2": pdf["id2"].array[keep],
-                    "cosine": cos[keep],
-                }
-            )
+            for r1, r2 in zip(pdf["__rows1"], pdf["__rows2"]):
+                ids1 = np.array([r["__id"] for r in r1], dtype=np.int64)
+                ids2 = np.array([r["__id"] for r in r2], dtype=np.int64)
+                e1 = np.array([r["__e"] for r in r1], dtype=np.float64)
+                e2 = np.array([r["__e"] for r in r2], dtype=np.float64)
+                d_ = e1.shape[1]
+                step = max(1, (64 << 20) // (8 * max(1, len(ids2) * d_)))
+                for lo in range(0, len(ids1), step):
+                    hi = lo + step
+                    cos = np.cumsum(
+                        e1[lo:hi, None, :] * e2[None, :, :], axis=2
+                    )[:, :, -1]
+                    m = (cos >= threshold) & (
+                        ids1[lo:hi, None] < ids2[None, :]
+                    )
+                    if not m.any():
+                        continue
+                    i, j = np.nonzero(m)
+                    yield pd.DataFrame(
+                        {
+                            "id1": ids1[lo:hi][i],
+                            "id2": ids2[j],
+                            "cosine": cos[m],
+                        }
+                    )
+            yield empty
 
     return joined.mapInPandas(
         verify, "id1 BIGINT, id2 BIGINT, cosine DOUBLE"
@@ -634,7 +665,8 @@ def semdedup(
     runs n/nlist ≈ 1e4 per cluster at web scale). The self-join keys on
     list_id and carries the (normalized) vector payload — candidate count
     >> corpus size here, so carrying beats fetch-per-candidate (same call
-    as ``cosine_pairs_exact``); per-pair work is one JVM dot product.
+    as ``cosine_pairs_exact``); per-pair work is one vectorized numpy
+    dot over the Arrow candidate batch.
     The drop set is per-vector booleans via a left anti-ish flag join
     keyed by id — never collected.
     """
@@ -655,9 +687,11 @@ def semdedup(
         return pd.DataFrame({"list_id": li.astype(np.int32), "cent_cos": cc})
 
     scored = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.col(emb_col).cast("array<double>").alias("__e"),
+        spread_small_scan(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.col(emb_col).cast("array<double>").alias("__e"),
+            )
         )
         .withColumn(
             "__n",
@@ -673,28 +707,47 @@ def semdedup(
         )
     )
 
-    dot = F.aggregate(
-        F.zip_with(F.col("l.__u"), F.col("r.__u"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    lhs, rhs = scored.alias("l"), scored.alias("r")
-    pairs = (
-        lhs.join(
-            rhs,
-            on=[
-                F.col("l.list_id") == F.col("r.list_id"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
-        )
-        .withColumn("__cos", dot)
-        .where(F.col("__cos") >= tau)
-    )
-    drops = pairs.select(
-        F.when(F.col("l.cent_cos") > F.col("r.cent_cos"), F.col("l.__id"))
-        .when(F.col("r.cent_cos") > F.col("l.cent_cos"), F.col("r.__id"))
-        .otherwise(F.greatest(F.col("l.__id"), F.col("r.__id")))
-        .alias("__id")
+    # within-cluster pair scan per cluster group (applyInPandas): the
+    # corpus crosses the shuffle and the Arrow boundary ONCE (n skinny
+    # rows), never as per-pair payloads; each cluster's O(|cluster|²)
+    # cosines are one chunked numpy broadcast (the product tensor is kept
+    # ~64 MB regardless of cluster size). np.cumsum accumulates
+    # LEFT-TO-RIGHT like the zip_with/aggregate fold this replaced, so
+    # the cosine doubles, the >= tau decisions, and the drop rule
+    # (keep-low-centroid-similarity, tie -> drop higher id) are
+    # bit-identical to the expression form.
+    def _cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"__id": pd.array([], dtype="int64")})
+        ids = pdf["__id"].to_numpy(np.int64)
+        cc = pdf["cent_cos"].to_numpy(np.float64)
+        u = np.array(pdf["__u"].tolist(), dtype=np.float64)
+        d_ = u.shape[1]
+        step = max(1, (64 << 20) // (8 * n * d_))
+        out = []
+        for lo in range(0, n, step):
+            hi = lo + step
+            cos = np.cumsum(u[lo:hi, None, :] * u[None, :, :], axis=2)[:, :, -1]
+            m = (cos >= tau) & (ids[lo:hi, None] < ids[None, :])
+            if not m.any():
+                continue
+            i, j = np.nonzero(m)
+            il, ir = ids[lo:hi][i], ids[j]
+            ccl, ccr = cc[lo:hi][i], cc[j]
+            out.append(
+                np.where(
+                    ccl > ccr, il, np.where(ccr > ccl, ir, np.maximum(il, ir))
+                )
+            )
+        if not out:
+            return pd.DataFrame({"__id": pd.array([], dtype="int64")})
+        return pd.DataFrame({"__id": np.unique(np.concatenate(out))})
+
+    drops = (
+        scored.select("__id", "list_id", "cent_cos", "__u")
+        .groupBy("list_id")
+        .applyInPandas(_cluster_drops, "__id BIGINT")
     ).distinct()
     return (
         scored.join(drops.withColumn("__dropped", F.lit(True)), "__id", "left")
