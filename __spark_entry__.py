@@ -5614,6 +5614,160 @@ WHERE g.is_new
 """
 
 
+def _q_x95_cms_sketch(spark, sf_dir):
+    """Count-Min sketch term-frequency estimation next to the exact
+    counts (operators/screening.py:cms_term_estimates) — the
+    MERGEABLE-summary counterpart of x89's exact Misra-Gries pass:
+    per-batch sketches merge by cell-wise addition, and the min-over-rows
+    estimate is a provable over-estimate. Row hashes are Spark's
+    xxhash64(term, lit(r)) int-remix; the oracle re-derives the whole
+    depth×width sketch and the estimates in SQL from the committed
+    independent-XXH64 per-term buckets (goldens/x95_cms_buckets.parquet,
+    the x5/x6 pattern). Every value is an int64 count — layout-invariant
+    by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops_scr.cms_term_estimates(docs, "text", depth=4, width=64)
+
+
+_SQL_X95 = rf"""
+WITH tok AS (
+  SELECT unnest({_D_TOKS}) AS term FROM documents
+), tc AS (
+  SELECT term, count(*) AS exact FROM tok GROUP BY term
+), rb AS (
+  SELECT t.term, t.exact, r.r,
+         CASE r.r WHEN 0 THEN g.b0 WHEN 1 THEN g.b1
+                  WHEN 2 THEN g.b2 ELSE g.b3 END AS b
+  FROM tc t
+  JOIN read_parquet('/root/repo/goldens/x95_cms_buckets.parquet') g
+    USING (term)
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+), sketch AS (
+  SELECT r, b, CAST(sum(exact) AS BIGINT) AS counter
+  FROM rb GROUP BY r, b
+)
+SELECT rb.term, rb.exact, min(s.counter) AS est
+FROM rb JOIN sketch s USING (r, b)
+GROUP BY rb.term, rb.exact
+"""
+
+
+def _q_x96_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney smoothed bigram LM
+    (operators/tfidf.py:kneser_ney_lm, D=0.75): discounted bigram
+    probability plus continuation-count back-off — the stronger
+    perplexity-screen LM next to x50's add-k smoothing. Every statistic
+    derives from the aggregated bigram-count table (exact int64), the
+    smoothing arithmetic is per-row float on those integers, and the
+    oracle mirrors the exact expression tree."""
+    from modis_aggregation_spark.operators.tfidf import kneser_ney_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kneser_ney_lm(docs, discount=0.75)
+    return out.select(
+        "w1", "w2", "c12", "c1", _r6(F.col("p_kn")).alias("p_kn")
+    )
+
+
+_SQL_X96 = rf"""
+WITH t AS (
+  SELECT {_D_TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT toks FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+), c1t AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+  FROM bg GROUP BY 1
+), nbt AS (
+  SELECT w2, count(*) AS n1b FROM bg GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nall FROM bg
+)
+SELECT w1, w2, c12, c1,
+       round(greatest(c12 - 0.75, 0.0) / c1
+             + ((0.75 * n1f) / c1) * (n1b / nall), 6) AS p_kn
+FROM bg JOIN c1t USING (w1) JOIN nbt USING (w2) CROSS JOIN tot
+"""
+
+
+_X97_QUERIES = [
+    (0, "table scan fast"),
+    (1, "hash join"),
+    (2, "sort merge window"),
+    (3, "spark batch value"),
+    (4, "key agg row"),
+    (5, "slow line part"),
+]
+
+
+def _q_x97_bm25_retrieval(spark, sf_dir):
+    """Batch BM25 top-k retrieval over the on-the-fly posting index
+    (operators/tfidf.py:bm25_topk_queries) — the document-at-a-time
+    multi-query shape next to q_bm25's single-query map-only scoring:
+    corpus shuffles once into the (term, doc, dl, tf) index, the query
+    bag broadcasts, per-(query, doc) contributions are quantized to
+    integer micros and int64-summed (layout-invariant, CLAUDE.md rule
+    3b), ties rank by doc_id. The oracle replays the identical
+    tokenize/tf/df/idf/quantize pipeline in SQL over the same literal
+    query VALUES."""
+    from modis_aggregation_spark.operators.tfidf import bm25_topk_queries
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_X97_QUERIES, ["query_id", "qtext"])
+    return bm25_topk_queries(docs, qdf, top_k=10)
+
+
+def _sql_x97() -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in _X97_QUERIES)
+    return rf"""
+WITH q(query_id, qtext) AS (VALUES {values}),
+staged AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), g AS (
+  SELECT avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+         CAST(count(*) AS DOUBLE) AS n_docs
+  FROM staged
+), tf AS (
+  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+  FROM (
+    SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+    FROM staged
+  ) GROUP BY 1, 2, 3
+), qt AS (
+  SELECT DISTINCT query_id, term
+  FROM q, LATERAL unnest(
+    list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'),
+                              x -> x <> ''))
+  ) AS u(term)
+), tfq AS (
+  SELECT tf.* FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)
+), dfq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfq GROUP BY 1
+), cand AS (
+  SELECT qt.query_id, tfq.doc_id,
+         CAST(round((ln(1.0 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * tfq.tf
+                     / (tfq.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * tfq.dl / g.avgdl))) * 1000000.0)
+              AS BIGINT) AS cm
+  FROM tfq JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN g
+), scores AS (
+  SELECT query_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micros
+  FROM cand GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_micros, rank FROM (
+  SELECT query_id, doc_id, score_micros,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micros DESC, doc_id) AS INT) AS rank
+  FROM scores
+) WHERE rank <= 10
+"""
+
+
 def _q_x93_minhash_index_update(spark, sf_dir):
     """Two-day incremental loop exercising the index-MAINTENANCE half
     (operators/dedup.py:minhash_index_update — round-8 VERDICT item 5):
@@ -8855,6 +9009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Keys and aliases unchanged.
     return {
         # -- new in round 9 (no driver record yet) -----------------------------
+        "x95_cms_sketch": _q_x95_cms_sketch,
+        "x96_kneser_ney": _q_x96_kneser_ney,
+        "x97_bm25_retrieval": _q_x97_bm25_retrieval,
         "x93_minhash_index_update": _q_x93_minhash_index_update,
         "x94_bpe_train_batched": _q_x94_bpe_train_batched,
         # -- last driver-recorded in round 5 -----------------------------------
@@ -9052,6 +9209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x95_cms_sketch": _SQL_X95,
+        "x96_kneser_ney": _SQL_X96,
+        "x97_bm25_retrieval": _sql_x97(),
         "x93_minhash_index_update": _SQL_X93,
         "x94_bpe_train_batched": _SQL_X94,
         "m1_bbox_cell_count": _SQL_M1,

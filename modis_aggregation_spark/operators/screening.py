@@ -513,3 +513,62 @@ def heavy_hitters(
         .filter(F.col("cnt") > F.lit(n_total / k))
         .select("term", "cnt", F.lit(int(n_total)).alias("n_tokens"))
     )
+
+
+def cms_term_estimates(
+    df: DataFrame,
+    content_col: str = "text",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch term-frequency estimation next to the exact
+    counts (Cormode & Muthukrishnan 2005) — the MERGEABLE-summary
+    counterpart of ``heavy_hitters``'s exact Misra-Gries pass: the
+    sketch is a ``depth × width`` int64 counter table whose cells are
+    plain sums, so per-batch/per-day sketches merge by cell-wise
+    addition and the estimate ``min_r counter[r][h_r(term)]`` is a
+    provable OVER-estimate (est >= exact always; within eps·n with
+    probability 1-delta for width=e/eps, depth=ln(1/delta)).
+
+    Row hashes are Spark's ``xxhash64(term, lit(r))`` (the int-remix
+    chain) projected to a bucket with ``pmod`` — reproduced
+    independently by ``tools/make_goldens.py`` so the x95 oracle can
+    re-derive the whole sketch in SQL from committed per-term buckets.
+
+    Scale shape: one token-explode + term groupBy produces the distinct
+    term counts (the only corpus-sized shuffle, identical to x89's
+    recount); the bucket explode is a LITERAL-length array (depth
+    entries) over the distinct-term table; the sketch itself is at most
+    depth·width rows — broadcast back for the estimate join. Every
+    value is an int64 count: layout-invariant by construction.
+
+    Returns (term, exact, est) for every distinct term.
+    """
+    toks = df.select(
+        F.explode(fn_text.tokens(F.col(content_col))).alias("term")
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    rows = tc.select(
+        "term",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col("term"), F.lit(r)), F.lit(width)
+                        ).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "exact", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    sketch = rows.groupBy("r", "b").agg(F.sum("exact").alias("counter"))
+    return (
+        rows.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("term", "exact")
+        .agg(F.min("counter").alias("est"))
+        .select("term", "exact", "est")
+    )

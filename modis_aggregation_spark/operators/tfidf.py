@@ -543,3 +543,155 @@ def bigram_lm(
             ).alias("p"),
         )
     )
+
+
+def kneser_ney_lm(
+    docs: DataFrame,
+    content_col: str = "text",
+    discount: float = 0.75,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the stronger counterpart of ``bigram_lm``'s
+    add-k smoothing, and the standard n-gram LM for perplexity screens:
+
+        p_kn(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1) · p_cont(w2)
+        p_cont(w2)  = N1+(·,w2) / N1+(·,·)
+
+    where N1+ are DISTINCT-bigram continuation counts — a word seen in
+    many contexts (high continuation count) gets back-off mass even when
+    its raw unigram count is dominated by one collocation (the classic
+    "san francisco" argument).
+
+    Scale shape: identical to ``bigram_lm`` — one corpus pass forms
+    bigram occurrences, then every statistic (c1, the forward/backward
+    continuation counts, the global distinct-bigram total) derives from
+    the AGGREGATED vocabulary²-bounded count table, never by re-scanning
+    occurrences. All inputs are exact int64 counts; the smoothing
+    arithmetic is per-row float on those integers (no distributed float
+    reduction — layout-invariant per CLAUDE.md rule 3b).
+
+    Returns (w1, w2, c12, c1, p_kn) for observed bigrams. ``pairs`` as
+    in ``bigram_lm``: pass a persisted occurrence frame to share the
+    tokenize pass.
+    """
+    if pairs is None:
+        pairs = _doc_bigrams(docs, content_col, None)
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1t = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("__n1f")
+    )
+    nbt = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("__n1b"))
+    tot = bg.agg(F.count(F.lit(1)).cast("double").alias("__nall"))
+    d = F.lit(float(discount))
+    return (
+        bg.join(c1t, "w1")
+        .join(nbt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (
+                F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+                + (d * F.col("__n1f") / F.col("c1"))
+                * (F.col("__n1b") / F.col("__nall"))
+            ).alias("p_kn"),
+        )
+    )
+
+
+def bm25_topk_queries(
+    docs: DataFrame,
+    queries: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Batch BM25 retrieval: top-``top_k`` documents per query over an
+    on-the-fly term-frequency index — the document-at-a-time (DAAT)
+    retrieval shape, complementing ``bm25``'s single-query map-only
+    scoring.
+
+    Scale shape: the corpus shuffles ONCE into the (term, doc, dl, tf)
+    occurrence index (partial agg absorbs in-document repeats; dl rides
+    as a group key, so no doc-keyed length join ever happens). The query
+    bag is MBs against a 100 TB corpus — its distinct (query, term)
+    pairs broadcast into the index scan, so only postings of query terms
+    survive; document frequencies for those terms derive from the
+    already-filtered postings. Per-query top-k is a rank window
+    (WindowGroupLimit below the exchange).
+
+    Determinism (CLAUDE.md rule 3b): each (query, doc, term)
+    contribution is quantized to integer MICROS and the per-(query, doc)
+    score is an int64 sum — layout-invariant where a float sum would
+    depend on shuffle merge order. ``score`` is micros/1e6; ties rank by
+    doc_id. The ln()-based idf keeps the same accepted 1-ulp rounding
+    exposure as ``bm25``'s oracle.
+
+    Returns (query_id, doc_id, score_micros, rank).
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
+    )
+    gstats = staged.agg(
+        F.avg(F.size("__toks").cast("double")).alias("__avgdl"),
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+    )
+    tf = (
+        staged.select(
+            "doc_id",
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode_outer("__toks").alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+        .groupBy("term", "doc_id", "__dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode_outer(
+                F.array_distinct(tokens(F.col(query_col)))
+            ).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+        .distinct()
+    )
+    tf_q = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_q = tf_q.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    cand = (
+        tf_q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_q), "term")
+        .crossJoin(F.broadcast(gstats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib_micros = F.round(
+        (idf * F.col("__tf") / denom) * 1000000.0
+    ).cast("long")
+    scores = (
+        cand.select("query_id", "doc_id", contrib_micros.alias("__cm"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__cm").alias("score_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score_micros", "rank")
+    )

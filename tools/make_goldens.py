@@ -201,6 +201,15 @@ def xxh64_long(v: int, seed: int) -> int:
     return xxh64_bytes((v & _M64).to_bytes(8, "little"), seed)
 
 
+def xxh64_int(i: int, seed: int) -> int:
+    """Spark's 4-byte (IntegerType) hash step — the scalar form of
+    ``xxh64_int_vec_seeded`` (the ``xxhash64(col, lit(i))`` remix)."""
+    h = (seed + _XP5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _XP1) & _M64
+    h = (_xrotl(h, 23) * _XP2 + _XP3) & _M64
+    return _xfmix(h)
+
+
 def _u64(x: int) -> np.uint64:
     return np.uint64(x & _M64)
 
@@ -329,6 +338,34 @@ def x6_simhash_golden() -> pa.Table:
             "sh": pa.array([seen[k][0] for k in keys], pa.int64()),
             "chunks": pa.array([seen[k][1] for k in keys], pa.list_(pa.int64())),
         }
+    )
+
+
+def x95_cms_buckets_golden() -> pa.Table:
+    """Per-distinct-term Count-Min row buckets (independent XXH64, as
+    x5/x6): bucket_r = pmod(xxhash64(term, lit(r)), 64) for r in 0..3,
+    reproduced here as the int-remix chain xxh64_int(r, seed=
+    xxh64_bytes(term_utf8, 42)) so the x95 oracle re-derives the whole
+    sketch and the min-estimate in SQL without Spark. Keyed by the term
+    string itself (the term universe is the union of all sf corpora)."""
+    width, depth = 64, 4
+    terms: set[str] = set()
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            terms.update(t for t in _TOKEN_WS.split(text.lower()) if t)
+    keys = sorted(terms)
+    cols: dict[str, list] = {"term": keys}
+    for r in range(depth):
+        buckets = []
+        for t in keys:
+            h = xxh64_int(r, xxh64_bytes(t.encode("utf-8"), 42))
+            signed = h - (1 << 64) if h >= (1 << 63) else h
+            buckets.append(signed % width)  # Python %: floor mod == pmod
+        cols[f"b{r}"] = buckets
+    return pa.table(
+        {"term": pa.array(keys, pa.string())}
+        | {f"b{r}": pa.array(cols[f"b{r}"], pa.int64()) for r in range(depth)}
     )
 
 
@@ -1380,6 +1417,9 @@ def main() -> None:
     x5 = x5_minhash_golden()
     pq.write_table(x5, os.path.join(OUT_DIR, "x5_minhash.parquet"))
     print(f"x5_minhash.parquet: {x5.num_rows} distinct payloads")
+    x95 = x95_cms_buckets_golden()
+    pq.write_table(x95, os.path.join(OUT_DIR, "x95_cms_buckets.parquet"))
+    print(f"x95_cms_buckets.parquet: {x95.num_rows} distinct terms")
     x6 = x6_simhash_golden()
     pq.write_table(x6, os.path.join(OUT_DIR, "x6_simhash.parquet"))
     print(f"x6_simhash.parquet: {x6.num_rows} distinct payloads")
