@@ -739,3 +739,47 @@ def test_x93_day2_only_batch_reshingled(spark):
     assert logical.count("strategy=broadcast") >= 2  # caps broadcast
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
+
+
+def test_x8_embedding_pairs_single_signature_pass(spark):
+    """The LSH signature stage (a Python pass over the corpus) must run
+    ONCE — round 9 replaced the banded self-join (two scans) with an
+    in-bucket pair explosion — and the exact-cosine verify must be the
+    one other Python pass (vectorized Arrow), never an interpreted
+    zip_with fold per pair."""
+    plan = _plan(spark, "x8_embedding_pairs")
+    assert plan.count("MapInPandas") == 2  # signatures + verify, nothing else
+    assert "zip_with" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_x52_semdedup_cluster_local_scan(spark):
+    """SemDeDup's quadratic pair search must stay cluster-local: one
+    applyInPandas group scan (corpus crosses Arrow once), no per-pair
+    self-join and no interpreted per-pair fold."""
+    plan = _plan(spark, "x52_semdedup")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "zip_with" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_x95_cms_sketch_broadcast_estimate_join(spark):
+    """The depth x width sketch is tiny by construction — the estimate
+    join must broadcast it, and the bucket hashes must be JVM xxhash64
+    (no Python in the sketch path)."""
+    plan = _plan(spark, "x95_cms_sketch")
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_x97_bm25_retrieval_broadcast_daat(spark):
+    """Batch BM25 retrieval: the query bag, the filtered df table and
+    the global stats all broadcast into the index scan (no sort-merge
+    join anywhere), and the per-query top-k prunes below the exchange
+    as WindowGroupLimit."""
+    plan = _plan(spark, "x97_bm25_retrieval")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
