@@ -5694,6 +5694,129 @@ FROM bg JOIN c1t USING (w1) JOIN nbt USING (w2) CROSS JOIN tot
 """
 
 
+def _q_x98_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py:hard_negatives): for each anchor vector
+    (vec_id < 16), the 5 most-cosine-similar corpus vectors with a
+    DIFFERENT label — the boundary-hugging negatives embedding/reranker
+    training wants. cosine_topk's scale shape (broadcast anchor set,
+    map-only scoring, WindowGroupLimit top-k); ties rank by neighbor
+    id; NULL labels excluded on both sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 16).withColumnRenamed(
+        "vec_id", "anchor_id"
+    )
+    return ops_sim.hard_negatives(emb, anchors, k=5)
+
+
+_SQL_X98 = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE label IS NOT NULL
+), q AS (
+  SELECT vec_id AS anchor_id, label AS al, emb AS qe FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT q.anchor_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.emb, q.qe) AS cos
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.anchor_id AND e.label <> q.al
+)
+SELECT anchor_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM (
+  SELECT anchor_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def _q_s21_stream_cms(spark, sf_dir):
+    """STREAMING Count-Min sketch — the x95 mergeable summary maintained
+    as a streaming aggregation: the corpus arrives as TWO micro-batches
+    (even/odd doc_id files, maxFilesPerTrigger=1) and each batch's
+    (row, bucket) occurrences ADD into the depth×width cell table
+    (complete mode — the sum IS the sketch merge, proving the
+    mergeability x95's batch operator claims, under Structured
+    Streaming's retract-free monoid rules). Bucket hashes are the shared
+    ``cms_bucket_entries`` JVM expression, so stream and batch sketches
+    are cell-identical; the oracle re-derives every cell in SQL from the
+    committed independent-XXH64 per-term buckets."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    _ensure_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    src_dir = tempfile.mkdtemp(prefix="s21_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s21_ckpt_")
+    name = f"s21_cms_{uuid.uuid4().hex[:8]}"
+    try:
+        tbl = papq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(tbl.column("doc_id"), 1), 0)
+        papq.write_table(tbl.filter(even), os.path.join(src_dir, "even.parquet"))
+        papq.write_table(
+            tbl.filter(pc.invert(even)), os.path.join(src_dir, "odd.parquet")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .select(
+                F.explode_outer(fn_text.tokens(F.col("text"))).alias("term")
+            )
+            .filter(F.col("term").isNotNull())
+            .select(
+                F.explode(
+                    ops_scr.cms_bucket_entries(F.col("term"), 4, 64)
+                ).alias("rb")
+            )
+            .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).alias("counter"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s21_stream_cms: stream did not finish in 300s")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S21 = rf"""
+WITH tok AS (
+  SELECT unnest({_D_TOKS}) AS term FROM documents
+), rb AS (
+  SELECT r.r,
+         CASE r.r WHEN 0 THEN g.b0 WHEN 1 THEN g.b1
+                  WHEN 2 THEN g.b2 ELSE g.b3 END AS b
+  FROM tok
+  JOIN read_parquet('/root/repo/goldens/x95_cms_buckets.parquet') g
+    USING (term)
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+)
+SELECT r, b, CAST(count(*) AS BIGINT) AS counter
+FROM rb GROUP BY r, b
+"""
+
+
 _X97_QUERIES = [
     (0, "table scan fast"),
     (1, "hash join"),
@@ -9012,6 +9135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x95_cms_sketch": _q_x95_cms_sketch,
         "x96_kneser_ney": _q_x96_kneser_ney,
         "x97_bm25_retrieval": _q_x97_bm25_retrieval,
+        "x98_hard_negatives": _q_x98_hard_negatives,
+        "s21_stream_cms": _q_s21_stream_cms,
         "x93_minhash_index_update": _q_x93_minhash_index_update,
         "x94_bpe_train_batched": _q_x94_bpe_train_batched,
         # -- last driver-recorded in round 5 -----------------------------------
@@ -9212,6 +9337,8 @@ def oracle_sql() -> dict[str, str]:
         "x95_cms_sketch": _SQL_X95,
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),
+        "x98_hard_negatives": _SQL_X98,
+        "s21_stream_cms": _SQL_S21,
         "x93_minhash_index_update": _SQL_X93,
         "x94_bpe_train_batched": _SQL_X94,
         "m1_bbox_cell_count": _SQL_M1,

@@ -515,6 +515,23 @@ def heavy_hitters(
     )
 
 
+def cms_bucket_entries(term: Column, depth: int, width: int) -> Column:
+    """The Count-Min (row, bucket) entries of a term as a LITERAL-length
+    array of structs: bucket_r = pmod(xxhash64(term, lit(r)), width).
+    Shared by the batch sketch (``cms_term_estimates``) and the
+    streaming sketch (s21) so both sides hash identically; reproduced
+    independently in tools/make_goldens.py (xxh64_int) for the oracles."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(term, F.lit(r)), F.lit(width)).alias("b"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def cms_term_estimates(
     df: DataFrame,
     content_col: str = "text",
@@ -545,25 +562,15 @@ def cms_term_estimates(
     Returns (term, exact, est) for every distinct term.
     """
     toks = df.select(
-        F.explode(fn_text.tokens(F.col(content_col))).alias("term")
-    )
+        # explode_outer + drop-NULL, never a plain explode of the
+        # variable-length tokens() array (CLAUDE.md rule 2b)
+        F.explode_outer(fn_text.tokens(F.col(content_col))).alias("term")
+    ).filter(F.col("term").isNotNull())
     tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
     rows = tc.select(
         "term",
         "exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(
-                            F.xxhash64(F.col("term"), F.lit(r)), F.lit(width)
-                        ).alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        F.explode(cms_bucket_entries(F.col("term"), depth, width)).alias("rb"),
     ).select("term", "exact", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     sketch = rows.groupBy("r", "b").agg(F.sum("exact").alias("counter"))
     return (

@@ -957,3 +957,57 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the ``k`` most-cosine-similar corpus vectors carrying a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary and therefore carry the most gradient signal (the standard
+    in-batch-negatives upgrade for embedding/reranker training).
+
+    Same scale shape as ``cosine_topk``: the anchor set is an eval/batch
+    sample (MBs against a 100 TB corpus) and broadcasts; scoring is a
+    map-only pass over the corpus; per-anchor top-k prunes below the
+    exchange (WindowGroupLimit). Rows with NULL labels can't be proven
+    negative and are excluded on either side; ties rank by neighbor id.
+    At full-corpus anchor counts use the IVF/ANN stack to pre-select
+    candidates and re-rank exactly, as in x83.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nl"),
+        F.col(emb_col).cast("array<double>").alias("__ce"),
+    ).where(F.col("__nl").isNotNull())
+    q = anchors.select(
+        F.col(anchor_id_col).alias("anchor_id"),
+        F.col(label_col).alias("__al"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    ).where(F.col("__al").isNotNull())
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .filter(F.col("__nl") != F.col("__al"))
+        .withColumn("cosine", cosine(F.col("__ce"), F.col("__qe")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

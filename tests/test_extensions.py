@@ -1414,3 +1414,38 @@ def test_bm25_topk_queries_agrees_with_single_query_scorer(spark):
     want = sorted(single, key=lambda d: (-single[d], d))
     got = sorted(multi, key=lambda d: multi[d][1])
     assert got == want
+
+
+def test_hard_negatives_label_disjoint_and_matches_numpy(spark):
+    """Every mined negative must carry a different label than its
+    anchor, and the ranking must match a numpy cosine reference."""
+    from modis_aggregation_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=4)], int(i % 3))
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = emb.filter(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "anchor_id"
+    )
+    got = hard_negatives(emb, anchors, k=3).collect()
+    by_anchor = {}
+    labels = {i: i % 3 for i in range(30)}
+    for r in got:
+        assert labels[r["neighbor_id"]] != labels[r["anchor_id"]]
+        by_anchor.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    V = np.array([r[1] for r in rows])
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for a in range(4):
+        cos = U @ U[a]
+        cand = [
+            (-cos[j], j)
+            for j in range(30)
+            if j != a and labels[j] != labels[a]
+        ]
+        want = [j for _, j in sorted(cand)[:3]]
+        assert [n for _, n in sorted(by_anchor[a])] == want
