@@ -1222,8 +1222,15 @@ def embedding_pairs(
     # attach, and the verify below is the query's hot loop. A user
     # repartition is exempt from AQE coalescing.
     p = df.sparkSession.sparkContext.defaultParallelism
+    # merge hints: the candidate frame sits BELOW an explode, so Catalyst
+    # carries the pre-explode size estimate (4.9 MiB at 32k vectors for
+    # ~8M actual pairs) and would elect to BROADCAST it — a driver OOM
+    # the moment collision mass grows (caught by the scale curve at 16x
+    # sf0.1). Sort-merge is the only join strategy that is safe at every
+    # collision rate; the sort of a genuinely tiny side costs nothing.
     joined = (
         cand.repartition(p, "id_a")
+        .hint("merge")
         .join(emb.select(F.col("id").alias("id_a"), F.col("e").alias("e_a")), "id_a")
         .join(emb.select(F.col("id").alias("id_b"), F.col("e").alias("e_b")), "id_b")
     )

@@ -154,7 +154,11 @@ def cosine_pairs_exact(
         F.col("__rows").alias("__rows1"),
         F.explode_outer(F.sequence(F.col("__b"), F.lit(nblocks))).alias("__b2"),
     ).filter(F.col("__b2").isNotNull())
-    joined = probes.join(
+    # merge hint: both sides carry collect_list'd block matrices whose
+    # size Catalyst can't estimate (and probes sits below an explode) —
+    # a mis-elected broadcast of block matrices is a driver OOM at real
+    # corpus sizes. Sort-merge on the block id is safe at every n.
+    joined = probes.hint("merge").join(
         blocks.select(
             F.col("__b").alias("__b2"), F.col("__rows").alias("__rows2")
         ),
@@ -749,8 +753,14 @@ def semdedup(
         .groupBy("list_id")
         .applyInPandas(_cluster_drops, "__id BIGINT")
     ).distinct()
+    # merge hint: drops comes out of a pandas group scan (no stats) and
+    # can approach corpus size at high duplication — never broadcast it
     return (
-        scored.join(drops.withColumn("__dropped", F.lit(True)), "__id", "left")
+        scored.join(
+            drops.withColumn("__dropped", F.lit(True)).hint("merge"),
+            "__id",
+            "left",
+        )
         .select(
             F.col("__id").alias(id_col),
             "list_id",

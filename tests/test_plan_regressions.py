@@ -45,10 +45,13 @@ def test_x21_exact_cosine_no_cartesian(spark):
     plan = _plan(spark, "x21_cosine_pairs_exact")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # pre-normalized vectors: the per-pair join condition is ONE dot
-    # product — no per-pair SQRT of either side's norm
-    join_lines = [l for l in plan.splitlines() if "HashJoin" in l]
-    assert join_lines and all("SQRT" not in l for l in join_lines)
+    # round 9: block matrices join by SORT-MERGE on the block id —
+    # Catalyst can't size collect_list'd matrices, so a broadcast
+    # election would be a driver OOM at real corpus sizes
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines and all("Broadcast" not in l for l in join_lines)
+    # pre-normalized vectors: no per-pair SQRT of either side's norm
+    assert all("SQRT" not in l for l in join_lines)
 
 
 def test_r30_snapshot_diff_single_join(spark):

@@ -1029,6 +1029,96 @@ def run_ann_curve(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def run_pairverify_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Exact all-pairs cosine (the x21 block-matrix rewrite, round 9) at
+    growing corpus size. O(n²) pairs is the POINT (it is the audit
+    baseline), so the 100 TB claim is about constants and shape, not
+    asymptotics: the exchange carries n·nblocks block-matrix rows (not
+    n² pair payloads) and pairs/s must hold roughly flat as n grows —
+    the signature of a verify bounded by parallel numpy, not by
+    transfer or a single straggler task."""
+    from modis_aggregation_spark.operators.similarity import cosine_pairs_exact
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = cosine_pairs_exact(corpus, "embedding", "vec_id", threshold=0.35)
+    n_pairs_kept = out.count()
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    total_pairs = n_vecs * (n_vecs - 1) // 2
+    return {
+        "vectors": n_vecs,
+        "pairs_scored": total_pairs,
+        "pairs_kept": n_pairs_kept,
+        "wall_sec": round(t, 2),
+        "mpairs_per_sec": round(total_pairs / t / 1e6, 1),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
+def run_lsh_pairs_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Hyperplane-LSH near-dup pairs (the x8 rewrite, round 9) at growing
+    corpus size: one signature pass, in-bucket pair explosion, vectorized
+    Arrow verify. The 100 TB claim: candidates (and therefore verify
+    cost) scale with bucket COLLISION MASS, which the banding parameters
+    control — so the curve runs the production banding (64 planes, four
+    16-bit bands: random-pair band collision 1/65536) rather than the
+    contract query's toy 4-bit bands (1/16 per band — fine at 2k
+    vectors, quadratic on a replica-heavy corpus). The jittered corpus
+    is ~(replicate-1)/replicate near-duplicates by construction, so
+    pairs_kept tracks the true duplicate mass and wall tracks output
+    size, not n²."""
+    from modis_aggregation_spark.operators.dedup import embedding_pairs
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = embedding_pairs(
+        corpus, "embedding", "vec_id", dim=64,
+        n_planes=64, n_bands=4, threshold=0.4,
+    )
+    n_kept = out.count()
+    t = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    return {
+        "vectors": n_vecs,
+        "pairs_kept": n_kept,
+        "wall_sec": round(t, 2),
+        "vectors_per_sec": int(n_vecs / t),
+        "shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+    }
+
+
+def run_semdedup_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """SemDeDup (the x52 applyInPandas rewrite, round 9) at growing
+    corpus size: Σ|cluster|² pair work inside per-cluster groups. The
+    100 TB claim: the corpus crosses the Arrow boundary once, and
+    pair-scan throughput holds as clusters grow (chunked numpy
+    broadcast), with nlist the parallelism/quadratic-cost dial."""
+    from modis_aggregation_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup,
+    )
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    cents = kmeans_centroids(corpus, nlist=16, sample_rows=4096, order_col="vec_id")
+    t0 = time.perf_counter()
+    out = semdedup(corpus, cents, tau=0.9)
+    kept = out.filter(F.col("keep")).count()
+    t = time.perf_counter() - t0
+    return {
+        "vectors": n_vecs,
+        "kept": kept,
+        "wall_sec": round(t, 2),
+        "vectors_per_sec": int(n_vecs / t),
+        "nlist": 16,
+    }
+
+
 def main() -> None:
     counts = [int(a) for a in sys.argv[1:]] or [4, 16, 32]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1044,6 +1134,9 @@ def main() -> None:
         "ann_curve": [run_ann_curve(spark, sf_dir, r) for r in (32, 128, 512)],
         "pq_curve": [run_pq_curve(spark, sf_dir, r) for r in (32, 128, 512)],
         "editdist_curve": [run_editdist_curve(spark, sf_dir, r) for r in (4, 16, 64)],
+        "pairverify_curve": [run_pairverify_curve(spark, sf_dir, r) for r in (1, 4, 8)],
+        "lsh_pairs_curve": [run_lsh_pairs_curve(spark, sf_dir, r) for r in (8, 32, 128)],
+        "semdedup_curve": [run_semdedup_curve(spark, sf_dir, r) for r in (1, 4, 16)],
     }
     print(json.dumps(out))
     spark.stop()
