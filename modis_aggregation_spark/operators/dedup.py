@@ -278,15 +278,8 @@ def minhash_lsh_pairs(
     # slower end-to-end at small scale; no extra shuffle of the signature
     # table either way
     sh = base.select("id", "sh")
-    # merge hint: the candidate-pair frame's TRUE size is quadratic in
-    # bucket occupancy while Catalyst still carries the scan-based
-    # estimate (explode/aggregate stats pass through) — a mis-elected
-    # broadcast of the pair frame is a driver OOM at real collision
-    # rates (the round-9 scale-curve lesson); sort-merge is safe at
-    # every rate and costs nothing when the frame is genuinely tiny.
     return (
-        cand.hint("merge")
-        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
@@ -414,10 +407,7 @@ def minhash_lsh_incremental(
         new_sigs.select("id", "sh")
     )
     verified = (
-        # merge hint: pair frame below the band explode — see
-        # minhash_lsh_pairs (never broadcast a quadratic-true-size frame)
-        cand.hint("merge")
-        .join(
+        cand.join(
             new_sigs.select(F.col("id").alias("nid"), F.col("sh").alias("sh_n")),
             "nid",
         )
@@ -920,10 +910,7 @@ def editdist_pairs(
     sa = staged.select(F.col("id").alias("id_a"), F.col("__s").alias("__sa"))
     sb = staged.select(F.col("id").alias("id_b"), F.col("__s").alias("__sb"))
     return (
-        # merge hint: candidate frame below the deletion-neighborhood
-        # explode — quadratic true size, scan-based estimate (round 9)
-        cand.hint("merge")
-        .join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
         .filter(F.col("dist") <= max_dist)
@@ -1120,10 +1107,7 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("__sz").alias("__sa"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("__sz").alias("__sb"))
     return (
-        # merge hint: the shared-gram pair frame's true size is quadratic
-        # in inverted-list occupancy, its estimate is not (round 9)
-        shared.hint("merge")
-        .join(sa, "id_a")
+        shared.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
