@@ -5732,6 +5732,76 @@ WHERE rank <= 5
 """
 
 
+def _q_x99_line_dedup(spark, sf_dir):
+    """Cross-corpus duplicate-LINE removal (operators/curation.py:
+    corpus_line_dedup — RefinedWeb/CCNet-style boilerplate stripping,
+    deterministic threshold semantics). The fixture is built in-query,
+    identically on both engines: every document gains a global licence
+    line (500 docs), a per-source newsletter line (~125 docs), a
+    pair-shared line (2 docs — doc_id<10 get UNIQUE solo lines instead,
+    which must survive), the min_chars-exempt line 'ok', and its
+    original unique text. Exercises the distinct-doc threshold, the
+    length exemption, and exact order-preserving reassembly."""
+    from modis_aggregation_spark.operators.curation import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pair = F.floor(F.col("doc_id") / F.lit(2)).cast("long").cast("string")
+    line3 = F.when(
+        F.col("doc_id") < 10,
+        F.concat(F.lit("solo boilerplate line "), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("shared pair line "), pair))
+    mld = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("all rights reserved worldwide"),
+            F.concat(F.lit("newsletter for "), F.col("source")),
+            line3,
+            F.lit("ok"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return corpus_line_dedup(mld, max_docs=1, min_chars=10)
+
+
+_SQL_X99 = """
+WITH mld AS (
+  SELECT doc_id,
+         'all rights reserved worldwide' || chr(10) ||
+         'newsletter for ' || source || chr(10) ||
+         CASE WHEN doc_id < 10
+              THEN 'solo boilerplate line ' || CAST(doc_id AS VARCHAR)
+              ELSE 'shared pair line '
+                   || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)
+         END || chr(10) ||
+         'ok' || chr(10) || text AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM mld)
+), freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd
+    FROM l WHERE len(line) >= 10 GROUP BY 1
+  ) WHERE nd > 1
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN (SELECT line, true AS dup FROM freq) f USING (line)
+  WHERE NOT (len(l.line) >= 10 AND coalesce(f.dup, false))
+), reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS nkept
+  FROM kept GROUP BY 1
+), base AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM mld
+)
+SELECT b.doc_id, b.n_lines,
+       CAST(b.n_lines - coalesce(r.nkept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def _q_s21_stream_cms(spark, sf_dir):
     """STREAMING Count-Min sketch — the x95 mergeable summary maintained
     as a streaming aggregation: the corpus arrives as TWO micro-batches
@@ -9136,6 +9206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x96_kneser_ney": _q_x96_kneser_ney,
         "x97_bm25_retrieval": _q_x97_bm25_retrieval,
         "x98_hard_negatives": _q_x98_hard_negatives,
+        "x99_line_dedup": _q_x99_line_dedup,
         "s21_stream_cms": _q_s21_stream_cms,
         "x93_minhash_index_update": _q_x93_minhash_index_update,
         "x94_bpe_train_batched": _q_x94_bpe_train_batched,
@@ -9338,6 +9409,7 @@ def oracle_sql() -> dict[str, str]:
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),
         "x98_hard_negatives": _SQL_X98,
+        "x99_line_dedup": _SQL_X99,
         "s21_stream_cms": _SQL_S21,
         "x93_minhash_index_update": _SQL_X93,
         "x94_bpe_train_batched": _SQL_X94,

@@ -874,3 +874,88 @@ def token_budget_sample(
         .filter(F.col("tokens_before") < budget)
         .drop("__bkt")
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+    min_chars: int = 10,
+) -> DataFrame:
+    """CROSS-CORPUS duplicate-line removal (RefinedWeb / CCNet paragraph
+    dedup, Dolma's line-level filter): a line appearing in more than
+    ``max_docs`` DISTINCT documents is boilerplate (navigation, cookie
+    banners, licence blocks) and is removed from EVERY document; lines
+    shorter than ``min_chars`` collide by chance and are exempt. This is
+    the corpus-global complement of the per-document C4 line rules
+    (``functions.text.c4_clean``) — deterministic set semantics (the
+    threshold form), not first-seen-wins, so the result is
+    layout-invariant.
+
+    Scale shape: lines explode to skinny (doc, pos, fp) rows; the
+    frequent-line set is one DISTINCT + one fp-keyed count shuffle; the
+    removal flag attaches by fp equi-join (the frequent set is usually
+    broadcast-sized — true boilerplate — but the join stays planner-
+    chosen because it need not be); documents reassemble with one
+    doc-keyed shuffle (array_sort over collected (pos, line) structs —
+    exact original order). Fingerprints never reach the output, so the
+    oracle re-derives everything from the line STRINGS (the x51
+    convention).
+
+    Returns (doc_id, n_lines, n_removed, clean_text); a document whose
+    every line was removed yields ``clean_text = ''``.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("__text")
+    )
+    occ = (
+        staged.select(
+            "doc_id",
+            F.posexplode_outer(F.split(F.col("__text"), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+        .filter(F.col("line").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            "line",
+            (F.length("line") >= min_chars).alias("__el"),
+            F.xxhash64(F.col("line")).alias("__fp"),
+        )
+    )
+    freq = (
+        occ.where(F.col("__el"))
+        .select("__fp", "doc_id")
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") > max_docs)
+        .select("__fp")
+    )
+    kept = (
+        occ.join(freq.withColumn("__dup", F.lit(True)), "__fp", "left")
+        .where(~(F.col("__el") & F.coalesce(F.col("__dup"), F.lit(False))))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__nkept"),
+    )
+    base = staged.select(
+        "doc_id", F.size(F.split(F.col("__text"), "\n")).alias("n_lines")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("__nkept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

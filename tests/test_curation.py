@@ -381,3 +381,40 @@ def test_token_budget_sample_properties(spark):
         for r in token_budget_sample(df, "n", budget=2000, seed=3).collect()
     }
     assert set(kept) <= bigger and len(bigger) > len(kept)
+
+
+def test_corpus_line_dedup_threshold_and_reassembly(spark):
+    """Cross-corpus line dedup: frequent lines vanish from every doc,
+    unique and short lines survive, and reassembly preserves order."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.operators.curation import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the common banner line\nunique alpha content\nok"),
+            (1, "the common banner line\nunique beta content\nok"),
+            (2, "unique gamma content\nthe common banner line"),
+            (3, "only unique delta here"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+        for r in corpus_line_dedup(docs, max_docs=1, min_chars=10).collect()
+    }
+    # banner appears in 3 distinct docs -> removed everywhere;
+    # 'ok' is short -> exempt even though it repeats
+    assert out[0] == (3, 1, "unique alpha content\nok")
+    assert out[1] == (3, 1, "unique beta content\nok")
+    assert out[2] == (2, 1, "unique gamma content")
+    assert out[3] == (1, 0, "only unique delta here")
+    # empty text = one empty (short, exempt) line, untouched
+    assert out[4] == (1, 0, "")
+    # max_docs=3 keeps the banner (3 docs is not > 3)
+    out3 = {
+        r["doc_id"]: r["n_removed"]
+        for r in corpus_line_dedup(docs, max_docs=3, min_chars=10).collect()
+    }
+    assert all(v == 0 for v in out3.values())
