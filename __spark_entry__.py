@@ -5802,6 +5802,50 @@ FROM base b LEFT JOIN reb r USING (doc_id)
 """
 
 
+def _q_x100_embedding_covariance(spark, sf_dir):
+    """EXACT embedding covariance statistics
+    (operators/similarity.py:embedding_covariance) — the PCA/whitening
+    preparation pass: embeddings quantize to integer micros FIRST, all
+    aggregates (n, sx, sy, sxy per upper-triangle (i, j)) are exact
+    int64 sums (layout-invariant, CLAUDE.md rule 3b; mergeable across
+    batches by addition), and the covariance is per-row float on those
+    integers. One map-only double posexplode + one partial-aggregated
+    groupBy — the shuffle carries d(d+1)/2 keys, never payloads."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ops_sim.embedding_covariance(emb, "embedding", dim=64)
+    # + 0.0 normalizes the signed zero: round(-1e-9, 6) is -0.0 on one
+    # engine and +0.0 on the other, and the value hash tells them apart
+    return out.select(
+        "i", "j", "n", "sx", "sy", "sxy",
+        (_r6(F.col("cov")) + F.lit(0.0)).alias("cov"),
+    )
+
+
+_SQL_X100 = """
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        v -> CAST(round(v * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), p AS (
+  SELECT ii.i - 1 AS i, jj.j - 1 AS j, qv[ii.i] AS x, qv[jj.j] AS y
+  FROM q
+  CROSS JOIN LATERAL unnest(generate_series(1, 64)) AS ii(i)
+  CROSS JOIN LATERAL unnest(generate_series(1, 64)) AS jj(j)
+  WHERE jj.j >= ii.i
+), s AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT i, j, n, sx, sy, sxy,
+       round(((CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)) / 1000000000000.0, 6) + 0.0 AS cov
+FROM s
+"""
+
+
 def _q_s21_stream_cms(spark, sf_dir):
     """STREAMING Count-Min sketch — the x95 mergeable summary maintained
     as a streaming aggregation: the corpus arrives as TWO micro-batches
@@ -9207,6 +9251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x97_bm25_retrieval": _q_x97_bm25_retrieval,
         "x98_hard_negatives": _q_x98_hard_negatives,
         "x99_line_dedup": _q_x99_line_dedup,
+        "x100_embedding_covariance": _q_x100_embedding_covariance,
         "s21_stream_cms": _q_s21_stream_cms,
         "x93_minhash_index_update": _q_x93_minhash_index_update,
         "x94_bpe_train_batched": _q_x94_bpe_train_batched,
@@ -9410,6 +9455,7 @@ def oracle_sql() -> dict[str, str]:
         "x97_bm25_retrieval": _sql_x97(),
         "x98_hard_negatives": _SQL_X98,
         "x99_line_dedup": _SQL_X99,
+        "x100_embedding_covariance": _SQL_X100,
         "s21_stream_cms": _SQL_S21,
         "x93_minhash_index_update": _SQL_X93,
         "x94_bpe_train_batched": _SQL_X94,

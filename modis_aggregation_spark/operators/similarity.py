@@ -1021,3 +1021,76 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    quant: float = 1e6,
+) -> DataFrame:
+    """EXACT covariance statistics of an embedding column — the
+    PCA/whitening preparation pass (the d×d matrix a driver-side
+    eigendecomposition consumes; ZCA whitening, low-rank projection and
+    SemDeDup-style preprocessing all start here).
+
+    Determinism (CLAUDE.md rule 3b): embeddings are quantized to integer
+    units of ``1/quant`` FIRST, and every aggregated statistic
+    (pairwise product sums, per-dimension sums, the row count) is an
+    exact int64 sum — layout-invariant where a float covariance
+    accumulation would depend on shuffle merge order. The covariance
+    itself is then per-row float arithmetic on those exact integers:
+    ``cov = ((sxy - sx*sy/n) / n) / quant²`` — population covariance in
+    RAW units (the quant² descale also keeps |cov| small enough that
+    fixed-decimal rounding is engine-stable; at quantized-unit²
+    magnitudes ~1e10 the two engines' round(·, 6) implementations
+    diverge in the last ulp). Int64 sums hold to ~1e18, i.e. ~10^6 rows
+    of unit-scale 64-dim vectors at quant=1e6.
+
+    Scale shape: one map-only double posexplode fans each row into its
+    d(d+1)/2 upper-triangle (i, j, x·y) products (skinny ints), and ONE
+    partial-aggregated groupBy(i, j) reduces them — the shuffle carries
+    at most d(d+1)/2 keys × partitions rows, never payloads. The sums
+    are pure monoids, so per-batch outputs merge by addition (the
+    incremental-statistics shape). Rows with NULL or wrong-length
+    embeddings are excluded (they have no defined contribution).
+
+    Returns (i, j, n, sx, sy, sxy, cov) for 0 <= i <= j < dim.
+    """
+    q = (
+        df.select(F.col(emb_col).cast("array<double>").alias("__e"))
+        .where(F.col("__e").isNotNull() & (F.size("__e") == dim))
+        .select(
+            F.transform(
+                F.col("__e"), lambda v: F.round(v * quant).cast("long")
+            ).alias("__q")
+        )
+    )
+    xi = q.select(
+        "__q", F.posexplode_outer("__q").alias("i", "__x")
+    ).where(F.col("__x").isNotNull())
+    pairs = (
+        xi.select(
+            "i",
+            "__x",
+            F.posexplode_outer("__q").alias("j", "__y"),
+        )
+        .where(F.col("__y").isNotNull() & (F.col("j") >= F.col("i")))
+        .select("i", "j", "__x", "__y")
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    cov = (
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sy").cast("double")
+            / F.col("n").cast("double")
+        )
+        / F.col("n").cast("double")
+    ) / F.lit(float(quant) * float(quant))
+    return sums.select("i", "j", "n", "sx", "sy", "sxy", cov.alias("cov"))

@@ -1449,3 +1449,41 @@ def test_hard_negatives_label_disjoint_and_matches_numpy(spark):
         ]
         want = [j for _, j in sorted(cand)[:3]]
         assert [n for _, n in sorted(by_anchor[a])] == want
+
+
+def test_embedding_covariance_exact_and_layout_invariant(spark):
+    """x100: the integer sums must equal an exact numpy reference and be
+    IDENTICAL under 1/7/32-partition layouts (rule 3b by construction —
+    every aggregate is an int64 sum of quantized values)."""
+    from modis_aggregation_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 4)).astype(np.float64)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(60)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = np.array([[round(x * 1e6) for x in v] for v in vecs], dtype=np.int64)
+    want = {}
+    for i in range(4):
+        for j in range(i, 4):
+            sx, sy = int(qv[:, i].sum()), int(qv[:, j].sum())
+            sxy = int((qv[:, i] * qv[:, j]).sum())
+            want[(i, j)] = (60, sx, sy, sxy)
+    ref = None
+    for parts in (1, 7, 32):
+        got = {
+            (r["i"], r["j"]): (r["n"], r["sx"], r["sy"], r["sxy"], r["cov"])
+            for r in embedding_covariance(
+                base.repartition(parts), "embedding", dim=4
+            ).collect()
+        }
+        assert {k: v[:4] for k, v in got.items()} == want
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref  # cov doubles identical too
+    # cov matches the exact formula in raw units
+    for (i, j), (n, sx, sy, sxy) in want.items():
+        cov = ((sxy - sx * sy / n) / n) / 1e12
+        assert ref[(i, j)][4] == cov
