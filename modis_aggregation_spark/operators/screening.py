@@ -566,7 +566,16 @@ def cms_term_estimates(
         # variable-length tokens() array (CLAUDE.md rule 2b)
         F.explode_outer(fn_text.tokens(F.col(content_col))).alias("term")
     ).filter(F.col("term").isNotNull())
-    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    # localCheckpoint: the vocabulary-sized count table feeds BOTH the
+    # sketch build and the estimate join, and exchange reuse does not
+    # bridge the two branches — without it the corpus-sized
+    # tokenize+explode pass runs twice. The checkpointed table is tiny
+    # (one row per distinct term) and its stats become truthful.
+    tc = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint()
+    )
     rows = tc.select(
         "term",
         "exact",

@@ -141,8 +141,27 @@ def main() -> int:
             return 2
         qs = {k: qs[k] for k in args.only}
 
-    # JVM/codegen warmup on a trivial plan (same as bench.py)
+    # JVM/codegen warmup on a trivial plan (same as bench.py), plus a
+    # Python-worker warmup: a 32-slot mapInPandas spins up (and imports
+    # pandas/numpy into) the full worker pool ONCE here, so the first
+    # timed queries — by the rotation rule always the round's NEW ones —
+    # stop absorbing ~3-4 s of pool startup that older slots never paid.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as _pd  # noqa: F401 — worker-side import below
+
+    def _warm(it):
+        import numpy  # noqa: F401
+
+        for pdf in it:
+            yield pdf
+
+    (
+        spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism)
+        .mapInPandas(_warm, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -163,6 +182,19 @@ def main() -> int:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"[{i:3}/{len(qs)}] {name}: ERROR {errors[name]}",
                   flush=True)
+        # isolate queries the way the driver does: drop every cached
+        # frame and collect dropped references so the ContextCleaner
+        # frees localCheckpoint blocks — without this, storage/GC
+        # pressure accumulates over ~200 queries and late slots read
+        # 2-4x slower than their intrinsic time (x5 measured 11.0 s in
+        # a dirty session vs 2.4 s isolated)
+        import gc
+
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        gc.collect()
     total = round(time.perf_counter() - t_sweep, 3)
     spark.stop()
 
