@@ -195,3 +195,24 @@ def test_tokens_cross_engine_whitespace_parity(spark):
         for c in cases
     ]
     assert sp == dk
+
+
+def test_spread_small_scan_semantics(spark):
+    """spread_small_scan: repartitions a below-parallelism scan, is a
+    NO-OP (same plan object) at or above parallelism, and passes
+    streaming frames through untouched."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.functions.layout import spread_small_scan
+
+    p = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 1000, 1, 1)
+    out = spread_small_scan(small)
+    assert out.rdd.getNumPartitions() == p
+    assert out.count() == 1000
+    wide = spark.range(0, 1000, 1, p + 2)
+    assert spread_small_scan(wide) is wide  # no shuffle added
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    assert spread_small_scan(stream) is stream
