@@ -5846,6 +5846,52 @@ FROM s
 """
 
 
+def _q_x101_leakfree_split(spark, sf_dir):
+    """Contamination-aware train/val/test split
+    (operators/curation.py:leakfree_split): near-duplicate CLUSTERS from
+    the x4 n-gram-Jaccard pair graph are assigned to one split WHOLE
+    (cluster key = exact CC label, min reachable id; unpaired docs key
+    by their own id), then the x34-family exact int64 multiplicative
+    hash maps the key to train/val/test — no near-dup pair ever
+    straddles the train/eval boundary, and membership is stable across
+    re-runs/batches. Oracle: the x23 recursive-CTE closure + the same
+    integer hash arithmetic."""
+    from modis_aggregation_spark.operators.curation import leakfree_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops_dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1,
+        max_token_freq=1_000_000_000,
+    )
+    out = leakfree_split(
+        docs, pairs, weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=7,
+    )
+    return out.select("doc_id", "cluster_key", "bucket", "split")
+
+
+_SQL_X101 = f"""
+WITH RECURSIVE {_X23_WALK},
+comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+), b AS (
+  SELECT doc_id, cluster_key,
+         CAST(floor(CAST(((cluster_key + 7) * 2654435761) % 4294967296
+                         AS DOUBLE) * 1000 / 4294967296.0) AS BIGINT)
+           AS bucket
+  FROM keyed
+)
+SELECT doc_id, cluster_key, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            WHEN bucket < 1000 THEN 'test'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def _q_s21_stream_cms(spark, sf_dir):
     """STREAMING Count-Min sketch — the x95 mergeable summary maintained
     as a streaming aggregation: the corpus arrives as TWO micro-batches
@@ -9252,6 +9298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x98_hard_negatives": _q_x98_hard_negatives,
         "x99_line_dedup": _q_x99_line_dedup,
         "x100_embedding_covariance": _q_x100_embedding_covariance,
+        "x101_leakfree_split": _q_x101_leakfree_split,
         "s21_stream_cms": _q_s21_stream_cms,
         "x93_minhash_index_update": _q_x93_minhash_index_update,
         "x94_bpe_train_batched": _q_x94_bpe_train_batched,
@@ -9456,6 +9503,7 @@ def oracle_sql() -> dict[str, str]:
         "x98_hard_negatives": _SQL_X98,
         "x99_line_dedup": _SQL_X99,
         "x100_embedding_covariance": _SQL_X100,
+        "x101_leakfree_split": _SQL_X101,
         "s21_stream_cms": _SQL_S21,
         "x93_minhash_index_update": _SQL_X93,
         "x94_bpe_train_batched": _SQL_X94,

@@ -959,3 +959,52 @@ def corpus_line_dedup(
         .alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def leakfree_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Contamination-aware train/val/test split: every near-duplicate
+    CLUSTER is assigned to one split WHOLE, so no near-dup pair ever
+    straddles the train/eval boundary — the leakage a per-document
+    ``hash_split`` cannot prevent (a document and its near-copy hash
+    independently, and ~2·p_eval of duplicate mass lands across the
+    boundary).
+
+    The cluster key is the exact connected-component label of the pair
+    graph (minimum reachable id, ``dedup.connected_components``);
+    unpaired documents key by their own id. Assignment then applies the
+    SAME exact int64 multiplicative hash as ``hash_split`` to the
+    cluster key — stable across re-runs and incremental batches, so
+    eval membership never churns and a future batch's near-dup of an
+    eval document lands in eval, not train.
+
+    Scale shape: CC iterates skinny (id, label) joins over the PAIR
+    graph only (edges, never text/payloads); the label table joins back
+    to the corpus by id (one shuffle); the split itself is a narrow
+    projection. Returns ``df`` + (cluster_key, bucket, split).
+    """
+    from modis_aggregation_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, a_col, b_col)
+    keyed = (
+        df.join(
+            comp.select(
+                F.col("id").alias(id_col), F.col("comp").alias("__comp")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "cluster_key",
+            F.coalesce(F.col("__comp"), F.col(id_col).cast("long")),
+        )
+        .drop("__comp")
+    )
+    return hash_split(keyed, "cluster_key", weights, salt)

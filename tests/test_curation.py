@@ -418,3 +418,37 @@ def test_corpus_line_dedup_threshold_and_reassembly(spark):
         for r in corpus_line_dedup(docs, max_docs=3, min_chars=10).collect()
     }
     assert all(v == 0 for v in out3.values())
+
+
+def test_leakfree_split_no_pair_straddles(spark):
+    """x101 property: every near-dup pair lands in ONE split, and
+    unpaired documents get exactly the plain hash_split assignment."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.operators.curation import (
+        hash_split,
+        leakfree_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    # chain 0-1-2, pair (10, 11), star 20-{21,22,23}; rest unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (20, 22), (20, 23)],
+        ["id_a", "id_b"],
+    )
+    out = leakfree_split(docs, pairs, salt=7)
+    rows = {r["doc_id"]: (r["cluster_key"], r["split"]) for r in out.collect()}
+    for a, b in [(0, 1), (1, 2), (0, 2), (10, 11), (20, 21), (21, 22), (22, 23)]:
+        assert rows[a][1] == rows[b][1], (a, b)
+        assert rows[a][0] == rows[b][0]
+    assert rows[0][0] == 0 and rows[10][0] == 10 and rows[23][0] == 20
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", salt=7).collect()
+    }
+    paired = {0, 1, 2, 10, 11, 20, 21, 22, 23}
+    for d in range(40):
+        if d not in paired:
+            assert rows[d] == (d, plain[d])
