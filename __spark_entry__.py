@@ -9291,59 +9291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
-        # -- new in round 9 (no driver record yet) -----------------------------
-        "x95_cms_sketch": _q_x95_cms_sketch,
-        "x96_kneser_ney": _q_x96_kneser_ney,
-        "x97_bm25_retrieval": _q_x97_bm25_retrieval,
-        "x98_hard_negatives": _q_x98_hard_negatives,
-        "x99_line_dedup": _q_x99_line_dedup,
-        "x100_embedding_covariance": _q_x100_embedding_covariance,
-        "x101_leakfree_split": _q_x101_leakfree_split,
-        "s21_stream_cms": _q_s21_stream_cms,
-        "x93_minhash_index_update": _q_x93_minhash_index_update,
-        "x94_bpe_train_batched": _q_x94_bpe_train_batched,
-        # -- last driver-recorded in round 5 -----------------------------------
-        "x55_pmi_collocations": _q_x55_pmi_collocations,
-        "x56_pq_codes": _q_x56_pq_codes,
-        "x57_pq_adc_topk": _q_x57_pq_adc_topk,
-        "x58_overlap_matrix": _q_x58_overlap_matrix,
-        "x59_hash_embed": _q_x59_hash_embed,
-        "s8_stream_sessions": _q_s8_stream_sessions,
-        "r38_window_navigation": _q_r38_window_navigation,
-        "r39_grouping_sets": _q_r39_grouping_sets,
-        "r40_range_frame": _q_r40_range_frame,
-        "r41_bag_setops": _q_r41_bag_setops,
-        "r42_null_semantics": _q_r42_null_semantics,
-        "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
-        "s9_hdf4_scan": _q_s9_hdf4_scan,
-        "x61_decode_png": _q_x61_decode_png,
-        "x62_wav_features": _q_x62_wav_features,
-        "r45_tpch_q21": _q_r45_tpch_q21,
-        "r46_tpch_q15": _q_r46_tpch_q15,
-        "r47_tpch_q16": _q_r47_tpch_q16,
-        "x63_inverted_index": _q_x63_inverted_index,
-        "x64_gif_frames": _q_x64_gif_frames,
-        "s10_stream_hdf4": _q_s10_stream_hdf4,
-        "s11_archive_scan": _q_s11_archive_scan,
-        "r2_tpch_q1": _q_r2_tpch_q1,
-        "r3_join_chain": _q_r3_join_chain,
-        "r5_rollup": _q_r5_rollup,
-        "r36_tpch_q19": _q_r36_tpch_q19,
-        "m1_bbox_cell_count": _q_m1_bbox_cell_count,
-        "m2_cell_stats": _q_m2_cell_stats,
-        "m3_cloud_fraction": _q_m3_cloud_fraction,
-        "m4_cf_minmax": _q_m4_cf_minmax,
-        "m5_hist_1d": _q_m5_hist_1d,
-        "m6_hist_2d": _q_m6_hist_2d,
-        "m7_day_rules": _q_m7_day_rules,
-        "m8_sampling": _q_m8_sampling,
-        "m9_densify": _q_m9_densify,
-        "m10_grid_counts": _q_m10_grid_counts,
         # -- last driver-recorded in round 6 -----------------------------------
-        "x75_kmeans_train": _q_x75_kmeans_train,
-        "x73_avi_frames": _q_x73_avi_frames,
-        "x74_warc_scan": _q_x74_warc_scan,
-        "x76_bloom_screen": _q_x76_bloom_screen,
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
         "x78_unigram_encode": _q_x78_unigram_encode,
@@ -9492,6 +9440,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x52_semdedup": _q_x52_semdedup,
         "x53_lm_score": _q_x53_lm_score,
         "x54_editdist_join": _q_x54_editdist_join,
+        # -- last driver-recorded in round 9 -----------------------------------
+        "x75_kmeans_train": _q_x75_kmeans_train,
+        "x95_cms_sketch": _q_x95_cms_sketch,
+        "x96_kneser_ney": _q_x96_kneser_ney,
+        "x97_bm25_retrieval": _q_x97_bm25_retrieval,
+        "x98_hard_negatives": _q_x98_hard_negatives,
+        "x99_line_dedup": _q_x99_line_dedup,
+        "x100_embedding_covariance": _q_x100_embedding_covariance,
+        "x101_leakfree_split": _q_x101_leakfree_split,
+        "s21_stream_cms": _q_s21_stream_cms,
+        "x93_minhash_index_update": _q_x93_minhash_index_update,
+        "x94_bpe_train_batched": _q_x94_bpe_train_batched,
+        "x55_pmi_collocations": _q_x55_pmi_collocations,
+        "x56_pq_codes": _q_x56_pq_codes,
+        "x57_pq_adc_topk": _q_x57_pq_adc_topk,
+        "x58_overlap_matrix": _q_x58_overlap_matrix,
+        "x59_hash_embed": _q_x59_hash_embed,
+        "s8_stream_sessions": _q_s8_stream_sessions,
+        "r38_window_navigation": _q_r38_window_navigation,
+        "r39_grouping_sets": _q_r39_grouping_sets,
+        "r40_range_frame": _q_r40_range_frame,
+        "r41_bag_setops": _q_r41_bag_setops,
+        "r42_null_semantics": _q_r42_null_semantics,
+        "x60_dup_spans_materialized": _q_x60_dup_spans_materialized,
+        "s9_hdf4_scan": _q_s9_hdf4_scan,
+        "x61_decode_png": _q_x61_decode_png,
+        "x62_wav_features": _q_x62_wav_features,
+        "r45_tpch_q21": _q_r45_tpch_q21,
+        "r46_tpch_q15": _q_r46_tpch_q15,
+        "r47_tpch_q16": _q_r47_tpch_q16,
+        "x63_inverted_index": _q_x63_inverted_index,
+        "x64_gif_frames": _q_x64_gif_frames,
+        "s10_stream_hdf4": _q_s10_stream_hdf4,
+        "s11_archive_scan": _q_s11_archive_scan,
+        "r2_tpch_q1": _q_r2_tpch_q1,
+        "r3_join_chain": _q_r3_join_chain,
+        "r5_rollup": _q_r5_rollup,
+        "r36_tpch_q19": _q_r36_tpch_q19,
+        "m1_bbox_cell_count": _q_m1_bbox_cell_count,
+        "m2_cell_stats": _q_m2_cell_stats,
+        "m3_cloud_fraction": _q_m3_cloud_fraction,
+        "m4_cf_minmax": _q_m4_cf_minmax,
+        "m5_hist_1d": _q_m5_hist_1d,
+        "m6_hist_2d": _q_m6_hist_2d,
+        "m7_day_rules": _q_m7_day_rules,
+        "m8_sampling": _q_m8_sampling,
+        "m9_densify": _q_m9_densify,
+        "m10_grid_counts": _q_m10_grid_counts,
+        "x73_avi_frames": _q_x73_avi_frames,
+        "x74_warc_scan": _q_x74_warc_scan,
+        "x76_bloom_screen": _q_x76_bloom_screen,
     }
 
 
