@@ -6205,6 +6205,122 @@ WHERE g.m = 0
 """
 
 
+def _q_x102_bucketed_index(spark, sf_dir):
+    """Incremental MinHash-LSH against the band-key-BUCKETED index
+    layout (operators/dedup.py:minhash_index_write/read — round-9
+    VERDICT item 2: SCALING.md's stated 100 TB answer, "the index's
+    band keys can be bucketed by (band, key) so the daily join skips
+    its exchange", now demonstrated rather than documented).  Index =
+    documents with doc_id % 5 != 0, persisted as THREE external
+    bucketed tables (sigs by id, pre-exploded band keys by (band, key),
+    per-key occupancy counts by (band, key)); the new batch
+    (doc_id % 5 == 0) dedupes via ``minhash_lsh_incremental(
+    index_banded=…, index_band_counts=…)`` so the daily band join, the
+    bucket-cap check AND the shingle fetch are all exchange-free on the
+    index side — no raw index row moves through any shuffle (plan lock:
+    tests/test_plan_regressions.py::test_x102_bucketed_index_no_index_
+    exchange).  Semantics are identical to the plain-parquet x92 path
+    (same union bucket caps, same greedy keep rule); the oracle
+    re-derives everything in SQL from the independent-XXH64 goldens
+    (goldens/x5_minhash.parquet), exactly the x92 oracle with the %5
+    split."""
+    docs = _t(spark, sf_dir, "documents")
+    tag = _corpus_tag(sf_dir)
+    base = f"/tmp/spark_graft_x102_idx_{tag}"
+    if not os.path.exists(base):
+        tmp = f"{base}.{os.getpid()}.tmp"
+        bname = f"x102_build_{os.getpid()}"
+        index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+        ops_dedup.minhash_index_write(
+            ops_dedup.minhash_signatures(index_docs, "text", "doc_id"),
+            bname,
+            tmp,
+            buckets=8,
+        )
+        for t in (f"{bname}_sigs", f"{bname}_bands", f"{bname}_bandcounts"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")  # external: files kept
+        try:
+            os.replace(tmp, base)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            # concurrent creator won; content is identical
+    sigs_t, bands_t, counts_t = ops_dedup.minhash_index_read(
+        spark, f"x102_idx_{tag}", base, buckets=8
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    out = ops_dedup.minhash_lsh_incremental(
+        batch,
+        sigs_t,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        index_banded=bands_t,
+        index_band_counts=counts_t,
+        index_buckets=8,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_index_dups",
+        "n_batch_prior_dups",
+        "keep",
+    )
+
+
+_SQL_X102 = """
+WITH d AS (
+  SELECT doc_id, text, (doc_id % 5 = 0) AS is_new FROM documents
+),
+g AS (
+  SELECT d.doc_id AS id, d.is_new, gold.sh, gold.bands
+  FROM d
+  JOIN read_parquet('/root/repo/goldens/x5_minhash.parquet') gold
+    ON gold.sha256 = sha256(d.text)
+),
+banded AS (
+  SELECT id, is_new, generate_subscripts(bands, 1) - 1 AS band,
+         unnest(bands) AS key
+  FROM g
+),
+ok_buckets AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.id AS nid, b.id AS pid, b.is_new AS partner_new
+  FROM banded a
+  JOIN ok_buckets ob ON a.band = ob.band AND a.key = ob.key
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+  WHERE a.is_new AND (NOT b.is_new OR b.id < a.id)
+),
+verified AS (
+  SELECT c.nid, c.partner_new,
+         len(list_intersect(ga.sh, gb.sh)) AS inter,
+         len(ga.sh) AS la, len(gb.sh) AS lb
+  FROM cand c
+  JOIN g ga ON ga.id = c.nid
+  JOIN g gb ON gb.id = c.pid
+),
+agg AS (
+  SELECT nid,
+         CAST(sum(CASE WHEN NOT partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_index,
+         CAST(sum(CASE WHEN partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prior
+  FROM verified
+  WHERE inter / nullif(la + lb - inter, 0) >= 0.5
+  GROUP BY nid
+)
+SELECT g.id AS doc_id,
+       coalesce(a.n_index, 0) AS n_index_dups,
+       coalesce(a.n_prior, 0) AS n_batch_prior_dups,
+       (coalesce(a.n_index, 0) = 0 AND coalesce(a.n_prior, 0) = 0) AS keep
+FROM g
+LEFT JOIN agg a ON a.nid = g.id
+WHERE g.is_new
+"""
+
+
 def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     """Materialize the documents table as two REAL archives — a zip (even
     doc_ids) and a tar (odd) with one ``doc_<id>.txt`` member each — so
@@ -9291,6 +9407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
+        # -- NEW round 10 (never driver-recorded) ------------------------------
+        "x102_bucketed_index": _q_x102_bucketed_index,
         # -- last driver-recorded in round 6 -----------------------------------
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
@@ -9496,6 +9614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x102_bucketed_index": _SQL_X102,
         "x95_cms_sketch": _SQL_X95,
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),

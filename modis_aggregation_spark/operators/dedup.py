@@ -299,6 +299,9 @@ def minhash_lsh_incremental(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     new_signatures: DataFrame | None = None,
+    index_banded: DataFrame | None = None,
+    index_band_counts: DataFrame | None = None,
+    index_buckets: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup of a NEW batch against a
     MATERIALIZED signature index — the production shape: yesterday's
@@ -332,6 +335,31 @@ def minhash_lsh_incremental(
     fetched per candidate (id-keyed joins), never shuffled with the
     band keys.  Index-index pairs are never formed — the whole point:
     daily cost is O(batch × collision rate), not O(corpus²).
+
+    Pass ``index_banded`` (the pre-exploded ``(id, band, key)`` frame —
+    ``minhash_index_read``'s second return, a table BUCKETED by
+    ``(band, key)``) and the daily band join runs with NO index-side
+    exchange at all: the bucketed scan's hash-partitioning already
+    satisfies the join's required distribution, so only the (small)
+    new batch shuffles.  Pass ``index_band_counts`` (the third
+    ``minhash_index_read`` return: per-(band, key) index occupancy,
+    same bucketing) and the bucket-cap check also stops re-counting
+    the index: union-counts become index-count + batch-count via a
+    full-outer join that is exchange-free on the index side —
+    semantically identical capping (counts over index ∪ batch),
+    since the two sides partition the union.  With both passed, NO
+    index-side row moves through any exchange in the whole daily
+    plan; at 100 TB this is the difference between re-exchanging the
+    corpus-sized band-key table every day and shuffling just the
+    day's arrivals (SCALING.md §incremental-LSH).  Both must have
+    been derived from the SAME ``index_signatures`` artifact with the
+    same ``num_bands`` — the caller owns that consistency
+    (``minhash_index_write`` produces the triple atomically).
+    ``index_buckets`` (the artifact's bucket count) pre-aligns the
+    batch-side count aggregation's partitioning to the index layout;
+    without it Spark sees two valid (band, key) partitionings with
+    mismatched partition counts and re-shuffles the SMALLER side —
+    the index — to the session's shuffle parallelism.
     """
     rows_per_band = num_hashes // num_bands
     if index_signatures is None:
@@ -357,16 +385,44 @@ def minhash_lsh_incremental(
         )
 
     new_banded = banded(new_sigs)
-    idx_banded = banded(index_signatures)
+    idx_banded = (
+        index_banded.select("id", "band", "key")
+        if index_banded is not None
+        else banded(index_signatures)
+    )
     # bucket sizes over the UNION — identical capping to a batch run on
     # index ∪ batch; the oversized set is tiny and broadcasts
-    big = (
-        new_banded.unionByName(idx_banded)
-        .groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("__bc"))
-        .filter(F.col("__bc") > max_bucket)
-        .select("band", "key")
-    )
+    if index_band_counts is not None:
+        # pre-aggregated index occupancy: union-count = index n + batch n
+        # per key (full-outer: a key may exist on only one side).  The
+        # join is exchange-free on the index side when the counts table
+        # is (band, key)-bucketed; only the batch's distinct keys shuffle.
+        cnt_src = (
+            new_banded.repartition(index_buckets, "band", "key")
+            if index_buckets
+            else new_banded
+        )
+        new_cnt = (
+            cnt_src.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+        )
+        big = (
+            index_band_counts.select("band", "key", F.col("n").alias("__bi"))
+            .join(new_cnt, ["band", "key"], "full_outer")
+            .filter(
+                F.coalesce("__bi", F.lit(0)) + F.coalesce("__bn", F.lit(0))
+                > max_bucket
+            )
+            .select("band", "key")
+        )
+    else:
+        big = (
+            new_banded.unionByName(idx_banded)
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .filter(F.col("__bc") > max_bucket)
+            .select("band", "key")
+        )
     capped_new = new_banded.join(F.broadcast(big), ["band", "key"], "left_anti")
     capped_idx = idx_banded.join(F.broadcast(big), ["band", "key"], "left_anti")
 
@@ -403,19 +459,40 @@ def minhash_lsh_incremental(
     )
     cand = cand_index.unionByName(cand_batch).dropDuplicates(["nid", "pid"])
 
-    sh_lookup = index_signatures.select("id", "sh").unionByName(
-        new_sigs.select("id", "sh")
+    with_n = cand.join(
+        new_sigs.select(F.col("id").alias("nid"), F.col("sh").alias("sh_n")),
+        "nid",
     )
-    verified = (
-        cand.join(
-            new_sigs.select(F.col("id").alias("nid"), F.col("sh").alias("sh_n")),
-            "nid",
+    if index_banded is not None:
+        # artifact mode: fetch partner shingles PER SIDE so the index
+        # sigs table is probed by an id-equi-join alone (bucketed by id
+        # → no index-side exchange), never unioned into a shuffle.
+        # partner_new deterministically routes each pid (id spaces are
+        # disjoint between index and batch), so the branch union is the
+        # same row set the single lookup join produced.
+        fetched = with_n.filter(~F.col("partner_new")).join(
+            index_signatures.select(
+                F.col("id").alias("pid"), F.col("sh").alias("sh_p")
+            ),
+            "pid",
+        ).unionByName(
+            with_n.filter(F.col("partner_new")).join(
+                new_sigs.select(
+                    F.col("id").alias("pid"), F.col("sh").alias("sh_p")
+                ),
+                "pid",
+            )
         )
-        .join(
+    else:
+        sh_lookup = index_signatures.select("id", "sh").unionByName(
+            new_sigs.select("id", "sh")
+        )
+        fetched = with_n.join(
             sh_lookup.select(F.col("id").alias("pid"), F.col("sh").alias("sh_p")),
             "pid",
         )
-        .withColumn("__j", jaccard(F.col("sh_n"), F.col("sh_p")))
+    verified = (
+        fetched.withColumn("__j", jaccard(F.col("sh_n"), F.col("sh_p")))
         .filter(F.col("__j") >= threshold)
         .groupBy("nid")
         .agg(
@@ -476,6 +553,121 @@ def minhash_index_update(
     return index_signatures.select("id", "sh", "sig").join(
         F.broadcast(surv.select("id")), "id", "left_anti"
     ).unionByName(surv)
+
+
+def minhash_index_write(
+    index_signatures: DataFrame,
+    name: str,
+    path: str,
+    num_bands: int = 8,
+    num_hashes: int = 32,
+    buckets: int = 16,
+) -> None:
+    """Persist the signature index in the band-key-BUCKETED physical
+    layout (SCALING.md §incremental-LSH: "the index's band keys can be
+    bucketed by (band, key) so the daily join skips its exchange") —
+    two external bucketed tables under ``path``:
+
+      ``{name}_sigs``        (id, sh, sig)    CLUSTERED BY (id)
+      ``{name}_bands``       (id, band, key)  CLUSTERED BY (band, key)
+      ``{name}_bandcounts``  (band, key, n)   CLUSTERED BY (band, key)
+
+    ``_bands`` is the daily-join side: its bucketed scan reports
+    hash-partitioning on (band, key), so the incremental band join
+    (``minhash_lsh_incremental(index_banded=…)``) satisfies its
+    required distribution straight off the scan — only the day's batch
+    shuffles, never the corpus-sized index.  ``_sigs`` is the
+    fetch/maintenance side (id-keyed candidate verification and the
+    ``minhash_index_update`` compaction), bucketed by id so a
+    shuffle-based delete/merge is exchange-free too once the batch
+    exceeds broadcast size.  ``_bandcounts`` pre-aggregates the index's
+    per-(band, key) occupancy so the daily bucket-cap check (counts
+    over index ∪ batch) adds index counts to batch counts via an
+    exchange-free full-outer join instead of re-counting — and
+    re-exchanging — the corpus-sized band-key table every day.
+
+    Both tables are EXTERNAL (explicit ``path``): dropping the catalog
+    entry keeps the files, and a fresh session re-attaches them with
+    ``minhash_index_read`` (bucketing metadata lives in the catalog,
+    not the parquet footers — the reader re-declares it via DDL).
+    Pre-exploding the band keys costs ~3× the (skinny) band rows on
+    disk vs deriving them at read time, and buys the daily join's
+    exchange — the standard index trade.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = index_signatures.select("id", "sh", "sig")
+    (
+        sigs.write.mode("overwrite")
+        .option("path", f"{path}/sigs")
+        .bucketBy(buckets, "id")
+        .sortBy("id")
+        .saveAsTable(f"{name}_sigs")
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    (
+        banded.write.mode("overwrite")
+        .option("path", f"{path}/bands")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(f"{name}_bands")
+    )
+    # re-read the just-written bucketed table so the count aggregation is
+    # itself exchange-free (and never re-runs the signature lineage)
+    counts = (
+        index_signatures.sparkSession.table(f"{name}_bands")
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("path", f"{path}/bandcounts")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(f"{name}_bandcounts")
+    )
+
+
+def minhash_index_read(
+    spark: "SparkSession", name: str, path: str, buckets: int = 16
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Attach a ``minhash_index_write`` artifact and return
+    ``(signatures, banded, band_counts)`` frames.  Bucketing metadata lives in the
+    session catalog, so a session that didn't write the tables
+    re-declares them via DDL over the existing files (bucketed file
+    names carry their bucket id — the layout on disk IS the contract);
+    a session that already has them (the writer, or a prior read)
+    reuses the catalog entries as-is."""
+    if not spark.catalog.tableExists(f"{name}_sigs"):
+        spark.sql(
+            f"CREATE TABLE {name}_sigs "
+            "(id BIGINT, sh ARRAY<BIGINT>, sig ARRAY<BIGINT>) USING PARQUET "
+            f"CLUSTERED BY (id) SORTED BY (id) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/sigs'"
+        )
+    if not spark.catalog.tableExists(f"{name}_bands"):
+        spark.sql(
+            f"CREATE TABLE {name}_bands "
+            "(id BIGINT, band INT, key BIGINT) USING PARQUET "
+            f"CLUSTERED BY (band, key) SORTED BY (band, key) "
+            f"INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/bands'"
+        )
+    if not spark.catalog.tableExists(f"{name}_bandcounts"):
+        spark.sql(
+            f"CREATE TABLE {name}_bandcounts "
+            "(band INT, key BIGINT, n BIGINT) USING PARQUET "
+            f"CLUSTERED BY (band, key) SORTED BY (band, key) "
+            f"INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/bandcounts'"
+        )
+    return (
+        spark.table(f"{name}_sigs"),
+        spark.table(f"{name}_bands"),
+        spark.table(f"{name}_bandcounts"),
+    )
 
 
 def window_fingerprints(

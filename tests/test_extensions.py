@@ -1193,6 +1193,66 @@ def test_minhash_incremental_equals_batch_restriction(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_minhash_bucketed_index_roundtrip_parity(spark, tmp_path):
+    """minhash_index_write/read (round 10): the band-key-bucketed
+    3-table artifact must (a) round-trip the signature rows exactly,
+    (b) carry band keys identical to the inline _band_keys explosion,
+    (c) carry per-(band, key) counts that sum the bands table, and
+    (d) drive minhash_lsh_incremental to the SAME output as the plain
+    single-parquet index path."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    index_docs = docs.filter("doc_id % 5 != 0")
+    batch_docs = docs.filter("doc_id % 5 = 0")
+    sigs = D.minhash_signatures(index_docs, "text", "doc_id").persist()
+    try:
+        D.minhash_index_write(sigs, "t_mbx", str(tmp_path / "idx"), buckets=4)
+        s_t, b_t, c_t = D.minhash_index_read(
+            spark, "t_mbx", str(tmp_path / "idx"), buckets=4
+        )
+        # (a) signature rows survive the bucketed write byte-for-byte
+        want_sigs = {r["id"]: (r["sh"], r["sig"]) for r in sigs.collect()}
+        got_sigs = {r["id"]: (r["sh"], r["sig"]) for r in s_t.collect()}
+        assert got_sigs == want_sigs
+        # (b) the pre-exploded bands table == the inline explosion
+        inline = sigs.select(
+            "id",
+            F.explode(D._band_keys(F.col("sig"), 8, 4)).alias("bk"),
+        ).select("id", "bk.band", "bk.key")
+        assert sorted(map(tuple, b_t.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        # (c) counts table sums the bands table
+        want_cnt = {
+            (r["band"], r["key"]): r["n"]
+            for r in b_t.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        got_cnt = {(r["band"], r["key"]): r["n"] for r in c_t.collect()}
+        assert got_cnt == want_cnt
+        # (d) end-to-end dedup parity with the plain index path
+        plain = D.minhash_lsh_incremental(
+            batch_docs, sigs, "text", "doc_id", threshold=0.5
+        )
+        bucketed = D.minhash_lsh_incremental(
+            batch_docs,
+            s_t,
+            "text",
+            "doc_id",
+            threshold=0.5,
+            index_banded=b_t,
+            index_band_counts=c_t,
+            index_buckets=4,
+        )
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        sigs.unpersist()
+        for t in ("t_mbx_sigs", "t_mbx_bands", "t_mbx_bandcounts"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_minhash_incremental_validation(spark):
     sigs = D.minhash_signatures(_docs(spark), "text", "doc_id")
     with pytest.raises(ValueError, match="index_signatures"):

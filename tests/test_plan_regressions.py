@@ -744,6 +744,71 @@ def test_x93_day2_only_batch_reshingled(spark):
     assert "CartesianProduct" not in physical
 
 
+def test_x102_bucketed_index_no_index_exchange(spark):
+    """The band-key-bucketed index layout (round 10 — SCALING.md's
+    stated 100 TB answer for incremental LSH): with the 3-table
+    artifact (sigs by id, bands by (band, key), bandcounts by
+    (band, key)), NO shuffle in the daily dedup plan may move raw
+    index rows.  Criterion: for every ShuffleExchange, the path from
+    the exchange down to any index-table scan must cross a join or an
+    aggregate — i.e. the exchanged rows are candidate-bound join
+    output (O(batch × collisions)), never an unjoined corpus-sized
+    index frame.  All three index scans must read bucketed
+    (``Bucketed: true``) — a silently-disabled bucketed scan is how
+    the exchange sneaks back in.  AQE and auto-broadcast are pinned
+    off so the lock is on the deterministic planner shape (broadcast
+    could mask an index-side shuffle at test scale)."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = entry.queries()["x102_bucketed_index"](spark, SF)
+        root = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def is_index_scan(n):
+        return n.getClass().getSimpleName() == "FileSourceScanExec" and (
+            "x102_idx" in n.simpleString(120)
+        )
+
+    joins = {
+        "SortMergeJoinExec",
+        "BroadcastHashJoinExec",
+        "ShuffledHashJoinExec",
+        "BroadcastNestedLoopJoinExec",
+        "CartesianProductExec",
+    }
+
+    def moves_raw_index_rows(n):
+        cls = n.getClass().getSimpleName()
+        if cls in joins or "Aggregate" in cls:
+            return False  # past a join/agg: rows are candidate-bound
+        if is_index_scan(n):
+            return True
+        ch = n.children()
+        return any(moves_raw_index_rows(ch.apply(i)) for i in range(ch.size()))
+
+    index_scans = [n for n in walk(root) if is_index_scan(n)]
+    # bands (the daily join), sigs (the sh fetch), bandcounts (the cap
+    # check) — the cap path reads the pre-aggregated counts, so the
+    # bands table is scanned exactly once
+    assert len(index_scans) == 3, [s.simpleString(80) for s in index_scans]
+    for s in index_scans:
+        assert "Bucketed: true" in s.simpleString(400), s.simpleString(400)
+    for n in walk(root):
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
+            assert not moves_raw_index_rows(n), n.simpleString(200)
+
+
 def test_x8_embedding_pairs_single_signature_pass(spark):
     """The LSH signature stage (a Python pass over the corpus) must run
     ONCE — round 9 replaced the banded self-join (two scans) with an
