@@ -2318,7 +2318,7 @@ scored AS (
   FROM e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, rank
 FROM (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -2443,7 +2443,7 @@ scored AS (
   FROM probe p JOIN asgn a ON a.list_id = p.list_id
   WHERE a.vec_id <> p.query_id
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, rank
 FROM (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -5721,7 +5721,7 @@ WITH e AS (
   FROM e CROSS JOIN q
   WHERE e.vec_id <> q.anchor_id AND e.label <> q.al
 )
-SELECT anchor_id, neighbor_id, round(cos, 6) AS cosine, rank
+SELECT anchor_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, rank
 FROM (
   SELECT anchor_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY anchor_id
@@ -5843,6 +5843,66 @@ SELECT i, j, n, sx, sy, sxy,
                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
               / CAST(n AS DOUBLE)) / 1000000000000.0, 6) + 0.0 AS cov
 FROM s
+"""
+
+
+def _q_x103_pca_project(spark, sf_dir):
+    """PCA/whitening APPLY over the embeddings corpus
+    (operators/similarity.py:pca_basis + pca_project — round-9 VERDICT
+    item 3: x100 computes the covariance grid; this consumes its
+    eigendecomposition).  Fit: exact-int covariance
+    (embedding_covariance, x100-verified) -> driver-side eigh of the
+    2,080-cell grid -> top-8 axes, sign-normalized, whitened
+    (1/sqrt(eigval)), quantized to 1e-6 model units.  Apply: map-only
+    projection — the quantized weight matrix enters the plan as
+    literals, each component an exact int64 dot product descaled once
+    (plan lock: scan -> project, no exchange, no Python).  Oracle: the
+    committed basis golden (goldens/x103_pca_basis.parquet — DuckDB
+    integer covariance + independent numpy eigh + the same 1e-6 model
+    quantization, keyed by the x9/x75 corpus_key convention) applied
+    in pure SQL; agreement requires the Spark-fitted quantized model
+    to match the golden bit-for-bit AND the distributed projection to
+    match the SQL application.  Output long-form (vec_id, comp, proj)
+    rounded 6dp, signed-zero normalized (CLAUDE.md rule 8)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = ops_sim.embedding_covariance(emb, "embedding", dim=64, quant=1e6)
+    wq, offsets, _eig = ops_sim.pca_basis(cov, dim=64, k=8, whiten=True)
+    out = ops_sim.pca_project(emb, wq, offsets, "embedding", "vec_id")
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("comp", "__p")
+    ).select(
+        "vec_id",
+        "comp",
+        (F.round(F.col("__p"), 6) + F.lit(0.0)).alias("proj"),
+    )
+
+
+_SQL_X103 = """
+WITH b AS (
+  SELECT comp, j, wq, offset_c
+  FROM read_parquet('/root/repo/goldens/x103_pca_basis.parquet') g
+  WHERE g.corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR))
+    FROM embeddings
+  )
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(round(v * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+a AS (
+  SELECT q.vec_id, b.comp,
+         sum(q.qv[b.j + 1] * b.wq) AS acc,
+         any_value(b.offset_c) AS off
+  FROM q CROSS JOIN b
+  GROUP BY q.vec_id, b.comp
+)
+SELECT vec_id, comp,
+       round(CAST(acc AS DOUBLE) / 1000000000000.0 - off, 6) + 0.0 AS proj
+FROM a
 """
 
 
@@ -8640,7 +8700,10 @@ def _q_x52_semdedup(spark, sf_dir):
     )
     out = ops_sim.semdedup(emb, cents, tau=0.4)
     return out.select(
-        "vec_id", "list_id", _r6(F.col("cent_cos")).alias("cent_cos"), "keep"
+        "vec_id",
+        "list_id",
+        (_r6(F.col("cent_cos")) + F.lit(0.0)).alias("cent_cos"),
+        "keep",
     )
 
 
@@ -8683,7 +8746,7 @@ dr AS (
                        ELSE greatest(ia, ib) END AS vec_id
   FROM pr
 )
-SELECT cc.vec_id, cc.list_id, round(cent_cos, 6) AS cent_cos,
+SELECT cc.vec_id, cc.list_id, round(cent_cos, 6) + 0.0 AS cent_cos,
        dr.vec_id IS NULL AS keep
 FROM cc LEFT JOIN dr USING (vec_id)
 """
@@ -8858,7 +8921,10 @@ def _q_x83_ivfpq_rerank(spark, sf_dir):
         k=10, nprobe=2, shortlist=40,
     )
     return out.select(
-        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+        "query_id",
+        "neighbor_id",
+        (_r6(F.col("cosine")) + F.lit(0.0)).alias("cosine"),
+        "rank",
     )
 
 
@@ -8937,7 +9003,7 @@ short AS (
     FROM sc
   ) WHERE rn <= 40
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, rank
 FROM (
   SELECT s.query_id, s.neighbor_id,
          list_cosine_similarity(a.emb, q.qe) AS cos,
@@ -9409,6 +9475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW round 10 (never driver-recorded) ------------------------------
         "x102_bucketed_index": _q_x102_bucketed_index,
+        "x103_pca_project": _q_x103_pca_project,
         # -- last driver-recorded in round 6 -----------------------------------
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
@@ -9615,6 +9682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "x102_bucketed_index": _SQL_X102,
+        "x103_pca_project": _SQL_X103,
         "x95_cms_sketch": _SQL_X95,
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),

@@ -901,7 +901,14 @@ def corpus_line_dedup(
     doc-keyed shuffle (array_sort over collected (pos, line) structs —
     exact original order). Fingerprints never reach the output, so the
     oracle re-derives everything from the line STRINGS (the x51
-    convention).
+    convention) — which means the oracle parity ASSUMES no 64-bit
+    fingerprint collision between two distinct lines: a colliding pair
+    would pool their distinct-doc counts here (possibly deleting an
+    innocent line the string-keyed oracle keeps). The standard
+    fingerprint-dedup trade (x5's hashed-shingle Jaccard makes the same
+    one): P(any collision) ≈ n²/2^65 — ~3e-8 at a billion distinct
+    lines; join on (fp, line) instead if a corpus ever needs it
+    harmless.
 
     Returns (doc_id, n_lines, n_removed, clean_text); a document whose
     every line was removed yields ``clean_text = ''``.
@@ -989,6 +996,14 @@ def leakfree_split(
     graph only (edges, never text/payloads); the label table joins back
     to the corpus by id (one shuffle); the split itself is a narrow
     projection. Returns ``df`` + (cluster_key, bucket, split).
+
+    Id-range precondition (inherited from ``split_bucket``, which this
+    feeds ``cluster_key`` into): the exact multiplicative hash needs
+    ``(key + salt) * 2654435761 < 2^63``, i.e. keys below ~3.4e9 —
+    web-scale ids beyond that wrap int64 and scramble the assignment
+    without error. Mask wider ids to 32 bits (identically on every
+    batch) before splitting, or renumber; ``split_bucket`` documents
+    the same bound.
     """
     from modis_aggregation_spark.operators.dedup import connected_components
 

@@ -527,6 +527,7 @@ def minhash_lsh_incremental(
 def minhash_index_update(
     index_signatures: DataFrame,
     survivor_signatures: DataFrame,
+    broadcast_delete: bool = True,
 ) -> DataFrame:
     """Merge a batch's SURVIVING signatures into the materialized index —
     the maintenance half of the incremental story (round-8 VERDICT item
@@ -545,13 +546,21 @@ def minhash_index_update(
     Scale shape: the index side is never shuffled — the survivor id set
     is batch-sized and skinny (8 B/row) and broadcasts into a LEFT ANTI
     delete; the union is partition-local.  Writing the result back over
-    the index artifact is the daily compaction; with the index stored
-    bucketed by id the anti-join stays narrow even without the
-    broadcast.
+    the index artifact is the daily compaction.  Past ~100M ids/day the
+    broadcast stops being free: pass ``broadcast_delete=False`` and the
+    delete becomes a planner-chosen shuffle anti-join — with the index
+    stored id-bucketed (``minhash_index_write``'s ``_sigs`` table) the
+    index side STILL never exchanges (the bucketed scan satisfies the
+    join's distribution; only the batch-sized survivor ids shuffle, to
+    the bucket count — plan-locked in tests/test_plan_regressions.py::
+    test_index_update_shuffle_delete_no_index_exchange).
     """
     surv = survivor_signatures.select("id", "sh", "sig")
+    del_ids = surv.select("id")
+    if broadcast_delete:
+        del_ids = F.broadcast(del_ids)
     return index_signatures.select("id", "sh", "sig").join(
-        F.broadcast(surv.select("id")), "id", "left_anti"
+        del_ids, "id", "left_anti"
     ).unionByName(surv)
 
 

@@ -60,7 +60,12 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+            "query_id",
+            "neighbor_id",
+            # + 0.0 folds -0.0 to +0.0 (CLAUDE.md rule 8): an
+            # unthresholded cosine can round to -0.0 on one engine only
+            (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+            "rank",
         )
     )
 
@@ -840,7 +845,12 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+            "query_id",
+            "neighbor_id",
+            # + 0.0 folds -0.0 to +0.0 (CLAUDE.md rule 8): an
+            # unthresholded cosine can round to -0.0 on one engine only
+            (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+            "rank",
         )
     )
 
@@ -1017,7 +1027,10 @@ def hard_negatives(
         .select(
             "anchor_id",
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
+            # + 0.0 folds -0.0 to +0.0 (CLAUDE.md rule 8): a negative
+            # cosine in (-5e-7, 0] rounds to -0.0 on one engine and
+            # +0.0 on the other, and the value hash tells them apart
+            (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
             "rank",
         )
     )
@@ -1045,7 +1058,15 @@ def embedding_covariance(
     fixed-decimal rounding is engine-stable; at quantized-unit²
     magnitudes ~1e10 the two engines' round(·, 6) implementations
     diverge in the last ulp). Int64 sums hold to ~1e18, i.e. ~10^6 rows
-    of unit-scale 64-dim vectors at quant=1e6.
+    of unit-scale 64-dim vectors at quant=1e6 — and the bound is
+    ENFORCED, not advisory (round-9 VERDICT item 3): quantized values
+    above sqrt(int64 max) raise at quantize time (so no x·y product
+    can wrap), and the three sums are ``try_sum``s re-checked with a
+    raise — Spark's non-ANSI ``sum(long)`` wraps silently, which on
+    exactly the corpus sizes this operator targets would return wrong
+    covariances with no error.  Past the bound, lower ``quant`` (the
+    statistics stay exact at the coarser grid) or pre-aggregate in
+    batches and merge the (n, sx, sy, sxy) monoids.
 
     Scale shape: one map-only double posexplode fans each row into its
     d(d+1)/2 upper-triangle (i, j, x·y) products (skinny ints), and ONE
@@ -1057,12 +1078,26 @@ def embedding_covariance(
 
     Returns (i, j, n, sx, sy, sxy, cov) for 0 <= i <= j < dim.
     """
+    # |q| <= floor(sqrt(2^63 - 1)) keeps every x*y product inside int64;
+    # a violating element raises instead of silently wrapping downstream
+    qlim = 3_037_000_499
     q = (
         df.select(F.col(emb_col).cast("array<double>").alias("__e"))
         .where(F.col("__e").isNotNull() & (F.size("__e") == dim))
         .select(
             F.transform(
-                F.col("__e"), lambda v: F.round(v * quant).cast("long")
+                F.col("__e"),
+                lambda v: F.when(
+                    F.abs(F.round(v * quant)) <= qlim,
+                    F.round(v * quant).cast("long"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "embedding_covariance: quantized value exceeds "
+                            "sqrt(int64 max); lower quant"
+                        )
+                    ).cast("long")
+                ),
             ).alias("__q")
         )
     )
@@ -1078,11 +1113,24 @@ def embedding_covariance(
         .where(F.col("__y").isNotNull() & (F.col("j") >= F.col("i")))
         .select("i", "j", "__x", "__y")
     )
+    def _checked(c: Column) -> Column:
+        # try_sum yields NULL on int64 overflow where sum() wraps
+        # silently; every input row is non-NULL, so a NULL here IS the
+        # overflow — surface it instead of returning wrapped statistics
+        return F.when(c.isNotNull(), c).otherwise(
+            F.raise_error(
+                F.lit(
+                    "embedding_covariance: int64 sum overflow; lower "
+                    "quant or merge per-batch grids"
+                )
+            ).cast("long")
+        )
+
     sums = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("__x").alias("sx"),
-        F.sum("__y").alias("sy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        _checked(F.try_sum("__x")).alias("sx"),
+        _checked(F.try_sum("__y")).alias("sy"),
+        _checked(F.try_sum(F.col("__x") * F.col("__y"))).alias("sxy"),
     )
     cov = (
         (
@@ -1094,3 +1142,139 @@ def embedding_covariance(
         / F.col("n").cast("double")
     ) / F.lit(float(quant) * float(quant))
     return sums.select("i", "j", "n", "sx", "sy", "sxy", cov.alias("cov"))
+
+
+def pca_basis(
+    cov_df: DataFrame,
+    dim: int = 64,
+    k: int = 8,
+    whiten: bool = False,
+    quant: float = 1e6,
+) -> tuple[np.ndarray, list[float], list[float]]:
+    """Driver-side eigendecomposition of an ``embedding_covariance``
+    grid — the APPLY half's model fit (round-9 VERDICT item 3: x100
+    produces the covariance; this consumes it).  Collects the
+    d(d+1)/2-row grid (the "<=MB final grid" collect rule — 2,080 rows
+    at d=64), assembles the symmetric covariance matrix, and returns
+    the top-``k`` principal axes ready for ``pca_project``:
+
+        (wq, offsets, eigvals)
+
+    * ``wq``       — k x d int64: eigenvectors ordered by DESCENDING
+      eigenvalue, sign-normalized (the largest-|coefficient| entry is
+      made positive — eigenvector sign is otherwise arbitrary),
+      optionally whitened (scaled by 1/sqrt(eigval) so projected
+      components have unit variance), then quantized to integer units
+      of ``1/quant``.  Quantizing the MODEL (not just the data) keeps
+      the projection exact-integer end to end (CLAUDE.md rule 3b) and
+      absorbs sub-1e-9 eigensolver jitter, so independently-computed
+      bases agree bit-for-bit.
+    * ``offsets``  — per-component mean offset ``sum_j wq[c,j] *
+      sx[j] / (n * quant^2)``: projecting CENTERED data is
+      ``A/quant^2 - offset`` with ``A`` the raw integer dot product —
+      the numerator is exact (arbitrary-precision) integer arithmetic,
+      one float division at the end.
+    * ``eigvals``  — the k eigenvalues (raw units), for variance
+      reporting / component selection.
+
+    Raises when whitening a degenerate direction (eigenvalue <= 1e-9 of
+    the spectrum's maximum — the 1/sqrt scale is numerically undefined
+    there; with n > d real data the top-k eigenvalues are comfortably
+    positive, and a rank-deficient corpus should reduce k instead).
+    """
+    rows = cov_df.collect()
+    n = None
+    m = np.zeros((dim, dim), dtype=np.float64)
+    sx = [0] * dim
+    for r in rows:
+        i, j = r["i"], r["j"]
+        m[i, j] = m[j, i] = r["cov"]
+        if i == j:
+            sx[i] = int(r["sx"])
+        if n is None:
+            n = int(r["n"])
+    if n is None:
+        raise ValueError("empty covariance grid")
+    evals, evecs = np.linalg.eigh(m)          # ascending
+    order = np.arange(dim - 1, dim - 1 - k, -1)  # top-k, descending
+    wq = np.zeros((k, dim), dtype=np.int64)
+    offsets: list[float] = []
+    eigvals: list[float] = []
+    for c, idx in enumerate(order):
+        lam = float(evals[idx])
+        v = evecs[:, idx].copy()
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        if whiten:
+            if lam <= 1e-9 * max(abs(float(evals[0])), abs(float(evals[-1]))):
+                raise ValueError(
+                    f"whiten=True but eigenvalue {c} is degenerate ({lam});"
+                    " reduce k to the corpus rank"
+                )
+            v = v / math.sqrt(lam)
+        wq[c] = np.round(v * quant).astype(np.int64)
+        b = sum(int(wq[c, j]) * sx[j] for j in range(dim))  # exact int
+        offsets.append(b / (n * quant * quant))
+        eigvals.append(lam)
+    return wq, offsets, eigvals
+
+
+def pca_project(
+    df: DataFrame,
+    wq: np.ndarray,
+    offsets: list[float],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: float = 1e6,
+) -> DataFrame:
+    """MAP-ONLY quantized PCA projection/whitening — applies a
+    ``pca_basis`` model to the corpus: one row per input vector with
+    ``proj`` = ARRAY<DOUBLE> of k centered (optionally whitened)
+    components.
+
+    Exactness: the embedding is quantized to integers exactly as
+    ``embedding_covariance`` quantizes it, the per-component dot
+    product ``A_c = sum_j q[j] * wq[c,j]`` is an exact int64 sum of
+    literal multiply-adds, and the float arithmetic is one division
+    and one subtraction per component (``A/quant^2 - offset``) —
+    deterministic on any layout because nothing is reduced across
+    rows.  Bounds: |q| <= quant * |v|max and |wq| <= quant * |w|max,
+    so A stays far inside int64 for unit-scale embeddings at the
+    default quant (~1e13 * d).
+
+    Scale shape: the k x d weight matrix enters the plan as LITERALS
+    (k*d multiply-add terms inside whole-stage codegen) — no
+    broadcast, no shuffle, no Python; the plan is scan -> project
+    (plan-locked).  Rows with NULL/wrong-length embeddings are
+    excluded, matching the covariance pass they were fitted on.
+    """
+    k, dim = wq.shape
+    staged = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.col(emb_col).cast("array<double>").alias("__e"),
+        )
+        .where(F.col("__e").isNotNull() & (F.size("__e") == dim))
+        .select(
+            id_col,
+            F.transform(
+                F.col("__e"), lambda v: F.round(v * quant).cast("long")
+            ).alias("__q"),
+        )
+    )
+    qq = float(quant) * float(quant)
+    comps = []
+    for c in range(k):
+        acc = None
+        for j in range(dim):
+            w = int(wq[c, j])
+            if w == 0:
+                continue
+            term = F.col("__q").getItem(j) * F.lit(w)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = F.lit(0).cast("long")
+        comps.append(
+            (acc.cast("double") / F.lit(qq)) - F.lit(float(offsets[c]))
+        )
+    return staged.select(id_col, F.array(*comps).alias("proj"))

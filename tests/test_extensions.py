@@ -1511,6 +1511,104 @@ def test_hard_negatives_label_disjoint_and_matches_numpy(spark):
         assert [n for _, n in sorted(by_anchor[a])] == want
 
 
+def test_embedding_covariance_overflow_raises(spark):
+    """Round-9 VERDICT item 3 (What's wrong): Spark's non-ANSI sum(long)
+    wraps SILENTLY, so a corpus big enough to overflow the int64
+    product sums would return wrong covariances with no error.  The
+    guard must raise: (a) per-element when a quantized value exceeds
+    sqrt(int64 max) — a product could wrap; (b) on try_sum NULL when
+    the sum itself overflows."""
+    from modis_aggregation_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    # (a) |q| = 5e9 > sqrt(int64 max) at quant=1e6
+    big = spark.createDataFrame([(0, [5000.0, 1.0])], ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="sqrt\\(int64 max\\)"):
+        embedding_covariance(big, "embedding", dim=2).collect()
+    # (b) per-element ok (3e9 < 3.037e9), products ~9e18 fit, but TWO of
+    # them overflow the int64 sum
+    two = spark.createDataFrame(
+        [(i, [3000.0, 3000.0]) for i in range(2)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="int64 sum overflow"):
+        embedding_covariance(two, "embedding", dim=2).collect()
+    # in-bound inputs are untouched: one row stays exact
+    one = spark.createDataFrame([(0, [3000.0, 2.0])], ["vec_id", "embedding"])
+    got = {
+        (r["i"], r["j"]): r["sxy"]
+        for r in embedding_covariance(one, "embedding", dim=2).collect()
+    }
+    assert got[(0, 0)] == 9_000_000_000_000_000_000
+
+
+def test_pca_basis_project_numpy_parity(spark):
+    """x103 (round 10): pca_basis + pca_project must equal an exact
+    numpy reference of the same quantized pipeline BIT-FOR-BIT — the
+    per-component dot product is integer arithmetic on both sides, so
+    nothing approximate survives: quantize, eigh, sign-normalize,
+    whiten, quantize the model, integer dot, one descale+offset."""
+    from modis_aggregation_spark.operators.similarity import (
+        embedding_covariance,
+        pca_basis,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 6)).astype(np.float64)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(80)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cov = embedding_covariance(base, "embedding", dim=6)
+    for whiten in (False, True):
+        wq, offs, eig = pca_basis(cov, dim=6, k=3, whiten=whiten)
+        assert eig == sorted(eig, reverse=True)  # descending
+        # numpy reference, same integer arithmetic
+        qv = np.array(
+            [[round(x * 1e6) for x in v] for v in vecs], dtype=np.int64
+        )
+        got = {
+            r["vec_id"]: list(r["proj"])
+            for r in pca_project(
+                base, wq, offs, "embedding", "vec_id"
+            ).collect()
+        }
+        for i in range(80):
+            for c in range(3):
+                a = int((qv[i] * wq[c]).sum())
+                want = a / 1e12 - offs[c]
+                assert got[i][c] == want, (i, c)  # exact, not approx
+        if whiten:
+            # whitened components have ~unit variance (up to the 1e-6
+            # model quantization)
+            proj = np.array([got[i] for i in range(80)])
+            assert np.allclose(proj.var(axis=0), 1.0, atol=1e-3)
+        # sign convention: largest-|coefficient| entry positive
+        for c in range(3):
+            assert wq[c][int(np.argmax(np.abs(wq[c])))] > 0
+
+
+def test_pca_project_excludes_invalid_and_guards_degenerate(spark):
+    """NULL / wrong-length embeddings are excluded from the projection
+    (as from the covariance they were fitted on); whitening a
+    rank-deficient corpus raises instead of emitting 1/sqrt(~0)."""
+    from modis_aggregation_spark.operators.similarity import (
+        embedding_covariance,
+        pca_basis,
+        pca_project,
+    )
+
+    good = [(i, [float(i % 3 + j) for j in range(4)]) for i in range(12)]
+    bad = [(100, None), (101, [1.0, 2.0])]
+    df = spark.createDataFrame(good + bad, ["vec_id", "embedding"])
+    cov = embedding_covariance(df, "embedding", dim=4)
+    wq, offs, _ = pca_basis(cov, dim=4, k=2, whiten=False)
+    out = pca_project(df, wq, offs, "embedding", "vec_id")
+    assert sorted(r["vec_id"] for r in out.collect()) == list(range(12))
+    # rank is 1 (rows are i%3 + const ramp): whitening k=2 must raise
+    with pytest.raises(ValueError, match="degenerate"):
+        pca_basis(cov, dim=4, k=2, whiten=True)
+
+
 def test_embedding_covariance_exact_and_layout_invariant(spark):
     """x100: the integer sums must equal an exact numpy reference and be
     IDENTICAL under 1/7/32-partition layouts (rule 3b by construction —

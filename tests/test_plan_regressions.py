@@ -744,6 +744,62 @@ def test_x93_day2_only_batch_reshingled(spark):
     assert "CartesianProduct" not in physical
 
 
+def test_index_update_shuffle_delete_no_index_exchange(spark, tmp_path):
+    """minhash_index_update(broadcast_delete=False) over an id-bucketed
+    sigs table (round 10 — the SCALING.md "past ~100M ids/day" path):
+    the delete becomes a shuffle anti-join, but the index side STILL
+    never exchanges — the bucketed scan satisfies the join's required
+    distribution, and only the batch-sized survivor ids shuffle (to the
+    bucket count).  Result parity with the broadcast path included."""
+    from modis_aggregation_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i} " * 3) for i in range(16)],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(docs.filter("doc_id % 2 = 0"))
+    D.minhash_index_write(sigs, "t_updb", str(tmp_path / "idx"), buckets=4)
+    srv = D.minhash_signatures(docs.filter("doc_id % 4 = 1")).localCheckpoint()
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s_t, _, _ = D.minhash_index_read(
+            spark, "t_updb", str(tmp_path / "idx"), buckets=4
+        )
+        upd = D.minhash_index_update(s_t, srv, broadcast_delete=False)
+        root = upd._jdf.queryExecution().executedPlan()
+
+        def walk(n):
+            yield n
+            ch = n.children()
+            for i in range(ch.size()):
+                yield from walk(ch.apply(i))
+
+        n_shuffles = 0
+        for n in walk(root):
+            cls = n.getClass().getSimpleName()
+            if cls == "ShuffleExchangeExec":
+                n_shuffles += 1
+                # the shuffled subtree must NOT contain the index scan
+                assert not any(
+                    m.getClass().getSimpleName() == "FileSourceScanExec"
+                    and "t_updb" in m.simpleString(120)
+                    for m in walk(n)
+                ), n.simpleString(200)
+        assert n_shuffles == 1  # the survivor-id side, nothing else
+        bcast = D.minhash_index_update(s_t, srv, broadcast_delete=True)
+        assert sorted(r["id"] for r in upd.collect()) == sorted(
+            r["id"] for r in bcast.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        for t in ("t_updb_sigs", "t_updb_bands", "t_updb_bandcounts"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_x102_bucketed_index_no_index_exchange(spark):
     """The band-key-bucketed index layout (round 10 — SCALING.md's
     stated 100 TB answer for incremental LSH): with the 3-table
@@ -809,7 +865,21 @@ def test_x102_bucketed_index_no_index_exchange(spark):
             assert not moves_raw_index_rows(n), n.simpleString(200)
 
 
-def test_x8_embedding_pairs_single_signature_pass(spark):
+def test_x103_pca_projection_map_only(spark):
+    """The PCA apply pass (round 10) must be scan -> project: the k x d
+    quantized weight matrix enters as plan literals, so there is NO
+    exchange, NO Python evaluation, NO broadcast and exactly one
+    embeddings scan in the returned frame (the covariance fit collected
+    its grid eagerly at query-construction time — a separate, finished
+    job)."""
+    df = entry.queries()["x103_pca_project"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython
+    assert "Broadcast" not in plan
+    assert plan.count("FileScan") == 1
+    assert "Generate" in plan  # the literal-length posexplode to long form
     """The LSH signature stage (a Python pass over the corpus) must run
     ONCE — round 9 replaced the banded self-join (two scans) with an
     in-bucket pair explosion — and the exact-cosine verify must be the

@@ -1367,6 +1367,96 @@ def x9_centroid_golden() -> pa.Table:
     )
 
 
+def x103_pca_basis_golden() -> pa.Table:
+    """Independently-computed PCA/whitening basis per embeddings corpus
+    (round 10, the x103 oracle's literal projection matrix): DuckDB
+    quantizes and integer-sums the covariance statistics exactly as the
+    x100 oracle does (proven equal to the Spark pipeline by x100's
+    record), arbitrary-precision Python/numpy assembles the covariance
+    and eigendecomposes it, and the top-k whitened axes are quantized
+    to int64 — the same 1e-6 model quantization `pca_basis` applies, so
+    sub-1e-9 eigensolver jitter cannot diverge the two.  The honest
+    scope: the EIGENSOLVER is numpy on both sides (a d x d dense eig is
+    driver-side math, not engine work); what the oracle independently
+    verifies is the covariance pipeline, the quantized model, and the
+    distributed map-only projection.  Keyed by corpus_key = DuckDB
+    bit_xor(hash(vec_id, embedding)) (the x9/x75 convention)."""
+    dim, k, quant = 64, 8, 10**6
+    cols: dict[str, list] = {
+        "corpus_key": [], "comp": [], "j": [],
+        "wq": [], "offset_c": [], "eigval": [],
+    }
+    for sf in SF_DIRS:
+        p = os.path.join(sf, "embeddings.parquet")
+        key = duckdb.sql(
+            "SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) "
+            f"FROM read_parquet('{p}')"
+        ).fetchone()[0]
+        grid = duckdb.sql(
+            f"""
+            WITH q AS (
+              SELECT list_transform(embedding::DOUBLE[],
+                                    v -> CAST(round(v * 1000000.0) AS BIGINT)) AS qv
+              FROM read_parquet('{p}')
+              WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+            ), pr AS (
+              SELECT ii.i - 1 AS i, jj.j - 1 AS j, qv[ii.i] AS x, qv[jj.j] AS y
+              FROM q
+              CROSS JOIN LATERAL unnest(generate_series(1, {dim})) AS ii(i)
+              CROSS JOIN LATERAL unnest(generate_series(1, {dim})) AS jj(j)
+              WHERE jj.j >= ii.i
+            )
+            SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM pr GROUP BY 1, 2
+            """
+        ).fetchall()
+        n = None
+        m = np.zeros((dim, dim), dtype=np.float64)
+        sx = [0] * dim
+        for i, j, nn, sxi, syj, sxy in grid:
+            # mirror the Spark/x100 float order exactly:
+            # ((sxy - sx*sy/n)/n)/quant^2 with each operand cast first
+            cov = (
+                (float(sxy) - float(sxi) * float(syj) / float(nn))
+                / float(nn)
+            ) / float(quant * quant)
+            m[i][j] = m[j][i] = cov
+            if i == j:
+                sx[i] = int(sxi)
+            n = int(nn)
+        evals, evecs = np.linalg.eigh(m)
+        for c in range(k):
+            idx = dim - 1 - c  # descending eigenvalue
+            lam = float(evals[idx])
+            v = evecs[:, idx].copy()
+            if v[int(np.argmax(np.abs(v)))] < 0:
+                v = -v
+            v = v / math.sqrt(lam)  # whiten (x103 fits whiten=True)
+            wq = np.round(v * quant).astype(np.int64)
+            b = sum(int(wq[j]) * sx[j] for j in range(dim))
+            off = b / (n * quant * quant)
+            for j in range(dim):
+                cols["corpus_key"].append(int(key))
+                cols["comp"].append(c)
+                cols["j"].append(j)
+                cols["wq"].append(int(wq[j]))
+                cols["offset_c"].append(off)
+                cols["eigval"].append(lam)
+    return pa.table(
+        {
+            "corpus_key": pa.array(cols["corpus_key"], pa.uint64()),
+            "comp": pa.array(cols["comp"], pa.int32()),
+            "j": pa.array(cols["j"], pa.int32()),
+            "wq": pa.array(cols["wq"], pa.int64()),
+            "offset_c": pa.array(cols["offset_c"], pa.float64()),
+            "eigval": pa.array(cols["eigval"], pa.float64()),
+        }
+    )
+
+
 def x56_codebook_golden() -> pa.Table:
     """Fit the x56 PQ codebooks per sf dir (m=8, k=16, iters=10, seed=5 on
     the vec_id-ordered 2000-row sample — exactly what _q_x56_pq_codes fits
@@ -1480,6 +1570,9 @@ def main() -> None:
     x91 = x91_wordpiece_encode_golden()
     pq.write_table(x91, os.path.join(OUT_DIR, "x91_wordpiece_encode.parquet"))
     print(f"x91_wordpiece_encode.parquet: {x91.num_rows} rows")
+    x103 = x103_pca_basis_golden()
+    pq.write_table(x103, os.path.join(OUT_DIR, "x103_pca_basis.parquet"))
+    print(f"x103_pca_basis.parquet: {x103.num_rows} rows")
 
 
 
