@@ -5906,6 +5906,90 @@ FROM a
 """
 
 
+def _q_x104_ivf_partition_pruned(spark, sf_dir):
+    """IVF top-k over the MATERIALIZED partitioned index
+    (operators/similarity.py:ivf_build + ivf_topk_indexed — round 10):
+    the x9 pipeline's physical half.  The index artifact is the corpus
+    written ``partitionBy(list_id)`` (the x60/x92 content-keyed /tmp
+    pattern); the query batch's union of probe lists is pushed into
+    the scan as a STATIC ``list_id IN (...)`` partition filter, so
+    only the probed directories are read — scan-level I/O pruning,
+    plan-locked (test_x104_ivf_scan_partition_pruned).  nprobe=3
+    (vs x9's 2) so the two queries' answers differ.  Oracle: the x9
+    DuckDB reimplementation (assignment argmin, probe selection,
+    per-list scoring, ranking from the committed centroid golden)
+    at rn <= 3 — the partitioned layout must be answer-invariant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ops_sim.kmeans_centroids(
+        emb, nlist=8, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    tag = _corpus_tag(sf_dir, "embeddings")
+    path = f"/tmp/spark_graft_x104_ivf_{tag}"
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        ops_sim.ivf_build(emb, cents, tmp)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            # concurrent creator won; content is identical
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ops_sim.ivf_topk_indexed(
+        spark, path, queries, cents, k=10, nprobe=3
+    )
+
+
+_SQL_X104 = """
+WITH cent AS (
+  SELECT list_id, list(val ORDER BY pos) AS c
+  FROM read_parquet('/root/repo/goldens/x9_centroids.parquet')
+  WHERE corpus_key = (
+    SELECT bit_xor(hash(vec_id, embedding::DOUBLE[]::VARCHAR)) FROM embeddings
+  )
+  GROUP BY list_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+asgn AS (
+  SELECT vec_id, emb, list_id FROM (
+    SELECT e.vec_id, e.emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.emb, cent.c), cent.list_id
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT query_id, qe, list_id FROM (
+    SELECT q.query_id, q.qe, cent.list_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(q.qe, cent.c), cent.list_id
+           ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(a.emb, p.qe) AS cos
+  FROM probe p JOIN asgn a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
 def _q_x101_leakfree_split(spark, sf_dir):
     """Contamination-aware train/val/test split
     (operators/curation.py:leakfree_split): near-duplicate CLUSTERS from
@@ -9476,6 +9560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round 10 (never driver-recorded) ------------------------------
         "x102_bucketed_index": _q_x102_bucketed_index,
         "x103_pca_project": _q_x103_pca_project,
+        "x104_ivf_partition_pruned": _q_x104_ivf_partition_pruned,
         # -- last driver-recorded in round 6 -----------------------------------
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
@@ -9683,6 +9768,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
+        "x104_ivf_partition_pruned": _SQL_X104,
         "x95_cms_sketch": _SQL_X95,
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),

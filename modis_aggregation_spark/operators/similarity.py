@@ -790,6 +790,34 @@ def ivf_build(
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
 
 
+def _probe_lists(qa: DataFrame, centroids: np.ndarray, nprobe: int) -> DataFrame:
+    """(query_id, __qe, list_id) — each query exploded to its ``nprobe``
+    nearest centroid lists, computed JVM-side (centroids ride as literal
+    arrays — fine at typical nlist <= a few hundred; beyond that,
+    broadcast a centroid DataFrame instead).  Ties on distance break by
+    list_id via the lexicographic struct sort, matching the oracles'
+    ORDER BY (distance, list_id)."""
+    probes = []
+    for ci, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(F.col("__qe"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probes.append(F.struct(d.alias("d"), F.lit(ci).alias("list_id")))
+    return (
+        qa.withColumn(
+            "__probe", F.slice(F.array_sort(F.array(*probes)), 1, nprobe)
+        )
+        .select(
+            "query_id", "__qe",
+            F.explode_outer("__probe.list_id").alias("list_id"),
+        )
+        .filter(F.col("list_id").isNotNull())
+    )
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     queries: DataFrame,
@@ -808,26 +836,7 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).cast("array<double>").alias("__qe"),
     )
-    # probe set per query: nprobe nearest centroids, computed JVM-side
-    # (centroids ride as literal arrays — fine at typical nlist ≤ a few
-    # hundred; beyond that, broadcast a centroid DataFrame instead)
-    probes = []
-    for ci, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in cent])
-        d = F.aggregate(
-            F.zip_with(F.col("__qe"), lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        probes.append(F.struct(d.alias("d"), F.lit(ci).alias("list_id")))
-    qp = (
-        qa.withColumn("__probe", F.slice(F.array_sort(F.array(*probes)), 1, nprobe))
-        .select(
-            "query_id", "__qe",
-            F.explode_outer("__probe.list_id").alias("list_id"),
-        )
-        .filter(F.col("list_id").isNotNull())
-    )
+    qp = _probe_lists(qa, centroids, nprobe)
     c = corpus_assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).cast("array<double>").alias("__ce"),
@@ -852,6 +861,53 @@ def ivf_topk(
             (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
             "rank",
         )
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``ivf_topk`` over a MATERIALIZED ``ivf_build`` index with the
+    probe set applied as a STATIC partition filter — the physical half
+    of the IVF promise: the query batch's union of probe lists (a
+    model-sized set — at most nprobe x |queries| ints, <= nlist after
+    dedup) is collected driver-side and pushed into the scan as
+    ``list_id IN (...)``, so only the probed directories are READ.
+    At 100 TB this is the difference between scanning the whole corpus
+    and scanning nprobe/nlist of it BEFORE any compute — partition
+    pruning, not a post-scan filter (plan lock:
+    tests/test_plan_regressions.py::test_x104_ivf_scan_partition_pruned
+    asserts PartitionFilters on the index scan).  Per-query probe
+    restriction (a query only scores ITS OWN probe lists, not the
+    batch union) still applies inside via the broadcast probe join —
+    results are identical to ``ivf_topk`` over the full assigned
+    corpus.  The probe-selection job runs on the (tiny) query batch
+    twice — once for the collect, once inside the join — which is
+    noise next to the corpus scan it prunes."""
+    qa = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("__qe"),
+    )
+    ids = sorted(
+        r["list_id"]
+        for r in _probe_lists(qa, centroids, nprobe)
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    corpus = spark.read.parquet(index_path).filter(
+        F.col("list_id").isin([int(i) for i in ids])
+    )
+    return ivf_topk(
+        corpus, queries, centroids, k, nprobe, emb_col, id_col, query_id_col
     )
 
 

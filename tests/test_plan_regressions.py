@@ -800,6 +800,54 @@ def test_index_update_shuffle_delete_no_index_exchange(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_x104_ivf_scan_partition_pruned(spark):
+    """The materialized-IVF query path (round 10): the probe set must
+    reach the index scan as a STATIC partition filter — the corpus
+    FileScan reads only the probed list_id directories (I/O pruning,
+    the physical point of IVF), never scan-everything-filter-later."""
+    df = entry.queries()["x104_ivf_partition_pruned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "spark_graft_x104_ivf" in l
+    ]
+    assert len(scan) == 1, plan[:2000]
+    pf = scan[0].split("PartitionFilters: [")[1].split("]")[0]
+    assert "list_id" in pf and " IN " in pf, pf
+    assert df.count() == 80
+
+
+def test_ivf_topk_indexed_prunes_to_probe_union(spark, tmp_path):
+    """With a single query at nprobe=2 the static IN-set is exactly the
+    query's two probe lists — the scan's partition filter must name 2
+    list ids, and results must equal ivf_topk over the full assigned
+    corpus."""
+    import re
+
+    from modis_aggregation_spark.operators import similarity as S
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.kmeans_centroids(
+        df, nlist=8, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    path = str(tmp_path / "ivf")
+    S.ivf_build(df, cents, path)
+    q1 = df.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    out = S.ivf_topk_indexed(spark, path, q1, cents, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        l for l in plan.splitlines() if "FileScan" in l and "/ivf" in l
+    ][0]
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    in_ids = re.search(r"list_id#\d+ IN \(([^)]*)\)", pf)
+    assert in_ids, pf
+    assert len(in_ids.group(1).split(",")) == 2, pf
+    full = S.ivf_topk(S.ivf_assign(df, cents), q1, cents, k=5, nprobe=2)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_x102_bucketed_index_no_index_exchange(spark):
     """The band-key-bucketed index layout (round 10 — SCALING.md's
     stated 100 TB answer for incremental LSH): with the 3-table
