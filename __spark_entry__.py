@@ -7696,6 +7696,291 @@ GROUP BY l_returnflag
 """
 
 
+def _q_r54_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the canonical single-table
+    filter-aggregate — shipdate year window, discount band, quantity
+    cap, one global sum.  Cents-staged exact (the r2 pattern): the
+    discount-band predicate compares INTEGER cents (between 5 and 7),
+    immune to the 0.05/0.07 double representation, and the revenue sum
+    is exact int arithmetic descaled once.  Completes the TPC-H battery
+    to all 22 (r54-r58 close the q2/q6/q9/q11/q20 gaps; q2/q9/q11/q20
+    are '-shaped': the testdata schema has no partsupp table, so the
+    part-supplier relationship derives from lineitem, the r47/q16
+    convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_c = _cents(F.col("l_discount"))
+    rev_s = _cents(F.col("l_extendedprice")) * disc_c
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(disc_c.between(5, 7))
+        .agg(
+            _r6(
+                F.sum(rev_s.cast("decimal(38,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_R54 = """
+SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 10000.0, 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_quantity < 24
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+def _q_r55_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-shaped (product-type profit by nation and year): the
+    5-way star join (lineitem↔part↔supplier↔nation↔orders) with a
+    part-name LIKE filter, year extraction from the ORDER date, and a
+    two-term profit expression.  No partsupp in the schema, so the cost
+    term substitutes p_retailprice·quantity for supplycost·quantity —
+    same shape, same join graph.  Exact cents staging at matched 1e4
+    scale: price_c·(100−disc_c) − retail_c·qty·100."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%ge%"))
+    amount_s = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    ) - _cents(F.col("p_retailprice")) * F.col("l_quantity").cast("long") * 100
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            _r6(
+                F.sum(amount_s.cast("decimal(38,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias("sum_profit")
+        )
+    )
+
+
+_SQL_R55 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                      - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) * 100)
+                  AS DOUBLE) / 10000.0, 6) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%ge%'
+GROUP BY 1, 2
+"""
+
+
+def _q_r56_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-shaped (minimum-cost supplier): for every small part,
+    the supplier(s) achieving the MINIMUM observed unit cost — the
+    correlated-min pattern (a per-part window min standing in for Q2's
+    correlated subquery), decorated with the supplier/nation/region
+    dimensions and a region restriction.  The part-supplier 'catalog'
+    derives from lineitem (min extendedprice cents per (part, supp) —
+    no partsupp table); all comparisons are exact integer cents, so
+    min/equality never touch float parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    supply = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(_cents(F.col("l_extendedprice"))).alias("cost_c"))
+    )
+    w = Window.partitionBy("partkey")
+    best = (
+        supply.withColumn("min_c", F.min("cost_c").over(w))
+        .filter(F.col("cost_c") == F.col("min_c"))
+        .drop("min_c")
+    )
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        best.join(
+            _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .join(_t(spark, sf_dir, "supplier"), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            (F.round(F.col("s_acctbal"), 6) + F.lit(0.0)).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            (F.col("cost_c").cast("double") / F.lit(100.0)).alias("min_cost"),
+        )
+    )
+
+
+_SQL_R56 = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT partkey, suppkey, cost_c FROM (
+    SELECT partkey, suppkey, cost_c,
+           min(cost_c) OVER (PARTITION BY partkey) AS min_c
+    FROM supply
+  ) WHERE cost_c = min_c
+)
+SELECT round(s_acctbal, 6) + 0.0 AS s_acctbal, s_name, n_name AS nation,
+       p_partkey, p_brand,
+       CAST(cost_c AS DOUBLE) / 100.0 AS min_cost
+FROM best
+JOIN part ON partkey = p_partkey AND p_size <= 15
+JOIN supplier ON suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+"""
+
+
+def _q_r57_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-shaped (important stock identification): per-part value
+    held by one nation's suppliers, kept where the part's value exceeds
+    a fixed fraction of the nation's TOTAL — the scalar-subquery-
+    threshold pattern.  Value derives from lineitem (price·qty cents —
+    no partsupp); the fraction test is pure INTEGER arithmetic
+    (value·1000 > total), so the threshold can never flip on a float
+    ulp between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (
+                    _cents(F.col("l_extendedprice"))
+                    * F.col("l_quantity").cast("long")
+                ).cast("decimal(38,0)")
+            ).alias("value_c")
+        )
+    )
+    total = vals.agg(F.sum("value_c").alias("total_c"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select(
+            "partkey",
+            _r6(F.col("value_c").cast("double") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+_SQL_R57 = """
+WITH nat AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+),
+vals AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS value_c
+  FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT partkey, round(CAST(value_c AS DOUBLE) / 100.0, 6) AS value
+FROM vals
+WHERE value_c * 1000 > (SELECT sum(value_c) FROM vals)
+"""
+
+
+def _q_r58_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-shaped (potential part promotion): suppliers in one
+    REGION who shipped more than a threshold quantity of name-matched
+    parts inside a date window — Q20's nested-IN chain (parts by name →
+    lineitem aggregation HAVING → supplier semi-join) with the
+    availqty/2 comparison reshaped to an exact integer threshold over
+    lineitem (no partsupp).  Spark side: two LEFT SEMI joins; the
+    qualifying-supplier set is the HAVING aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ge%"))
+        .select("p_partkey")
+    )
+    qual = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 1200)
+        .select("l_suppkey")
+    )
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+_SQL_R58 = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ge%')
+    AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 1200
+)
+"""
+
+
 def _q_r38_window_navigation(spark, sf_dir):
     """Window navigation-function battery per user event stream: lag /
     lead / first_value / last_value / nth_value (explicit full frame on
@@ -9561,6 +9846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x102_bucketed_index": _q_x102_bucketed_index,
         "x103_pca_project": _q_x103_pca_project,
         "x104_ivf_partition_pruned": _q_x104_ivf_partition_pruned,
+        "r54_tpch_q6": _q_r54_tpch_q6,
+        "r55_tpch_q9": _q_r55_tpch_q9,
+        "r56_tpch_q2": _q_r56_tpch_q2,
+        "r57_tpch_q11": _q_r57_tpch_q11,
+        "r58_tpch_q20": _q_r58_tpch_q20,
         # -- last driver-recorded in round 6 -----------------------------------
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
@@ -9769,6 +10059,11 @@ def oracle_sql() -> dict[str, str]:
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
         "x104_ivf_partition_pruned": _SQL_X104,
+        "r54_tpch_q6": _SQL_R54,
+        "r55_tpch_q9": _SQL_R55,
+        "r56_tpch_q2": _SQL_R56,
+        "r57_tpch_q11": _SQL_R57,
+        "r58_tpch_q20": _SQL_R58,
         "x95_cms_sketch": _SQL_X95,
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),
