@@ -6465,6 +6465,137 @@ WHERE g.is_new
 """
 
 
+def _q_x105_index_generations(spark, sf_dir):
+    """Generation-APPEND index maintenance
+    (operators/dedup.py:minhash_index_append/minhash_index_latest —
+    round 10): the zero-rewrite daily path SCALING.md promises next to
+    x93's full-rewrite compaction.  gen=0 seeds the index with
+    doc_id%4==3 signatures; gen=1 appends the %4==2 batch; gen=2
+    appends CORRECTED signatures for %8==2 docs (re-signed with the
+    NEXT doc's text — a content fix of an already-indexed id, the
+    last-writer-wins case: only the newest generation's signature may
+    count).  The %4==0 batch then dedupes incrementally against the
+    generation-merged index.  Every append writes only its batch;
+    nothing is rewritten.  Oracle: the x92-family DuckDB re-derivation
+    from the x5 XXH64 goldens, with the index text resolved per id by
+    the same correction rule (LEFT JOIN on doc_id+1) — a wrong LWW
+    resolution (stale gen=1 signature surviving) diverges the
+    candidate set and fails the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    tag = _corpus_tag(sf_dir)
+    path = f"/tmp/spark_graft_x105_gens_{tag}"
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        base = ops_dedup.minhash_signatures(
+            docs.filter(m >= 2), "text", "doc_id"
+        ).localCheckpoint()
+        ops_dedup.minhash_index_append(
+            base.filter(F.col("id") % 4 == 3), tmp, 0
+        )
+        ops_dedup.minhash_index_append(
+            base.filter(F.col("id") % 4 == 2), tmp, 1
+        )
+        corrected_src = (
+            docs.alias("a")
+            .filter((m == 2) & (F.col("doc_id") % 8 == 2))
+            .join(
+                docs.alias("b"),
+                F.col("b.doc_id") == F.col("a.doc_id") + 1,
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.text").alias("text"),
+            )
+        )
+        ops_dedup.minhash_index_append(
+            ops_dedup.minhash_signatures(corrected_src, "text", "doc_id"),
+            tmp,
+            2,
+        )
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            # concurrent creator won; content is identical
+    idx = ops_dedup.minhash_index_latest(spark, path)
+    batch = docs.filter(m == 0)
+    out = ops_dedup.minhash_lsh_incremental(
+        batch, idx, "text", "doc_id", threshold=0.5
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_index_dups",
+        "n_batch_prior_dups",
+        "keep",
+    )
+
+
+_SQL_X105 = """
+WITH d AS (
+  SELECT doc_id, text, (doc_id % 4) AS m FROM documents
+),
+idx AS (
+  SELECT a.doc_id AS id,
+         CASE WHEN a.m = 2 AND a.doc_id % 8 = 2 AND b.text IS NOT NULL
+              THEN b.text ELSE a.text END AS text,
+         FALSE AS is_new
+  FROM d a LEFT JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.m >= 2
+),
+newb AS (SELECT doc_id AS id, text, TRUE AS is_new FROM d WHERE m = 0),
+u AS (SELECT * FROM idx UNION ALL SELECT * FROM newb),
+g AS (
+  SELECT u.id, u.is_new, gold.sh, gold.bands
+  FROM u
+  JOIN read_parquet('/root/repo/goldens/x5_minhash.parquet') gold
+    ON gold.sha256 = sha256(u.text)
+),
+banded AS (
+  SELECT id, is_new, generate_subscripts(bands, 1) - 1 AS band,
+         unnest(bands) AS key
+  FROM g
+),
+ok_buckets AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.id AS nid, b.id AS pid, b.is_new AS partner_new
+  FROM banded a
+  JOIN ok_buckets ob ON a.band = ob.band AND a.key = ob.key
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+  WHERE a.is_new AND (NOT b.is_new OR b.id < a.id)
+),
+verified AS (
+  SELECT c.nid, c.partner_new,
+         len(list_intersect(ga.sh, gb.sh)) AS inter,
+         len(ga.sh) AS la, len(gb.sh) AS lb
+  FROM cand c
+  JOIN g ga ON ga.id = c.nid
+  JOIN g gb ON gb.id = c.pid
+),
+agg AS (
+  SELECT nid,
+         CAST(sum(CASE WHEN NOT partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_index,
+         CAST(sum(CASE WHEN partner_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prior
+  FROM verified
+  WHERE inter / nullif(la + lb - inter, 0) >= 0.5
+  GROUP BY nid
+)
+SELECT g.id AS doc_id,
+       coalesce(a.n_index, 0) AS n_index_dups,
+       coalesce(a.n_prior, 0) AS n_batch_prior_dups,
+       (coalesce(a.n_index, 0) = 0 AND coalesce(a.n_prior, 0) = 0) AS keep
+FROM g
+LEFT JOIN agg a ON a.nid = g.id
+WHERE g.is_new
+"""
+
+
 def _ensure_s11_fixture(spark, sf_dir) -> tuple[str, str]:
     """Materialize the documents table as two REAL archives — a zip (even
     doc_ids) and a tar (odd) with one ``doc_<id>.txt`` member each — so
@@ -9851,6 +9982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r56_tpch_q2": _q_r56_tpch_q2,
         "r57_tpch_q11": _q_r57_tpch_q11,
         "r58_tpch_q20": _q_r58_tpch_q20,
+        "x105_index_generations": _q_x105_index_generations,
         # -- last driver-recorded in round 6 -----------------------------------
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
@@ -10064,6 +10196,7 @@ def oracle_sql() -> dict[str, str]:
         "r56_tpch_q2": _SQL_R56,
         "r57_tpch_q11": _SQL_R57,
         "r58_tpch_q20": _SQL_R58,
+        "x105_index_generations": _SQL_X105,
         "x95_cms_sketch": _SQL_X95,
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),

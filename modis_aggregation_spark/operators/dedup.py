@@ -564,6 +564,51 @@ def minhash_index_update(
     ).unionByName(surv)
 
 
+def minhash_index_append(
+    signatures: DataFrame, path: str, generation: int
+) -> None:
+    """Append a batch's signatures as a new GENERATION of the index —
+    the zero-rewrite daily maintenance (SCALING.md: "zero rewrite at
+    all if the index is stored as id-bucketed files and the update
+    appends a new bucket generation; compact weekly").  Where
+    ``minhash_index_update`` rewrites the whole artifact every day
+    (streaming the full (k·|sh|+256) B/doc index through the
+    compaction), this writes ONLY the day's batch: signatures land
+    under ``path/gen=<generation>/`` and existing generations are
+    never touched.  A re-ingested id simply appears again in a newer
+    generation — ``minhash_index_latest`` resolves last-writer-wins
+    at read time.  The trade is read amplification: every read pays
+    one window shuffle over (id, gen) until the weekly
+    ``minhash_index_write`` compaction folds the generations back
+    into the bucketed layout."""
+    (
+        signatures.select("id", "sh", "sig")
+        .withColumn("gen", F.lit(int(generation)))
+        .write.mode("append")
+        .partitionBy("gen")
+        .parquet(path)
+    )
+
+
+def minhash_index_latest(spark: "SparkSession", path: str) -> DataFrame:
+    """(id, sh, sig) — the LATEST-generation row per id from a
+    ``minhash_index_append`` artifact (last-writer-wins: the newest
+    ``gen`` partition owning an id defines its signature; a replayed
+    append of the same generation is harmless — equal-gen duplicates
+    carry identical content by construction).  One window shuffle on
+    id; no text, no hash expressions (the x93 invariant — signatures
+    are data here, never recomputed).  Feed the result to
+    ``minhash_lsh_incremental`` / ``minhash_index_write`` exactly like
+    any signatures frame."""
+    df = spark.read.parquet(path)
+    w = Window.partitionBy("id").orderBy(F.col("gen").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "sh", "sig")
+    )
+
+
 def minhash_index_write(
     index_signatures: DataFrame,
     name: str,

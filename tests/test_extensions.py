@@ -1253,6 +1253,42 @@ def test_minhash_bucketed_index_roundtrip_parity(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_minhash_index_generations_lww(spark, tmp_path):
+    """minhash_index_append / minhash_index_latest (round 10): appends
+    write only their batch as a new gen partition; the read resolves
+    last-writer-wins per id (the NEWEST generation owning an id defines
+    its signature); replaying an append is harmless."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i} " * 3) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(docs, "text", "doc_id").localCheckpoint()
+    path = str(tmp_path / "gens")
+    D.minhash_index_append(sigs.filter("id < 4"), path, 0)
+    D.minhash_index_append(sigs.filter("id >= 4"), path, 1)
+    # correction: id 2 re-signed with doc 5's text in gen 2
+    fixed = D.minhash_signatures(
+        docs.filter("doc_id = 5").select(
+            F.lit(2).cast("long").alias("doc_id"), "text"
+        ),
+        "text",
+        "doc_id",
+    )
+    D.minhash_index_append(fixed, path, 2)
+    latest = {r["id"]: tuple(r["sig"]) for r in
+              D.minhash_index_latest(spark, path).collect()}
+    want = {r["id"]: tuple(r["sig"]) for r in sigs.collect()}
+    assert set(latest) == set(range(8))  # one row per id
+    assert latest[2] == want[5]          # LWW: the gen-2 correction wins
+    for i in (0, 1, 3, 4, 5, 6, 7):
+        assert latest[i] == want[i]
+    # replay: re-appending gen 2 duplicates rows with identical content
+    D.minhash_index_append(fixed, path, 2)
+    again = {r["id"]: tuple(r["sig"]) for r in
+             D.minhash_index_latest(spark, path).collect()}
+    assert again == latest
+
+
 def test_minhash_incremental_validation(spark):
     sigs = D.minhash_signatures(_docs(spark), "text", "doc_id")
     with pytest.raises(ValueError, match="index_signatures"):

@@ -848,6 +848,29 @@ def test_ivf_topk_indexed_prunes_to_probe_union(spark, tmp_path):
     )
 
 
+def test_index_latest_single_window_shuffle(spark, tmp_path):
+    """minhash_index_latest (round 10): the generation merge must be
+    ONE id-window shuffle over bare (id, sh, sig, gen) parquet — no
+    text column, no hash expression, no join (the x93 invariant:
+    signatures are data at read time, never recomputed)."""
+    from modis_aggregation_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 10) for i in range(6)], ["doc_id", "text"]
+    )
+    sigs = D.minhash_signatures(docs, "text", "doc_id").localCheckpoint()
+    path = str(tmp_path / "gens")
+    D.minhash_index_append(sigs.filter("id % 2 = 0"), path, 0)
+    D.minhash_index_append(sigs.filter("id % 2 = 1"), path, 1)
+    latest = D.minhash_index_latest(spark, path)
+    logical = latest._jdf.queryExecution().optimizedPlan().toString()
+    assert "text#" not in logical and "xxhash" not in logical.lower()
+    assert "Join" not in logical
+    physical = latest._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("Exchange hashpartitioning") == 1  # the window
+    assert "WindowGroupLimit" in physical or "Window" in physical
+
+
 def test_x102_bucketed_index_no_index_exchange(spark):
     """The band-key-bucketed index layout (round 10 — SCALING.md's
     stated 100 TB answer for incremental LSH): with the 3-table
