@@ -1119,6 +1119,150 @@ def run_semdedup_curve(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def run_bucketed_incremental_curve(
+    spark, sf_dir: str, replicate: int, buckets: int = 32
+) -> dict:
+    """Round-10 anchor: the daily incremental dedup against a GROWING
+    index, plain-parquet vs band-key-bucketed layout.  The batch is the
+    1x base corpus both ways; the index is the permuted corpus at
+    ``replicate``x.  The 100 TB claim under test: in bucketed mode the
+    per-day SHUFFLE volume stays ~flat as the index grows (only the
+    batch moves; the index reads bucket-local), while the plain path
+    re-exchanges the index-sized band-key table every day."""
+    import shutil
+    import tempfile
+
+    from modis_aggregation_spark.operators.dedup import (
+        minhash_index_read,
+        minhash_index_write,
+        minhash_lsh_incremental,
+    )
+
+    idx_docs = _permuted_corpus(spark, sf_dir, replicate)
+    batch = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+    n_idx = idx_docs.count()
+    n_batch = batch.count()
+    tmp = tempfile.mkdtemp(prefix="bidx_curve_")
+    name = f"bidx_curve_{replicate}"
+    try:
+        sigs = minhash_signatures(idx_docs, "text", "doc_id")
+        minhash_index_write(sigs, name, tmp, buckets=buckets)
+        s_t, b_t, c_t = minhash_index_read(spark, name, tmp, buckets=buckets)
+        plain = spark.read.parquet(f"{tmp}/sigs")
+
+        sh0 = _shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        n_plain = minhash_lsh_incremental(
+            batch, plain, "text", "doc_id", threshold=0.6
+        ).count()
+        t_plain = time.perf_counter() - t0
+        sh1 = _shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        n_bucketed = minhash_lsh_incremental(
+            batch, s_t, "text", "doc_id", threshold=0.6,
+            index_banded=b_t, index_band_counts=c_t, index_buckets=buckets,
+        ).count()
+        t_bucketed = time.perf_counter() - t0
+        sh2 = _shuffle_write_bytes(spark)
+        assert n_plain == n_bucketed == n_batch
+    finally:
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_bandcounts"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "index_docs": n_idx,
+        "batch_docs": n_batch,
+        "plain_sec": round(t_plain, 2),
+        "plain_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+        "bucketed_sec": round(t_bucketed, 2),
+        "bucketed_shuffle_mb": round((sh2 - sh1) / 1e6, 1),
+    }
+
+
+def run_pca_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Round-10 anchor: covariance fit + map-only projection over the
+    jittered-replica embedding corpus.  Claims: fit shuffle stays flat
+    (d(d+1)/2 keys x tasks, corpus-size-independent) and projection
+    rows/s holds (scan -> codegen project, nothing else)."""
+    from modis_aggregation_spark.operators.similarity import (
+        embedding_covariance,
+        pca_basis,
+        pca_project,
+    )
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    sh0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    cov = embedding_covariance(corpus, "embedding", dim=64)
+    wq, offs, _ = pca_basis(cov, dim=64, k=8, whiten=True)
+    t_fit = time.perf_counter() - t0
+    sh1 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    n_proj = pca_project(corpus, wq, offs, "embedding", "vec_id").count()
+    t_proj = time.perf_counter() - t0
+    sh2 = _shuffle_write_bytes(spark)
+    assert n_proj == n_vecs
+    return {
+        "vectors": n_vecs,
+        "fit_sec": round(t_fit, 2),
+        "fit_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+        "project_sec": round(t_proj, 2),
+        "vecs_per_sec_project": int(n_vecs / t_proj),
+        "project_shuffle_mb": round((sh2 - sh1) / 1e6, 1),
+    }
+
+
+def run_ivf_pruned_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Round-10 anchor: the materialized-IVF probe (static partition
+    pruning) vs the full-corpus assigned scan, same 8 queries.  Claim:
+    as the corpus grows, pruned wall-time tracks the probed FRACTION of
+    the corpus (nprobe/nlist of the scan), not the corpus."""
+    import shutil
+    import tempfile
+
+    from modis_aggregation_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_centroids,
+    )
+
+    corpus = _jittered_embeddings(spark, sf_dir, replicate)
+    n_vecs = corpus.count()
+    cents = kmeans_centroids(
+        corpus, nlist=16, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    queries = corpus.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_curve_")
+    try:
+        ivf_build(corpus, cents, tmp)
+        t0 = time.perf_counter()
+        n_full = ivf_topk(
+            ivf_assign(corpus, cents), queries, cents, k=10, nprobe=2
+        ).count()
+        t_full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_pruned = ivf_topk_indexed(
+            spark, tmp, queries, cents, k=10, nprobe=2
+        ).count()
+        t_pruned = time.perf_counter() - t0
+        assert n_full == n_pruned
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "vectors": n_vecs,
+        "full_sec": round(t_full, 2),
+        "pruned_sec": round(t_pruned, 2),
+        "speedup": round(t_full / t_pruned, 2),
+    }
+
+
 def main() -> None:
     counts = [int(a) for a in sys.argv[1:]] or [4, 16, 32]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
