@@ -5478,6 +5478,142 @@ def _q_s20_stream_minhash(spark, sf_dir):
     return rows_df
 
 
+def _q_s22_stream_bucketed_index(spark, sf_dir):
+    """Stream-static MinHash-LSH dedup with the static side served by
+    the band-key-BUCKETED index ARTIFACT (round 10 — x102's layout
+    consumed from Structured Streaming; s20 is the same join with an
+    in-session index it must re-shingle and persist).  The micro-batch
+    computes each arrival's signature/band keys with the pure-JVM batch
+    expressions, joins the pre-exploded ``_bands`` table (bucket-local
+    read, no index-side shingling anywhere in the stream), caps
+    oversized index buckets straight off the ``_bandcounts`` table
+    (a FILTER on pre-aggregated occupancy — no aggregation in the
+    micro-batch at all), and verifies against ``_sigs``.  Output:
+    verified (doc_id, index_id, jaccard) pairs for the doc_id % 5 == 0
+    arrivals vs the % 5 != 0 index.  availableNow; oracle re-derives
+    the asymmetric banded join from the x5 XXH64 goldens (index-side
+    caps, the s20 convention)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    _ensure_utc(spark)
+    sigs_t, bands_t, counts_t = _x102_bucketed_index(spark, sf_dir)
+    big = counts_t.filter(F.col("n") > 1000).select("band", "key")
+    idx_capped = (
+        bands_t.select(F.col("id").alias("index_id"), "band", "key")
+        .join(F.broadcast(big), ["band", "key"], "left_anti")
+    )
+    idx_sh = sigs_t.select(
+        F.col("id").alias("index_id"), F.col("sh").alias("sh_i")
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    rows_per_band = 32 // 8
+    src_dir = tempfile.mkdtemp(prefix="s22_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s22_ckpt_")
+    name = f"s22_bucketed_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(src, os.path.join(src_dir, "documents.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("doc_id") % 5 == 0)
+            # one file per micro-batch = one input split: spread the
+            # CPU-bound shingle stage (the s20 pattern, rule 10)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "doc_id", ops_dedup.shingle_hashes(F.col("text")).alias("sh")
+            )
+            .withColumn(
+                "sig", ops_dedup.signature_from_hashes(F.col("sh"), 32)
+            )
+            .select(
+                "doc_id",
+                "sh",
+                F.explode(
+                    ops_dedup._band_keys(F.col("sig"), 8, rows_per_band)
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id",
+                "sh",
+                F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"),
+            )
+            .join(idx_capped, ["band", "key"])
+            .join(idx_sh, "index_id")
+            .withColumn(
+                "jaccard", ops_dedup.jaccard(F.col("sh"), F.col("sh_i"))
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .select(
+                "doc_id", "index_id", F.round("jaccard", 6).alias("jaccard")
+            )
+            .dropDuplicates(["doc_id", "index_id"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s22_stream_bucketed_index: stream timeout")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S22 = """
+WITH d AS (
+  SELECT doc_id, text, (doc_id % 5 != 0) AS is_idx FROM documents
+),
+g AS (
+  SELECT d.doc_id AS id, d.is_idx, gold.sh, gold.bands
+  FROM d
+  JOIN read_parquet('/root/repo/goldens/x5_minhash.parquet') gold
+    ON gold.sha256 = sha256(d.text)
+),
+banded AS (
+  SELECT id, is_idx, generate_subscripts(bands, 1) - 1 AS band,
+         unnest(bands) AS key
+  FROM g
+),
+idx_banded AS (SELECT * FROM banded WHERE is_idx),
+ok AS (
+  SELECT band, key FROM idx_banded GROUP BY band, key
+  HAVING count(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT s.id AS doc_id, i.id AS index_id
+  FROM banded s
+  JOIN idx_banded i ON s.band = i.band AND s.key = i.key
+  JOIN ok ON i.band = ok.band AND i.key = ok.key
+  WHERE NOT s.is_idx
+),
+verified AS (
+  SELECT c.doc_id, c.index_id,
+         len(list_intersect(gs.sh, gi.sh)) AS inter,
+         len(gs.sh) AS ls, len(gi.sh) AS li
+  FROM cand c
+  JOIN g gs ON gs.id = c.doc_id
+  JOIN g gi ON gi.id = c.index_id
+)
+SELECT doc_id, index_id,
+       round(inter / nullif(ls + li - inter, 0), 6) AS jaccard
+FROM verified
+WHERE inter / nullif(ls + li - inter, 0) >= 0.5
+"""
+
+
 _SQL_S20 = """
 WITH d AS (
   SELECT doc_id, text, (doc_id < 250) AS is_idx FROM documents
@@ -6349,25 +6485,12 @@ WHERE g.m = 0
 """
 
 
-def _q_x102_bucketed_index(spark, sf_dir):
-    """Incremental MinHash-LSH against the band-key-BUCKETED index
-    layout (operators/dedup.py:minhash_index_write/read — round-9
-    VERDICT item 2: SCALING.md's stated 100 TB answer, "the index's
-    band keys can be bucketed by (band, key) so the daily join skips
-    its exchange", now demonstrated rather than documented).  Index =
-    documents with doc_id % 5 != 0, persisted as THREE external
-    bucketed tables (sigs by id, pre-exploded band keys by (band, key),
-    per-key occupancy counts by (band, key)); the new batch
-    (doc_id % 5 == 0) dedupes via ``minhash_lsh_incremental(
-    index_banded=…, index_band_counts=…)`` so the daily band join, the
-    bucket-cap check AND the shingle fetch are all exchange-free on the
-    index side — no raw index row moves through any shuffle (plan lock:
-    tests/test_plan_regressions.py::test_x102_bucketed_index_no_index_
-    exchange).  Semantics are identical to the plain-parquet x92 path
-    (same union bucket caps, same greedy keep rule); the oracle
-    re-derives everything in SQL from the independent-XXH64 goldens
-    (goldens/x5_minhash.parquet), exactly the x92 oracle with the %5
-    split."""
+def _x102_bucketed_index(spark, sf_dir):
+    """Build-once + attach the band-key-bucketed signature index over
+    the doc_id % 5 != 0 corpus slice (shared by x102's batch dedup and
+    s22's streaming consumer): three external bucketed tables under a
+    content-keyed /tmp base, registered in the session catalog via
+    minhash_index_read's DDL when absent."""
     docs = _t(spark, sf_dir, "documents")
     tag = _corpus_tag(sf_dir)
     base = f"/tmp/spark_graft_x102_idx_{tag}"
@@ -6390,9 +6513,32 @@ def _q_x102_bucketed_index(spark, sf_dir):
 
             shutil.rmtree(tmp, ignore_errors=True)
             # concurrent creator won; content is identical
-    sigs_t, bands_t, counts_t = ops_dedup.minhash_index_read(
+    return ops_dedup.minhash_index_read(
         spark, f"x102_idx_{tag}", base, buckets=8
     )
+
+
+def _q_x102_bucketed_index(spark, sf_dir):
+    """Incremental MinHash-LSH against the band-key-BUCKETED index
+    layout (operators/dedup.py:minhash_index_write/read — round-9
+    VERDICT item 2: SCALING.md's stated 100 TB answer, "the index's
+    band keys can be bucketed by (band, key) so the daily join skips
+    its exchange", now demonstrated rather than documented).  Index =
+    documents with doc_id % 5 != 0, persisted as THREE external
+    bucketed tables (sigs by id, pre-exploded band keys by (band, key),
+    per-key occupancy counts by (band, key)); the new batch
+    (doc_id % 5 == 0) dedupes via ``minhash_lsh_incremental(
+    index_banded=…, index_band_counts=…)`` so the daily band join, the
+    bucket-cap check AND the shingle fetch are all exchange-free on the
+    index side — no raw index row moves through any shuffle (plan lock:
+    tests/test_plan_regressions.py::test_x102_bucketed_index_no_index_
+    exchange).  Semantics are identical to the plain-parquet x92 path
+    (same union bucket caps, same greedy keep rule); the oracle
+    re-derives everything in SQL from the independent-XXH64 goldens
+    (goldens/x5_minhash.parquet), exactly the x92 oracle with the %5
+    split."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs_t, bands_t, counts_t = _x102_bucketed_index(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     out = ops_dedup.minhash_lsh_incremental(
         batch,
@@ -9983,6 +10129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r57_tpch_q11": _q_r57_tpch_q11,
         "r58_tpch_q20": _q_r58_tpch_q20,
         "x105_index_generations": _q_x105_index_generations,
+        "s22_stream_bucketed_index": _q_s22_stream_bucketed_index,
         # -- last driver-recorded in round 6 -----------------------------------
         "s13_stream_anomaly": _q_s13_stream_anomaly,
         "x77_unigram_train": _q_x77_unigram_train,
@@ -10197,6 +10344,7 @@ def oracle_sql() -> dict[str, str]:
         "r57_tpch_q11": _SQL_R57,
         "r58_tpch_q20": _SQL_R58,
         "x105_index_generations": _SQL_X105,
+        "s22_stream_bucketed_index": _SQL_S22,
         "x95_cms_sketch": _SQL_X95,
         "x96_kneser_ney": _SQL_X96,
         "x97_bm25_retrieval": _sql_x97(),
