@@ -1645,6 +1645,31 @@ def test_pca_project_excludes_invalid_and_guards_degenerate(spark):
         pca_basis(cov, dim=4, k=2, whiten=True)
 
 
+def test_pca_basis_layout_invariant(spark):
+    """Rule 3b for the PCA fit: the quantized model (wq ints, offsets)
+    must be IDENTICAL under 1/7/32-partition layouts — the covariance
+    inputs are exact int64 sums, so the eigensolver sees the same
+    matrix bits regardless of shuffle merge order."""
+    from modis_aggregation_spark.operators.similarity import (
+        embedding_covariance,
+        pca_basis,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(90, 5)).astype(np.float64)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(90)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ref = None
+    for parts in (1, 7, 32):
+        cov = embedding_covariance(base.repartition(parts), "embedding", dim=5)
+        wq, offs, eig = pca_basis(cov, dim=5, k=3, whiten=True)
+        got = (wq.tolist(), offs, eig)
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref  # bit-identical model on every layout
+
+
 def test_embedding_covariance_exact_and_layout_invariant(spark):
     """x100: the integer sums must equal an exact numpy reference and be
     IDENTICAL under 1/7/32-partition layouts (rule 3b by construction —
