@@ -10119,58 +10119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
-        # -- NEW round 10 (never driver-recorded) ------------------------------
-        "x102_bucketed_index": _q_x102_bucketed_index,
-        "x103_pca_project": _q_x103_pca_project,
-        "x104_ivf_partition_pruned": _q_x104_ivf_partition_pruned,
-        "r54_tpch_q6": _q_r54_tpch_q6,
-        "r55_tpch_q9": _q_r55_tpch_q9,
-        "r56_tpch_q2": _q_r56_tpch_q2,
-        "r57_tpch_q11": _q_r57_tpch_q11,
-        "r58_tpch_q20": _q_r58_tpch_q20,
-        "x105_index_generations": _q_x105_index_generations,
-        "s22_stream_bucketed_index": _q_s22_stream_bucketed_index,
         # -- last driver-recorded in round 6 -----------------------------------
-        "s13_stream_anomaly": _q_s13_stream_anomaly,
-        "x77_unigram_train": _q_x77_unigram_train,
-        "x78_unigram_encode": _q_x78_unigram_encode,
-        "x79_image_dedup": _q_x79_image_dedup,
-        "x80_audio_dedup": _q_x80_audio_dedup,
-        "x81_media_pipeline": _q_x81_media_pipeline,
-        "s14_stream_upsert": _q_s14_stream_upsert,
-        "x82_corpus_datasheet": _q_x82_corpus_datasheet,
-        "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
-        "s16_hdf4_linked_scan": _q_s16_hdf4_linked_scan,
-        "x83_ivfpq_rerank": _q_x83_ivfpq_rerank,
-        "x84_seeded_shuffle": _q_x84_seeded_shuffle,
-        "x85_length_batches": _q_x85_length_batches,
-        "x86_image_dedup_canonical": _q_x86_image_dedup_canonical,
-        "x87_token_budget": _q_x87_token_budget,
-        "x65_decode_jpeg": _q_x65_decode_jpeg,
-        "x66_ewma_partitioned": _q_x66_ewma_partitioned,
-        "x67_wav_spectrum": _q_x67_wav_spectrum,
-        "x68_mp4_metadata": _q_x68_mp4_metadata,
-        "x69_compression_screen": _q_x69_compression_screen,
-        "x70_bpe_train": _q_x70_bpe_train,
-        "x71_bpe_encode": _q_x71_bpe_encode,
-        "x72_pipeline_e2e": _q_x72_pipeline_e2e,
-        "r48_tpch_q7": _q_r48_tpch_q7,
-        "r49_tpch_q10": _q_r49_tpch_q10,
-        "r50_tpch_q18": _q_r50_tpch_q18,
-        "r51_tpch_q8": _q_r51_tpch_q8,
-        "r52_tpch_q14": _q_r52_tpch_q14,
-        "r53_tpch_q12": _q_r53_tpch_q12,
-        "s2_granule_scan": _q_s2_granule_scan,
-        "x1_exact_dedup": _q_x1_exact_dedup,
-        "x2_text_stats": _q_x2_text_stats,
-        "x3_lang_id": _q_x3_lang_id,
-        "x4_ngram_jaccard": _q_x4_ngram_jaccard,
-        "x5_minhash_pairs": _q_x5_minhash_pairs,
-        "x6_simhash_pairs": _q_x6_simhash_pairs,
-        "x7_cosine_topk": _q_x7_cosine_topk,
-        "m12_finalize": _q_m12_finalize,
-        "m13_monthly_reagg": _q_m13_monthly_reagg,
-        "m14_compare_grids": _q_m14_compare_grids,
         "m15_alt_grid": _q_m15_alt_grid,
         "m16_trim_1km": _q_m16_trim_1km,
         "m17_climatology_anomaly": _q_m17_climatology_anomaly,
@@ -10330,6 +10279,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x73_avi_frames": _q_x73_avi_frames,
         "x74_warc_scan": _q_x74_warc_scan,
         "x76_bloom_screen": _q_x76_bloom_screen,
+        # -- last driver-recorded in round 10 ----------------------------------
+        "x102_bucketed_index": _q_x102_bucketed_index,
+        "x103_pca_project": _q_x103_pca_project,
+        "x104_ivf_partition_pruned": _q_x104_ivf_partition_pruned,
+        "r54_tpch_q6": _q_r54_tpch_q6,
+        "r55_tpch_q9": _q_r55_tpch_q9,
+        "r56_tpch_q2": _q_r56_tpch_q2,
+        "r57_tpch_q11": _q_r57_tpch_q11,
+        "r58_tpch_q20": _q_r58_tpch_q20,
+        "x105_index_generations": _q_x105_index_generations,
+        "s22_stream_bucketed_index": _q_s22_stream_bucketed_index,
+        "s13_stream_anomaly": _q_s13_stream_anomaly,
+        "x77_unigram_train": _q_x77_unigram_train,
+        "x78_unigram_encode": _q_x78_unigram_encode,
+        "x79_image_dedup": _q_x79_image_dedup,
+        "x80_audio_dedup": _q_x80_audio_dedup,
+        "x81_media_pipeline": _q_x81_media_pipeline,
+        "s14_stream_upsert": _q_s14_stream_upsert,
+        "x82_corpus_datasheet": _q_x82_corpus_datasheet,
+        "s15_stream_dedup_ttl": _q_s15_stream_dedup_ttl,
+        "s16_hdf4_linked_scan": _q_s16_hdf4_linked_scan,
+        "x83_ivfpq_rerank": _q_x83_ivfpq_rerank,
+        "x84_seeded_shuffle": _q_x84_seeded_shuffle,
+        "x85_length_batches": _q_x85_length_batches,
+        "x86_image_dedup_canonical": _q_x86_image_dedup_canonical,
+        "x87_token_budget": _q_x87_token_budget,
+        "x65_decode_jpeg": _q_x65_decode_jpeg,
+        "x66_ewma_partitioned": _q_x66_ewma_partitioned,
+        "x67_wav_spectrum": _q_x67_wav_spectrum,
+        "x68_mp4_metadata": _q_x68_mp4_metadata,
+        "x69_compression_screen": _q_x69_compression_screen,
+        "x70_bpe_train": _q_x70_bpe_train,
+        "x71_bpe_encode": _q_x71_bpe_encode,
+        "x72_pipeline_e2e": _q_x72_pipeline_e2e,
+        "r48_tpch_q7": _q_r48_tpch_q7,
+        "r49_tpch_q10": _q_r49_tpch_q10,
+        "r50_tpch_q18": _q_r50_tpch_q18,
+        "r51_tpch_q8": _q_r51_tpch_q8,
+        "r52_tpch_q14": _q_r52_tpch_q14,
+        "r53_tpch_q12": _q_r53_tpch_q12,
+        "s2_granule_scan": _q_s2_granule_scan,
+        "x1_exact_dedup": _q_x1_exact_dedup,
+        "x2_text_stats": _q_x2_text_stats,
+        "x3_lang_id": _q_x3_lang_id,
+        "x4_ngram_jaccard": _q_x4_ngram_jaccard,
+        "x5_minhash_pairs": _q_x5_minhash_pairs,
+        "x6_simhash_pairs": _q_x6_simhash_pairs,
+        "x7_cosine_topk": _q_x7_cosine_topk,
+        "m12_finalize": _q_m12_finalize,
+        "m13_monthly_reagg": _q_m13_monthly_reagg,
+        "m14_compare_grids": _q_m14_compare_grids,
     }
 
 
