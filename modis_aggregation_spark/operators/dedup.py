@@ -354,7 +354,9 @@ def minhash_lsh_incremental(
     day's arrivals (SCALING.md §incremental-LSH).  Both must have
     been derived from the SAME ``index_signatures`` artifact with the
     same ``num_bands`` — the caller owns that consistency
-    (``minhash_index_write`` produces the triple atomically).
+    (``minhash_index_write`` writes the triple in one call, though its
+    three table writes are sequential — see its docstring for the
+    completion-marker semantics).
     ``index_buckets`` (the artifact's bucket count) pre-aligns the
     batch-side count aggregation's partitioning to the index layout;
     without it Spark sees two valid (band, key) partitionings with
@@ -647,6 +649,15 @@ def minhash_index_write(
     Pre-exploding the band keys costs ~3× the (skinny) band rows on
     disk vs deriving them at read time, and buys the daily join's
     exchange — the standard index trade.
+
+    The three table writes are SEQUENTIAL, not atomic.  A one-row
+    ``{path}/meta`` JSON recording (buckets, num_bands, num_hashes) is
+    written LAST and doubles as the completion marker: a failure
+    mid-write leaves no meta, and ``minhash_index_read`` then refuses a
+    declared bucket count it cannot verify rather than silently
+    consuming a half-written triple.  For stronger atomicity against
+    concurrent readers, write to a temp path and rename over ``path``
+    (the pattern the x102 entry code uses).
     """
     rows_per_band = num_hashes // num_bands
     sigs = index_signatures.select("id", "sh", "sig")
@@ -682,6 +693,18 @@ def minhash_index_write(
         .sortBy("band", "key")
         .saveAsTable(f"{name}_bandcounts")
     )
+    # completion marker + layout contract: written LAST so a partial
+    # triple has no meta; the reader validates its declared bucket
+    # count against this instead of trusting the caller blindly
+    (
+        index_signatures.sparkSession.createDataFrame(
+            [(int(buckets), int(num_bands), int(num_hashes))],
+            "buckets INT, num_bands INT, num_hashes INT",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}/meta")
+    )
 
 
 def minhash_index_read(
@@ -693,7 +716,35 @@ def minhash_index_read(
     re-declares them via DDL over the existing files (bucketed file
     names carry their bucket id — the layout on disk IS the contract);
     a session that already has them (the writer, or a prior read)
-    reuses the catalog entries as-is."""
+    reuses the catalog entries as-is.
+
+    The declared ``buckets`` MUST match the count the writer used — a
+    mismatched DDL declaration would make joins that trust the
+    hash-partitioning silently drop or misroute rows.  When the
+    artifact carries a ``{path}/meta`` record (written last by
+    ``minhash_index_write`` — also the completion marker), the
+    declaration is VALIDATED against it and a mismatch raises; a
+    pre-metadata artifact (no ``meta`` directory) is trusted as
+    declared, for compatibility with indexes written before the marker
+    existed."""
+    meta_rows = []
+    try:
+        meta_rows = (
+            spark.read.schema("buckets INT, num_bands INT, num_hashes INT")
+            .json(f"{path}/meta")
+            .collect()
+        )
+    except Exception:
+        pass  # pre-metadata artifact: trust the declared bucket count
+    if meta_rows:
+        written = int(meta_rows[0]["buckets"])
+        if written != int(buckets):
+            raise ValueError(
+                f"minhash_index_read: declared buckets={buckets} but the "
+                f"artifact at {path} was written with buckets={written} "
+                "(from its meta record); joins would silently misroute — "
+                "pass the written count"
+            )
     if not spark.catalog.tableExists(f"{name}_sigs"):
         spark.sql(
             f"CREATE TABLE {name}_sigs "

@@ -992,3 +992,93 @@ def test_x97_bm25_retrieval_broadcast_daat(spark):
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r19_x14_no_unbounded_percentile_buffer(spark):
+    """Round-10 VERDICT "What's wrong" #1: the exact ``percentile()``
+    aggregate buffers a per-group OpenHashMap of DISTINCT VALUES
+    (ObjectHashAggregate / window-aggregate buffer) — over near-unique
+    doubles that is linear in rows-per-group and OOMs a hot group's
+    task at 100×.  r19 and x14 are rewritten onto the two-level
+    order-statistics operator (operators/quantiles.py): the plan must
+    carry NO Percentile aggregate at all — rank selection rides a
+    spillable window sort instead."""
+    for name in ("r19_percentiles", "x14_quality_quantile"):
+        plan = _plan(spark, name)
+        assert "percentile" not in plan.lower(), name
+        assert "ObjectHashAggregate" not in plan, name
+        assert "Window" in plan, name  # the spill-backed sort+rank pass
+
+
+def test_x106_codes_scan_partition_pruned(spark):
+    """IVFPQ over materialized artifacts (round 11): the probe union
+    must reach BOTH index scans as a STATIC partition filter — the PQ
+    codes FileScan (the ADC stage reads only probed directories'
+    compressed bytes) and the full-precision ivf_build FileScan (the
+    re-rank fetch) — never scan-everything-filter-later."""
+    df = entry.queries()["x106_ivfpq_indexed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("spark_graft_x106_pq", "spark_graft_x104_ivf"):
+        scans = [
+            l for l in plan.splitlines()
+            if "FileScan" in l and marker in l
+        ]
+        assert scans, (marker, plan[:2000])
+        for scan in scans:
+            pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+            assert "list_id" in pf and " IN " in pf, (marker, pf)
+    assert df.count() == 80
+
+
+def test_x107_compacted_index_no_index_exchange(spark):
+    """Compaction must hand x107 the same exchange-free join shape the
+    x102 lock pins: all three compacted-index scans bucketed, and no
+    raw index row crossing a shuffle before a join/aggregate boundary
+    (same tree-walk criterion as test_x102_bucketed_index_no_index_
+    exchange, against the COMPACTED artifact)."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = entry.queries()["x107_index_compaction"](spark, SF)
+        root = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def is_index_scan(n):
+        return n.getClass().getSimpleName() == "FileSourceScanExec" and (
+            "x107_idx" in n.simpleString(120)
+        )
+
+    joins = {
+        "SortMergeJoinExec",
+        "BroadcastHashJoinExec",
+        "ShuffledHashJoinExec",
+        "BroadcastNestedLoopJoinExec",
+        "CartesianProductExec",
+    }
+
+    def moves_raw_index_rows(n):
+        cls = n.getClass().getSimpleName()
+        if cls in joins or "Aggregate" in cls:
+            return False  # past a join/agg: rows are candidate-bound
+        if is_index_scan(n):
+            return True
+        ch = n.children()
+        return any(moves_raw_index_rows(ch.apply(i)) for i in range(ch.size()))
+
+    index_scans = [n for n in walk(root) if is_index_scan(n)]
+    assert len(index_scans) == 3, [s.simpleString(80) for s in index_scans]
+    for s in index_scans:
+        assert "Bucketed: true" in s.simpleString(400), s.simpleString(400)
+    for n in walk(root):
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
+            assert not moves_raw_index_rows(n), n.simpleString(200)

@@ -248,3 +248,51 @@ def test_ivfpq_rerank_recall_floor(spark):
     for key, cos in ap.items():
         if key in ex:
             assert round(cos, 6) == pytest.approx(ex[key], abs=2e-6), key
+
+
+def test_ivfpq_indexed_parity_with_in_memory(spark, tmp_path):
+    """ivfpq_topk_indexed (round 11) must return EXACTLY what
+    ivfpq_topk returns over the full in-memory frames — the
+    materialized layout (ivf_build + pq_codes_write, probe union as a
+    static partition filter on both scans) is answer-invariant."""
+    from modis_aggregation_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        kmeans_centroids,
+        pq_assign,
+        pq_codebooks,
+        pq_codes_write,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.normal(0, 5, (6, 16))
+    rows = [
+        (i, (centers[i % 6] + rng.normal(0, 0.4, 16)).tolist())
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = kmeans_centroids(
+        df, nlist=6, sample_rows=240, iters=10, seed=5, order_col="vec_id"
+    )
+    assigned = ivf_assign(df, cents)
+    books = pq_codebooks(df, m=4, k=16, sample_rows=240, seed=5,
+                         order_col="vec_id")
+    codes = pq_assign(df, books).select("vec_id", "sub", "code")
+    ivf_path = str(tmp_path / "ivf")
+    codes_path = str(tmp_path / "pq")
+    ivf_build(df, cents, ivf_path)
+    pq_codes_write(codes, assigned, codes_path)
+    queries = df.filter(F.col("vec_id") < 9).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    mem = ivfpq_topk(
+        assigned, codes, cents, books, queries, k=8, nprobe=2, shortlist=30
+    ).collect()
+    idx = ivfpq_topk_indexed(
+        spark, ivf_path, codes_path, cents, books, queries,
+        k=8, nprobe=2, shortlist=30,
+    ).collect()
+    assert sorted(map(tuple, idx)) == sorted(map(tuple, mem))
+    assert len(mem) > 0

@@ -1120,7 +1120,8 @@ def run_semdedup_curve(spark, sf_dir: str, replicate: int) -> dict:
 
 
 def run_bucketed_incremental_curve(
-    spark, sf_dir: str, replicate: int, buckets: int = 32
+    spark, sf_dir: str, replicate: int, buckets: int = 32,
+    disable_broadcast: bool = False,
 ) -> dict:
     """Round-10 anchor: the daily incremental dedup against a GROWING
     index, plain-parquet vs band-key-bucketed layout.  The batch is the
@@ -1128,7 +1129,14 @@ def run_bucketed_incremental_curve(
     ``replicate``x.  The 100 TB claim under test: in bucketed mode the
     per-day SHUFFLE volume stays ~flat as the index grows (only the
     batch moves; the index reads bucket-local), while the plain path
-    re-exchanges the index-sized band-key table every day."""
+    re-exchanges the index-sized band-key table every day.
+
+    ``disable_broadcast=True`` (round-11, VERDICT item 4) turns off
+    ``spark.sql.autoBroadcastJoinThreshold`` for the two measured runs:
+    at local test scale AQE broadcasts the small batch so even the
+    PLAIN path avoids the index exchange — the regime where the layout
+    matters is a batch ABOVE broadcast size, which this flag simulates
+    (at 100 TB a day's arrivals are GBs — never broadcastable)."""
     import shutil
     import tempfile
 
@@ -1146,12 +1154,15 @@ def run_bucketed_incremental_curve(
     n_batch = batch.count()
     tmp = tempfile.mkdtemp(prefix="bidx_curve_")
     name = f"bidx_curve_{replicate}"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         sigs = minhash_signatures(idx_docs, "text", "doc_id")
         minhash_index_write(sigs, name, tmp, buckets=buckets)
         s_t, b_t, c_t = minhash_index_read(spark, name, tmp, buckets=buckets)
         plain = spark.read.parquet(f"{tmp}/sigs")
 
+        if disable_broadcast:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         sh0 = _shuffle_write_bytes(spark)
         t0 = time.perf_counter()
         n_plain = minhash_lsh_incremental(
@@ -1168,12 +1179,14 @@ def run_bucketed_incremental_curve(
         sh2 = _shuffle_write_bytes(spark)
         assert n_plain == n_bucketed == n_batch
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         for t in (f"{name}_sigs", f"{name}_bands", f"{name}_bandcounts"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "index_docs": n_idx,
         "batch_docs": n_batch,
+        "broadcast_disabled": bool(disable_broadcast),
         "plain_sec": round(t_plain, 2),
         "plain_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
         "bucketed_sec": round(t_bucketed, 2),
