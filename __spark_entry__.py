@@ -1396,6 +1396,52 @@ GROUP BY l_returnflag
 """
 
 
+def _q_r59_percentile_disc(spark, sf_dir):
+    """SQL-standard ``percentile_disc`` (discrete quantiles — the
+    smallest member value whose CDF reaches p) per return flag, served
+    by the same scale-safe order-statistics operator as r19
+    (operators/quantiles.py, ``discrete=True``): spillable window sort
+    + ``ceil(p*n)`` rank selection, no per-group value buffer.  The
+    oracle re-derives the identical arithmetic in SQL (row_number +
+    ceil(p*n) over DuckDB's window engine) rather than trusting any
+    engine's quantile_disc variant."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = ops_qt.group_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"d25": 0.25, "d50": 0.5, "d90": 0.9},
+        discrete=True,
+    )
+    return out.select(
+        "l_returnflag",
+        _r6(F.col("d25")).alias("d25"),
+        _r6(F.col("d50")).alias("d50"),
+        _r6(F.col("d90")).alias("d90"),
+    )
+
+
+_SQL_R59 = """
+WITH r AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT g AS l_returnflag,
+       round(min(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                      THEN v END), 6) AS d25,
+       round(min(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN v END), 6) AS d50,
+       round(min(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                      THEN v END), 6) AS d90
+FROM r
+GROUP BY g
+"""
+
+
 def _q_r20_collect_list(spark, sf_dir):
     """collect_list/collect_set surface, made deterministic via array_sort.
 
@@ -5375,6 +5421,119 @@ SELECT granule_id,
        round(min(lat), 6) AS lat_min,
        round(max(lat), 6) AS lat_max
 FROM read_parquet('{_FIXTURE_S19}')
+GROUP BY granule_id
+"""
+
+
+_HDF4Z_IDS = list(range(4500, 4506))
+_HDF4Z_DIR = "/tmp/spark_graft_hdf4z_4500_4505"
+_FIXTURE_S23 = "/tmp/spark_graft_hdf4z_twin_4500_4505.parquet"
+
+
+def _ensure_s23_fixture() -> str:
+    """Materialize 6 REAL HDF4 granule files in a MIXED archive — SZIP
+    granules (even ids: quantized int16 science variables stored as
+    CHUNKED elements with SZIP/CCSDS-121-compressed chunks + a
+    szip-compressed cloud-mask byte, the layout real archived MODIS
+    collections use; ``sinks/sziplite.py`` round 11) alongside plain
+    contiguous granules (odd ids) — plus a parquet twin of the same
+    content (the s19 pattern; the twin replicates the szip granules'
+    int16 quantization exactly)."""
+    if os.path.exists(_FIXTURE_S23) and os.path.isdir(_HDF4Z_DIR):
+        return _HDF4Z_DIR
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modis_aggregation_spark.sources.granule_datasource import (
+        synth_granule,
+        write_granule_hdf4,
+    )
+
+    tmp_dir = f"{_HDF4Z_DIR}.{os.getpid()}.tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    tables = []
+    for gid in _HDF4Z_IDS:
+        layout = "szip" if gid % 2 == 0 else "contiguous"
+        write_granule_hdf4(tmp_dir, gid, ["ctp"], layout=layout)
+        data = synth_granule(gid, ["ctp"])
+        if layout == "szip":
+            v = data["ctp"]
+            raw = np.where(np.isnan(v), -9999, np.round(v * 10.0)).astype(
+                np.int16
+            )
+            data["ctp"] = np.where(raw == -9999, np.nan, raw * 0.1)
+        arrays = {}
+        for name, col in data.items():
+            if col.dtype == np.float64 and name not in ("lat", "lon"):
+                arrays[name] = pa.array(col, mask=np.isnan(col))
+            else:
+                arrays[name] = pa.array(col)
+        tables.append(pa.table(arrays))
+    tmp = f"{_FIXTURE_S23}.{os.getpid()}.tmp"
+    pq.write_table(pa.concat_tables(tables), tmp)
+    os.replace(tmp, _FIXTURE_S23)
+    try:
+        os.replace(tmp_dir, _HDF4Z_DIR)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent creator won
+    return _HDF4Z_DIR
+
+
+def _q_s23_hdf4_szip_scan(spark, sf_dir):
+    """The round-11 codec closure on the real-granule path (round-10
+    VERDICT item 3 — the last storage codec an archived MODIS granule
+    can carry): a MIXED archive of SZIP HDF4 granules (comp code 5 —
+    quantized int16 science variables as chunked elements with
+    CCSDS-121 extended-Rice-compressed chunks, plus a szip-compressed
+    cloud-mask byte; ``sinks/sziplite.py``) and plain contiguous
+    granules, scanned through the same Python DataSource as
+    s9/s12/s16/s17/s19 and reduced to the per-granule decode audit.
+    The reference decodes these transparently via its szip C stack
+    (reference ``aggregate_functions.py:99-122``).  Oracle reads the
+    parquet twin with the identical quantization; bit conventions are
+    pinned by hand-derived vectors in tests/test_sziplite.py."""
+    from modis_aggregation_spark.sources.granule_datasource import GranuleDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(GranuleDataSource)
+    hdf_dir = _ensure_s23_fixture()
+    df = (
+        spark.read.format("modis_granules")
+        .option("granule_ids", ",".join(str(g) for g in _HDF4Z_IDS))
+        .option("decoder", "hdf")
+        .option("path", hdf_dir)
+        .option("variables", "ctp")
+        .load()
+    )
+    return df.groupBy("granule_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.count("ctp").alias("n_ctp"),
+        _r6(F.min("ctp")).alias("ctp_min"),
+        _r6(F.max("ctp")).alias("ctp_max"),
+        _r6(F.avg("ctp")).alias("ctp_mean"),
+        F.sum(F.col("cm_raw").cast("long")).alias("cm_sum"),
+        _r6(F.min("lat")).alias("lat_min"),
+        _r6(F.max("lat")).alias("lat_max"),
+    )
+
+
+_SQL_S23 = f"""
+SELECT granule_id,
+       count(*) AS n_px,
+       count(ctp) AS n_ctp,
+       round(min(ctp), 6) AS ctp_min,
+       round(max(ctp), 6) AS ctp_max,
+       round(avg(ctp), 6) AS ctp_mean,
+       CAST(sum(CAST(cm_raw AS BIGINT)) AS BIGINT) AS cm_sum,
+       round(min(lat), 6) AS lat_min,
+       round(max(lat), 6) AS lat_max
+FROM read_parquet('{_FIXTURE_S23}')
 GROUP BY granule_id
 """
 
@@ -10290,6 +10449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 11 (no driver record yet — always lead) --------------
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
+        "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
+        "r59_percentile_disc": _q_r59_percentile_disc,
         # -- last driver-recorded in round 6 -----------------------------------
         "m15_alt_grid": _q_m15_alt_grid,
         "m16_trim_1km": _q_m16_trim_1km,
@@ -10516,6 +10677,8 @@ def oracle_sql() -> dict[str, str]:
         "r58_tpch_q20": _SQL_R58,
         "x105_index_generations": _SQL_X105,
         "x106_ivfpq_indexed": _SQL_X106,
+        "s23_hdf4_szip_scan": _SQL_S23,
+        "r59_percentile_disc": _SQL_R59,
         # compaction is a physical re-layout: x107 must answer exactly
         # like x105's direct generation read
         "x107_index_compaction": _SQL_X105,

@@ -73,6 +73,21 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # fixed no-op calibration slot (round-10 VERDICT item 8): a
+    # data-independent, code-independent pure-JVM codegen loop whose
+    # only variable is the host — future rounds normalize tenancy
+    # multipliers against this instead of re-litigating bench noise
+    # with worktree A/Bs.  Reported OUTSIDE queries/total so historic
+    # totals stay comparable.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(256_000_000, numPartitions=32).selectExpr(
+            "sum(xxhash64(id) % 1000003)"  # bounded: no ANSI long overflow
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+    calibration_sec = round(calib, 3)
+
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         best = float("inf")
@@ -173,6 +188,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": calibration_sec,
                 "sf": _sf(SF_DIR),
             }
         )

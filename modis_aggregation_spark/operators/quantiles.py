@@ -47,6 +47,7 @@ def group_percentiles(
     group_cols: list[str],
     value_col: str,
     ps: dict[str, float],
+    discrete: bool = False,
 ) -> DataFrame:
     """One row per group: ``group_cols + [alias for alias in ps]`` with
     the exact type-7 percentile of ``value_col`` at each requested
@@ -60,6 +61,13 @@ def group_percentiles(
     at the cost of a single-partition sort — exact global order
     statistics have no cheaper shape; prefer a grouped call or
     ``approx_percentile`` at corpus scale.
+
+    ``discrete=True`` switches to SQL-standard ``percentile_disc``
+    semantics (the smallest value whose cumulative distribution
+    reaches p: sorted 1-based index ``max(1, ceil(p * n))``, no
+    interpolation — an actual member of the group), matching Spark's
+    ``percentile_disc``; the arithmetic is one double multiply + ceil,
+    reproducible verbatim in oracle SQL.
     """
     if not ps:
         raise ValueError("group_percentiles: ps must name at least one fraction")
@@ -88,6 +96,28 @@ def group_percentiles(
         # double arithmetic identical to Percentile/quantile_cont:
         # one multiply of p by (n-1)
         return F.lit(float(p)) * (F.col("__n").cast("double") - F.lit(1.0))
+
+    def _disc_rank(p: float) -> Column:
+        # SQL-standard percentile_disc: 1-based index ceil(p * n),
+        # clamped to 1 for p = 0
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(p)) * F.col("__n").cast("double")),
+        )
+
+    if discrete:
+        keep = None
+        for p in ps.values():
+            hit = F.col("__rn") == _disc_rank(p)
+            keep = hit if keep is None else (keep | hit)
+        aggs = []
+        for a, p in ps.items():
+            aggs.append(
+                F.min(
+                    F.when(F.col("__rn") == _disc_rank(p), F.col("__v"))
+                ).alias(a)
+            )
+        return ranked.where(keep).groupBy(*group_cols).agg(*aggs)
 
     keep = None
     for p in ps.values():

@@ -58,15 +58,26 @@ actually touches — named SDS arrays plus their per-variable attributes
   ``fill_one`` background and, when ``sign_ext``, replicates the
   field's top bit above ``start_bit``. Coder info in the compressed
   special header: nt(i32), sign_ext(u16), fill_one(u16),
-  start_bit(i32), bit_len(i32). Write via ``nbit={name: {...}}``.
+  start_bit(i32), bit_len(i32). Write via ``nbit={name: {...}}``;
+* SZIP elements (comp code 5), round 11: the CCSDS 121.0-B
+  extended-Rice codestream real archived MODIS collections use on some
+  SDS variables, implemented pure-Python in ``sinks/sziplite.py``
+  (block-adaptive FS/k-split/second-extension/zero-run coding, NN
+  unit-delay preprocessing with per-scanline reference samples, szip's
+  pad-with-last-sample scanline convention; bit conventions pinned by
+  hand-derived vectors in tests/test_sziplite.py).  Coder info in the
+  compressed special header: the HDF4 ``comp_info.szip`` fields as five
+  int32s — pixels, pixels_per_scanline, options_mask, bits_per_pixel,
+  pixels_per_block.  Write via ``szip={name: {...}}``; the reader also
+  decodes szip-compressed CHUNKS inside chunked elements (each chunk is
+  a self-describing compressed special element).
 
 Deliberately still NOT implemented (honest gate, raises with a clear
-message): compression codes Skipping-Huffman=3 and SZIP=5 —
-Skipping-Huffman is a long-obsolete codec no archived MODIS granule
-uses, and SZIP is a patent-encumbered extended-Rice coder whose
-codestream is defined by the szip library, not the HDF4 format spec;
-a guessed decoder that silently mis-parses real data would be worse
-than a loud gate.
+message): compression code Skipping-Huffman=3 — a long-obsolete codec
+no archived MODIS granule uses; a guessed decoder that silently
+mis-parses real data would be worse than a loud gate.  SZIP streams
+carrying the library's stored-raw fallback flag
+(SZ_RAW_OPTION_MASK) also raise rather than guess.
 
 Validation caveat for the special-element layouts: no pyhdf/libmfhdf is
 present to cross-read, so the byte layouts follow the public HDF4
@@ -132,6 +143,7 @@ COMP_MODEL_STDIO = 0
 COMP_CODE_RLE = 1
 COMP_CODE_NBIT = 2
 COMP_CODE_DEFLATE = 4
+COMP_CODE_SZIP = 5
 _COMP_CODE_NAMES = {1: "RLE", 2: "NBIT", 3: "Skipping-Huffman", 5: "SZIP"}
 
 # RLE codestream constants (HDF4 library byte-run coder): a run block
@@ -517,12 +529,32 @@ class _H4Reader:
                 start_bit,
                 bit_len,
             )
+        if code == COMP_CODE_SZIP:
+            # coder info (HDF4 comp_info.szip, five int32 fields):
+            # pixels, pixels_per_scanline, options_mask, bits_per_pixel,
+            # pixels_per_block
+            _pixels, pps, mask, bpp, ppb = struct.unpack_from(
+                ">iiiii", self.buf, off + 14
+            )
+            from modis_aggregation_spark.sinks.sziplite import szip_decode
+
+            out = szip_decode(
+                self.elt(TAG_COMPRESSED, comp_ref), raw_len, bpp, ppb, pps,
+                mask,
+            )
+            if len(out) != raw_len:
+                raise ValueError(
+                    f"HDF4 SZIP element: decoded {len(out)} bytes, header "
+                    f"says {raw_len}"
+                )
+            return out
         if code != COMP_CODE_DEFLATE:
             raise NotImplementedError(
                 "HDF4 compressed element uses codec "
                 f"{_COMP_CODE_NAMES.get(code, code)!r}; only deflate, "
-                f"RLE and N-bit (codes {COMP_CODE_DEFLATE}, "
-                f"{COMP_CODE_RLE}, {COMP_CODE_NBIT}) are implemented"
+                f"RLE, N-bit and SZIP (codes {COMP_CODE_DEFLATE}, "
+                f"{COMP_CODE_RLE}, {COMP_CODE_NBIT}, {COMP_CODE_SZIP}) "
+                "are implemented"
             )
         out = zlib.decompress(self.elt(TAG_COMPRESSED, comp_ref))
         if len(out) != raw_len:
@@ -938,6 +970,35 @@ def _nbit_header(
     )
 
 
+def _szip_header(
+    raw_len: int,
+    comp_ref: int,
+    pixels: int,
+    pps: int,
+    mask: int,
+    bpp: int,
+    ppb: int,
+) -> bytes:
+    """Compressed-special-element header for the SZIP coder: the common
+    prefix, then the HDF4 comp_info.szip fields as five int32s —
+    pixels, pixels_per_scanline, options_mask, bits_per_pixel,
+    pixels_per_block — mirrored by ``_read_compressed``."""
+    return struct.pack(
+        ">HHiHHHiiiii",
+        SPECIAL_COMP,
+        COMP_HEADER_VERSION,
+        raw_len,
+        comp_ref,
+        COMP_MODEL_STDIO,
+        COMP_CODE_SZIP,
+        pixels,
+        pps,
+        mask,
+        bpp,
+        ppb,
+    )
+
+
 def write_hdf4(
     path: str,
     datasets: dict[str, tuple[np.ndarray, dict]],
@@ -948,6 +1009,7 @@ def write_hdf4(
     linked: dict[str, tuple[int, int]] | None = None,
     external: dict[str, str] | None = None,
     nbit: dict[str, dict] | None = None,
+    szip: dict[str, dict] | None = None,
 ) -> None:
     """Write ``{name: (array, attrs)}`` as a classic HDF4 file using the
     SD-API metadata layout (Var0.0 vgroups + Attr0.0 vdatas under a
@@ -1005,18 +1067,22 @@ def write_hdf4(
     linked = linked or {}
     external = external or {}
     nbit = nbit or {}
+    szip = szip or {}
     for label, sel in (("chunks", chunks), ("linked", linked),
-                       ("external", external), ("nbit", nbit)):
+                       ("external", external), ("nbit", nbit),
+                       ("szip", szip)):
         unknown = set(sel) - set(datasets)
         if unknown:
             raise KeyError(
                 f"{label} given for unknown datasets: {sorted(unknown)}"
             )
     layouts = {"chunked": chunks, "linked": linked, "external": external,
-               "nbit": nbit}
+               "nbit": nbit, "szip": szip}
     for a, b in (("linked", "chunked"), ("external", "chunked"),
                  ("external", "linked"), ("nbit", "chunked"),
-                 ("nbit", "linked"), ("nbit", "external")):
+                 ("nbit", "linked"), ("nbit", "external"),
+                 ("szip", "linked"),
+                 ("szip", "external"), ("szip", "nbit")):
         both = set(layouts[a]) & set(layouts[b])
         if both:
             raise ValueError(
@@ -1037,6 +1103,11 @@ def write_hdf4(
             "N-bit elements carry their own coder; drop compress= or "
             "nbit= for " + ", ".join(sorted(nbit))
         )
+    if level and szip:
+        raise ValueError(
+            "SZIP elements carry their own coder; drop compress= or "
+            "szip= for " + ", ".join(sorted(szip))
+        )
     for name, fname in external.items():
         if os.path.isabs(fname) or os.path.dirname(fname):
             raise ValueError(
@@ -1049,6 +1120,26 @@ def write_hdf4(
         (TAG_VERSION, ref, struct.pack(">III", 4, 2, 0) + b"hdf4lite\x00")
     )
     root_members: list[tuple[int, int]] = []
+
+    def _szip_spec(name, arr, be, last_dim):
+        from modis_aggregation_spark.sinks import sziplite as _sz
+
+        spec = dict(szip[name])
+        ppb = int(spec.pop("pixels_per_block", 16))
+        pps = int(spec.pop("pixels_per_scanline", last_dim))
+        mask = int(spec.pop(
+            "options_mask", _sz.SZ_NN_OPTION_MASK | _sz.SZ_MSB_OPTION_MASK
+        ))
+        if spec:
+            raise ValueError(
+                f"unknown szip option(s) for {name!r}: {sorted(spec)}"
+            )
+        if arr.dtype.kind not in "iuf" or be.dtype.itemsize > 4:
+            raise TypeError(
+                f"SZIP storage needs a <= 32-bit SDS, got {arr.dtype} "
+                f"for {name!r}"
+            )
+        return _sz, ppb, pps, mask, be.dtype.itemsize * 8
 
     for name, (arr, attrs) in datasets.items():
         arr = np.asarray(arr)
@@ -1085,7 +1176,26 @@ def write_hdf4(
                 body = padded[sl].tobytes()
                 ref += 1
                 chk_ref = ref
-                if level:
+                if name in szip:
+                    _sz, ppb, pps, mask, bpp = _szip_spec(
+                        name, arr, be, cdims[-1]
+                    )
+                    chunk_pixels = int(np.prod(cdims))
+                    ref += 1
+                    elements.append((
+                        TAG_COMPRESSED,
+                        ref,
+                        _sz.szip_encode(body, bpp, ppb, pps, mask),
+                    ))
+                    elements.append((
+                        TAG_CHUNK | SPECIAL_BIT,
+                        chk_ref,
+                        _szip_header(
+                            len(body), ref, chunk_pixels, pps, mask, bpp, ppb
+                        ),
+                    ))
+                    chk_tag = TAG_CHUNK | SPECIAL_BIT
+                elif level:
                     ref += 1
                     elements.append(
                         (TAG_COMPRESSED, ref, _compress_body(body, level))
@@ -1212,6 +1322,23 @@ def write_hdf4(
                 _nbit_header(
                     be.nbytes, ref, dfnt, sign_ext, fill_one,
                     start_bit, bit_len,
+                ),
+            ))
+        elif name in szip:
+            _sz, ppb, pps, mask, bpp = _szip_spec(
+                name, arr, be, arr.shape[-1] if arr.ndim else 1
+            )
+            ref += 1
+            elements.append((
+                TAG_COMPRESSED,
+                ref,
+                _sz.szip_encode(be.tobytes(), bpp, ppb, pps, mask),
+            ))
+            elements.append((
+                TAG_SD | SPECIAL_BIT,
+                sds_ref,
+                _szip_header(
+                    be.nbytes, ref, int(arr.size), pps, mask, bpp, ppb
                 ),
             ))
         elif level:

@@ -218,7 +218,7 @@ def write_granule_hdf4(
     from modis_aggregation_spark.sinks.hdf4lite import write_hdf4
 
     if layout not in ("contiguous", "compressed", "chunked", "linked",
-                      "rle", "external", "nbit"):
+                      "rle", "external", "nbit", "szip"):
         raise ValueError(f"unknown HDF4 layout {layout!r}")
     data = synth_granule(granule_id, variables, rows, cols)
     dsets: dict = {
@@ -237,7 +237,7 @@ def write_granule_hdf4(
     }
     for v in variables:
         vals = data[v].reshape(rows, cols).copy()
-        if layout == "nbit":
+        if layout in ("nbit", "szip"):
             # MYD06-style quantized science variable: int16 raw with
             # scale_factor calibration (the storage NBIT was designed
             # for) — raw in [1000, 10000] plus the -9999 fill, all
@@ -297,6 +297,25 @@ def write_granule_hdf4(
             },
             **{
                 v: {"start_bit": 14, "bit_len": 15, "sign_ext": True}
+                for v in variables
+            },
+        }
+    elif layout == "szip":
+        # round 11: the storage real archived MODIS collections use on
+        # SZIP-enabled SDS variables — CHUNKED elements whose chunks are
+        # SZIP (CCSDS 121.0 extended-Rice) compressed; the quantized
+        # int16 science variables ride NN preprocessing, the cloud-mask
+        # byte gets a whole-element szip stream; lat/lon stay contiguous
+        # floats (szip is <= 32-bit)
+        cshape = (max(1, rows // 3 + 1), max(1, cols // 2 + 1))
+        kw["chunks"] = {v: cshape for v in variables}
+        kw["szip"] = {
+            "Cloud_Mask_Byte0": {
+                "pixels_per_block": 16, "pixels_per_scanline": cols,
+            },
+            **{
+                v: {"pixels_per_block": 16,
+                    "pixels_per_scanline": cshape[1]}
                 for v in variables
             },
         }

@@ -127,16 +127,16 @@ def test_unsupported_special_kinds_raise(tmp_path):
 
 
 def test_non_deflate_compression_raises(tmp_path):
-    """SPECIAL_COMP with a still-gated codec (SZIP etc.) raises; RLE
-    left this gate in round 7."""
+    """SPECIAL_COMP with the still-gated codec (Skipping-Huffman) raises;
+    RLE left this gate in round 7, SZIP in round 11."""
     import modis_aggregation_spark.sinks.hdf4lite as h4
 
-    body = struct.pack(">HHiHHH", h4.SPECIAL_COMP, 0, 8, 3, 0, 5)
-    p = str(tmp_path / "szip.hdf")
+    body = struct.pack(">HHiHHH", h4.SPECIAL_COMP, 0, 8, 3, 0, 3)
+    p = str(tmp_path / "skphuff.hdf")
     elements = _minimal_sds_elements(h4, body)
     elements.append((h4.TAG_COMPRESSED, 3, b"\x00" * 4))
     _write_raw(p, elements)
-    with pytest.raises(NotImplementedError, match="SZIP"):
+    with pytest.raises(NotImplementedError, match="Skipping-Huffman"):
         read_hdf4(p)
 
 
@@ -742,3 +742,83 @@ def test_nbit_granule_layout_roundtrip():
     m = np.isnan(got["ctp"])
     assert np.array_equal(m, np.isnan(twin))
     assert np.array_equal(got["ctp"][~m], twin[~m])  # bit-exact
+
+
+def test_szip_file_roundtrip_and_contiguous_twin(tmp_path):
+    """SZIP whole-element storage (round 11): writer->reader round-trip
+    on MYD06-style int16 science data, byte-identical to the contiguous
+    twin — the s12/s17/s19 cross-container pattern."""
+    rng = np.random.default_rng(11)
+    base = (2000 + 150 * np.sin(np.arange(40 * 27) / 9.0)).reshape(40, 27)
+    ctp = (base + rng.integers(-20, 20, (40, 27))).astype(np.int16)
+    u8 = rng.integers(0, 256, (13, 8)).astype(np.uint8)
+    f32 = rng.normal(size=(6, 5)).astype(np.float32)
+    attrs = {"scale_factor": 0.01, "add_offset": -15000.0, "_FillValue": -32768}
+    pz = str(tmp_path / "sz.hdf")
+    pc = str(tmp_path / "plain.hdf")
+    datasets = {
+        "ctp": (ctp, attrs), "mask": (u8, {}), "f": (f32, {}),
+    }
+    write_hdf4(
+        pz, datasets,
+        szip={
+            "ctp": {},                                 # defaults: NN|MSB, ppb 16
+            "mask": {"pixels_per_block": 8, "pixels_per_scanline": 8},
+            "f": {"options_mask": 4 | 16},             # EC mode on float bits
+        },
+    )
+    write_hdf4(pc, datasets)
+    a, b = read_hdf4(pz), read_hdf4(pc)
+    assert set(a) == set(b) == {"ctp", "mask", "f"}
+    for k in a:
+        np.testing.assert_array_equal(a[k].data, b[k].data)
+        assert a[k].data.dtype == b[k].data.dtype
+    assert a["ctp"].attrs["scale_factor"] == 0.01
+    # smooth int16 science data must actually compress under NN szip
+    import os as _os
+    assert _os.path.getsize(pz) < _os.path.getsize(pc)
+
+
+def test_szip_chunked_file_roundtrip(tmp_path):
+    """Chunked + SZIP-compressed chunks — the storage layout real
+    archived MODIS collections use; each chunk is a self-describing
+    compressed special element the reader routes through sziplite."""
+    rng = np.random.default_rng(13)
+    arr = (
+        1000 + 30 * np.sin(np.arange(37 * 22) / 7.0)
+        + rng.integers(-5, 5, 37 * 22)
+    ).reshape(37, 22).astype(np.int16)
+    pz = str(tmp_path / "csz.hdf")
+    write_hdf4(
+        pz, {"v": (arr, {"units": "hPa"})},
+        chunks={"v": (16, 10)},
+        szip={"v": {"pixels_per_block": 10, "pixels_per_scanline": 10}},
+    )
+    got = read_hdf4(pz)["v"]
+    np.testing.assert_array_equal(got.data, arr)
+    assert got.attrs["units"] == "hPa"
+
+
+def test_szip_writer_rejects_bad_layouts(tmp_path):
+    arr = np.zeros((4, 4), dtype=np.int16)
+    with pytest.raises(ValueError, match="cannot be both"):
+        write_hdf4(
+            str(tmp_path / "x.hdf"), {"v": (arr, {})},
+            szip={"v": {}}, nbit={"v": {"start_bit": 7, "bit_len": 8}},
+        )
+    with pytest.raises(ValueError, match="drop compress="):
+        write_hdf4(
+            str(tmp_path / "x.hdf"), {"v": (arr, {})},
+            compress=True, szip={"v": {}},
+        )
+    with pytest.raises(ValueError, match="unknown szip option"):
+        write_hdf4(
+            str(tmp_path / "x.hdf"), {"v": (arr, {})},
+            szip={"v": {"bogus": 1}},
+        )
+    with pytest.raises(TypeError, match="32-bit"):
+        write_hdf4(
+            str(tmp_path / "x.hdf"),
+            {"v": (np.zeros(4, dtype=np.float64), {})},
+            szip={"v": {}},
+        )

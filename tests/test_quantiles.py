@@ -69,3 +69,29 @@ def test_group_percentiles_all_null_group_omitted(spark):
     out = {r["g"]: r["med"] for r in
            group_percentiles(df, ["g"], "v", {"med": 0.5}).collect()}
     assert out == {"a": 1.5}
+
+
+def test_group_percentiles_discrete_matches_builtin(spark):
+    """discrete=True implements SQL-standard percentile_disc (smallest
+    value whose CDF reaches p — an actual group member): must equal
+    Spark's builtin percentile_disc exactly, including the p=0 clamp
+    and even/odd group sizes."""
+    rng = np.random.default_rng(3)
+    rows = [("a", float(v)) for v in rng.normal(size=101)]
+    rows += [("b", float(v)) for v in rng.normal(size=64)]
+    rows += [("c", 7.0)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE").repartition(5)
+    ps = {"p0": 0.0, "q25": 0.25, "med": 0.5, "p90": 0.9, "p100": 1.0}
+    got = {
+        (r["g"],): [r[a] for a in ps]
+        for r in group_percentiles(df, ["g"], "v", ps, discrete=True).collect()
+    }
+    aggs = [
+        F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY v)").alias(a)
+        for a, p in ps.items()
+    ]
+    want = {
+        (r["g"],): [r[a] for a in ps]
+        for r in df.groupBy("g").agg(*aggs).collect()
+    }
+    assert got == want

@@ -163,6 +163,19 @@ def main() -> int:
         .save()
     )
 
+    # fixed no-op calibration slot (round-10 VERDICT item 8): a
+    # data-independent pure-JVM codegen loop; future rounds normalize
+    # tenancy multipliers against this instead of worktree A/Bs
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(256_000_000, numPartitions=32).selectExpr(
+            "sum(xxhash64(id) % 1000003)"  # bounded: no ANSI long overflow
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+    calibration_sec = round(calib, 3)
+    print(f"calibration: {calibration_sec:.3f}s", flush=True)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     t_sweep = time.perf_counter()
@@ -206,6 +219,7 @@ def main() -> int:
         "timings": timings,
         "errors": errors,
         "total_sec": total,
+        "calibration_sec": calibration_sec,
     }
 
     out_path = None
