@@ -6138,6 +6138,31 @@ def _q_x100_embedding_covariance(spark, sf_dir):
     )
 
 
+def _q_x109_cov_merge(spark, sf_dir):
+    """Per-batch covariance grids MERGED by addition
+    (operators/similarity.py:covariance_merge — the monoid path the
+    x100 docstring promises past the int64 bound and the daily
+    incremental shape): the corpus splits into vec_id % 2 batches, each
+    produces its own exact-integer (n, sx, sy, sxy) grid, and the merge
+    re-sums + recomputes cov with the identical float ops.  Merging
+    MUST be bit-identical to one pass over the union, so the oracle is
+    x100's single-pass re-derivation VERBATIM — any drift in the merge
+    (a dropped batch, a double-counted key, a different float order)
+    fails the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g0 = ops_sim.embedding_covariance(
+        emb.filter(F.col("vec_id") % 2 == 0), "embedding", dim=64
+    )
+    g1 = ops_sim.embedding_covariance(
+        emb.filter(F.col("vec_id") % 2 == 1), "embedding", dim=64
+    )
+    out = ops_sim.covariance_merge(g0, g1)
+    return out.select(
+        "i", "j", "n", "sx", "sy", "sxy",
+        (_r6(F.col("cov")) + F.lit(0.0)).alias("cov"),
+    )
+
+
 _SQL_X100 = """
 WITH q AS (
   SELECT list_transform(embedding::DOUBLE[],
@@ -9991,6 +10016,49 @@ _SQL_X106 = _SQL_X83.replace("WHERE rn <= 2", "WHERE rn <= 3")
 assert _SQL_X106 != _SQL_X83
 
 
+def _q_x108_ivf_append(spark, sf_dir):
+    """Zero-rewrite IVF index maintenance
+    (operators/similarity.py:ivf_append — the ANN analog of x105's
+    generation-append): the index artifact is built from the
+    vec_id % 4 != 0 corpus slice, the % 4 == 0 batch is APPENDED as new
+    files inside the existing list_id partition directories (fixed
+    centroids, O(batch) written), and the partition-pruned probe scan
+    (x104 machinery, nprobe=4 so answers differ from x9/x104) then
+    serves the MERGED index.  Append must be answer-invariant vs
+    building over the full corpus, so the oracle is the x104 full-IVF
+    DuckDB re-derivation at rn <= 4 — a dropped or misrouted append
+    changes neighbor sets and fails the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ops_sim.kmeans_centroids(
+        emb, nlist=8, sample_rows=2000, seed=5, order_col="vec_id"
+    )
+    tag = _corpus_tag(sf_dir, "embeddings")
+    path = f"/tmp/spark_graft_x108_ivfa_{tag}"
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        ops_sim.ivf_build(emb.filter(F.col("vec_id") % 4 != 0), cents, tmp)
+        ops_sim.ivf_append(emb.filter(F.col("vec_id") % 4 == 0), cents, tmp)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            # concurrent creator won; content is identical
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ops_sim.ivf_topk_indexed(
+        spark, path, queries, cents, k=10, nprobe=4
+    )
+
+
+# the x104 full-IVF oracle at the x108 probe width: the appended index
+# must answer exactly like an index built over the full corpus
+_SQL_X108 = _SQL_X104.replace("rn <= 3", "rn <= 4")
+assert _SQL_X108 != _SQL_X104
+
+
 def _q_x57_pq_adc_topk(spark, sf_dir):
     """ADC top-10 over PQ codes (operators/similarity.py:pq_adc_topk) for
     the same 8 queries as x9 — the compressed-search half of IVF-PQ. The
@@ -10451,6 +10519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
         "r59_percentile_disc": _q_r59_percentile_disc,
+        "x108_ivf_append": _q_x108_ivf_append,
+        "x109_cov_merge": _q_x109_cov_merge,
         # -- last driver-recorded in round 6 -----------------------------------
         "m15_alt_grid": _q_m15_alt_grid,
         "m16_trim_1km": _q_m16_trim_1km,
@@ -10679,6 +10749,8 @@ def oracle_sql() -> dict[str, str]:
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,
+        "x108_ivf_append": _SQL_X108,
+        "x109_cov_merge": _SQL_X100,
         # compaction is a physical re-layout: x107 must answer exactly
         # like x105's direct generation read
         "x107_index_compaction": _SQL_X105,

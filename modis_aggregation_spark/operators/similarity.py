@@ -790,6 +790,27 @@ def ivf_build(
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids: np.ndarray,
+    index_path: str,
+    emb_col: str = "embedding",
+) -> None:
+    """Zero-rewrite IVF index MAINTENANCE (the ANN analog of the dedup
+    family's ``minhash_index_append``): the day's new vectors are
+    assigned to their nearest FIXED centroids and appended as new
+    parquet files inside the existing ``list_id`` partition directories
+    — O(batch) written, nothing rewritten, and every existing reader
+    (``ivf_topk_indexed``, ``ivfpq_topk_indexed`` stage 3) sees the
+    union on its next scan because partition pruning is directory-based.
+    Centroids stay fixed between re-clusterings (standard IVF practice —
+    re-fitting them is the compaction-shaped rebuild, ``ivf_build``);
+    list sizes drift as the corpus distribution does, which bounds probe
+    quality, not correctness."""
+    assigned = ivf_assign(new_vectors, centroids, emb_col)
+    assigned.write.mode("append").partitionBy("list_id").parquet(index_path)
+
+
 def _probe_lists(qa: DataFrame, centroids: np.ndarray, nprobe: int) -> DataFrame:
     """(query_id, __qe, list_id) — each query exploded to its ``nprobe``
     nearest centroid lists, computed JVM-side (centroids ride as literal
@@ -1306,6 +1327,51 @@ def embedding_covariance(
         _checked(F.try_sum("__x")).alias("sx"),
         _checked(F.try_sum("__y")).alias("sy"),
         _checked(F.try_sum(F.col("__x") * F.col("__y"))).alias("sxy"),
+    )
+    cov = (
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sy").cast("double")
+            / F.col("n").cast("double")
+        )
+        / F.col("n").cast("double")
+    ) / F.lit(float(quant) * float(quant))
+    return sums.select("i", "j", "n", "sx", "sy", "sxy", cov.alias("cov"))
+
+
+def covariance_merge(*grids: DataFrame, quant: float = 1e6) -> DataFrame:
+    """Merge per-batch ``embedding_covariance`` grids by ADDITION — the
+    monoid path the covariance docstring promises past the int64 bound
+    ("pre-aggregate in batches and merge the (n, sx, sy, sxy) grids")
+    and the incremental-statistics shape for daily corpora: each batch
+    contributes exact integer sums per upper-triangle (i, j); the union
+    re-sums them (still exact int64 — overflow is re-checked with the
+    same try_sum raise) and recomputes the covariance with the IDENTICAL
+    float op sequence, so merging k batches is bit-identical to one
+    pass over their union.  Skinny all the way: k × d(d+1)/2 rows in,
+    d(d+1)/2 out."""
+    if not grids:
+        raise ValueError("covariance_merge: pass at least one grid")
+    u = grids[0].select("i", "j", "n", "sx", "sy", "sxy")
+    for g in grids[1:]:
+        u = u.unionByName(g.select("i", "j", "n", "sx", "sy", "sxy"))
+
+    def _checked(c: Column) -> Column:
+        return F.when(c.isNotNull(), c).otherwise(
+            F.raise_error(
+                F.lit(
+                    "covariance_merge: int64 sum overflow; lower quant "
+                    "or merge fewer batches per level"
+                )
+            ).cast("long")
+        )
+
+    sums = u.groupBy("i", "j").agg(
+        _checked(F.try_sum("n")).alias("n"),
+        _checked(F.try_sum("sx")).alias("sx"),
+        _checked(F.try_sum("sy")).alias("sy"),
+        _checked(F.try_sum("sxy")).alias("sxy"),
     )
     cov = (
         (

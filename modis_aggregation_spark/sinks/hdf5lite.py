@@ -13,7 +13,9 @@ datasets:
 * old-style groups: v1 B-tree + local heap + SNOD symbol nodes;
 * dataspace (simple/scalar), datatype (fixed/float/string/vlen-string),
   fill-value, contiguous AND chunked layouts, filter pipeline
-  (gzip/shuffle/fletcher32 — zlib is stdlib), attributes (v1-v3,
+  (gzip/shuffle/fletcher32 — zlib is stdlib — and, round 11, szip
+  filter id 4: uint32 size word + CCSDS-121 stream via
+  ``sinks/sziplite.py``), attributes (v1-v3,
   numeric / fixed string / vlen string via global heaps).
 
 The READER is validated against two independently produced ground-truth
@@ -36,6 +38,29 @@ from dataclasses import dataclass, field
 import numpy as np
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _szip_filter_decode(data: bytes, cdv: tuple[int, ...]) -> bytes:
+    """HDF5 szip filter (id 4) chunk decode: libhdf5's H5Z__filter_szip
+    prepends the chunk's UNCOMPRESSED byte count as a little-endian
+    uint32, then the raw szip (CCSDS 121.0 extended-Rice) codestream;
+    the stored cd_values are [options_mask, pixels_per_block,
+    bits_per_pixel, pixels_per_scanline] (H5Z_SZIP_PARM_* order).
+    The codestream itself decodes through ``sinks/sziplite.py`` —
+    bit conventions pinned by that module's hand-derived vectors."""
+    from modis_aggregation_spark.sinks.sziplite import szip_decode
+
+    if len(cdv) < 4:
+        raise ValueError(
+            f"HDF5 szip filter carries {len(cdv)} cd_values, need 4 "
+            "(options_mask, pixels_per_block, bits_per_pixel, "
+            "pixels_per_scanline)"
+        )
+    if len(data) < 4:
+        raise ValueError("HDF5 szip chunk shorter than its 4-byte size word")
+    (raw_len,) = struct.unpack_from("<I", data, 0)
+    mask, ppb, bpp, pps = cdv[0], cdv[1], cdv[2], cdv[3]
+    return szip_decode(data[4:], raw_len, bpp, ppb, pps, mask)
 
 
 def _fletcher32(data: bytes) -> int:
@@ -377,7 +402,7 @@ class _Reader:
         # pipeline order is the WRITE order — invert in reverse; mask bit
         # j set means filter j was skipped for this chunk
         for j in range(len(self.filters) - 1, -1, -1):
-            fid, elem = self.filters[j]
+            fid, cdv = self.filters[j]
             if mask & (1 << j):
                 continue
             if fid == 1:
@@ -388,9 +413,12 @@ class _Reader:
                     raise ValueError("fletcher32 checksum mismatch in chunk")
                 data = payload
             elif fid == 2:  # shuffle: bytes grouped by byte position
+                elem = cdv[0] if cdv else 0
                 arr = np.frombuffer(data, dtype=np.uint8)
                 n = len(arr) // elem
                 data = arr[: n * elem].reshape(elem, n).T.tobytes()
+            elif fid == 4:  # szip (round 11): sinks/sziplite CCSDS-121
+                data = _szip_filter_decode(data, cdv)
             else:
                 raise NotImplementedError(f"filter id {fid}")
         return data
@@ -440,7 +468,7 @@ class _Reader:
         dtype: _Dtype | None = None
         layout: bytes | None = None
         attrs: dict = {}
-        self.filters: list[tuple[int, int]] = []
+        self.filters: list[tuple[int, tuple[int, ...]]] = []
         is_group = any(t in (0x0011, 0x0006, 0x0002) for t, _ in msgs)
         for t, b in msgs:
             if t == 0x0001:
@@ -488,7 +516,7 @@ class _Reader:
             pos += 4 * ncdv
             if ver == 1 and ncdv % 2:
                 pos += 4  # padding
-            out.append((fid, cdv[0] if cdv else 0))
+            out.append((fid, tuple(cdv)))
         self.filters = out
 
 

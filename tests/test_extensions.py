@@ -1821,3 +1821,44 @@ def test_embedding_covariance_exact_and_layout_invariant(spark):
     for (i, j), (n, sx, sy, sxy) in want.items():
         cov = ((sxy - sx * sy / n) / n) / 1e12
         assert ref[(i, j)][4] == cov
+
+
+def test_covariance_merge_bit_identical_and_overflow(spark):
+    """covariance_merge (round 11): per-batch grids re-summed by
+    addition must be BIT-IDENTICAL to one pass over the union (exact
+    int64 monoid + the same float op sequence), for any split; the
+    re-checked try_sum raises on merge-time overflow instead of
+    wrapping."""
+    from modis_aggregation_spark.operators.similarity import (
+        covariance_merge,
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(90, 5))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(90)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    full = {
+        (r["i"], r["j"]): tuple(r)
+        for r in embedding_covariance(df, "embedding", dim=5).collect()
+    }
+    parts = [
+        embedding_covariance(
+            df.filter(F.col("vec_id") % 3 == m), "embedding", dim=5
+        )
+        for m in range(3)
+    ]
+    merged = {
+        (r["i"], r["j"]): tuple(r)
+        for r in covariance_merge(*parts).collect()
+    }
+    assert merged == full  # exact, including the float cov column
+    # merge-time overflow raises: two grids whose sxy sums wrap int64
+    big = spark.createDataFrame(
+        [(0, 0, 1, 1, 1, 2**62), (0, 0, 1, 1, 1, 2**62)],
+        "i INT, j INT, n LONG, sx LONG, sy LONG, sxy LONG",
+    )
+    with pytest.raises(Exception, match="int64 sum overflow"):
+        covariance_merge(big, big).collect()
+    with pytest.raises(ValueError, match="at least one"):
+        covariance_merge()

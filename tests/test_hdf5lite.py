@@ -182,12 +182,12 @@ def test_v2_filter_pipeline_message_parses():
     # ver=2, nfilters=1 | id=1 (deflate), flags=0, ncdv=1, cdv=[6]
     body = bytes([2, 1]) + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6)
     r._decode_filters(body)
-    assert r.filters == [(1, 6)]
+    assert r.filters == [(1, (6,))]  # full cd_values kept since round 11 (szip needs all four)
     # id >= 256 keeps the name-length field (unpadded name in v2)
     body = bytes([2, 1]) + struct.pack("<HHHH", 300, 2, 0, 1) + b"nm" \
         + struct.pack("<I", 9)
     r._decode_filters(body)
-    assert r.filters == [(300, 9)]
+    assert r.filters == [(300, (9,))]
 
 
 def test_fletcher32_verifies_and_rejects():

@@ -1003,7 +1003,7 @@ def test_r19_x14_no_unbounded_percentile_buffer(spark):
     order-statistics operator (operators/quantiles.py): the plan must
     carry NO Percentile aggregate at all — rank selection rides a
     spillable window sort instead."""
-    for name in ("r19_percentiles", "x14_quality_quantile"):
+    for name in ("r19_percentiles", "x14_quality_quantile", "r59_percentile_disc"):
         plan = _plan(spark, name)
         assert "percentile" not in plan.lower(), name
         assert "ObjectHashAggregate" not in plan, name

@@ -296,3 +296,52 @@ def test_ivfpq_indexed_parity_with_in_memory(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, idx)) == sorted(map(tuple, mem))
     assert len(mem) > 0
+
+
+def test_ivf_append_equals_full_build(spark, tmp_path):
+    """ivf_append (round 11): appending a batch into an existing
+    ivf_build artifact must leave the index content — and every
+    partition-pruned query answer — identical to building over the
+    full corpus in one shot."""
+    from modis_aggregation_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign,
+        ivf_build,
+        ivf_topk_indexed,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(0, 5, (5, 12))
+    rows = [
+        (i, (centers[i % 5] + rng.normal(0, 0.5, 12)).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = kmeans_centroids(
+        df, nlist=5, sample_rows=200, iters=10, seed=5, order_col="vec_id"
+    )
+    full_path = str(tmp_path / "full")
+    inc_path = str(tmp_path / "inc")
+    ivf_build(df, cents, full_path)
+    ivf_build(df.filter("vec_id % 3 != 0"), cents, inc_path)
+    ivf_append(df.filter("vec_id % 3 = 0"), cents, inc_path)
+    want = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(full_path).select("vec_id", "list_id").collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(inc_path).select("vec_id", "list_id").collect()
+    )
+    assert got == want
+    # assignment parity with the in-memory path too
+    mem = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in ivf_assign(df, cents).select("vec_id", "list_id").collect()
+    )
+    assert got == mem
+    q = df.filter("vec_id < 6").withColumnRenamed("vec_id", "query_id")
+    a = ivf_topk_indexed(spark, full_path, q, cents, k=5, nprobe=2).collect()
+    b = ivf_topk_indexed(spark, inc_path, q, cents, k=5, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

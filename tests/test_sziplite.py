@@ -167,3 +167,24 @@ def test_roundtrip_full_range_32bit():
     for mask in (EC, NN):
         enc = szip_encode(raw, 32, 16, 16, mask)
         assert szip_decode(enc, len(raw), 32, 16, 16, mask) == raw
+
+
+def test_hdf5_szip_filter_chunk_decode():
+    """hdf5lite's filter pipeline (round 11): the HDF5 szip filter
+    (id 4) payload is a little-endian uint32 uncompressed size followed
+    by the raw szip codestream; cd_values order is (options_mask,
+    pixels_per_block, bits_per_pixel, pixels_per_scanline)."""
+    import struct
+
+    from modis_aggregation_spark.sinks.hdf5lite import _szip_filter_decode
+
+    x = (500 + 20 * np.sin(np.arange(256) / 5.0)).astype(">u2")
+    raw = x.tobytes()
+    stream = szip_encode(raw, 16, 16, 32, NN)
+    chunk = struct.pack("<I", len(raw)) + stream
+    got = _szip_filter_decode(chunk, (NN, 16, 16, 32))
+    assert got == raw
+    with pytest.raises(ValueError, match="cd_values"):
+        _szip_filter_decode(chunk, (NN, 16))
+    with pytest.raises(ValueError, match="size word"):
+        _szip_filter_decode(b"\x01", (NN, 16, 16, 32))

@@ -99,10 +99,45 @@ def run_minhash(spark, sf_dir: str) -> dict:
     }
 
 
-def _shuffle_write_bytes(spark) -> int:
+def _shuffle_write_bytes(spark, settle: float = 0.0) -> int:
     """Cumulative shuffle-write bytes across all completed stages of the
     app (AppStatusStore — works with the UI disabled). Deltas around a
-    phase isolate that phase's shuffle volume."""
+    phase isolate that phase's shuffle volume.
+
+    ``settle > 0`` polls until two consecutive reads agree (the status
+    store is fed by an ASYNC event bus — a read right after a job
+    returns can miss its last stages, which zeroes small deltas)."""
+
+    def _read() -> int:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._gateway.jvm
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        it, tot = stages.iterator(), 0
+        while it.hasNext():
+            tot += it.next().shuffleWriteBytes()
+        return tot
+
+    if not settle:
+        return _read()
+    prev = _read()
+    for _ in range(20):
+        time.sleep(settle)
+        cur = _read()
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
+def _stage_rows(spark) -> list[tuple[int, int]]:
+    """[(stage_id, shuffle_write_bytes)] for every RETAINED stage."""
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
     jvm = sc._gateway.jvm
@@ -113,10 +148,70 @@ def _shuffle_write_bytes(spark) -> int:
         sc._gateway.new_array(jvm.double, 0),
         jvm.java.util.ArrayList(),
     )
-    it, tot = stages.iterator(), 0
+    it, out = stages.iterator(), []
     while it.hasNext():
-        tot += it.next().shuffleWriteBytes()
-    return tot
+        s = it.next()
+        out.append((int(s.stageId()), int(s.shuffleWriteBytes())))
+    return out
+
+
+def _max_stage_id(spark) -> int:
+    rows = _stage_rows(spark)
+    return max((sid for sid, _ in rows), default=-1)
+
+
+def _shuffle_bytes_after(spark, stage_floor: int, settle: float = 0.4) -> int:
+    """Shuffle-write bytes summed over stages with id > ``stage_floor``
+    — immune to status-store EVICTION, which silently shrinks the
+    cumulative total a delta of two ``_shuffle_write_bytes`` reads
+    relies on (spark.ui.retainedStages caps the list; a long setup
+    phase between the two reads evicts its own stages and cancels out
+    the measured phase's bytes).  Polls until two consecutive reads
+    agree (async event bus)."""
+    prev = None
+    for _ in range(20):
+        cur = sum(b for sid, b in _stage_rows(spark) if sid > stage_floor)
+        if prev is not None and cur == prev:
+            return cur
+        prev = cur
+        time.sleep(settle)
+    return prev or 0
+
+
+def _query_shuffle_bytes(df) -> int:
+    """Exact shuffle-write bytes of ONE executed query: walk the final
+    physical plan (through AQE query-stage wrappers) and sum each
+    ShuffleExchangeExec's own ``shuffleBytesWritten`` SQL metric,
+    deduplicated by plan id (ReusedExchange).  Ground truth where the
+    app-level stage-store sum proved unreliable (round 11: the plain
+    LSH join's 155 MB of exchanges showed up as 0.85 MB there)."""
+    root = df._jdf.queryExecution().executedPlan()
+    seen: set[int] = set()
+    total = 0
+
+    def walk(n):
+        nonlocal total
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
+            pid = n.id()
+            if pid not in seen:
+                seen.add(pid)
+                it = n.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "shuffleBytesWritten":
+                        total += int(kv._2().value())
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        for attr in ("plan", "finalPhysicalPlan"):
+            if hasattr(n, attr):
+                try:
+                    walk(getattr(n, attr)())
+                except Exception:
+                    pass
+
+    walk(root)
+    return total
 
 
 def _permuted_corpus(spark, sf_dir: str, replicate: int):
@@ -1163,20 +1258,21 @@ def run_bucketed_incremental_curve(
 
         if disable_broadcast:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        sh0 = _shuffle_write_bytes(spark)
-        t0 = time.perf_counter()
-        n_plain = minhash_lsh_incremental(
+        plain_df = minhash_lsh_incremental(
             batch, plain, "text", "doc_id", threshold=0.6
-        ).count()
-        t_plain = time.perf_counter() - t0
-        sh1 = _shuffle_write_bytes(spark)
+        )
         t0 = time.perf_counter()
-        n_bucketed = minhash_lsh_incremental(
+        n_plain = plain_df.count()
+        t_plain = time.perf_counter() - t0
+        plain_bytes = _query_shuffle_bytes(plain_df)
+        bucketed_df = minhash_lsh_incremental(
             batch, s_t, "text", "doc_id", threshold=0.6,
             index_banded=b_t, index_band_counts=c_t, index_buckets=buckets,
-        ).count()
+        )
+        t0 = time.perf_counter()
+        n_bucketed = bucketed_df.count()
         t_bucketed = time.perf_counter() - t0
-        sh2 = _shuffle_write_bytes(spark)
+        bucketed_bytes = _query_shuffle_bytes(bucketed_df)
         assert n_plain == n_bucketed == n_batch
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
@@ -1188,9 +1284,9 @@ def run_bucketed_incremental_curve(
         "batch_docs": n_batch,
         "broadcast_disabled": bool(disable_broadcast),
         "plain_sec": round(t_plain, 2),
-        "plain_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+        "plain_shuffle_mb": round(plain_bytes / 1e6, 1),
         "bucketed_sec": round(t_bucketed, 2),
-        "bucketed_shuffle_mb": round((sh2 - sh1) / 1e6, 1),
+        "bucketed_shuffle_mb": round(bucketed_bytes / 1e6, 1),
     }
 
 
@@ -1207,24 +1303,28 @@ def run_pca_curve(spark, sf_dir: str, replicate: int) -> dict:
 
     corpus = _jittered_embeddings(spark, sf_dir, replicate)
     n_vecs = corpus.count()
-    sh0 = _shuffle_write_bytes(spark)
     t0 = time.perf_counter()
     cov = embedding_covariance(corpus, "embedding", dim=64)
     wq, offs, _ = pca_basis(cov, dim=64, k=8, whiten=True)
     t_fit = time.perf_counter() - t0
-    sh1 = _shuffle_write_bytes(spark)
+    # pca_basis collected cov's OWN QueryExecution, so its per-exchange
+    # SQL metrics are populated (round 11: the stage-store delta this
+    # curve used through round 10 undercounts AQE queries — see
+    # SCALING.md measurement-method note)
+    fit_bytes = _query_shuffle_bytes(cov)
+    proj = pca_project(corpus, wq, offs, "embedding", "vec_id")
     t0 = time.perf_counter()
-    n_proj = pca_project(corpus, wq, offs, "embedding", "vec_id").count()
+    n_proj = proj.count()
     t_proj = time.perf_counter() - t0
-    sh2 = _shuffle_write_bytes(spark)
+    proj_bytes = _query_shuffle_bytes(proj)
     assert n_proj == n_vecs
     return {
         "vectors": n_vecs,
         "fit_sec": round(t_fit, 2),
-        "fit_shuffle_mb": round((sh1 - sh0) / 1e6, 1),
+        "fit_shuffle_mb": round(fit_bytes / 1e6, 1),
         "project_sec": round(t_proj, 2),
         "vecs_per_sec_project": int(n_vecs / t_proj),
-        "project_shuffle_mb": round((sh2 - sh1) / 1e6, 1),
+        "project_shuffle_mb": round(proj_bytes / 1e6, 1),
     }
 
 
