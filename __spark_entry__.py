@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modis_aggregation_spark.config import REFERENCE_EDGES, default_spec
+from modis_aggregation_spark.functions import grid as fn_grid
 from modis_aggregation_spark.functions import text as fn_text
 from modis_aggregation_spark.operators import curation as ops_cur
 from modis_aggregation_spark.operators import dedup as ops_dedup
@@ -904,6 +905,56 @@ SELECT {_CELL} AS cell,
 FROM read_parquet('{PIXELS}/*.parquet')
 WHERE {_BBOX}
 GROUP BY 1
+"""
+
+
+def _q_m18_zorder_cells(spark, sf_dir):
+    """Z-order (Morton) clustering keys for the pixel store's physical
+    layout (functions/grid.py:zorder_key — round 11): global 1-degree
+    cell indices interleaved bit-by-bit, the space-filling-curve sort
+    key that gives regional queries parquet min/max row-group skipping
+    in BOTH dimensions where a (lat, lon) lexicographic sort prunes
+    only on lat (SCALING.md §storage; the physical differential is
+    measured in tests/test_plan_regressions.py::
+    test_zorder_layout_prunes_row_groups).  One row per occupied cell
+    with its key — pure integer bit arithmetic, re-derived verbatim by
+    the oracle."""
+    px = spark.read.parquet(PIXELS)
+    staged = (
+        px.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .select(
+            F.floor(F.col("lat") + F.lit(90.0)).cast("int").alias("lat_idx"),
+            F.floor(F.col("lon") + F.lit(180.0)).cast("int").alias("lon_idx"),
+        )
+        .distinct()
+    )
+    return staged.select(
+        "lat_idx",
+        "lon_idx",
+        fn_grid.zorder_key(F.col("lat_idx"), F.col("lon_idx"), 9).alias("zkey"),
+    )
+
+
+def _zorder_sql_expr(x: str, y: str, bits: int) -> str:
+    """The DuckDB twin of functions/grid.zorder_key — the identical
+    shift/and/or chain, generated so the two sides cannot drift."""
+    parts = []
+    for b in range(bits):
+        parts.append(f"((({x} >> {b}) & 1) << {2 * b + 1})")
+        parts.append(f"((({y} >> {b}) & 1) << {2 * b})")
+    return " | ".join(parts)
+
+
+_SQL_M18 = f"""
+WITH cells AS (
+  SELECT DISTINCT CAST(floor(lat + 90.0) AS INT) AS lat_idx,
+                  CAST(floor(lon + 180.0) AS INT) AS lon_idx
+  FROM read_parquet('{PIXELS}/*.parquet')
+  WHERE lat IS NOT NULL AND lon IS NOT NULL
+)
+SELECT lat_idx, lon_idx,
+       CAST({_zorder_sql_expr('lat_idx', 'lon_idx', 9)} AS BIGINT) AS zkey
+FROM cells
 """
 
 
@@ -10521,6 +10572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r59_percentile_disc": _q_r59_percentile_disc,
         "x108_ivf_append": _q_x108_ivf_append,
         "x109_cov_merge": _q_x109_cov_merge,
+        "m18_zorder_cells": _q_m18_zorder_cells,
         # -- last driver-recorded in round 6 -----------------------------------
         "m15_alt_grid": _q_m15_alt_grid,
         "m16_trim_1km": _q_m16_trim_1km,
@@ -10751,6 +10803,7 @@ def oracle_sql() -> dict[str, str]:
         "r59_percentile_disc": _SQL_R59,
         "x108_ivf_append": _SQL_X108,
         "x109_cov_merge": _SQL_X100,
+        "m18_zorder_cells": _SQL_M18,
         # compaction is a physical re-layout: x107 must answer exactly
         # like x105's direct generation read
         "x107_index_compaction": _SQL_X105,

@@ -39,3 +39,31 @@ def cell_id(
     return (
         lat_idx(lat, lat0, d_lat).cast("long") * F.lit(nlon) + lon_idx(lon, lon0, d_lon)
     ).alias("cell")
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton / Z-order curve key: interleave the low ``bits`` bits of
+    two non-negative cell indices (x gets the odd positions) — the
+    standard data-clustering key for the pixel store's physical layout
+    (SCALING.md §storage: sorting files by a space-filling curve gives
+    regional queries parquet row-group min/max skipping in BOTH
+    dimensions, where a (lat, lon) lexicographic sort only prunes on
+    lat).  Pure integer bit arithmetic (shift/and/or), identical in any
+    SQL engine, so layouts derived from it are engine-portable.
+
+    Scale shape: map-only expression; cluster with
+    ``repartitionByRange(n, zkey).sortWithinPartitions(zkey)`` at write
+    time — a one-time range shuffle that buys every subsequent regional
+    scan its pruning (tests/test_plan_regressions.py::
+    test_zorder_layout_prunes_row_groups measures the differential)."""
+    xl = x.cast("long")
+    yl = y.cast("long")
+    # Column.__or__ is logical OR in PySpark — bit math needs bitwiseOR
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc.bitwiseOR(
+            F.shiftleft(F.shiftright(xl, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yl, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return acc

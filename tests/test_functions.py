@@ -216,3 +216,31 @@ def test_spread_small_scan_semantics(spark):
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
     assert spread_small_scan(stream) is stream
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """functions/grid.zorder_key: bit-interleave parity with a direct
+    python reference over the full 6-bit square, plus the documented
+    odd/even position convention (x odd, y even)."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.functions.grid import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x INT, y INT"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), 3).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for b in range(3):
+            z |= ((x >> b) & 1) << (2 * b + 1) | ((y >> b) & 1) << (2 * b)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x in range(8) for y in range(8)}
+    assert got[(1, 0)] == 2 and got[(0, 1)] == 1  # x odd, y even positions

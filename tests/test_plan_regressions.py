@@ -2,6 +2,7 @@
 broadcast, partial aggregation) must not silently regress."""
 
 import __spark_entry__ as entry
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
@@ -1082,3 +1083,79 @@ def test_x107_compacted_index_no_index_exchange(spark):
     for n in walk(root):
         if n.getClass().getSimpleName() == "ShuffleExchangeExec":
             assert not moves_raw_index_rows(n), n.simpleString(200)
+
+
+def test_zorder_layout_prunes_row_groups(spark, tmp_path):
+    """functions/grid.zorder_key (round 11): a bbox query over a
+    Z-ORDER-clustered pixel layout must MATERIALIZE fewer rows at the
+    scan than the same query over a row-shuffled layout — parquet
+    row-group min/max statistics on lat AND lon both prune under the
+    space-filling-curve sort, which is the physical point of the key
+    at 100 TB (a regional query reads the region, not the planet).
+    Criterion: the scan node's numOutputRows (rows surviving row-group
+    skipping + pushed filters) under identical predicates."""
+    from modis_aggregation_spark.functions.grid import zorder_key
+
+    px = spark.read.parquet("/root/repo/fixtures/pixels.parquet").select(
+        "lat", "lon", "ctp"
+    )
+    zsorted = str(tmp_path / "zsorted")
+    shuffled = str(tmp_path / "shuffled")
+    small = {"parquet.block.size": str(64 * 1024)}  # many row groups
+    zk = zorder_key(
+        F.floor(F.col("lat") + 90.0).cast("int"),
+        F.floor(F.col("lon") + 180.0).cast("int"),
+        9,
+    )
+    (
+        px.withColumn("__zk", zk)
+        .repartitionByRange(4, "__zk")
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+        .write.options(**small).mode("overwrite").parquet(zsorted)
+    )
+    (
+        px.orderBy(F.xxhash64("lat", "lon", "ctp"))  # worst case: no locality
+        .write.options(**small).mode("overwrite").parquet(shuffled)
+    )
+
+    def scan_rows(path):
+        df = spark.read.parquet(path).where(
+            "lat BETWEEN 0 AND 10 AND lon BETWEEN 0 AND 10"
+        )
+        # collect() executes THIS DataFrame's QueryExecution, so its
+        # scan node carries the metrics (count() plans a separate query
+        # whose metrics would not appear here)
+        n = len(df.collect())
+        root = df._jdf.queryExecution().executedPlan()
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "FileSourceScanExec":
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        return int(kv._2().value())
+            ch = node.children()
+            for i in range(ch.size()):
+                got = walk(ch.apply(i))
+                if got is not None:
+                    return got
+            for attr in ("plan", "finalPhysicalPlan"):
+                if hasattr(node, attr):
+                    try:
+                        got = walk(getattr(node, attr)())
+                        if got is not None:
+                            return got
+                    except Exception:
+                        pass
+            return None
+
+        return n, walk(root)
+
+    n_z, scan_z = scan_rows(zsorted)
+    n_s, scan_s = scan_rows(shuffled)
+    assert n_z == n_s and n_z > 0          # identical answers
+    assert scan_z is not None and scan_s is not None
+    # the clustered layout must skip most row groups the shuffled one reads
+    assert scan_z < scan_s / 2, (scan_z, scan_s)
