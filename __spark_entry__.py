@@ -2922,6 +2922,65 @@ def _q_x88_decode_progressive(spark, sf_dir):
 _SQL_X88 = _SQL_X65  # same exact-subspace expectation, progressive path
 
 
+def _q_x110_decode_lossless(spark, sf_dir):
+    """REAL LOSSLESS JPEG decode (SOF3, T.81 Annex H — round 11): each
+    document's first utf-8 bytes tiled (cyclic) into a 4x4 grayscale
+    image — RAW byte values this time, no even-valued DCT-subspace
+    constraint, because the lossless process reproduces samples
+    bit-exactly — encoded through ``encode_jpeg_lossless`` with the
+    PREDICTOR VARYING BY doc_id (all seven T.81 H.1 predictors appear
+    in the corpus) and a restart marker every 2 sample rows, then
+    decoded for real by ``decode_images(decoder="jpeg")`` (predictor
+    reconstruction modulo 2^16, flat difference Huffman table, restart
+    segmentation).  The oracle is a codec-free golden: the expected
+    mean_pixel is just the mean of the 16 source bytes
+    (goldens/x110_lossless_decode.parquet, keyed by sha256(text)) —
+    any mis-predicted sample anywhere fails the join values.
+    Hand-pinned Annex H bitstream vectors in tests/test_jpeglite.py."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_jpeg(it):
+        from modis_aggregation_spark.sinks.jpeglite import (
+            encode_jpeg_lossless,
+        )
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(
+                    np.frombuffer(data, np.uint8), (4, 4)
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_jpeg_lossless(
+                        img,
+                        predictor=int(doc_id) % 7 + 1,
+                        restart_rows=2,
+                    )
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    imgs = _spread(docs).mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
+    out = ops_mm.decode_images(imgs, decoder="jpeg", out_hw=(4, 4))
+    return out.select(
+        "id", "height", "width", "channels",
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X110 = """
+SELECT d.doc_id AS id, g.height, g.width, g.channels,
+       round(g.mean_pixel, 6) AS mean_pixel
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x110_lossless_decode.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x73_avi_frames(spark, sf_dir):
     """REAL video decode end-to-end (no fake): each document's utf-8
     bytes tile into three 16×16 frames of constant even-valued 8×8
@@ -10566,6 +10625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Keys and aliases unchanged.
     return {
         # -- NEW in round 11 (no driver record yet — always lead) --------------
+        "x110_decode_lossless": _q_x110_decode_lossless,
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
@@ -10798,6 +10858,7 @@ def oracle_sql() -> dict[str, str]:
         "r57_tpch_q11": _SQL_R57,
         "r58_tpch_q20": _SQL_R58,
         "x105_index_generations": _SQL_X105,
+        "x110_decode_lossless": _SQL_X110,
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,

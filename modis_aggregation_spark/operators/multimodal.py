@@ -110,13 +110,15 @@ def decode_images(
       against javax.imageio): the FIRST composited frame, resampled like
       the PNG path. Use ``sample_frames(decoder="gif")`` for the full
       animation.
-    * ``decoder="jpeg"`` — REAL decode for baseline-sequential JPEG
-      payloads via ``sinks/jpeglite.py`` (pure-Python ITU-T T.81
-      baseline process, cross-validated against javax.imageio in both
-      directions): marker parse → Huffman entropy decode → dequantize →
-      batched IDCT → chroma upsample → YCbCr→RGB, then resampled like
-      the PNG path. Progressive/arithmetic/12-bit streams raise
-      NotImplementedError inside the task (honest gate).
+    * ``decoder="jpeg"`` — REAL decode for JPEG payloads via
+      ``sinks/jpeglite.py`` (pure-Python ITU-T T.81: baseline +
+      extended sequential incl. 12-bit, progressive, and lossless SOF3
+      processes; the DCT paths are cross-validated against
+      javax.imageio in both directions): marker parse → entropy decode
+      → (DCT: dequantize → batched IDCT → chroma upsample → YCbCr→RGB;
+      lossless: predictor reconstruction, component-planar) then
+      resampled like the PNG path. Arithmetic-coded and hierarchical
+      streams raise NotImplementedError inside the task (honest gate).
     * ``decoder="real"`` — the PIL multi-format path (PIL is not in
       this container → raises NotImplementedError at plan-build time, by
       design; never silently falls back).

@@ -18,12 +18,30 @@ DCT processes of the public ITU-T T.81 (1992) specification:
   batched numpy over all blocks at once.
 * ``encode_jpeg`` — baseline sequential, grayscale or RGB as 4:4:4
   YCbCr, Annex K quantization tables scaled by the libjpeg quality
-  formula, Annex K "typical" Huffman tables, optional restart interval.
+  formula, Annex K "typical" Huffman tables, optional restart interval;
+  ``precision=12`` emits the extended sequential process (SOF1) from
+  uint16 samples with flat Huffman tables covering the wider 12-bit
+  categories.  12-bit decode is supported for SOF1 and SOF2 streams
+  (Table F.1 category ranges; uint16 output).
+* ``decode_jpeg`` / ``encode_jpeg_lossless`` — the LOSSLESS process
+  (SOF3, Annex H, round 11): predictors 1-7, point transform,
+  restart intervals, 2..16-bit samples, 1-4 components with arbitrary
+  sampling factors on decode (encode is 1x1 interleaved); bit-exact
+  round trip, uint8/uint16 output, no color transform (T.81 defines
+  none for lossless; SOF3 producers store component-planar data).
 
-Lossless/hierarchical (SOF3, SOF5-7, SOF11), arithmetic-coded
-(SOF9/SOF10/DAC) and 12-bit-precision streams raise
-``NotImplementedError`` — honest gates per repo rule 5, not silent
-fallbacks.  CMYK/YCCK (4-component) streams likewise.
+Also supported (round 11): DNL-deferred image height (SOF height 0 +
+the B.2.5 DNL segment after the scan) and 4-component CMYK/YCCK
+decode+encode (Adobe APP14 transform 0/2, libjpeg conventions,
+(H, W, 4) arrays — the declared transform is removed/applied; any
+application-level Adobe inversion is the caller's business).
+
+Hierarchical (SOF5-7, SOF11) and arithmetic-coded (SOF9/SOF10/DAC)
+streams raise ``NotImplementedError`` — honest gates per repo rule 5,
+not silent fallbacks.  The arithmetic gate is permanent in this
+container: T.81's QM-coder requires the normative Qe probability
+state-transition table (Table D.3), which is spec DATA that cannot be
+derived — shipping an approximation would decode real streams wrongly.
 
 Cross-validated in tests against the JVM's javax.imageio — a REAL,
 independent production codec shipped with the JDK: imageio must decode
@@ -159,9 +177,9 @@ del _u, _x, _c
 
 def _gate(what: str) -> NotImplementedError:
     return NotImplementedError(
-        f"jpeglite implements the baseline sequential Huffman process of "
-        f"ITU-T T.81 only; {what} is not implemented (honest gate — no "
-        f"silent fallback)"
+        f"jpeglite implements the Huffman-coded sequential (8/12-bit), "
+        f"progressive and lossless processes of ITU-T T.81; {what} is "
+        f"not implemented (honest gate — no silent fallback)"
     )
 
 
@@ -626,6 +644,202 @@ def _decode_ac_refine(segments, units, ss, se, al, ac_t, ri):
         raise ValueError(f"AC refinement ended after {u}/{n_units} units")
 
 
+def _decode_lossless_frame(frame, scans) -> np.ndarray:
+    """Lossless (SOF3) frame decode — T.81 Annex H, process 14.
+
+    Each sample's difference from its prediction is Huffman-coded like a
+    DC coefficient (SSSS category + magnitude bits, Table H.2; SSSS=16
+    means a difference of exactly 32768 with no extra bits), prediction
+    selected by the scan's Ss field (1..7: Ra, Rb, Rc, Ra+Rb-Rc,
+    Ra+((Rb-Rc)>>1), Rb+((Ra-Rc)>>1), (Ra+Rb)>>1), reconstruction modulo
+    2^16 (H.1.2.1).  The first sample of a scan (and of each restart
+    interval) predicts from 2^(P-Pt-1); the rest of that first line
+    predicts from Ra; the first sample of every later line predicts from
+    Rb (H.1.1).  Prediction never crosses a restart boundary (H.2.2), so
+    restart intervals must cover whole sample/MCU lines — a mid-line
+    restart (which no real encoder emits: it would leave 'the line
+    above' spanning two independent intervals) raises ValueError.
+    Output samples are shifted left by the point transform Pt (H.1.2.3).
+    No color transform is applied — T.81 defines none for the lossless
+    process, and real SOF3 producers (DNG, DICOM) store component-planar
+    data, not YCbCr — multi-component frames return the planes stacked
+    as (H, W, N), uint8 for P<=8 else uint16."""
+    prec = frame["prec"]
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    if not all(1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps):
+        raise ValueError("sampling factors out of the 1-4 range")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # lossless data unit = ONE SAMPLE (T.81 A.2.2): MCU grid in samples
+    mcux = -(-w // hmax)
+    mcuy = -(-h // vmax)
+    # per-component PADDED sample grid, rows of python ints (the entropy
+    # loop is serial python; numpy only sees the assembled planes)
+    grids = [
+        [[0] * (mcux * c["h"]) for _ in range(mcuy * c["v"])] for c in comps
+    ]
+    pt_of = [None] * len(comps)
+    ext_half, ext_sub = _EXT_HALF, _EXT_SUB
+
+    for sel, ss, _se, _ah, al, scan_data, ri, tabs in scans:
+        sel_comps = [ci for ci, c in enumerate(comps) if c["id"] in sel]
+        if len(sel_comps) != len(sel):
+            raise ValueError("SOS references a component not in the frame")
+        if al >= prec:
+            raise ValueError(
+                f"point transform {al} >= sample precision {prec}"
+            )
+        luts = {}
+        for ci in sel_comps:
+            td = sel[comps[ci]["id"]][0]
+            if (0, td) not in tabs:
+                raise ValueError("missing Huffman table referenced by SOS")
+            luts[ci] = tabs[(0, td)].lookup16
+        for ci in sel_comps:
+            if pt_of[ci] is not None and pt_of[ci] != al:
+                raise ValueError(
+                    "point transform differs between scans of one component"
+                )
+            pt_of[ci] = al
+        default = 1 << (prec - al - 1)
+
+        interleaved = len(sel_comps) > 1
+        if interleaved:
+            row_units, total_rows = mcux, mcuy
+        else:
+            cc = comps[sel_comps[0]]
+            # non-interleaved scans cover the REAL (unpadded) grid
+            row_units = -(-(w * cc["h"]) // hmax)
+            total_rows = -(-(h * cc["v"]) // vmax)
+        if ri:
+            if ri % row_units:
+                raise ValueError(
+                    f"lossless restart interval {ri} is not a whole number "
+                    f"of {row_units}-unit sample lines; prediction may not "
+                    "cross a restart boundary (T.81 H.2.2), so mid-line "
+                    "restarts are rejected"
+                )
+            rows_per_seg = ri // row_units
+        else:
+            rows_per_seg = total_rows
+        segments = _scan_segments(scan_data, ri)
+        need = -(-total_rows // rows_per_seg)
+        if len(segments) != need:
+            raise ValueError(
+                f"lossless scan has {len(segments)} restart segments; the "
+                f"declared interval implies {need}"
+            )
+
+        for si, seg in enumerate(segments):
+            data, npos = seg, len(seg)
+            pos = acc = nbits = 0
+
+            def read_diff(lut):
+                nonlocal pos, acc, nbits
+                if nbits < 32:
+                    if pos + 4 <= npos:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos : pos + 4], "big"
+                        )
+                        nbits += 32
+                        pos += 4
+                    else:
+                        while nbits < 32:
+                            acc = (acc << 8) | (
+                                data[pos] if pos < npos else 0xFF
+                            )
+                            pos += 1
+                            nbits += 8
+                hit = lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if hit is None:
+                    raise ValueError("invalid Huffman code in entropy data")
+                s_, length = hit
+                nbits -= length
+                if s_ == 16:  # T.81 Table H.2: diff is exactly 32768
+                    acc &= (1 << nbits) - 1
+                    return 32768
+                if s_ > 16:
+                    raise ValueError("invalid lossless difference category")
+                if s_ == 0:
+                    acc &= (1 << nbits) - 1
+                    return 0
+                nbits -= s_
+                v = (acc >> nbits) & ext_sub[s_]
+                acc &= (1 << nbits) - 1
+                return v if v >= ext_half[s_] else v - ext_sub[s_]
+
+            def sample(grid, y, x, y0, lut):
+                row = grid[y]
+                if y == y0:
+                    px = default if x == 0 else row[x - 1]
+                elif x == 0:
+                    px = grid[y - 1][0]
+                else:
+                    ra = row[x - 1]
+                    up = grid[y - 1]
+                    if ss == 1:
+                        px = ra
+                    elif ss == 2:
+                        px = up[x]
+                    elif ss == 3:
+                        px = up[x - 1]
+                    elif ss == 4:
+                        px = ra + up[x] - up[x - 1]
+                    elif ss == 5:
+                        px = ra + ((up[x] - up[x - 1]) >> 1)
+                    elif ss == 6:
+                        px = up[x] + ((ra - up[x - 1]) >> 1)
+                    else:
+                        px = (ra + up[x]) >> 1
+                row[x] = (px + read_diff(lut)) & 0xFFFF
+
+            r0 = si * rows_per_seg
+            rows = range(r0, min(r0 + rows_per_seg, total_rows))
+            if interleaved:
+                layout = [
+                    (ci, grids[ci], comps[ci]["h"], comps[ci]["v"], luts[ci])
+                    for ci in sel_comps
+                ]
+                for my in rows:
+                    for mx in range(mcux):
+                        for _ci, grid, chh, cvv, lut in layout:
+                            y0 = r0 * cvv
+                            for bv in range(cvv):
+                                for bh in range(chh):
+                                    sample(
+                                        grid, my * cvv + bv, mx * chh + bh,
+                                        y0, lut,
+                                    )
+            else:
+                ci = sel_comps[0]
+                grid, lut = grids[ci], luts[ci]
+                for y in rows:
+                    for x in range(row_units):
+                        sample(grid, y, x, r0, lut)
+
+    # ---- assembly: crop real dims, point-transform shift, upsample ----
+    out_dtype = np.uint8 if prec <= 8 else np.uint16
+    planes = []
+    for ci, c in enumerate(comps):
+        if pt_of[ci] is None:
+            raise ValueError(
+                f"lossless frame component {c['id']} appears in no SOS"
+            )
+        cw = -(-(w * c["h"]) // hmax)
+        chh = -(-(h * c["v"]) // vmax)
+        plane = np.array(grids[ci], dtype=np.uint32)[:chh, :cw]
+        if pt_of[ci]:
+            plane = plane << pt_of[ci]
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1
+        )
+        planes.append(plane[:h, :w].astype(out_dtype))
+    if len(planes) == 1:
+        return planes[0]
+    return np.stack(planes, -1)
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline-sequential or progressive JPEG → uint8 array,
     (H, W) for grayscale or (H, W, 3) RGB.
@@ -648,22 +862,37 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     scans = []  # (sel, ss, se, ah, al, data, ri, table-snapshot)
 
     for marker, payload, scan_data in _parse_segments(bytes(buf)):
-        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise _gate(f"{prec}-bit sample precision")
-            if h == 0:
-                raise _gate("DNL-deferred image height (SOF height 0)")
-            if ncomp not in (1, 3):
-                raise _gate(f"{ncomp}-component (CMYK/YCCK) color")
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"lossless JPEG precision {prec} outside T.81's 2..16"
+                    )
+            elif marker == 0xC0:
+                if prec != 8:
+                    raise ValueError(
+                        f"baseline (SOF0) frame declares {prec}-bit precision; "
+                        "T.81 baseline is 8-bit only"
+                    )
+            elif prec not in (8, 12):
+                raise ValueError(
+                    f"extended/progressive frame precision {prec}; T.81 "
+                    "allows 8 or 12"
+                )
+            # h == 0 defers the line count to a DNL segment (B.2.5)
+            if not 1 <= ncomp <= 4:
+                raise ValueError(f"{ncomp}-component frame outside 1..4")
             progressive = marker == 0xC2
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", payload, 1 + 5 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
-            raise _gate(f"SOF{marker - 0xC0} (lossless/hierarchical) coding")
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "lossless": lossless}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
+            raise _gate(f"SOF{marker - 0xC0} (hierarchical) coding")
         elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
             raise _gate("arithmetic entropy coding")
         elif marker == 0xCC:
@@ -694,6 +923,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 p += 17 + nval
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDC:  # DNL: deferred line count (B.2.5)
+            if frame is None or not scans:
+                raise ValueError("DNL segment before the first scan")
+            (nl,) = struct.unpack_from(">H", payload, 0)
+            if nl == 0:
+                raise ValueError("DNL declares zero lines")
+            if frame["h"] == 0:
+                frame["h"] = nl
         elif marker == 0xEE and payload[:5] == b"Adobe":  # APP14
             adobe_transform = payload[11]
         elif marker == 0xDA:  # SOS
@@ -704,7 +941,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 sel[cs] = (tdta >> 4, tdta & 15)
             ss, se, ahl = struct.unpack_from(">BBB", payload, 1 + 2 * ns)
             ah, al = ahl >> 4, ahl & 15
-            if not progressive and ((ss, se) != (0, 63) or ahl != 0):
+            if frame is not None and frame["lossless"]:
+                if not 1 <= ss <= 7 or se != 0 or ah != 0:
+                    raise ValueError(
+                        "lossless scan needs predictor Ss in 1..7, Se=0, "
+                        f"Ah=0 (got Ss={ss}, Se={se}, Ah={ah})"
+                    )
+            elif not progressive and ((ss, se) != (0, 63) or ahl != 0):
                 raise ValueError(
                     "sequential frame with non-full spectral selection"
                 )
@@ -721,6 +964,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
     if frame is None or not scans:
         raise ValueError("JPEG stream has no SOF/SOS")
+    if frame["h"] == 0:
+        raise ValueError(
+            "SOF declares height 0 and no DNL segment follows the scan"
+        )
     comps = frame["comps"]
     if not progressive:
         # every frame component must be entropy-coded by some scan;
@@ -731,6 +978,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             raise ValueError(
                 f"sequential frame components {missing} appear in no SOS"
             )
+    if frame["lossless"]:
+        return _decode_lossless_frame(frame, scans)
+    prec = frame["prec"]
+    center = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -822,7 +1075,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         # IDCT = A.T @ B @ A per block; fixed matmuls (einsum's per-call
         # path search costs more than the 8x8 contraction itself)
         pix = np.matmul(np.matmul(_DCT_T.T, b8), _DCT_T)
-        pix = np.clip(np.round(pix) + 128, 0, 255)
+        pix = np.clip(np.round(pix) + center, 0, maxval)
         # raster-grid blocks -> component plane
         ch, cv = c["h"], c["v"]
         gy, gx = mcuy * cv, mcux * ch
@@ -834,16 +1087,38 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)
+        return planes[0].astype(out_dtype)
+    c0 = float(center)
+    if len(planes) == 2:  # no defined color space: planes as stored
+        return np.clip(
+            np.round(np.stack(planes, -1)), 0, maxval
+        ).astype(out_dtype)
+    if len(planes) == 4:
+        # CMYK/YCCK (libjpeg conventions): Adobe transform 2 is YCCK —
+        # YCbCr-invert the first three planes and complement against
+        # maxval, K passes through; transform 0 / no marker is CMYK as
+        # stored.  Any application-level Adobe inversion is the
+        # caller's business — we only remove the declared transform.
+        if adobe_transform == 2:
+            y, cb, cr, k = planes
+            r = y + 1.402 * (cr - c0)
+            g = y - 0.344136 * (cb - c0) - 0.714136 * (cr - c0)
+            b = y + 1.772 * (cb - c0)
+            cmyk = np.stack([maxval - r, maxval - g, maxval - b, k], -1)
+        else:
+            cmyk = np.stack(planes, -1)
+        return np.clip(np.round(cmyk), 0, maxval).astype(out_dtype)
     # color: JFIF default is YCbCr; Adobe transform 0 means plain RGB
     if adobe_transform == 0:
         rgb = np.stack(planes, -1)
-        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return np.clip(np.round(rgb), 0, maxval).astype(out_dtype)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - c0)
+    g = y - 0.344136 * (cb - c0) - 0.714136 * (cr - c0)
+    b = y + 1.772 * (cb - c0)
+    return np.clip(
+        np.round(np.stack([r, g, b], -1)), 0, maxval
+    ).astype(out_dtype)
 
 
 # ----------------------------------------------------------------- encode
@@ -930,19 +1205,46 @@ def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 75, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 75,
+    restart_interval: int = 0,
+    precision: int = 8,
+    cmyk_transform: int = 0,
 ) -> bytes:
     """Encode uint8 (H, W) grayscale or (H, W, 3) RGB as a baseline
-    sequential JPEG (grayscale single-component, or 4:4:4 YCbCr)."""
+    sequential JPEG (grayscale single-component, or 4:4:4 YCbCr).
+
+    ``precision=12`` encodes the T.81 EXTENDED sequential process
+    (SOF1) from uint16 samples below 4096: level shift 2^11, the same
+    Annex K quantizers, and flat Huffman tables covering the wider
+    12-bit categories (DC SSSS 0..15, AC size 1..14 per Table F.1,
+    which Annex K's 8-bit 'typical' tables do not).
+
+    (H, W, 4) input is CMYK: four 4:4:4 components plus an Adobe APP14
+    marker carrying ``cmyk_transform`` — 0 stores the planes as given,
+    2 stores YCCK (forward YCbCr over the maxval-complemented CMY
+    planes, K untouched; the libjpeg convention `decode_jpeg`
+    inverts)."""
     img = np.asarray(img)
-    if img.dtype != np.uint8:
-        raise ValueError("encode_jpeg wants uint8")
+    if precision == 8:
+        if img.dtype != np.uint8:
+            raise ValueError("encode_jpeg wants uint8 at precision 8")
+    elif precision == 12:
+        if img.dtype != np.uint16:
+            raise ValueError("encode_jpeg wants uint16 at precision 12")
+        if img.size and int(img.max()) >> 12:
+            raise ValueError("12-bit sample out of range")
+    else:
+        raise ValueError("DCT precision must be 8 or 12 (T.81)")
     if img.ndim == 2:
         gray = True
-    elif img.ndim == 3 and img.shape[2] == 3:
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
         gray = False
     else:
-        raise ValueError("encode_jpeg wants (H, W) or (H, W, 3)")
+        raise ValueError("encode_jpeg wants (H, W), (H, W, 3) or (H, W, 4)")
+    cmyk = img.ndim == 3 and img.shape[2] == 4
+    if cmyk_transform not in (0, 2):
+        raise ValueError("cmyk_transform must be 0 (CMYK) or 2 (YCCK)")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -953,16 +1255,30 @@ def encode_jpeg(
     pad = [(0, ph - h), (0, pw - w)] + ([(0, 0)] if not gray else [])
     padded = np.pad(img.astype(np.float64), pad, mode="edge")
 
+    center = float(1 << (precision - 1))
+    maxv = float((1 << precision) - 1)
     if gray:
-        planes = [padded - 128.0]
+        planes = [padded - center]
         qts = [qluma]
         comps = [(1, 0, 0, 0)]  # (id, tq, td, ta)
+    elif cmyk:
+        c_, m_, ye, k_ = (padded[..., i] for i in range(4))
+        if cmyk_transform == 2:  # YCCK: YCbCr over complemented CMY
+            r, g, b = maxv - c_, maxv - m_, maxv - ye
+            p0 = 0.299 * r + 0.587 * g + 0.114 * b
+            p1 = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+            p2 = 0.5 * r - 0.418688 * g - 0.081312 * b + center
+        else:
+            p0, p1, p2 = c_, m_, ye
+        planes = [p0 - center, p1 - center, p2 - center, k_ - center]
+        qts = [qluma] * 4
+        comps = [(1, 0, 0, 0), (2, 0, 0, 0), (3, 0, 0, 0), (4, 0, 0, 0)]
     else:
         r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
+        planes = [y - center, cb - center, cr - center]
         qts = [qluma, qchroma, qchroma]
         comps = [(1, 0, 0, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
 
@@ -975,27 +1291,50 @@ def encode_jpeg(
         qcoef.append(qz[:, ZIGZAG])  # raster -> zig-zag scan order
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # JFIF APP0
-    out += (
-        b"\xff\xe0"
-        + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
+    if precision == 8 and not cmyk:
+        # JFIF APP0 (JFIF is defined for 8-bit 1/3-component streams)
+        out += (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0)
+        )
+    if cmyk:
+        # Adobe APP14: version 100, flags 0, the color transform byte
+        out += (
+            b"\xff\xee"
+            + struct.pack(">H", 14)
+            + b"Adobe"
+            + struct.pack(">HHHB", 100, 0, 0, cmyk_transform)
+        )
     # DQT (zig-zag order on the wire)
-    for tq, qt in enumerate(qts[:2] if not gray else qts[:1]):
+    for tq, qt in enumerate(qts[:1] if (gray or cmyk) else qts[:2]):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
             int(v) for v in qt[ZIGZAG]
         )
-    # SOF0
+    # SOF0 (baseline, 8-bit) or SOF1 (extended sequential, 12-bit)
     nc = len(comps)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
     for cid, tq, _, _ in comps:
         out += struct.pack(">BBB", cid, 0x11, tq)  # h=v=1 (4:4:4)
-    # DHT
-    hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
-    if not gray:
-        hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    # DHT: Annex K typical tables cover 8-bit categories only (DC SSSS
+    # <= 11, AC size <= 10); 12-bit needs DC 0..15 and AC size 1..14
+    # (Table F.1) — flat canonical tables there.
+    two_tables = not gray and not cmyk
+    if precision == 8:
+        hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+        if two_tables:
+            hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    else:
+        dc12 = _flat_table(list(range(16)))
+        ac12 = _flat_table(
+            [0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        )
+        hts = [(0x00, dc12), (0x10, ac12)]
+        if two_tables:
+            hts += [(0x01, dc12), (0x11, ac12)]
     enc_tabs = {}
     for tcth, (bits, values) in hts:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tcth)
@@ -1018,8 +1357,7 @@ def encode_jpeg(
     n_blocks = qcoef[0].shape[0]
     qlists = [q.tolist() for q in qcoef]
     ctabs = [
-        (enc_tabs[0x00 if ci == 0 else 0x01], enc_tabs[0x10 if ci == 0 else 0x11])
-        for ci in range(nc)
+        (enc_tabs[td], enc_tabs[0x10 | ta]) for _, _, td, ta in comps
     ]
     ebuf = bytearray()
     eappend = ebuf.append
@@ -1285,6 +1623,145 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 50) -> bytes:
     out += wr.out
 
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int | None = None,
+    restart_rows: int = 0,
+) -> bytes:
+    """Encode a REAL lossless JPEG (SOF3, T.81 Annex H, process 14).
+
+    ``img`` is uint8 or uint16, (H, W) or (H, W, C) with 1-4 components
+    (all coded 1x1, one interleaved scan — the layout DNG/DICOM
+    producers emit).  ``precision`` defaults to 8 for uint8 and 16 for
+    uint16 input and may be any of T.81's 2..16; every sample must be
+    below 2^precision.  ``point_transform`` (Pt) drops that many low
+    bits before prediction (decode shifts back, so round-trip equals
+    ``img >> Pt << Pt``).  ``restart_rows`` > 0 emits an RSTn marker
+    every that-many sample rows (DRI = rows x width MCUs — always a
+    whole number of lines, per the H.2.2 prediction-boundary rule).
+    Difference coding uses a single flat 8-bit Huffman table over the
+    17 categories (fixture compression is irrelevant; the table is
+    legal for any stream).  `decode_jpeg` round-trips bit-exactly."""
+    img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError("encode_jpeg_lossless wants uint8 or uint16")
+    if img.ndim == 2:
+        arr = img[:, :, np.newaxis]
+    elif img.ndim == 3 and 1 <= img.shape[2] <= 4:
+        arr = img
+    else:
+        raise ValueError(
+            "encode_jpeg_lossless wants (H, W) or (H, W, 1..4)"
+        )
+    h, w, nc = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be in 2..16 (T.81)")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor (Ss) must be in 1..7")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be in 0..precision-1")
+    if int(arr.max()) >> precision:
+        raise ValueError(
+            f"sample {int(arr.max())} does not fit {precision}-bit precision"
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack(">BBB", ci + 1, 0x11, 0)
+    bits, values = _flat_table(list(range(17)))
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), 0x00)
+    out += bytes(bits) + bytes(values)
+    if restart_rows:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_rows * w)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += struct.pack(">BB", ci + 1, 0x00)
+    out += struct.pack(">BBB", predictor, 0, point_transform)
+
+    tab = _enc_table(bits, values)
+    default = 1 << (precision - point_transform - 1)
+    planes = [
+        (arr[:, :, ci].astype(np.int64) >> point_transform).tolist()
+        for ci in range(nc)
+    ]
+    ebuf = bytearray()
+    eappend = ebuf.append
+    acc = nbits = 0
+    rst = 0
+    y0 = 0  # first row of the current restart segment
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            if nbits:  # byte-align with 1-bit padding (stuffed if FF)
+                pad = 8 - nbits
+                b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+                eappend(b)
+                if b == 0xFF:
+                    eappend(0)
+                acc = nbits = 0
+            eappend(0xFF)
+            eappend(0xD0 + (rst & 7))
+            rst += 1
+            y0 = y
+        for x in range(w):
+            for plane in planes:
+                row = plane[y]
+                if y == y0:
+                    px = default if x == 0 else row[x - 1]
+                elif x == 0:
+                    px = plane[y - 1][0]
+                else:
+                    ra = row[x - 1]
+                    up = plane[y - 1]
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = up[x]
+                    elif predictor == 3:
+                        px = up[x - 1]
+                    elif predictor == 4:
+                        px = ra + up[x] - up[x - 1]
+                    elif predictor == 5:
+                        px = ra + ((up[x] - up[x - 1]) >> 1)
+                    elif predictor == 6:
+                        px = up[x] + ((ra - up[x - 1]) >> 1)
+                    else:
+                        px = (ra + up[x]) >> 1
+                d = (row[x] - px) & 0xFFFF
+                if d == 32768:  # category 16: no magnitude bits (H.2)
+                    code, ln = tab[16]
+                    acc = (acc << ln) | code
+                    nbits += ln
+                else:
+                    v = d - 65536 if d > 32768 else d
+                    s_, field = _magnitude(v)
+                    code, ln = tab[s_]
+                    acc = (acc << (ln + s_)) | (code << s_) | field
+                    nbits += ln + s_
+                while nbits >= 8:
+                    nbits -= 8
+                    b = (acc >> nbits) & 0xFF
+                    eappend(b)
+                    if b == 0xFF:
+                        eappend(0)
+                acc &= (1 << nbits) - 1
+    if nbits:
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        eappend(b)
+        if b == 0xFF:
+            eappend(0)
+    out += ebuf
+    out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 

@@ -453,6 +453,67 @@ def x65_jpeg_golden() -> pa.Table:
     )
 
 
+def x110_lossless_golden() -> pa.Table:
+    """Recompute the x110 LOSSLESS-JPEG-decode expectation per distinct
+    document payload WITHOUT touching the codec: lossless JPEG (SOF3)
+    reproduces samples bit-exactly, so the expected mean_pixel over the
+    4x4 grayscale fixture (the text's first utf-8 bytes, cyclic) is the
+    plain mean of those 16 bytes — no quantization subspace needed at
+    all, unlike the x65/x88 DCT fixtures.  If any predictor path,
+    restart handling or the difference decode mis-reconstructed a
+    sample the Spark side would diverge.  Keyed by sha256(text)."""
+    seen: dict[str, float] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            vals = np.resize(np.frombuffer(payload, np.uint8), 16)
+            seen[key] = float(vals.mean())
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "height": pa.array([4] * len(keys), pa.int32()),
+            "width": pa.array([4] * len(keys), pa.int32()),
+            "channels": pa.array([3] * len(keys), pa.int32()),
+            "mean_pixel": pa.array([seen[k] for k in keys], pa.float64()),
+        }
+    )
+
+
+def x111_hll_golden() -> pa.Table:
+    """Independent HyperLogLog register coordinates per distinct document
+    text: bucket = top-8 bits of XXH64(utf8, seed 42) (the independent
+    reimplementation of Spark's xxhash64), rho = 1 + leading zeros of
+    the remaining 56 bits, UNclamped (the oracle SQL applies the same
+    LEAST(rho, 50) the operator does).  If ``hll_register_entries``'s
+    shift/bin() arithmetic mis-derived either coordinate the Spark side
+    would diverge.  Keyed by sha256(text)."""
+    seen: dict[str, tuple[int, int]] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            h = xxh64_bytes(text.encode("utf-8"), 42) & _M64
+            bucket = h >> 56
+            rest = h & ((1 << 56) - 1)
+            rho = 57 - rest.bit_length() if rest else 57
+            seen[key] = (bucket, rho)
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "bucket": pa.array([seen[k][0] for k in keys], pa.int32()),
+            "rho": pa.array([seen[k][1] for k in keys], pa.int32()),
+        }
+    )
+
+
 def x62_wav_golden() -> pa.Table:
     """Recompute the x62 REAL-WAV-decode expectation per distinct document
     payload WITHOUT the wave codec: the query maps the text's utf-8 bytes
@@ -1516,6 +1577,12 @@ def main() -> None:
     x65 = x65_jpeg_golden()
     pq.write_table(x65, os.path.join(OUT_DIR, "x65_jpeg_decode.parquet"))
     print(f"x65_jpeg_decode.parquet: {x65.num_rows} distinct payloads")
+    x110 = x110_lossless_golden()
+    pq.write_table(x110, os.path.join(OUT_DIR, "x110_lossless_decode.parquet"))
+    print(f"x110_lossless_decode.parquet: {x110.num_rows} distinct payloads")
+    x111 = x111_hll_golden()
+    pq.write_table(x111, os.path.join(OUT_DIR, "x111_hll_registers.parquet"))
+    print(f"x111_hll_registers.parquet: {x111.num_rows} distinct texts")
     x70 = x70_bpe_golden()
     pq.write_table(x70, os.path.join(OUT_DIR, "x70_bpe_merges.parquet"))
     print(f"x70_bpe_merges.parquet: {x70.num_rows} rows")
