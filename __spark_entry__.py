@@ -6041,6 +6041,56 @@ WHERE g.is_new
 """
 
 
+def _q_x111_hll_rollup(spark, sf_dir):
+    """HyperLogLog register-sketch ROLLUP
+    (operators/screening.py:hll_sketch/hll_merge/hll_stats — round 11):
+    the mergeable-summary counterpart of x95's Count-Min for DISTINCT
+    counts.  The corpus is split into three generations (doc_id % 3) —
+    per-(source, generation) register tables are built independently,
+    then merged by cell-wise MAX down to per-source sketches, the
+    sketch-table compaction a 100 TB pipeline runs nightly instead of
+    re-scanning history (registers shuffle at most 2^p rows per group
+    per map partition; exact count-distinct shuffles one row per
+    distinct item).  The ORACLE is deliberately single-pass (one MAX
+    per (source, bucket) over the committed independent-XXH64 register
+    coordinates, goldens/x111_hll_registers.parquet): equality proves
+    split-then-merge is answer-invariant, not just plausible.  Output
+    columns are exact int64 only — nonzero_buckets, register_sum, and
+    the 2^50-scaled harmonic numerator inv_numer (rho clamped at 50 on
+    both sides so the sum is exact int64; the float estimate lives in
+    hll_estimate and the tests, never in the oracle hash — rule 3b)."""
+    from modis_aggregation_spark.operators.screening import (
+        hll_merge,
+        hll_sketch,
+        hll_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("doc_id") % 3).alias("gen"), "text"
+    )
+    gen_sketches = hll_sketch(docs, "text", ["source", "gen"], p=8)
+    merged = hll_merge(gen_sketches, ["source"])
+    return hll_stats(merged, ["source"], p=8)
+
+
+_SQL_X111 = """
+WITH regs AS (
+  SELECT d.source, g.bucket, MAX(LEAST(g.rho, 50)) AS register
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x111_hll_registers.parquet') g
+    ON g.sha256 = sha256(d.text)
+  GROUP BY d.source, g.bucket
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+       CAST(SUM(register) AS BIGINT) AS register_sum,
+       CAST(SUM(CAST(1 AS BIGINT) << (50 - register))
+            + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 50)
+            AS BIGINT) AS inv_numer
+FROM regs GROUP BY source
+"""
+
+
 def _q_x95_cms_sketch(spark, sf_dir):
     """Count-Min sketch term-frequency estimation next to the exact
     counts (operators/screening.py:cms_term_estimates) — the
@@ -10626,6 +10676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 11 (no driver record yet — always lead) --------------
         "x110_decode_lossless": _q_x110_decode_lossless,
+        "x111_hll_rollup": _q_x111_hll_rollup,
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
@@ -10859,6 +10910,7 @@ def oracle_sql() -> dict[str, str]:
         "r58_tpch_q20": _SQL_R58,
         "x105_index_generations": _SQL_X105,
         "x110_decode_lossless": _SQL_X110,
+        "x111_hll_rollup": _SQL_X111,
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,

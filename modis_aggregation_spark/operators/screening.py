@@ -588,3 +588,125 @@ def cms_term_estimates(
         .agg(F.min("counter").alias("est"))
         .select("term", "exact", "est")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog register sketches (mergeable distinct-count summaries)
+# --------------------------------------------------------------------------
+
+#: rho values are clamped here before registers are compared/summed.
+#: P(rho > 50) ~ 2^-50 per item, so the bias is unobservable, and the
+#: clamp keeps the inverse-power numerator an EXACT int64
+#: (256 * 2^50 = 2^58 < 2^63) on both Spark and the DuckDB oracle —
+#: rule 3b: goldens flow through integer arithmetic, never float sums.
+HLL_RHO_CLAMP = 50
+
+
+def hll_register_entries(key: Column, p: int = 8) -> tuple[Column, Column]:
+    """(bucket, rho) HyperLogLog register coordinates of a hashed item
+    (Flajolet/Fusy/Gandouet/Meunier 2007): bucket = the top ``p`` bits
+    of ``xxhash64(key)``, rho = 1 + leading zeros of the remaining
+    64-p bits (i.e. ``64-p+1 - bit_length(rest)``), clamped to
+    ``HLL_RHO_CLAMP``.  Pure JVM expressions (xxhash64 + shifts +
+    ``bin()`` length — no UDF); reproduced independently in
+    tools/make_goldens.py (xxh64_bytes) for the x111 oracle."""
+    if not 4 <= p <= 12:
+        raise ValueError("HLL precision p must be in 4..12")
+    h = F.xxhash64(key)
+    bucket = F.shiftrightunsigned(h, 64 - p).cast("int")
+    rest = h.bitwiseAND(F.lit((1 << (64 - p)) - 1))
+    q1 = 64 - p + 1
+    rho = (
+        F.when(rest == 0, F.lit(q1))
+        .otherwise(F.lit(q1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return bucket, F.least(rho, F.lit(HLL_RHO_CLAMP))
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog sketch as a SPARSE register table:
+    (group..., bucket, register) with register = max rho over the
+    group's items; absent buckets mean register 0.
+
+    The mergeable-summary counterpart of ``cms_term_estimates`` for
+    DISTINCT counts: registers merge by cell-wise MAX (``hll_merge``),
+    so per-day/per-source sketches roll up without rescanning — the
+    100 TB shape is one partial-aggregating groupBy whose shuffle
+    carries at most 2^p rows per group per map partition instead of
+    one row per distinct item (what exact count-distinct shuffles).
+    Every value is an int: layout-invariant by construction."""
+    bucket, rho = hll_register_entries(F.col(key_col), p)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("__rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("register"))
+    )
+
+
+def hll_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketch rows (e.g. a union of per-day register tables, or
+    one table re-grouped to coarser keys) by cell-wise MAX — the HLL
+    merge operation; associative/commutative/idempotent, so compaction
+    order never changes the answer."""
+    return sketch.groupBy(*group_cols, "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def hll_stats(
+    sketch: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Exact-integer summary of a register table per group:
+    ``nonzero_buckets``, ``register_sum``, and ``inv_numer`` =
+    sum over all 2^p registers of 2^(HLL_RHO_CLAMP - register) — the
+    harmonic-mean numerator of the raw HLL estimate scaled by
+    2^HLL_RHO_CLAMP so it is an EXACT int64 (absent buckets contribute
+    2^HLL_RHO_CLAMP each).  ``hll_estimate`` turns it into the float
+    estimate; the contract query exposes only the integer columns so
+    the oracle hash never touches a float reduction (rule 3b)."""
+    m = 1 << p
+    c = HLL_RHO_CLAMP
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("nonzero_buckets"),
+            F.sum("register").cast("long").alias("register_sum"),
+            F.sum(F.expr(f"shiftleft(1L, {c} - register)"))
+            .cast("long")
+            .alias("__present"),
+        )
+        .select(
+            *group_cols,
+            "nonzero_buckets",
+            "register_sum",
+            (
+                F.col("__present")
+                + (F.lit(m) - F.col("nonzero_buckets")) * F.lit(1 << c)
+            ).cast("long").alias("inv_numer"),
+        )
+    )
+
+
+def hll_estimate(inv_numer: int, p: int = 8) -> float:
+    """Raw HLL estimate from the integer numerator ``hll_stats``
+    produces: alpha_m * m^2 / (inv_numer / 2^CLAMP).  No small-range
+    linear-counting correction (document at call sites); driver-side
+    scalar math, used by tests and consumers, never by oracle hashes."""
+    m = 1 << p
+    if p == 8:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << HLL_RHO_CLAMP) / float(inv_numer)

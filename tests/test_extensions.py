@@ -1862,3 +1862,80 @@ def test_covariance_merge_bit_identical_and_overflow(spark):
         covariance_merge(big, big).collect()
     with pytest.raises(ValueError, match="at least one"):
         covariance_merge()
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog register sketches (x111)
+# --------------------------------------------------------------------------
+
+def test_hll_registers_match_independent(spark):
+    """hll_sketch's bucket/rho arithmetic (xxhash64 + shifts + bin()
+    length) must equal an independent XXH64 recomputation."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_goldens import xxh64_bytes
+
+    from modis_aggregation_spark.operators.screening import (
+        HLL_RHO_CLAMP,
+        hll_sketch,
+    )
+
+    keys = [f"doc-{i}" for i in range(300)] + ["", "é中"]
+    df = spark.createDataFrame([(k,) for k in keys], ["text"]).withColumn(
+        "g", F.lit(1)
+    )
+    got = {
+        (r["bucket"],): r["register"]
+        for r in hll_sketch(df, "text", ["g"]).collect()
+    }
+    exp: dict = {}
+    for k in keys:
+        h = xxh64_bytes(k.encode("utf-8"), 42) & ((1 << 64) - 1)
+        bucket = h >> 56
+        rest = h & ((1 << 56) - 1)
+        rho = 57 - rest.bit_length() if rest else 57
+        rho = min(rho, HLL_RHO_CLAMP)
+        exp[(bucket,)] = max(exp.get((bucket,), 0), rho)
+    assert got == exp
+
+
+def test_hll_merge_invariance_and_estimate(spark):
+    """Split-then-merge must equal the single-pass sketch exactly
+    (registers are a max-monoid), merge must be idempotent, and the raw
+    estimate from the integer numerator must land within 10% of the
+    true distinct count at n >> m."""
+    from modis_aggregation_spark.operators.screening import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+        hll_stats,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"item-{i % n}", i % 7) for i in range(2 * n)], ["text", "day"]
+    )
+    single = hll_sketch(df.withColumn("g", F.lit(1)), "text", ["g"])
+    daily = hll_sketch(df.withColumn("g", F.lit(1)), "text", ["g", "day"])
+    merged = hll_merge(daily, ["g"])
+    key = lambda rows: sorted((r["bucket"], r["register"]) for r in rows)
+    assert key(merged.collect()) == key(single.collect())
+    # idempotent: merging the merged table with itself changes nothing
+    twice = hll_merge(merged.unionByName(merged), ["g"])
+    assert key(twice.collect()) == key(merged.collect())
+    stats = hll_stats(merged, ["g"]).collect()[0]
+    est = hll_estimate(stats["inv_numer"])
+    assert abs(est - n) / n < 0.10, est
+    # inv_numer is consistent with its own parts: 256 - nonzero absent
+    assert stats["nonzero_buckets"] <= 256
+    assert stats["inv_numer"] > (256 - stats["nonzero_buckets"]) * (1 << 50)
+
+
+def test_hll_precision_validation():
+    from modis_aggregation_spark.operators.screening import (
+        hll_register_entries,
+    )
+
+    with pytest.raises(ValueError, match="precision"):
+        hll_register_entries(F.lit("x"), p=13)
