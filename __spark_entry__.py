@@ -6538,6 +6538,80 @@ FROM b
 """
 
 
+def _q_s24_stream_hll(spark, sf_dir):
+    """STREAMING HyperLogLog — the x111 mergeable register summary
+    maintained as a streaming aggregation: the corpus arrives as TWO
+    micro-batches (even/odd doc_id files, maxFilesPerTrigger=1) and
+    each batch's (source, bucket, rho) coordinates MAX into the sparse
+    register table (complete mode — the max IS the HLL merge, proving
+    the mergeability x111's batch operator claims under Structured
+    Streaming's monoid rules, the s21-CMS pattern for DISTINCT counts).
+    Register coordinates are the shared ``hll_register_entries`` JVM
+    expression, so stream and batch sketches are cell-identical; the
+    oracle re-derives every register in SQL from the committed
+    independent-XXH64 coordinates (goldens/x111_hll_registers.parquet)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    from modis_aggregation_spark.operators.screening import (
+        hll_register_entries,
+    )
+
+    _ensure_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    src_dir = tempfile.mkdtemp(prefix="s24_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s24_ckpt_")
+    name = f"s24_hll_{uuid.uuid4().hex[:8]}"
+    try:
+        tbl = papq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(tbl.column("doc_id"), 1), 0)
+        papq.write_table(tbl.filter(even), os.path.join(src_dir, "even.parquet"))
+        papq.write_table(
+            tbl.filter(pc.invert(even)), os.path.join(src_dir, "odd.parquet")
+        )
+        bucket, rho = hll_register_entries(F.col("text"), 8)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .select(F.col("source"), bucket.alias("bucket"), rho.alias("__rho"))
+            .groupBy("source", "bucket")
+            .agg(F.max("__rho").alias("register"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s24_stream_hll: stream did not finish in 300s")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S24 = """
+SELECT d.source, g.bucket, MAX(LEAST(g.rho, 50)) AS register
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x111_hll_registers.parquet') g
+  ON g.sha256 = sha256(d.text)
+GROUP BY d.source, g.bucket
+"""
+
+
 def _q_s21_stream_cms(spark, sf_dir):
     """STREAMING Count-Min sketch — the x95 mergeable summary maintained
     as a streaming aggregation: the corpus arrives as TWO micro-batches
@@ -10677,6 +10751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 11 (no driver record yet — always lead) --------------
         "x110_decode_lossless": _q_x110_decode_lossless,
         "x111_hll_rollup": _q_x111_hll_rollup,
+        "s24_stream_hll": _q_s24_stream_hll,
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
@@ -10911,6 +10986,7 @@ def oracle_sql() -> dict[str, str]:
         "x105_index_generations": _SQL_X105,
         "x110_decode_lossless": _SQL_X110,
         "x111_hll_rollup": _SQL_X111,
+        "s24_stream_hll": _SQL_S24,
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,

@@ -1159,3 +1159,19 @@ def test_zorder_layout_prunes_row_groups(spark, tmp_path):
     assert scan_z is not None and scan_s is not None
     # the clustered layout must skip most row groups the shuffled one reads
     assert scan_z < scan_s / 2, (scan_z, scan_s)
+
+
+def test_x111_hll_text_pruned_before_shuffle(spark):
+    """The HLL sketch's whole point at 100 TB: the corpus-sized text
+    column must reduce to (bucket, rho) BEFORE any exchange — partial
+    MAX on the map side, shuffles carrying only skinny register rows —
+    and the register arithmetic stays pure JVM (xxhash64/shifts/bin,
+    no Python stage)."""
+    plan = _plan(spark, "x111_hll_rollup")
+    assert "partial_max" in plan                      # map-side combine
+    assert "xxhash64" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # no exchange moves the text column itself
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.split("\n", 1)[0]
+        assert "text" not in header, header
