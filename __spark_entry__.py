@@ -3866,6 +3866,77 @@ JOIN read_parquet('/root/repo/goldens/x62_wav_decode.parquet') g
 """
 
 
+def _q_x112_flac_features(spark, sf_dir):
+    """REAL FLAC decode (RFC 9639, ``sinks/flaclite.py`` — round 11):
+    the x62 dyadic byte→sample mapping ((b−128)/128 == ((b−128)<<8) /
+    32768, exact in float64) encoded as genuine multi-frame FLAC
+    streams — block size 100 over 400 samples — with the LAYOUT
+    ROTATING BY doc_id across mono and all four stereo decorrelation
+    modes (independent / left-side / right-side / mid-side, channels
+    duplicated so the mean downmix is invariant), then physically
+    parsed back by ``extract_audio_features(decoder="flac")``: sync
+    and CRC-8/CRC-16 verification, Rice residual decode, FIXED
+    prediction, inter-channel reconstruction, STREAMINFO MD5 check.
+    FLAC is lossless, so the oracle is a codec-free golden — the x62
+    argument at a 400-sample fixture (goldens/x112_flac_decode.parquet);
+    any mis-decoded sample in any mode diverges.  Hand-derived RFC 9639
+    bitstream vectors in tests/test_flaclite.py.  FLAC-vs-WAV feature
+    equality on identical samples is pinned in the same test file."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_flac(it):
+        from modis_aggregation_spark.sinks.flaclite import encode_flac
+
+        modes = [None, "independent", "left_side", "right_side", "mid_side"]
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                ints = (
+                    np.resize(np.frombuffer(data, np.uint8), 400).astype(
+                        np.int64
+                    )
+                    - 128
+                ) << 8
+                mode = modes[int(doc_id) % 5]
+                if mode is None:
+                    payloads.append(
+                        encode_flac(ints, sample_rate=8000, block_size=100)
+                    )
+                else:
+                    st = np.stack([ints, ints], -1)
+                    payloads.append(
+                        encode_flac(
+                            st, sample_rate=8000, block_size=100, stereo=mode
+                        )
+                    )
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    flacs = _spread(docs).mapInPandas(to_flac, "id BIGINT, payload BINARY")
+    out = ops_mm.extract_audio_features(flacs, decoder="flac")
+    return out.select(
+        "id", "sample_rate", "n_samples",
+        _r6(F.col("duration_sec")).alias("duration_sec"),
+        _r6(F.col("rms")).alias("rms"),
+        "zero_crossings",
+    )
+
+
+_SQL_X112 = """
+SELECT d.doc_id AS id, g.sample_rate, g.n_samples,
+       round(g.duration_sec, 6) AS duration_sec,
+       round(g.rms, 6) AS rms,
+       g.zero_crossings
+FROM documents d
+JOIN read_parquet('/root/repo/goldens/x112_flac_decode.parquet') g
+  ON g.sha256 = sha256(d.text)
+"""
+
+
 def _q_x16_train_split(spark, sf_dir):
     """Deterministic hash train/val/test split (stable across re-runs and
     corpus growth — documents never migrate between splits). Multiplicative
@@ -10752,6 +10823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x110_decode_lossless": _q_x110_decode_lossless,
         "x111_hll_rollup": _q_x111_hll_rollup,
         "s24_stream_hll": _q_s24_stream_hll,
+        "x112_flac_features": _q_x112_flac_features,
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
@@ -10987,6 +11059,7 @@ def oracle_sql() -> dict[str, str]:
         "x110_decode_lossless": _SQL_X110,
         "x111_hll_rollup": _SQL_X111,
         "s24_stream_hll": _SQL_S24,
+        "x112_flac_features": _SQL_X112,
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,

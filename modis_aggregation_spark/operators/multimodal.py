@@ -37,6 +37,7 @@ _MAGIC = [
     ("89504e47", "image/png"),
     ("47494638", "image/gif"),
     ("52494646", "audio/wav"),  # RIFF
+    ("664c6143", "audio/flac"),  # fLaC
     ("494433", "audio/mpeg"),   # ID3
     ("000000", "video/mp4"),    # ftyp boxes (loose)
 ]
@@ -261,7 +262,14 @@ def extract_audio_features(
       the container, features (RMS, zero crossings) computed on the
       decoded samples. A non-WAV payload raises — filter on
       ``media_meta.mime = 'audio/wav'`` first; no silent fallback.
-    * ``decoder="real"`` — the general MP3/FLAC/... path needs
+    * ``decoder="flac"`` — REAL decode for FLAC payloads via the
+      bundled pure-Python RFC 9639 codec (``sinks/flaclite.py``,
+      round 11: frame CRC-8/CRC-16 + STREAMINFO MD5 verified,
+      FIXED/LPC prediction, Rice residuals, stereo decorrelation).
+      Channels downmix by mean and scale by 2^(bps-1) — the identical
+      mapping as the WAV path, so WAV- and FLAC-borne audio produce
+      the same features for the same samples.
+    * ``decoder="real"`` — the general MP3/... path needs
       soundfile/librosa (not in this container → NotImplementedError).
     * ``decoder="fake"`` — deterministically synthesizes a waveform from
       the payload digest and computes the same feature math on it (the
@@ -270,20 +278,35 @@ def extract_audio_features(
     if decoder == "real":
         raise NotImplementedError(
             "general audio decode is not implemented in this build "
-            "(soundfile-based codec stub); decoder='wav' is a REAL "
-            "stdlib path for RIFF/PCM payloads, decoder='fake' exercises "
-            "the identical batch path deterministically"
+            "(soundfile-based codec stub; a pure-Python psychoacoustic "
+            "MP3 decoder is out of scope); decoder='wav' and "
+            "decoder='flac' are REAL paths for those formats, "
+            "decoder='fake' exercises the identical batch path "
+            "deterministically"
         )
-    if decoder not in ("wav", "fake"):
+    if decoder not in ("wav", "flac", "fake"):
         raise ValueError(f"unknown audio decoder: {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "flac":
+            from modis_aggregation_spark.sinks.flaclite import (
+                decode_flac_mono,
+            )
+
         for pdf in it:
             ids, srs, ns, durs, rmss, zcs = [], [], [], [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(b)
                 if decoder == "wav":
                     sr, wave = decode_wav(payload)
+                    n = wave.size
+                elif decoder == "flac":
+                    if not payload.startswith(b"fLaC"):
+                        raise ValueError(
+                            "decoder='flac' got a non-FLAC payload; filter "
+                            "on media_meta.mime = 'audio/flac' first"
+                        )
+                    sr, wave = decode_flac_mono(payload)
                     n = wave.size
                 else:
                     seed = int.from_bytes(

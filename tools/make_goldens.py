@@ -549,6 +549,40 @@ def x62_wav_golden() -> pa.Table:
     )
 
 
+def x112_flac_golden() -> pa.Table:
+    """Recompute the x112 REAL-FLAC-decode expectation per distinct
+    document payload WITHOUT the flac codec: FLAC is lossless and the
+    mono downmix mapping mirrors the WAV path exactly, so the identical
+    RMS / zero-crossing math over 400 byte-derived dyadic samples IS
+    the expectation (the x62 argument at a lighter fixture size).
+    Keyed by sha256(text)."""
+    seen: dict[str, tuple[float, int]] = {}
+    for sf in SF_DIRS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        for text in docs.column("text").to_pylist():
+            payload = text.encode("utf-8") or b"\x00"
+            key = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            if key in seen:
+                continue
+            x = (np.resize(np.frombuffer(payload, np.uint8), 400).astype(
+                np.float64
+            ) - 128.0) / 128.0
+            rms = float(np.sqrt(np.mean(x**2)))
+            zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+            seen[key] = (rms, zc)
+    keys = sorted(seen)
+    return pa.table(
+        {
+            "sha256": pa.array(keys, pa.string()),
+            "sample_rate": pa.array([8000] * len(keys), pa.int32()),
+            "n_samples": pa.array([400] * len(keys), pa.int64()),
+            "duration_sec": pa.array([0.05] * len(keys), pa.float64()),
+            "rms": pa.array([seen[k][0] for k in keys], pa.float64()),
+            "zero_crossings": pa.array([seen[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
 def x67_wav_spectrum_golden() -> pa.Table:
     """Recompute the x67 spectral-feature expectation per distinct
     document payload WITHOUT the wave codec: PCM16 round-trip is exact
@@ -1583,6 +1617,9 @@ def main() -> None:
     x111 = x111_hll_golden()
     pq.write_table(x111, os.path.join(OUT_DIR, "x111_hll_registers.parquet"))
     print(f"x111_hll_registers.parquet: {x111.num_rows} distinct texts")
+    x112 = x112_flac_golden()
+    pq.write_table(x112, os.path.join(OUT_DIR, "x112_flac_decode.parquet"))
+    print(f"x112_flac_decode.parquet: {x112.num_rows} distinct texts")
     x70 = x70_bpe_golden()
     pq.write_table(x70, os.path.join(OUT_DIR, "x70_bpe_merges.parquet"))
     print(f"x70_bpe_merges.parquet: {x70.num_rows} rows")
