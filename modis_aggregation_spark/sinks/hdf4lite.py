@@ -74,10 +74,15 @@ actually touches — named SDS arrays plus their per-variable attributes
 
 Deliberately still NOT implemented (honest gate, raises with a clear
 message): compression code Skipping-Huffman=3 — a long-obsolete codec
-no archived MODIS granule uses; a guessed decoder that silently
-mis-parses real data would be worse than a loud gate.  SZIP streams
-carrying the library's stored-raw fallback flag
-(SZ_RAW_OPTION_MASK) also raise rather than guess.
+no archived MODIS granule uses, and — unlike deflate (RFC 1951), szip
+(CCSDS 121.0) or RLE (spec'd in the HDF4 format document) — its
+adaptive-Huffman bitstream has NO published specification: the wire
+format is defined solely by the HDF4 C library's implementation, so a
+from-scratch reimplementation here could not guarantee parity with
+real files and a guessed decoder that silently mis-parses would be
+worse than a loud gate.  SZIP streams carrying the library's
+stored-raw fallback flag (SZ_RAW_OPTION_MASK) also raise rather than
+guess.
 
 Validation caveat for the special-element layouts: no pyhdf/libmfhdf is
 present to cross-read, so the byte layouts follow the public HDF4
