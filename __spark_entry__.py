@@ -1447,6 +1447,102 @@ GROUP BY l_returnflag
 """
 
 
+def _q_r60_funnel(spark, sf_dir):
+    """Ordered-funnel matching (operators/sessions.py:funnel_steps,
+    round 11 — MATCH_RECOGNIZE-lite sequence analytics): for each user
+    the earliest strictly-ordered completion of
+    signup < view < click < purchase, one timestamp column per step
+    plus the reached depth.  Greedy earliest-admissible matching is
+    optimal for ordered funnels, and each step is one filtered
+    min-aggregation keyed on user_id, so every stage reuses ONE hash
+    partitioning (no per-user event buffers, no collected arrays —
+    plan-locked).  The oracle unrolls the identical recurrence as
+    chained CTEs; timestamps compare exactly (no float reduction)."""
+    from modis_aggregation_spark.operators.sessions import funnel_steps
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        events, ["signup", "view", "click", "purchase"]
+    )
+
+
+_SQL_R60 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS step_1_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_2_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.step_1_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_3_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.step_2_ts
+  GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_4_ts
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.step_3_ts
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts, s4.step_4_ts,
+       CAST(1 + (s2.step_2_ts IS NOT NULL)::INT
+              + (s3.step_3_ts IS NOT NULL)::INT
+              + (s4.step_4_ts IS NOT NULL)::INT AS INT) AS depth
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+LEFT JOIN s4 USING (user_id)
+"""
+
+
+def _q_r61_retention(spark, sf_dir):
+    """Weekly cohort retention (round 11, the companion event-analytics
+    shape to r60's funnel): users cohorted by the week of their FIRST
+    event; a cohort "retains" a user at offset k if they have any event
+    in cohort_week + k.  Weeks are PURE INTEGER arithmetic on both
+    engines — ``unix_micros(ts)`` / DuckDB ``epoch_us(ts)`` floor-divided
+    by a week of microseconds (rule 3b: no float touches a compared
+    value).  Scale shape: one distinct over (user, week) — the only
+    corpus-sized shuffle — then a min-aggregation and a join both keyed
+    on user_id reusing its partitioning, and a final skinny rollup."""
+    events = _t(spark, sf_dir, "events")
+    wk_us = 7 * 24 * 3600 * 1_000_000
+    epoch0 = 1_704_067_200_000_000  # 2024-01-01 UTC in microseconds
+    weeks = events.select(
+        "user_id",
+        # `div`, not `/`: long / long is DOUBLE division in Spark, and a
+        # timestamp 1 us below a week boundary would round up before the
+        # cast truncates — integer division matches DuckDB's `//` exactly
+        F.expr(f"(unix_micros(ts) - {epoch0}L) div {wk_us}L").alias("week"),
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+_SQL_R61 = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - 1704067200000000) // 604800000000 AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, w.week - c.cohort_week
+"""
+
+
 def _q_r59_percentile_disc(spark, sf_dir):
     """SQL-standard ``percentile_disc`` (discrete quantiles — the
     smallest member value whose CDF reaches p) per return flag, served
@@ -10824,6 +10920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x111_hll_rollup": _q_x111_hll_rollup,
         "s24_stream_hll": _q_s24_stream_hll,
         "x112_flac_features": _q_x112_flac_features,
+        "r60_funnel": _q_r60_funnel,
+        "r61_retention": _q_r61_retention,
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
@@ -11060,6 +11158,8 @@ def oracle_sql() -> dict[str, str]:
         "x111_hll_rollup": _SQL_X111,
         "s24_stream_hll": _SQL_S24,
         "x112_flac_features": _SQL_X112,
+        "r60_funnel": _SQL_R60,
+        "r61_retention": _SQL_R61,
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,

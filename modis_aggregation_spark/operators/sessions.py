@@ -152,3 +152,78 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered-funnel matching (MATCH_RECOGNIZE-lite, round 11): for
+    each user, the earliest completion of the ordered pattern
+    ``steps[0] < steps[1] < ...`` (strictly increasing timestamps —
+    the classic greedy funnel, which is optimal: matching each step to
+    its EARLIEST admissible event never excludes a later completion).
+    Returns one row per user who reached step 1:
+    ``(user, step_1_ts, ..., step_k_ts, depth)`` with NULL timestamps
+    past the reached depth.  ``within_seconds`` additionally requires
+    every matched step to land within that horizon of the user's FIRST
+    step-1 event (first-touch anchoring, the standard analytics-tool
+    semantic; a step outside the horizon truncates the funnel there).
+    Sliding-anchor matching — "any step-1 event may start the window" —
+    is a different, quadratic problem this operator does not claim.
+
+    Scale shape: step i is one filtered aggregation
+    ``min(ts) WHERE type = step_i AND ts > prev_step_ts`` — k
+    hash-aggregations and k-1 joins ALL keyed on the user column, so
+    Catalyst reuses one hash-partitioning across every stage (a single
+    logical shuffle of the filtered event stream per step, no
+    re-exchange between steps — plan-locked) and per-user state is one
+    timestamp, never a collected event array.  At 100 TB the funnel
+    costs k filtered scans; nothing buffers a user's history.
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+
+    cur = (
+        events.filter(et == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(et == step)
+            .select(user_col, ts.alias("__ts"))
+            .join(cur.select(user_col, f"step_{i-1}_ts"), user_col)
+            .filter(F.col("__ts") > F.col(f"step_{i-1}_ts"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"step_{i}_ts"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    if within_seconds is not None:
+        # matched step timestamps are strictly increasing, so nulling
+        # every step past the horizon automatically truncates the
+        # funnel at the first violation — no cascade needed
+        horizon = F.col("step_1_ts").cast("double") + F.lit(
+            float(within_seconds)
+        )
+        for i in range(2, len(steps) + 1):
+            c = F.col(f"step_{i}_ts")
+            cur = cur.withColumn(
+                f"step_{i}_ts",
+                F.when(c.cast("double") <= horizon, c),
+            )
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.when(F.col(f"step_{i}_ts").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        user_col,
+        *[f"step_{i}_ts" for i in range(1, len(steps) + 1)],
+        depth.cast("int").alias("depth"),
+    )

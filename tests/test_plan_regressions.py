@@ -1175,3 +1175,20 @@ def test_x111_hll_text_pruned_before_shuffle(spark):
     for chunk in plan.split("Exchange")[1:]:
         header = chunk.split("\n", 1)[0]
         assert "text" not in header, header
+
+
+def test_r60_funnel_all_exchanges_on_user_key(spark):
+    """The funnel's scale posture: every exchange is keyed on user_id
+    and carries only skinny (user, ts) rows — no per-user event
+    buffers (collect_list), no cartesian products, and no exchange on
+    any other key (each step is a filtered min-aggregation on the
+    user key)."""
+    import re
+
+    df = entry.queries()["r60_funnel"](spark, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"user_id"}, keys
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

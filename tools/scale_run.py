@@ -519,6 +519,45 @@ def run_jpeg_decode(spark, n_docs: int, hw: int = 64) -> dict:
     }
 
 
+def run_flac_decode(spark, n_docs: int, n_samples: int = 4096) -> dict:
+    """Real-codec FLAC anchor (round 11): ``n_docs`` stereo mid-side
+    FLAC payloads (``n_samples`` smooth 16-bit samples each) physically
+    Rice-decoded + prediction-reconstructed by the pure-Python flaclite
+    codec inside mapInPandas partitions — the audio corpus decode path
+    next to the JPEG/GIF anchors (per-payload decode is independent
+    work, so the corpus dimension multiplies with executors)."""
+    import numpy as np
+
+    from modis_aggregation_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from modis_aggregation_spark.sinks.flaclite import encode_flac
+
+    rng = np.random.default_rng(11)
+    mono = np.cumsum(rng.integers(-200, 201, n_samples)).clip(-30000, 30000)
+    st = np.stack([mono, (mono + 37).clip(-30000, 30000)], -1)
+    payload = encode_flac(st, sample_rate=16000, stereo="mid_side")
+    df = (
+        spark.range(n_docs)
+        .select(F.col("id"), F.lit(bytearray(payload)).alias("payload"))
+        .repartition(32)
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    out = extract_audio_features(df, decoder="flac")
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rms").alias("s")
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    assert row["s"] is not None and row["n"] == n_docs
+    return {
+        "docs": n_docs,
+        "samples": n_docs * n_samples * 2,
+        "sec": round(t, 2),
+        "samples_per_sec": int(n_docs * n_samples * 2 / t),
+    }
+
+
 def run_kmeans_curve(spark, sf_dir: str, replicate: int) -> dict:
     """Distributed-k-means anchor (round 6): full-corpus Lloyd training
     (operators/similarity.py:kmeans_train, k=8, 3 iterations) over the
