@@ -13,10 +13,13 @@ per the public IETF RFC 9639 / xiph.org specification:
   (for byte-aligned sample sizes).  Sample sizes 4-32 bit.
 * ``encode_flac`` — fixed-blocking encoder: CONSTANT or best-of
   FIXED(0..max_fixed_order) subframes chosen per channel by
-  sum-of-abs-residual, Rice parameter fitted per subframe (partition
-  order 0), independent or left/right/mid-side stereo decorrelation,
-  correct CRCs and STREAMINFO MD5.  ``decode_flac`` round-trips its
-  output bit-exactly (FLAC is lossless).
+  sum-of-abs-residual — plus real LPC subframes when ``max_lpc_order``
+  > 0 (Levinson-Durbin fit quantized to 12-bit integer coefficients
+  with the decoder's exact shift arithmetic) — Rice parameters fitted
+  per partition up to ``max_partition_order``, independent or
+  left/right/mid-side stereo decorrelation, correct CRCs and
+  STREAMINFO MD5.  ``decode_flac`` round-trips its output bit-exactly
+  (FLAC is lossless).
 
 Reserved subframe/residual codes and negative LPC shifts raise
 ``ValueError`` (malformed stream), not silence.  MP3 remains gated in
@@ -488,16 +491,23 @@ def _best_rice_param(residual: list[int], pbits: int = 4) -> int:
     return best_p
 
 
-def _write_residual(w: _BitWriter, residual: list[int]) -> None:
-    """Rice method 0, partition order 0, fitted parameter (escape to
-    verbatim if any zigzag value would need a quotient > 2^16 — keeps
-    pathological inputs bounded)."""
+def _rice_cost(zz: list[int], p: int) -> int:
+    return sum((z >> p) + 1 + p for z in zz)
+
+
+def _write_residual(
+    w: _BitWriter, residual: list[int], blocksize: int, order: int,
+    max_partition_order: int = 0,
+) -> None:
+    """Rice method 0 with a fitted partition order (each 2^po slice gets
+    its own fitted parameter — the layout real encoders emit); escapes
+    to verbatim if any zigzag value would need a quotient > 2^16."""
     zz = [(-r << 1) - 1 if r < 0 else r << 1 for r in residual]
-    p = _best_rice_param(residual)
     raw = 1 + max(
         ((r if r >= 0 else ~r).bit_length() for r in residual), default=1
     )
-    if zz and max(zz) >> p > (1 << 16) and raw <= 31:
+    p0 = _best_rice_param(residual)
+    if zz and max(zz) >> p0 > (1 << 16) and raw <= 31:
         w.write(0, 2)
         w.write(0, 4)
         w.write(15, 4)  # escape to raw
@@ -505,17 +515,92 @@ def _write_residual(w: _BitWriter, residual: list[int]) -> None:
         for r in residual:
             w.write(r & ((1 << raw) - 1), raw)
         return
+    best = (4 + _rice_cost(zz, p0), 0, [p0])  # (bits, po, params)
+    for po in range(1, max_partition_order + 1):
+        nparts = 1 << po
+        if blocksize % nparts or (blocksize >> po) <= order:
+            break
+        cost, params, off = 0, [], 0
+        for p_i in range(nparts):
+            count = (blocksize >> po) - (order if p_i == 0 else 0)
+            zpart = zz[off : off + count]
+            prm = _best_rice_param(residual[off : off + count])
+            off += count
+            if zpart and max(zpart) >> prm > (1 << 16):
+                cost = None  # a partition would need escape; keep po 0
+                break
+            params.append(prm)
+            cost += 4 + _rice_cost(zpart, prm)
+        if cost is not None and cost < best[0]:
+            best = (cost, po, params)
+    _, po, params = best
     w.write(0, 2)   # method: Rice, 4-bit parameters
-    w.write(0, 4)   # partition order 0
-    w.write(p, 4)
-    for z in zz:
-        w.unary(z >> p)
-        if p:
-            w.write(z & ((1 << p) - 1), p)
+    w.write(po, 4)
+    off = 0
+    for p_i, prm in enumerate(params):
+        count = (blocksize >> po) - (order if p_i == 0 else 0)
+        w.write(prm, 4)
+        for z in zz[off : off + count]:
+            w.unary(z >> prm)
+            if prm:
+                w.write(z & ((1 << prm) - 1), prm)
+        off += count
+
+
+def _lpc_fit(chan: list[int], order: int, precision: int = 12):
+    """Levinson-Durbin LPC fit quantized to ``precision``-bit integer
+    coefficients with a power-of-two shift (the decoder's exact
+    arithmetic).  Returns (qcoef, shift) or None when degenerate."""
+    x = np.asarray(chan, dtype=np.float64)
+    n = x.size
+    if n <= order:
+        return None
+    autoc = np.array(
+        [float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)]
+    )
+    if autoc[0] <= 0.0:
+        return None
+    err = autoc[0]
+    lpc = np.zeros(order)
+    for i in range(order):
+        acc = autoc[i + 1] - float(np.dot(lpc[:i], autoc[i:0:-1][:i]))
+        k = acc / err
+        lpc[:i], lpc[i] = lpc[:i] - k * lpc[i - 1 :: -1][:i], k
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None
+    cmax = float(np.max(np.abs(lpc)))
+    if not np.isfinite(cmax) or cmax == 0.0:
+        return None
+    shift = precision - 1 - max(int(np.floor(np.log2(cmax))) + 1, 0)
+    shift = max(0, min(shift, 31))
+    lim = 1 << (precision - 1)
+    qcoef = [
+        int(min(max(round(c * (1 << shift)), -lim), lim - 1)) for c in lpc
+    ]
+    if all(c == 0 for c in qcoef):
+        return None
+    return qcoef, shift
+
+
+def _lpc_residual(chan: list[int], qcoef: list[int], shift: int) -> list[int]:
+    order = len(qcoef)
+    out = []
+    for i in range(order, len(chan)):
+        acc = 0
+        for j in range(order):
+            acc += qcoef[j] * chan[i - 1 - j]
+        out.append(chan[i] - (acc >> shift))
+    return out
 
 
 def _write_subframe(
-    w: _BitWriter, chan: list[int], eff_bps: int, max_fixed_order: int
+    w: _BitWriter,
+    chan: list[int],
+    eff_bps: int,
+    max_fixed_order: int,
+    max_lpc_order: int = 0,
+    max_partition_order: int = 0,
 ) -> None:
     n = len(chan)
     if n and all(s == chan[0] for s in chan):
@@ -524,7 +609,7 @@ def _write_subframe(
         w.write(0, 1)
         w.write(chan[0] & ((1 << eff_bps) - 1), eff_bps)
         return
-    best_order, best_res, best_cost = 0, chan, None
+    best = None  # (cost, kind, order, res, extra)
     for order in range(min(max_fixed_order, 4, n - 1) + 1):
         coef = _FIXED_COEF[order]
         res = [
@@ -532,14 +617,35 @@ def _write_subframe(
             for i in range(order, n)
         ]
         cost = sum(abs(r) for r in res)
-        if best_cost is None or cost < best_cost:
-            best_order, best_res, best_cost = order, res, cost
+        if best is None or cost < best[0]:
+            best = (cost, "fixed", order, res, None)
+    if max_lpc_order:
+        order = min(max_lpc_order, 32, n - 1)
+        fit = _lpc_fit(chan, order) if order >= 1 else None
+        if fit is not None:
+            qcoef, shift = fit
+            res = _lpc_residual(chan, qcoef, shift)
+            cost = sum(abs(r) for r in res)
+            if cost < best[0]:
+                best = (cost, "lpc", order, res, (qcoef, shift))
+    _, kind, order, res, extra = best
     w.write(0, 1)
-    w.write(8 + best_order, 6)  # FIXED
-    w.write(0, 1)
-    for i in range(best_order):
-        w.write(chan[i] & ((1 << eff_bps) - 1), eff_bps)
-    _write_residual(w, best_res)
+    if kind == "fixed":
+        w.write(8 + order, 6)
+        w.write(0, 1)
+        for i in range(order):
+            w.write(chan[i] & ((1 << eff_bps) - 1), eff_bps)
+    else:
+        qcoef, shift = extra
+        w.write(0b100000 | (order - 1), 6)
+        w.write(0, 1)
+        for i in range(order):
+            w.write(chan[i] & ((1 << eff_bps) - 1), eff_bps)
+        w.write(12 - 1, 4)  # precision 12
+        w.write(shift, 5)
+        for c in qcoef:
+            w.write(c & 0xFFF, 12)
+    _write_residual(w, res, n, order, max_partition_order)
 
 
 def encode_flac(
@@ -549,11 +655,16 @@ def encode_flac(
     block_size: int = 4096,
     stereo: str = "independent",
     max_fixed_order: int = 2,
+    max_lpc_order: int = 0,
+    max_partition_order: int = 0,
 ) -> bytes:
     """Encode int samples (n,) or (n, channels≤8) as a REAL FLAC stream
-    (fixed blocking, FIXED/CONSTANT subframes, Rice residuals; see the
-    module docstring).  ``stereo`` selects the decorrelation for
-    2-channel input: independent, left_side, right_side or mid_side."""
+    (fixed blocking, CONSTANT/FIXED — plus LPC when ``max_lpc_order``
+    > 0: Levinson-Durbin fit quantized to 12-bit coefficients — Rice
+    residuals with a fitted partition order up to
+    ``max_partition_order``; see the module docstring).  ``stereo``
+    selects the decorrelation for 2-channel input: independent,
+    left_side, right_side or mid_side."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, np.newaxis]
@@ -662,7 +773,10 @@ def encode_flac(
         w.write(crc8(bytes(w.out)), 8)
 
         for chan, eff in zip(chans, effs):
-            _write_subframe(w, chan, eff, max_fixed_order)
+            _write_subframe(
+                w, chan, eff, max_fixed_order, max_lpc_order,
+                max_partition_order,
+            )
         w.align()
         w.write(crc16(bytes(w.out)), 16)
         out += bytes(w.out)

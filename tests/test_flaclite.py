@@ -313,3 +313,49 @@ def test_decode_flac_mono_downmix():
     sr, mono = decode_flac_mono(buf)
     exp = ((l + r) / 2.0) / 32768.0
     assert np.allclose(mono, exp, rtol=0, atol=0)
+
+
+def test_lpc_and_partitioned_residual_roundtrip():
+    """LPC subframes (Levinson-Durbin fit, 12-bit quantized
+    coefficients) and partition orders > 0 round-trip bit-exactly and
+    beat the FIXED encoding on tonal content."""
+    rng = np.random.default_rng(17)
+    t = np.arange(6000)
+    s = (
+        (20000 * np.sin(t * 0.02) + rng.normal(0, 80, 6000))
+        .astype(np.int64)
+        .clip(-32768, 32767)
+    )
+    b_fixed = encode_flac(s, sample_rate=16000)
+    b_lpc = encode_flac(
+        s, sample_rate=16000, max_lpc_order=8, max_partition_order=4
+    )
+    assert np.array_equal(decode_flac(b_lpc)[2][:, 0], s)
+    assert len(b_lpc) < len(b_fixed)
+    # the stream genuinely contains an LPC subframe (type 0b1xxxxx)
+    # and a nonzero partition order — decoded above, so just re-check
+    # against every stereo mode too
+    st = np.stack([s[:4096], s[:4096] // 2 + 100], -1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        buf = encode_flac(
+            st, sample_rate=44100, stereo=mode, max_lpc_order=6,
+            max_partition_order=3, block_size=1024,
+        )
+        assert np.array_equal(decode_flac(buf)[2], st), mode
+
+
+def test_lpc_degenerate_inputs_fall_back():
+    """Constant/short/noise-floor channels must fall back to
+    CONSTANT/FIXED instead of emitting a degenerate LPC fit."""
+    rng = np.random.default_rng(3)
+    for s in (
+        np.zeros(100, int),
+        np.array([5] * 50 + [9] * 50),
+        rng.integers(-2, 3, 64),
+        np.array([7]),
+    ):
+        buf = encode_flac(
+            s, sample_rate=100, max_lpc_order=8, max_partition_order=2,
+            block_size=32,
+        )
+        assert np.array_equal(decode_flac(buf)[2][:, 0], s)
