@@ -6779,6 +6779,105 @@ GROUP BY d.source, g.bucket
 """
 
 
+def _q_s25_stream_funnel(spark, sf_dir):
+    """STREAMING ordered-funnel matching
+    (operators/sessions.py:funnel_stream — round 11): the r60 funnel as
+    a per-user state machine over ``applyInPandasWithState``, state =
+    current stage + one int64 microsecond timestamp per matched step
+    (constant size, never an event buffer), emitting EXACTLY ONCE per
+    user on completing signup < view < click < purchase.  The corpus
+    arrives as TWO time-partitioned micro-batches (events before/after
+    the span midpoint, maxFilesPerTrigger=1 — greedy matching needs
+    event-time order across batches, which time partitioning supplies;
+    the operator sorts within batches).  Oracle: the r60 CTE recurrence
+    restricted to full-depth users — streaming greedy state must equal
+    the batch earliest-admissible matching value-for-value, across a
+    state boundary that splits most users' funnels mid-pattern."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from modis_aggregation_spark.operators.sessions import funnel_stream
+
+    _ensure_utc(spark)
+    # through _t so ts is a real TIMESTAMP (events.parquet ships NTZ/nanos
+    # variants that watermarks reject — CLAUDE.md rule 1)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = row["lo"] + (row["hi"] - row["lo"]) / 2
+    src_dir = tempfile.mkdtemp(prefix="s25_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s25_ckpt_")
+    name = f"s25_funnel_{uuid.uuid4().hex[:8]}"
+    try:
+        for tag, part in (
+            ("a_early", ev.filter(F.col("ts") < F.lit(mid))),
+            ("b_late", ev.filter(F.col("ts") >= F.lit(mid))),
+        ):
+            tmp = tempfile.mkdtemp(prefix=f"s25_{tag}_")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            dst = os.path.join(src_dir, f"{tag}.parquet")
+            shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+        # FileStreamSource orders new files by modification time: make the
+        # early half strictly older so the two micro-batches arrive in
+        # event-time order (the greedy-matching contract)
+        now = _time.time()
+        os.utime(os.path.join(src_dir, "a_early.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(src_dir, "b_late.parquet"), (now, now))
+        schema = spark.read.parquet(src_dir).schema
+        stream = funnel_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir),
+            ["signup", "view", "click", "purchase"],
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s25_stream_funnel: stream did not finish in 300s")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S25 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS step_1_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_2_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.step_1_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_3_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.step_2_ts
+  GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_4_ts
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.step_3_ts
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts, s4.step_4_ts
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id) JOIN s4 USING (user_id)
+"""
+
+
 def _q_s21_stream_cms(spark, sf_dir):
     """STREAMING Count-Min sketch — the x95 mergeable summary maintained
     as a streaming aggregation: the corpus arrives as TWO micro-batches
@@ -10922,6 +11021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x112_flac_features": _q_x112_flac_features,
         "r60_funnel": _q_r60_funnel,
         "r61_retention": _q_r61_retention,
+        "s25_stream_funnel": _q_s25_stream_funnel,
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
@@ -11160,6 +11260,7 @@ def oracle_sql() -> dict[str, str]:
         "x112_flac_features": _SQL_X112,
         "r60_funnel": _SQL_R60,
         "r61_retention": _SQL_R61,
+        "s25_stream_funnel": _SQL_S25,
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,

@@ -227,3 +227,101 @@ def funnel_steps(
         *[f"step_{i}_ts" for i in range(1, len(steps) + 1)],
         depth.cast("int").alias("depth"),
     )
+
+
+FUNNEL_STATE_FMT = "stage INT, {}"
+
+
+def funnel_stream(
+    events_stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "1 hour",
+):
+    """STREAMING ordered-funnel matching — ``funnel_steps`` as a per-user
+    state machine over ``applyInPandasWithState`` (the zscore_stream /
+    sessionize_stream seam): state is the current stage plus one int64
+    microsecond timestamp per matched step (CONSTANT size — never an
+    event buffer), advanced greedily in (ts, type) order; a user EMITS
+    EXACTLY ONCE, on completing the final step, with every step
+    timestamp.  Emission is append-mode and purely data-driven, so the
+    stream output equals the batch ``funnel_steps`` rows at full depth
+    — the s25 oracle compares value-for-value.
+
+    Ordering contract: greedy matching needs each user's events in
+    event-time order ACROSS micro-batches (within a batch the operator
+    sorts).  Feed time-partitioned sources (the s25 pattern); handling
+    watermark-bounded disorder would need buffering this operator
+    deliberately does not do (documented, not silent).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not steps:
+        raise ValueError("funnel_stream needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    out_schema = f"{user_col} BIGINT, " + ", ".join(
+        f"step_{i}_ts TIMESTAMP" for i in range(1, k + 1)
+    )
+    state_schema = FUNNEL_STATE_FMT.format(
+        ", ".join(f"t{i} BIGINT" for i in range(1, k + 1))
+    )
+    step_of = {s: i for i, s in enumerate(steps)}  # 0-based next-stage
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        rows = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            for t, et in zip(ts, pdf[type_col]):
+                if et in step_of:
+                    rows.append((t, et))
+        if not rows:
+            return
+        rows.sort(key=lambda r: r[0])
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0] + [None] * k
+        stage = st[0]
+        for t, et in rows:
+            if stage >= k:
+                break  # already completed; emit-once
+            if step_of[et] != stage:
+                continue
+            t_us = t.value // 1000
+            if stage > 0 and t_us <= st[stage]:
+                continue  # strictly increasing timestamps
+            st[stage + 1] = t_us
+            stage += 1
+            if stage == k:
+                yield pd.DataFrame(
+                    {
+                        user_col: [user],
+                        **{
+                            f"step_{i}_ts": [
+                                pd.Timestamp(st[i] * 1000)
+                            ]
+                            for i in range(1, k + 1)
+                        },
+                    }
+                )
+                break
+        st[0] = stage
+        state.update(tuple(st))
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
