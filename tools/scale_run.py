@@ -558,6 +558,69 @@ def run_flac_decode(spark, n_docs: int, n_samples: int = 4096) -> dict:
     }
 
 
+def run_hll_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """HLL-vs-exact distinct-count anchor (round 11, backs x111): the
+    documents corpus replicated ``replicate``x with per-replica key
+    salting so the TRUE distinct count grows with the corpus.  Claim:
+    exact count-distinct shuffles one row per distinct item (grows with
+    the corpus), while the register sketch shuffles at most
+    groups x 2^p rows per map partition (FLAT as the corpus grows) —
+    measured via per-exchange shuffleBytesWritten off the executed
+    plans, both on fresh scans."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.operators.screening import (
+        hll_sketch,
+        hll_stats,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rep = spark.range(replicate).select(F.col("id").alias("__rep"))
+    corpus = (
+        docs.select("source", "text")
+        .crossJoin(F.broadcast(rep))
+        .select(
+            "source",
+            F.concat_ws("#", F.col("text"), F.col("__rep")).alias("text"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    n_rows = corpus.count()
+
+    t0 = time.perf_counter()
+    exact_df = corpus.groupBy("source").agg(
+        F.countDistinct("text").alias("d")
+    )
+    exact = {r["source"]: r["d"] for r in exact_df.collect()}
+    t_exact = time.perf_counter() - t0
+    exact_bytes = _query_shuffle_bytes(exact_df)
+
+    t0 = time.perf_counter()
+    sketch_df = hll_stats(hll_sketch(corpus, "text", ["source"]), ["source"])
+    stats = sketch_df.collect()
+    t_hll = time.perf_counter() - t0
+    hll_bytes = _query_shuffle_bytes(sketch_df)
+
+    from modis_aggregation_spark.operators.screening import hll_estimate
+
+    errs = [
+        abs(hll_estimate(r["inv_numer"]) - exact[r["source"]])
+        / max(exact[r["source"]], 1)
+        for r in stats
+    ]
+    return {
+        "replicate": replicate,
+        "rows": n_rows,
+        "true_distinct": sum(exact.values()),
+        "exact_sec": round(t_exact, 2),
+        "hll_sec": round(t_hll, 2),
+        "exact_shuffle_mb": round(exact_bytes / 1e6, 2),
+        "hll_shuffle_mb": round(hll_bytes / 1e6, 2),
+        "max_rel_err": round(max(errs), 4),
+    }
+
+
 def run_kmeans_curve(spark, sf_dir: str, replicate: int) -> dict:
     """Distributed-k-means anchor (round 6): full-corpus Lloyd training
     (operators/similarity.py:kmeans_train, k=8, 3 iterations) over the
