@@ -621,6 +621,83 @@ def run_hll_curve(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def run_funnel_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Funnel-shape anchor (round 11, backs r60): events replicated
+    ``replicate``x with salted users, the 4-step funnel computed two
+    ways — (a) `funnel_steps` (k filtered min-aggregations keyed on the
+    user), (b) the collect_list rewrite (one shuffle that BUFFERS every
+    user's full event history in an aggregation state, then a Python
+    scan per user).  Claim: (a)'s shuffle carries one timestamp per
+    user per step and its state is one row; (b)'s shuffle carries the
+    whole corpus into per-user arrays — the state that OOMs a hot user
+    at 100x.  Both produce identical completed-user counts."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.operators.sessions import funnel_steps
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "ts", "event_type"
+    )
+    rep = spark.range(replicate).select(F.col("id").alias("__rep"))
+    corpus = (
+        ev.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("user_id") * replicate + F.col("__rep")).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    n_rows = corpus.count()
+    steps = ["signup", "view", "click", "purchase"]
+
+    t0 = time.perf_counter()
+    op_df = funnel_steps(corpus, steps).filter(F.col("depth") == 4)
+    n_op = op_df.count()
+    t_op = time.perf_counter() - t0
+    op_bytes = _query_shuffle_bytes(op_df)
+
+    # the naive rewrite: per-user sorted event arrays, matched in Python
+    idx = {s: i for i, s in enumerate(steps)}
+
+    @F.udf("int")
+    def match_depth(evs):
+        stage, last = 0, None
+        for t, et in sorted(evs, key=lambda e: e[0]):
+            if stage >= 4:
+                break
+            if idx.get(et) != stage:
+                continue
+            if stage > 0 and t <= last:
+                continue
+            last = t
+            stage += 1
+        return stage
+
+    t0 = time.perf_counter()
+    naive_df = (
+        corpus.filter(F.col("event_type").isin(steps))
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_type")).alias("evs"))
+        .select(match_depth("evs").alias("depth"))
+        .filter(F.col("depth") == 4)
+    )
+    n_naive = naive_df.count()
+    t_naive = time.perf_counter() - t0
+    naive_bytes = _query_shuffle_bytes(naive_df)
+    assert n_op == n_naive, (n_op, n_naive)
+    return {
+        "replicate": replicate,
+        "rows": n_rows,
+        "completed_users": n_op,
+        "op_sec": round(t_op, 2),
+        "naive_sec": round(t_naive, 2),
+        "op_shuffle_mb": round(op_bytes / 1e6, 2),
+        "naive_shuffle_mb": round(naive_bytes / 1e6, 2),
+    }
+
+
 def run_kmeans_curve(spark, sf_dir: str, replicate: int) -> dict:
     """Distributed-k-means anchor (round 6): full-corpus Lloyd training
     (operators/similarity.py:kmeans_train, k=8, 3 iterations) over the
