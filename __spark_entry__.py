@@ -1497,6 +1497,69 @@ LEFT JOIN s4 USING (user_id)
 """
 
 
+def _q_r62_funnel_horizon(spark, sf_dir):
+    """The r60 funnel under a FIRST-TOUCH HORIZON (round 11): steps must
+    land within 3 days of the user's first signup, anchored at that
+    first event (the "converted within N days" attribution form).  The
+    horizon compares in EXACT integer microseconds on both engines —
+    ``unix_micros(step_ts) <= unix_micros(step_1_ts) + 259200e6`` /
+    DuckDB ``epoch_us`` (rule 3b: the seconds form would ride a double
+    cast where a boundary microsecond could round across).  Truncation
+    is ordered for free: matched step timestamps strictly increase, so
+    the first out-of-horizon step nulls everything after it."""
+    from modis_aggregation_spark.operators.sessions import funnel_steps
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        events,
+        ["signup", "view", "click", "purchase"],
+        within_micros=3 * 86_400 * 1_000_000,
+    )
+
+
+_SQL_R62 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS step_1_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_2_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.step_1_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_3_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.step_2_ts
+  GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_4_ts
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.step_3_ts
+  GROUP BY e.user_id
+), capped AS (
+  SELECT s1.user_id, s1.step_1_ts,
+         CASE WHEN epoch_us(s2.step_2_ts)
+                   <= epoch_us(s1.step_1_ts) + 259200000000
+              THEN s2.step_2_ts END AS step_2_ts,
+         CASE WHEN epoch_us(s3.step_3_ts)
+                   <= epoch_us(s1.step_1_ts) + 259200000000
+              THEN s3.step_3_ts END AS step_3_ts,
+         CASE WHEN epoch_us(s4.step_4_ts)
+                   <= epoch_us(s1.step_1_ts) + 259200000000
+              THEN s4.step_4_ts END AS step_4_ts
+  FROM s1
+  LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+  LEFT JOIN s4 USING (user_id)
+)
+SELECT user_id, step_1_ts, step_2_ts, step_3_ts, step_4_ts,
+       CAST(1 + (step_2_ts IS NOT NULL)::INT
+              + (step_3_ts IS NOT NULL)::INT
+              + (step_4_ts IS NOT NULL)::INT AS INT) AS depth
+FROM capped
+"""
+
+
 def _q_r61_retention(spark, sf_dir):
     """Weekly cohort retention (round 11, the companion event-analytics
     shape to r60's funnel): users cohorted by the week of their FIRST
@@ -11022,6 +11085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r60_funnel": _q_r60_funnel,
         "r61_retention": _q_r61_retention,
         "s25_stream_funnel": _q_s25_stream_funnel,
+        "r62_funnel_horizon": _q_r62_funnel_horizon,
         "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
         "x107_index_compaction": _q_x107_index_compaction,
         "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
@@ -11261,6 +11325,7 @@ def oracle_sql() -> dict[str, str]:
         "r60_funnel": _SQL_R60,
         "r61_retention": _SQL_R61,
         "s25_stream_funnel": _SQL_S25,
+        "r62_funnel_horizon": _SQL_R62,
         "x106_ivfpq_indexed": _SQL_X106,
         "s23_hdf4_szip_scan": _SQL_S23,
         "r59_percentile_disc": _SQL_R59,

@@ -640,10 +640,15 @@ def hll_sketch(
     100 TB shape is one partial-aggregating groupBy whose shuffle
     carries at most 2^p rows per group per map partition instead of
     one row per distinct item (what exact count-distinct shuffles).
-    Every value is an int: layout-invariant by construction."""
+    Every value is an int: layout-invariant by construction.
+
+    NULL keys are EXCLUDED, mirroring ``count(DISTINCT ...)`` — without
+    the filter Spark's ``xxhash64(NULL)`` passes the seed hash through
+    and every NULL would silently count as one extra distinct item."""
     bucket, rho = hll_register_entries(F.col(key_col), p)
     return (
-        df.select(*group_cols, bucket.alias("bucket"), rho.alias("__rho"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("__rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("__rho").alias("register"))
     )

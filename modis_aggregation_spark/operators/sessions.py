@@ -161,6 +161,7 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_seconds: float | None = None,
+    within_micros: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel matching (MATCH_RECOGNIZE-lite, round 11): for
     each user, the earliest completion of the ordered pattern
@@ -173,6 +174,9 @@ def funnel_steps(
     every matched step to land within that horizon of the user's FIRST
     step-1 event (first-touch anchoring, the standard analytics-tool
     semantic; a step outside the horizon truncates the funnel there).
+    ``within_micros`` is the same horizon in EXACT integer microseconds
+    (``unix_micros`` compare — rule 3b: use it when the output feeds a
+    cross-engine oracle; the seconds form goes through a double cast).
     Sliding-anchor matching — "any step-1 event may start the window" —
     is a different, quadratic problem this operator does not claim.
 
@@ -206,19 +210,32 @@ def funnel_steps(
             .agg(F.min("__ts").alias(f"step_{i}_ts"))
         )
         cur = cur.join(nxt, user_col, "left")
-    if within_seconds is not None:
+    if within_seconds is not None and within_micros is not None:
+        raise ValueError("pass within_seconds OR within_micros, not both")
+    if within_seconds is not None or within_micros is not None:
         # matched step timestamps are strictly increasing, so nulling
         # every step past the horizon automatically truncates the
         # funnel at the first violation — no cascade needed
-        horizon = F.col("step_1_ts").cast("double") + F.lit(
-            float(within_seconds)
-        )
-        for i in range(2, len(steps) + 1):
-            c = F.col(f"step_{i}_ts")
-            cur = cur.withColumn(
-                f"step_{i}_ts",
-                F.when(c.cast("double") <= horizon, c),
+        if within_micros is not None:
+            horizon = F.unix_micros(F.col("step_1_ts")) + F.lit(
+                int(within_micros)
             )
+            for i in range(2, len(steps) + 1):
+                c = F.col(f"step_{i}_ts")
+                cur = cur.withColumn(
+                    f"step_{i}_ts",
+                    F.when(F.unix_micros(c) <= horizon, c),
+                )
+        else:
+            horizon = F.col("step_1_ts").cast("double") + F.lit(
+                float(within_seconds)
+            )
+            for i in range(2, len(steps) + 1):
+                c = F.col(f"step_{i}_ts")
+                cur = cur.withColumn(
+                    f"step_{i}_ts",
+                    F.when(c.cast("double") <= horizon, c),
+                )
     depth = F.lit(1)
     for i in range(2, len(steps) + 1):
         depth = depth + F.when(F.col(f"step_{i}_ts").isNotNull(), 1).otherwise(0)

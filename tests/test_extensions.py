@@ -1939,3 +1939,21 @@ def test_hll_precision_validation():
 
     with pytest.raises(ValueError, match="precision"):
         hll_register_entries(F.lit("x"), p=13)
+
+
+def test_hll_null_keys_excluded(spark):
+    """NULL keys must not count as a distinct item (count(DISTINCT)
+    semantics; xxhash64(NULL) would otherwise pass the seed hash
+    through as a phantom register)."""
+    from modis_aggregation_spark.operators.screening import hll_sketch
+
+    with_nulls = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], ["text"]
+    ).withColumn("g", F.lit(1))
+    without = spark.createDataFrame([("a",), ("b",)], ["text"]).withColumn(
+        "g", F.lit(1)
+    )
+    key = lambda rows: sorted((r["bucket"], r["register"]) for r in rows)
+    assert key(hll_sketch(with_nulls, "text", ["g"]).collect()) == key(
+        hll_sketch(without, "text", ["g"]).collect()
+    )
