@@ -10542,6 +10542,56 @@ def _x106_ivfpq_artifacts(spark, sf_dir):
     return ivf_path, codes_path, cents, books
 
 
+def _q_x113_decode_tiff(spark, sf_dir):
+    """REAL TIFF decode (Adobe TIFF 6.0 baseline, ``sinks/tifflite.py``
+    — round 11): the x110 4x4 grayscale byte fixture encoded as genuine
+    multi-strip TIFFs with the LAYOUT ROTATING BY doc_id across
+    uncompressed / PackBits / LZW / LZW+predictor-2 (the corpus
+    exercises IFD parsing, strip assembly, both codecs, the LZW
+    early-change widths and the horizontal-differencing undo), then
+    decoded for real by ``decode_images(decoder="tiff")``.  TIFF is
+    lossless, so the oracle is the SAME codec-free golden as x110
+    (goldens/x110_lossless_decode.parquet — the expected mean is the
+    raw byte mean).  Cross-validated BOTH directions against the JDK's
+    javax.imageio TIFF plugin in tests/test_tifflite.py, which also
+    pinned the LZW width-change convention."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_tiff(it):
+        from modis_aggregation_spark.sinks.tifflite import encode_tiff
+
+        variants = [("none", 1), ("packbits", 1), ("lzw", 1), ("lzw", 2)]
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(
+                    np.frombuffer(data, np.uint8), (4, 4)
+                ).astype(np.uint8)
+                comp, pred = variants[int(doc_id) % 4]
+                payloads.append(
+                    encode_tiff(
+                        img, compression=comp, predictor=pred,
+                        rows_per_strip=2,
+                    )
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    imgs = _spread(docs).mapInPandas(to_tiff, "id BIGINT, payload BINARY")
+    out = ops_mm.decode_images(imgs, decoder="tiff", out_hw=(4, 4))
+    return out.select(
+        "id", "height", "width", "channels",
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X113 = _SQL_X110  # lossless: identical expectation as the SOF3 path
+
+
 def _q_x106_ivfpq_indexed(spark, sf_dir):
     """The FULL FAISS-layout ANN stack served from MATERIALIZED index
     artifacts end to end (operators/similarity.py:ivfpq_topk_indexed —
@@ -11079,6 +11129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 11 (no driver record yet — always lead) --------------
         "x110_decode_lossless": _q_x110_decode_lossless,
+        "x113_decode_tiff": _q_x113_decode_tiff,
         "x111_hll_rollup": _q_x111_hll_rollup,
         "s24_stream_hll": _q_s24_stream_hll,
         "x112_flac_features": _q_x112_flac_features,
@@ -11319,6 +11370,7 @@ def oracle_sql() -> dict[str, str]:
         "r58_tpch_q20": _SQL_R58,
         "x105_index_generations": _SQL_X105,
         "x110_decode_lossless": _SQL_X110,
+        "x113_decode_tiff": _SQL_X113,
         "x111_hll_rollup": _SQL_X111,
         "s24_stream_hll": _SQL_S24,
         "x112_flac_features": _SQL_X112,

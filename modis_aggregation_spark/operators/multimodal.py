@@ -38,6 +38,8 @@ _MAGIC = [
     ("47494638", "image/gif"),
     ("52494646", "audio/wav"),  # RIFF
     ("664c6143", "audio/flac"),  # fLaC
+    ("49492a00", "image/tiff"),  # II*\0
+    ("4d4d002a", "image/tiff"),  # MM\0*
     ("494433", "audio/mpeg"),   # ID3
     ("000000", "video/mp4"),    # ftyp boxes (loose)
 ]
@@ -120,6 +122,13 @@ def decode_images(
       lossless: predictor reconstruction, component-planar) then
       resampled like the PNG path. Arithmetic-coded and hierarchical
       streams raise NotImplementedError inside the task (honest gate).
+    * ``decoder="tiff"`` — REAL decode for baseline TIFF payloads via
+      ``sinks/tifflite.py`` (pure-Python Adobe TIFF 6.0 baseline,
+      round 11: II/MM byte orders, strips, none/LZW/PackBits
+      compression, predictor 2, gray/RGB 8-bit; cross-validated
+      against javax.imageio's TIFF plugin in both directions), then
+      resampled like the PNG path.  Tiled/planar/deep-bit streams
+      raise NotImplementedError inside the task (honest gate).
     * ``decoder="real"`` — the PIL multi-format path (PIL is not in
       this container → raises NotImplementedError at plan-build time, by
       design; never silently falls back).
@@ -136,7 +145,7 @@ def decode_images(
             "pure-Python paths for those formats, decoder='fake' exercises "
             "the identical Arrow batch path deterministically"
         )
-    if decoder not in ("png", "gif", "jpeg", "fake"):
+    if decoder not in ("png", "gif", "jpeg", "tiff", "fake"):
         raise ValueError(f"unknown image decoder: {decoder!r}")
     h, w = out_hw
 
@@ -150,6 +159,8 @@ def decode_images(
             from modis_aggregation_spark.sinks.giflite import decode_gif
         elif decoder == "jpeg":
             from modis_aggregation_spark.sinks.jpeglite import decode_jpeg
+        elif decoder == "tiff":
+            from modis_aggregation_spark.sinks.tifflite import decode_tiff
 
         for pdf in it:
             if decoder == "png":
@@ -172,6 +183,16 @@ def decode_images(
                             "on media_meta.mime = 'image/jpeg' first"
                         )
                     arrs.append(_resample(decode_jpeg(payload)))
+            elif decoder == "tiff":
+                arrs = []
+                for b in pdf[payload_col]:
+                    payload = bytes(b)
+                    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+                        raise ValueError(
+                            "decoder='tiff' got a non-TIFF payload; filter "
+                            "on media_meta.mime = 'image/tiff' first"
+                        )
+                    arrs.append(_resample(decode_tiff(payload)))
             elif decoder == "gif":
                 # first frame of the (possibly animated) image
                 arrs = [
@@ -598,7 +619,7 @@ def dhash_images(
     ``decode_images``'s deterministic index arithmetic, so the hash is
     a pure function of the payload bytes (the x79 oracle recomputes it
     codec-free for exact-subspace fixtures)."""
-    if decoder not in ("png", "gif", "jpeg", "fake"):
+    if decoder not in ("png", "gif", "jpeg", "tiff", "fake"):
         raise ValueError(f"unknown image decoder: {decoder!r}")
     h, w = 8, 9
 

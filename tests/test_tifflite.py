@@ -1,0 +1,210 @@
+"""tifflite codec: spec vectors, round trips, and REAL cross-validation
+against the JDK's javax.imageio TIFF plugin (an independent production
+codec, available since JDK 9) in BOTH directions — stronger footing
+than the round-trip-only codecs (flaclite/sziplite), matching the
+png/gif/jpeg standard.
+"""
+
+import numpy as np
+import pytest
+
+from modis_aggregation_spark.sinks.tifflite import (
+    decode_tiff,
+    encode_tiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+)
+
+
+# ---- hand-derived spec vectors ----------------------------------------
+
+
+def test_packbits_spec_vector():
+    """The TIFF 6.0 specification's own PackBits example."""
+    encoded = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80, 0x00,
+         0x2A, 0x22, 0xF7, 0xAA]
+    )
+    expected = (
+        b"\xaa\xaa\xaa\x80\x00\x2a\xaa\xaa\xaa\xaa\x80\x00\x2a\x22"
+        + b"\xaa" * 10
+    )
+    assert packbits_decode(encoded, len(expected)) == expected
+    # our encoder's output decodes to the same bytes (layout may differ)
+    assert packbits_decode(packbits_encode(expected), len(expected)) == expected
+
+
+def test_packbits_noop_and_bounds():
+    # 0x80 is a noop; 0x00 = one literal byte, twice
+    assert packbits_decode(b"\x80\x00A\x00B", 2) == b"AB"
+    with pytest.raises(ValueError, match="past end"):
+        packbits_decode(b"\x05AB", 6)
+
+
+def test_lzw_hand_vector():
+    """First codes of an LZW stream derived by hand: Clear(256) then
+    literals at 9 bits — 256 is 0b100000000, 'A'(65) is 0b001000001 —
+    and the decoder's strict first-code-after-clear rule."""
+    bits = "100000000" + "001000001" + "001000001" + "100000001"  # C A A EOI
+    s = bits + "0" * (-len(bits) % 8)
+    data = bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    assert lzw_decode(data, 2) == b"AA"
+    # a dynamic code immediately after Clear is malformed
+    bad_bits = "100000000" + "100000010"  # Clear then code 258
+    s = bad_bits + "0" * (-len(bad_bits) % 8)
+    bad = bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    with pytest.raises(ValueError, match="first code"):
+        lzw_decode(bad, 1)
+
+
+def test_lzw_roundtrip_through_width_changes():
+    rng = np.random.default_rng(4)
+    for n in (1, 300, 5000, 60000, 300000):  # spans 9->12 bit + clears
+        d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(d), n) == d, n
+        s = bytes((np.arange(n) % 13).astype(np.uint8))
+        assert lzw_decode(lzw_encode(s), n) == s, n
+
+
+# ---- container round trips --------------------------------------------
+
+
+def test_tiff_roundtrip_sweep():
+    rng = np.random.default_rng(3)
+    for comp in ("none", "packbits", "lzw"):
+        for pred in (1, 2):
+            if pred == 2 and comp != "lzw":
+                continue  # predictor is the LZW extension (section 14)
+            for shape in [(13, 17), (9, 5, 3), (1, 1), (40, 33, 3)]:
+                img = rng.integers(0, 256, shape, dtype=np.uint8)
+                out = decode_tiff(
+                    encode_tiff(img, compression=comp, predictor=pred,
+                                rows_per_strip=4)
+                )
+                assert out.shape == img.shape
+                assert np.array_equal(out, img), (comp, pred, shape)
+
+
+def test_tiff_predictor_compresses_gradients():
+    smooth = np.repeat(np.arange(200, dtype=np.uint8)[None, :] % 251, 64, 0)
+    plain = encode_tiff(smooth, compression="lzw", predictor=1)
+    pred = encode_tiff(smooth, compression="lzw", predictor=2)
+    assert np.array_equal(decode_tiff(pred), smooth)
+    assert len(pred) < len(plain)
+
+
+def test_tiff_validation_and_gates():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"\x89PNG....")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_tiff(np.zeros((4, 4), np.uint16))
+    with pytest.raises(ValueError, match="compression"):
+        encode_tiff(np.zeros((4, 4), np.uint8), compression="jpeg")
+    with pytest.raises(ValueError, match="only defined with LZW"):
+        encode_tiff(np.zeros((4, 4), np.uint8), compression="packbits",
+                    predictor=2)
+    # deep bit depths are an honest gate, not a silent mis-read
+    buf = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+    i = buf.find((258).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    assert i != -1
+    buf[i + 8] = 16  # BitsPerSample 16
+    with pytest.raises(NotImplementedError, match="bit depths"):
+        decode_tiff(bytes(buf))
+
+
+def test_tiff_whiteiszero_inverted():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    buf = bytearray(encode_tiff(img))
+    i = buf.find((262).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    assert buf[i + 8] == 1  # BlackIsZero as written
+    buf[i + 8] = 0  # declare WhiteIsZero
+    assert np.array_equal(decode_tiff(bytes(buf)), 255 - img)
+
+
+# ---- cross-validation against javax.imageio ---------------------------
+
+
+def _jvm(spark):
+    return spark.sparkContext._gateway.jvm
+
+
+def _imageio_pixels(bi, h, w):
+    out = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb = bi.getRGB(x, y)
+            out[y, x] = ((rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255)
+    return out
+
+
+def test_imageio_decodes_tifflite_all_variants(spark, tmp_path):
+    """The JDK's production TIFF reader must reproduce our pixels
+    bit-exactly for every compression x predictor variant (this is what
+    pinned the LZW early-change convention: threshold 2^width on the
+    encoder's next-code counter, one assignment ahead of the decoder)."""
+    jvm = _jvm(spark)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    for comp, pred in (("none", 1), ("packbits", 1), ("lzw", 1), ("lzw", 2)):
+        p = str(tmp_path / f"ours_{comp}_{pred}.tif")
+        with open(p, "wb") as f:
+            f.write(encode_tiff(img, compression=comp, predictor=pred,
+                                rows_per_strip=7))
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+        assert bi is not None, (comp, pred)
+        assert np.array_equal(_imageio_pixels(bi, 40, 40), img), (comp, pred)
+
+
+def test_tifflite_decodes_imageio(spark, tmp_path):
+    """The other direction: we must decode imageio-written TIFFs —
+    its default (uncompressed, big strips) and explicit LZW."""
+    jvm = _jvm(spark)
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(
+        33, 21, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(21):
+        for x in range(33):
+            r, g, b = (int(v) for v in src[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    p = str(tmp_path / "theirs.tif")
+    jvm.javax.imageio.ImageIO.write(bi, "tiff", jvm.java.io.File(p))
+    assert np.array_equal(decode_tiff(open(p, "rb").read()), src)
+    iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    param = iw.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    p2 = str(tmp_path / "theirs_lzw.tif")
+    fos = jvm.javax.imageio.stream.FileImageOutputStream(jvm.java.io.File(p2))
+    iw.setOutput(fos)
+    iw.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    fos.close()
+    assert np.array_equal(decode_tiff(open(p2, "rb").read()), src)
+
+
+def test_decode_images_tiff_path(spark):
+    """decode_images(decoder='tiff'): lossless, so mean_pixel equals the
+    source-byte mean; compression rotates per row."""
+    import pandas as pd
+
+    from modis_aggregation_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    rows = []
+    variants = [("none", 1), ("packbits", 1), ("lzw", 1), ("lzw", 2)]
+    for i in range(8):
+        img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+        comp, pred = variants[i % 4]
+        rows.append((i, encode_tiff(img, compression=comp, predictor=pred),
+                     float(img.mean())))
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [r[0] for r in rows],
+                      "payload": [r[1] for r in rows]})
+    )
+    out = M.decode_images(df, decoder="tiff", out_hw=(4, 4)).toPandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    for i, (_, _, mean) in enumerate(rows):
+        assert abs(out["mean_pixel"][i] - mean) < 1e-12
