@@ -633,6 +633,8 @@ def dhash_images(
                 return decode_gif(b)[0][0]
         elif decoder == "jpeg":
             from modis_aggregation_spark.sinks.jpeglite import decode_jpeg as dec
+        elif decoder == "tiff":
+            from modis_aggregation_spark.sinks.tifflite import decode_tiff as dec
         else:
             def dec(b):
                 return _fake_decode(b, h, w)

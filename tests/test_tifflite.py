@@ -208,3 +208,26 @@ def test_decode_images_tiff_path(spark):
     out = out.sort_values("id").reset_index(drop=True)
     for i, (_, _, mean) in enumerate(rows):
         assert abs(out["mean_pixel"][i] - mean) < 1e-12
+
+
+def test_dhash_tiff_equals_dhash_of_same_pixels(spark):
+    """dhash_images(decoder='tiff') must hash the DECODED pixels (a
+    regression guard against the silent-fake fallback class): the hash
+    of a TIFF payload equals the hash the png path produces for the
+    identical image."""
+    import pandas as pd
+
+    from modis_aggregation_spark.operators import multimodal as M
+    from modis_aggregation_spark.sinks.pnglite import encode_png
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "payload": [encode_tiff(img, compression="lzw")]})
+    )
+    pdf_ = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "payload": [encode_png(img)]})
+    )
+    h_tiff = M.dhash_images(tdf, decoder="tiff").collect()[0]["dhash"]
+    h_png = M.dhash_images(pdf_, decoder="png").collect()[0]["dhash"]
+    assert h_tiff == h_png
