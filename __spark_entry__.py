@@ -11127,59 +11127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
-        # -- NEW in round 11 (no driver record yet — always lead) --------------
-        "x110_decode_lossless": _q_x110_decode_lossless,
-        "x113_decode_tiff": _q_x113_decode_tiff,
-        "x111_hll_rollup": _q_x111_hll_rollup,
-        "s24_stream_hll": _q_s24_stream_hll,
-        "x112_flac_features": _q_x112_flac_features,
-        "r60_funnel": _q_r60_funnel,
-        "r61_retention": _q_r61_retention,
-        "s25_stream_funnel": _q_s25_stream_funnel,
-        "r62_funnel_horizon": _q_r62_funnel_horizon,
-        "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
-        "x107_index_compaction": _q_x107_index_compaction,
-        "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
-        "r59_percentile_disc": _q_r59_percentile_disc,
-        "x108_ivf_append": _q_x108_ivf_append,
-        "x109_cov_merge": _q_x109_cov_merge,
-        "m18_zorder_cells": _q_m18_zorder_cells,
-        # -- last driver-recorded in round 6 -----------------------------------
-        "m15_alt_grid": _q_m15_alt_grid,
-        "m16_trim_1km": _q_m16_trim_1km,
-        "m17_climatology_anomaly": _q_m17_climatology_anomaly,
-        "r17_tpch_q3": _q_r17_tpch_q3,
-        "r18_tpch_q5": _q_r18_tpch_q5,
-        "r1_filter_project": _q_r1_filter_project,
         # -- last driver-recorded in round 7 -----------------------------------
-        "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,
-        "x88_decode_progressive": _q_x88_decode_progressive,
-        "x89_heavy_hitters": _q_x89_heavy_hitters,
-        "s18_jsonl_scan": _q_s18_jsonl_scan,
-        "x90_wordpiece_train": _q_x90_wordpiece_train,
-        "x91_wordpiece_encode": _q_x91_wordpiece_encode,
-        "r4_semi_anti": _q_r4_semi_anti,
-        "r6_rownum_topk": _q_r6_rownum_topk,
-        "r6_rank": _q_r6_rank,
-        "r6_sliding": _q_r6_sliding,
-        "r7_topk": _q_r7_topk,
-        "r8_setops": _q_r8_setops,
-        "r9_distinct": _q_r9_distinct,
-        "r9b_approx_distinct": _q_r9b_approx_distinct,
-        "r10_scalar_battery": _q_r10_scalar_battery,
-        "r11_dedup_exact": _q_r11_dedup_exact,
-        "r12_text_terms": _q_r12_text_terms,
-        "r13_json_props": _q_r13_json_props,
-        "r14_subquery": _q_r14_subquery,
-        "r15_cube": _q_r15_cube,
-        "r16_sessionize": _q_r16_sessionize,
-        "r19_percentiles": _q_r19_percentiles,
-        "r20_collect_list": _q_r20_collect_list,
-        "r21_having_in": _q_r21_having_in,
-        "r22_outer_joins": _q_r22_outer_joins,
-        "r23_pivot": _q_r23_pivot,
-        "r24_tumbling_window": _q_r24_tumbling_window,
-        "r25_asof_join": _q_r25_asof_join,
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
         "r28_scd2": _q_r28_scd2,
@@ -11355,6 +11303,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m12_finalize": _q_m12_finalize,
         "m13_monthly_reagg": _q_m13_monthly_reagg,
         "m14_compare_grids": _q_m14_compare_grids,
+        # -- last driver-recorded in round 11 ----------------------------------
+        "x110_decode_lossless": _q_x110_decode_lossless,
+        "x113_decode_tiff": _q_x113_decode_tiff,
+        "x111_hll_rollup": _q_x111_hll_rollup,
+        "s24_stream_hll": _q_s24_stream_hll,
+        "x112_flac_features": _q_x112_flac_features,
+        "r60_funnel": _q_r60_funnel,
+        "r61_retention": _q_r61_retention,
+        "s25_stream_funnel": _q_s25_stream_funnel,
+        "r62_funnel_horizon": _q_r62_funnel_horizon,
+        "x106_ivfpq_indexed": _q_x106_ivfpq_indexed,
+        "x107_index_compaction": _q_x107_index_compaction,
+        "s23_hdf4_szip_scan": _q_s23_hdf4_szip_scan,
+        "r59_percentile_disc": _q_r59_percentile_disc,
+        "x108_ivf_append": _q_x108_ivf_append,
+        "x109_cov_merge": _q_x109_cov_merge,
+        "m18_zorder_cells": _q_m18_zorder_cells,
+        "m15_alt_grid": _q_m15_alt_grid,
+        "m16_trim_1km": _q_m16_trim_1km,
+        "m17_climatology_anomaly": _q_m17_climatology_anomaly,
+        "r17_tpch_q3": _q_r17_tpch_q3,
+        "r18_tpch_q5": _q_r18_tpch_q5,
+        "r1_filter_project": _q_r1_filter_project,
+        "s17_hdf4_rle_external_scan": _q_s17_hdf4_rle_external_scan,
+        "x88_decode_progressive": _q_x88_decode_progressive,
+        "x89_heavy_hitters": _q_x89_heavy_hitters,
+        "s18_jsonl_scan": _q_s18_jsonl_scan,
+        "x90_wordpiece_train": _q_x90_wordpiece_train,
+        "x91_wordpiece_encode": _q_x91_wordpiece_encode,
+        "r4_semi_anti": _q_r4_semi_anti,
+        "r6_rownum_topk": _q_r6_rownum_topk,
+        "r6_rank": _q_r6_rank,
+        "r6_sliding": _q_r6_sliding,
+        "r7_topk": _q_r7_topk,
+        "r8_setops": _q_r8_setops,
+        "r9_distinct": _q_r9_distinct,
+        "r9b_approx_distinct": _q_r9b_approx_distinct,
+        "r10_scalar_battery": _q_r10_scalar_battery,
+        "r11_dedup_exact": _q_r11_dedup_exact,
+        "r12_text_terms": _q_r12_text_terms,
+        "r13_json_props": _q_r13_json_props,
+        "r14_subquery": _q_r14_subquery,
+        "r15_cube": _q_r15_cube,
+        "r16_sessionize": _q_r16_sessionize,
+        "r19_percentiles": _q_r19_percentiles,
+        "r20_collect_list": _q_r20_collect_list,
+        "r21_having_in": _q_r21_having_in,
+        "r22_outer_joins": _q_r22_outer_joins,
+        "r23_pivot": _q_r23_pivot,
+        "r24_tumbling_window": _q_r24_tumbling_window,
+        "r25_asof_join": _q_r25_asof_join,
     }
 
 
