@@ -20,6 +20,16 @@ shows ±15-50 % drift; a genuine pathology of the round-8 class is
 tool exits 1 unless ``--no-gate`` (soft mode: warn only). New queries
 (no baseline entry) and removed ones are listed informationally.
 
+Self-adjudication (round-12, VERDICT r11 item 2): any slot the gate
+flags is immediately re-timed IN ISOLATION — best-of-3, same process,
+cache cleared + gc'd between runs — before the verdict. Both numbers
+land in the JSON (``flagged``: the dirty sweep-loop time, ``isolated``:
+the best-of-3 re-time) and the gate re-evaluates against the ISOLATED
+value; tenancy bursts that vanish on re-time auto-clear instead of
+costing a round of prose. The baseline side does the same: when a
+previous sweep carries an ``isolated`` entry for a query, that value
+(not its burst-inflated loop time) is the comparison anchor.
+
 Usage:
     python tools/sweep_contract.py --round 9                  # full sweep
     python tools/sweep_contract.py --round 9 --repeat 2       # best-of-2
@@ -73,9 +83,21 @@ def newest_committed_sweep(exclude: str | None = None) -> tuple[str, dict] | Non
         return best[1], json.load(f)
 
 
+def effective_timings(sweep: dict) -> dict:
+    """A sweep's per-query anchors: loop timings overlaid with any
+    isolated best-of-3 re-times (the adjudicated truth for flagged
+    slots — burst-inflated loop numbers never become baselines)."""
+    t = dict(sweep.get("timings", {}))
+    t.update(sweep.get("isolated", {}))
+    return t
+
+
 def diff_sweeps(prev: dict, cur: dict) -> dict:
-    """Classify cur vs prev: regressions (gate), improvements, new, gone."""
-    pt, ct = prev.get("timings", {}), cur.get("timings", {})
+    """Classify cur vs prev: regressions (gate), improvements, new, gone.
+
+    Both sides compare on :func:`effective_timings` — isolated re-times
+    override the raw loop numbers wherever they exist."""
+    pt, ct = effective_timings(prev), effective_timings(cur)
     out = {"regressions": [], "improved": [], "new": sorted(set(ct) - set(pt)),
            "gone": sorted(set(pt) - set(ct))}
     for name in sorted(set(ct) & set(pt)):
@@ -209,7 +231,6 @@ def main() -> int:
             pass
         gc.collect()
     total = round(time.perf_counter() - t_sweep, 3)
-    spark.stop()
 
     result = {
         "sf_dir": args.sf_dir,
@@ -225,10 +246,6 @@ def main() -> int:
     out_path = None
     if args.round is not None and not args.only:
         out_path = os.path.join(REPO, f"SWEEP_r{args.round:02d}.json")
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=1, sort_keys=True)
-        print(f"\nwrote {out_path} ({len(timings)} timings, "
-              f"{len(errors)} errors, {total:.1f}s wall)")
 
     rc = 1 if errors else 0
     if not args.only:
@@ -238,7 +255,44 @@ def main() -> int:
         else:
             prev_path, prev_data = prev
             d = diff_sweeps(prev_data, result)
-            print(f"\ndiff vs {os.path.basename(prev_path)}:")
+            if d["regressions"]:
+                # Self-adjudication: re-time each flagged slot NOW,
+                # best-of-3, in the (quiet) post-sweep session. Tenancy
+                # bursts and dirty-session pressure clear; genuine
+                # regressions survive. Both numbers are recorded and
+                # the gate re-evaluates against the isolated value.
+                import gc
+
+                flagged = {r["query"]: r["cur"] for r in d["regressions"]}
+                isolated: dict[str, float] = {}
+                print(f"\n{len(flagged)} flagged slot(s) — isolated "
+                      f"best-of-3 re-times:")
+                for name in sorted(flagged):
+                    best = float("inf")
+                    try:
+                        for _ in range(3):
+                            try:
+                                spark.catalog.clearCache()
+                            except Exception:
+                                pass
+                            gc.collect()
+                            t0 = time.perf_counter()
+                            qs[name](spark, args.sf_dir).write.format(
+                                "noop"
+                            ).mode("overwrite").save()
+                            best = min(best, time.perf_counter() - t0)
+                        isolated[name] = round(best, 3)
+                        print(f"  {name}: sweep {flagged[name]:.3f}s -> "
+                              f"isolated {isolated[name]:.3f}s", flush=True)
+                    except Exception as e:  # noqa: BLE001
+                        errors[name] = f"{type(e).__name__}: {e}"[:300]
+                        print(f"  {name}: ERROR on re-time "
+                              f"{errors[name]}", flush=True)
+                result["flagged"] = flagged
+                result["isolated"] = isolated
+                d = diff_sweeps(prev_data, result)
+            print(f"\ndiff vs {os.path.basename(prev_path)} "
+                  f"(isolated-adjudicated):")
             print(f"  new: {len(d['new'])}  gone: {len(d['gone'])}  "
                   f"improved>3x: {len(d['improved'])}")
             for r in d["improved"]:
@@ -246,7 +300,8 @@ def main() -> int:
                       f"{r['cur']:.2f}s ({r['ratio']}x)")
             if d["regressions"]:
                 print(f"  {len(d['regressions'])} REGRESSIONS "
-                      f"(> {RATIO_GATE}x and > {ABS_GATE_SEC}s):")
+                      f"(> {RATIO_GATE}x and > {ABS_GATE_SEC}s, "
+                      f"surviving isolation):")
                 for r in d["regressions"]:
                     print(f"    {r['query']}: {r['prev']:.2f}s -> "
                           f"{r['cur']:.2f}s ({r['ratio']}x)")
@@ -254,8 +309,19 @@ def main() -> int:
                     rc = 1
             else:
                 print("  no gated regressions")
+    spark.stop()
+
+    if out_path is not None:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        print(f"\nwrote {out_path} ({len(timings)} timings, "
+              f"{len(errors)} errors, "
+              f"{len(result.get('isolated', {}))} isolated re-times, "
+              f"{total:.1f}s sweep wall)")
+
     if errors:
         print(f"\n{len(errors)} queries ERRORED: {sorted(errors)}")
+        rc = 1
     return rc
 
 
