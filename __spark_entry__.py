@@ -3140,6 +3140,63 @@ JOIN read_parquet('/root/repo/goldens/x110_lossless_decode.parquet') g
 """
 
 
+def _q_x114_decode_arithmetic(spark, sf_dir):
+    """REAL ARITHMETIC-CODED JPEG decode (SOF9/SOF10, T.81 Annex D QM
+    coder — round 12): the same exact-subspace fixture as x65 (each
+    document's first utf-8 bytes as a 2×2 grid of constant even-valued
+    8×8 blocks at quality 50), but entropy-coded through the adaptive
+    binary arithmetic coder (``sinks/qmcoder.py`` — the normative
+    Table D.3 Qe state machine, conditional MPS/LPS exchange, byte-level
+    carry via 0xFF stacking): EVEN doc_ids emit sequential SOF9 frames
+    (``encode_jpeg(arithmetic=True)``), ODD doc_ids progressive SOF10
+    frames (``encode_jpeg_progressive(arithmetic=True)`` — DC first
+    Al=1 + AC first + DC refinement scans), so both arithmetic scan
+    dispatchers decode for real.  The entropy layer is the only moving
+    part vs the x65/x88 paths, so the oracle is the SAME codec-free
+    golden (goldens/x65_jpeg_decode.parquet, pure index arithmetic,
+    keyed by sha256(text)) — any QM decision, conditioning, or carry
+    bug anywhere diverges the join values.  Hand-derived Annex D
+    register-arithmetic vectors in tests/test_qmcoder.py; Huffman-path
+    pixel-parity battery in tests/test_jpeglite.py."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_jpeg(it):
+        from modis_aggregation_spark.sinks.jpeglite import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") or b"\x00"
+                vals = np.resize(np.frombuffer(data, np.uint8), (2, 2)) & 0xFE
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                enc = (
+                    encode_jpeg(img, quality=50, arithmetic=True)
+                    if int(doc_id) % 2 == 0
+                    else encode_jpeg_progressive(
+                        img, quality=50, arithmetic=True
+                    )
+                )
+                payloads.append(enc)
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    imgs = _spread(docs).mapInPandas(to_jpeg, "id BIGINT, payload BINARY")
+    out = ops_mm.decode_images(imgs, decoder="jpeg", out_hw=(8, 8))
+    return out.select(
+        "id", "height", "width", "channels",
+        _r6(F.col("mean_pixel")).alias("mean_pixel"),
+    )
+
+
+_SQL_X114 = _SQL_X65  # same codec-free golden; arithmetic entropy path
+
+
 def _q_x73_avi_frames(spark, sf_dir):
     """REAL video decode end-to-end (no fake): each document's utf-8
     bytes tile into three 16×16 frames of constant even-valued 8×8
@@ -11127,6 +11184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
+        # -- NEW in round 12 (no driver record yet) -----------------------------
+        "x114_decode_arithmetic": _q_x114_decode_arithmetic,
         # -- last driver-recorded in round 7 -----------------------------------
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
@@ -11359,6 +11418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x114_decode_arithmetic": _SQL_X114,
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
         "x104_ivf_partition_pruned": _SQL_X104,

@@ -36,12 +36,16 @@ decode+encode (Adobe APP14 transform 0/2, libjpeg conventions,
 (H, W, 4) arrays — the declared transform is removed/applied; any
 application-level Adobe inversion is the caller's business).
 
-Hierarchical (SOF5-7, SOF11) and arithmetic-coded (SOF9/SOF10/DAC)
+Arithmetic-coded (QM-coder, Annex D + F.1.4/F.2.1) DCT streams are
+REAL (round 12): ``decode_jpeg`` handles sequential SOF9 and
+progressive SOF10 scans (DC/AC first + refinement, DAC conditioning
+L/U and Kx, restart intervals), ``encode_jpeg(arithmetic=True)``
+emits SOF9 and ``encode_jpeg_progressive(arithmetic=True)`` emits
+SOF10, all over the shared ``sinks/qmcoder.py`` Annex D coder (the
+normative Table D.3 Qe state machine is published spec content).
+Hierarchical (SOF5-7, SOF13-15) and arithmetic LOSSLESS (SOF11)
 streams raise ``NotImplementedError`` — honest gates per repo rule 5,
-not silent fallbacks.  The arithmetic gate is permanent in this
-container: T.81's QM-coder requires the normative Qe probability
-state-transition table (Table D.3), which is spec DATA that cannot be
-derived — shipping an approximation would decode real streams wrongly.
+not silent fallbacks.
 
 Cross-validated in tests against the JVM's javax.imageio — a REAL,
 independent production codec shipped with the JDK: imageio must decode
@@ -177,8 +181,9 @@ del _u, _x, _c
 
 def _gate(what: str) -> NotImplementedError:
     return NotImplementedError(
-        f"jpeglite implements the Huffman-coded sequential (8/12-bit), "
-        f"progressive and lossless processes of ITU-T T.81; {what} is "
+        f"jpeglite implements the sequential (8/12-bit), progressive "
+        f"and lossless Huffman processes and the sequential/progressive "
+        f"arithmetic (QM-coded) processes of ITU-T T.81; {what} is "
         f"not implemented (honest gate — no silent fallback)"
     )
 
@@ -682,7 +687,7 @@ def _decode_lossless_frame(frame, scans) -> np.ndarray:
     pt_of = [None] * len(comps)
     ext_half, ext_sub = _EXT_HALF, _EXT_SUB
 
-    for sel, ss, _se, _ah, al, scan_data, ri, tabs in scans:
+    for sel, ss, _se, _ah, al, scan_data, ri, tabs, _dac in scans:
         sel_comps = [ci for ci, c in enumerate(comps) if c["id"] in sel]
         if len(sel_comps) != len(sel):
             raise ValueError("SOS references a component not in the frame")
@@ -840,6 +845,245 @@ def _decode_lossless_frame(frame, scans) -> np.ndarray:
     return np.stack(planes, -1)
 
 
+def _arith_dc_decode(decode, dst, s0, low, up):
+    """One DC difference (T.81 F.2.1.4 / Figures F.19, F.21-F.24):
+    zero/sign decisions on the Da-conditioned 4-bin group at ``s0``,
+    magnitude category up the X1.. ladder (bin 20+), magnitude bits on
+    the shared bin at X+14.  Returns (diff, next conditioning group)."""
+    if decode(dst, s0) == 0:
+        return 0, 0
+    sign = decode(dst, s0 + 1)
+    st = s0 + 2 + sign
+    m = decode(dst, st)
+    if m:
+        st = 20  # Table F.4: X1
+        while decode(dst, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            st += 1
+    # F.1.4.4.1.2: conditioning category for the NEXT block's DC
+    if m < (1 << low) >> 1:
+        ctx = 0
+    elif m > (1 << up) >> 1:
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    v = m
+    st += 14  # the shared magnitude-bit bin
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        if decode(dst, st):
+            v |= mm
+    v += 1
+    return (-v if sign else v), ctx
+
+
+def _arith_ac_band(decode, dec_fixed, ast, row, ss, se, kx, shift):
+    """AC coefficients of one block over the band [ss, se] (T.81
+    F.2.1.4 / Figures F.20-F.24): per-index EOB decision at 3(k-1),
+    zero/nonzero at +1, sign on the fixed equiprobable state,
+    magnitude category at +2 then up the X2.. ladder based at 189
+    (k <= Kx) or 217, magnitude bits on the shared bin at +14."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if decode(ast, st):
+            return  # EOB
+        while decode(ast, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC run past end of band")
+        sign = dec_fixed()
+        st += 2
+        m = decode(ast, st)
+        if m:
+            if decode(ast, st):
+                m <<= 1
+                st = 189 if k <= kx else 217  # Table F.5: X2 ladders
+                while decode(ast, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            if decode(ast, st):
+                v |= mm
+        v += 1
+        row[k] = (-v if sign else v) << shift
+        k += 1
+
+
+def _decode_seq_scan_arith(segments, units, comps, sel, dc_cond, ac_cond, ri):
+    """Sequential arithmetic scan (SOF9, T.81 F.2.1.4): full-band QM
+    decode of every unit.  Statistics areas, DC predictors and Da
+    conditioning reset at restart boundaries (fresh decoder per
+    segment); conditioning tables shared across components that
+    reference the same DAC id, as the spec's per-table statistics
+    areas require."""
+    from .qmcoder import FIXED_BIN, QMDecoder, new_ac_stats, new_dc_stats
+
+    params = {}
+    for ci, c in enumerate(comps):
+        if c["id"] in sel:
+            td, ta = sel[c["id"]]
+            low, up = dc_cond.get(td, (0, 1))
+            params[ci] = (td, ta, low, up, ac_cond.get(ta, 5))
+    fixed = bytearray([FIXED_BIN])
+    u, n_units = 0, len(units)
+    for seg in segments:
+        dec = QMDecoder(seg)
+        decode = dec.decode
+        dc_stats, ac_stats = {}, {}
+        for td, ta, *_ in params.values():
+            dc_stats.setdefault(td, new_dc_stats())
+            ac_stats.setdefault(ta, new_ac_stats())
+        pred = {ci: 0 for ci in params}
+        dc_ctx = {ci: 0 for ci in params}
+        dec_fixed = lambda: decode(fixed, 0)  # noqa: E731
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for ci, row in units[u]:
+                td, ta, low, up, kx = params[ci]
+                diff, dc_ctx[ci] = _arith_dc_decode(
+                    decode, dc_stats[td], dc_ctx[ci], low, up
+                )
+                pred[ci] += diff
+                row[0] = pred[ci]
+                _arith_ac_band(
+                    decode, dec_fixed, ac_stats[ta], row, 1, 63, kx, 0
+                )
+            u += 1
+    if u != n_units:
+        raise ValueError(f"scan ended after {u}/{n_units} MCUs")
+
+
+def _decode_dc_first_arith(segments, units, sel, comps, dc_cond, al, ri):
+    """Progressive first DC scan, arithmetic (T.81 G.2 over F.2.1.4):
+    sequential DC decisions, coefficient stored point-shifted by Al."""
+    from .qmcoder import QMDecoder, new_dc_stats
+
+    params = {}
+    for ci, c in enumerate(comps):
+        if c["id"] in sel:
+            td = sel[c["id"]][0]
+            low, up = dc_cond.get(td, (0, 1))
+            params[ci] = (td, low, up)
+    u, n_units = 0, len(units)
+    for seg in segments:
+        dec = QMDecoder(seg)
+        decode = dec.decode
+        dc_stats = {}
+        for td, *_ in params.values():
+            dc_stats.setdefault(td, new_dc_stats())
+        pred = {ci: 0 for ci in params}
+        dc_ctx = {ci: 0 for ci in params}
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for ci, row in units[u]:
+                td, low, up = params[ci]
+                diff, dc_ctx[ci] = _arith_dc_decode(
+                    decode, dc_stats[td], dc_ctx[ci], low, up
+                )
+                pred[ci] += diff
+                row[0] = pred[ci] << al
+            u += 1
+    if u != n_units:
+        raise ValueError(f"DC scan ended after {u}/{n_units} MCUs")
+
+
+def _decode_dc_refine_arith(segments, units, al, ri):
+    """Progressive DC refinement, arithmetic: one equiprobable decision
+    per block appends the next lower bit (T.81 G.2 / F.1.4.4.1.3)."""
+    from .qmcoder import FIXED_BIN, QMDecoder
+
+    fixed = bytearray([FIXED_BIN])
+    u, n_units = 0, len(units)
+    p1 = 1 << al
+    for seg in segments:
+        dec = QMDecoder(seg)
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for _ci, row in units[u]:
+                if dec.decode(fixed, 0):
+                    row[0] |= p1
+            u += 1
+    if u != n_units:
+        raise ValueError(f"DC scan ended after {u}/{n_units} MCUs")
+
+
+def _decode_ac_first_arith(segments, units, ss, se, al, kx, ri):
+    """Progressive first AC scan, arithmetic: the sequential AC band
+    procedure over [Ss, Se] with values point-shifted by Al."""
+    from .qmcoder import FIXED_BIN, QMDecoder, new_ac_stats
+
+    fixed = bytearray([FIXED_BIN])
+    u, n_units = 0, len(units)
+    for seg in segments:
+        dec = QMDecoder(seg)
+        decode = dec.decode
+        ast = new_ac_stats()
+        dec_fixed = lambda: decode(fixed, 0)  # noqa: E731
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for _ci, row in units[u]:
+                _arith_ac_band(decode, dec_fixed, ast, row, ss, se, kx, al)
+            u += 1
+    if u != n_units:
+        raise ValueError(f"AC scan ended after {u}/{n_units} MCUs")
+
+
+def _decode_ac_refine_arith(segments, units, ss, se, al, kx, ri):
+    """Progressive AC refinement, arithmetic (T.81 G.2.2 / jdarith
+    conventions): per index — EOB decision only beyond the previous
+    stages' last nonzero index; already-nonzero coefficients take one
+    correction decision at +2; new coefficients take zero/nonzero at
+    +1 then an equiprobable sign.  ``kx`` is unused by refinement (no
+    magnitude ladder) but kept for signature symmetry."""
+    from .qmcoder import FIXED_BIN, QMDecoder, new_ac_stats
+
+    del kx
+    fixed = bytearray([FIXED_BIN])
+    u, n_units = 0, len(units)
+    p1 = 1 << al
+    m1 = -1 << al
+    for seg in segments:
+        dec = QMDecoder(seg)
+        decode = dec.decode
+        ast = new_ac_stats()
+        for _ in range(min(ri or (n_units - u), n_units - u)):
+            for _ci, row in units[u]:
+                kex = se
+                while kex > 0 and row[kex] == 0:
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if k > kex and decode(ast, st):
+                        break  # EOB
+                    while True:
+                        cur = row[k]
+                        if cur:
+                            if decode(ast, st + 2):
+                                row[k] = cur + (m1 if cur < 0 else p1)
+                            break
+                        if decode(ast, st + 1):
+                            row[k] = m1 if decode(fixed, 0) else p1
+                            break
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic AC refinement past end of band"
+                            )
+                    k += 1
+            u += 1
+    if u != n_units:
+        raise ValueError(f"AC scan ended after {u}/{n_units} MCUs")
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline-sequential or progressive JPEG → uint8 array,
     (H, W) for grayscale or (H, W, 3) RGB.
@@ -861,10 +1105,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     adobe_transform: int | None = None
     scans = []  # (sel, ss, se, ah, al, data, ri, table-snapshot)
 
+    arith = False
+    dac_dc: dict[int, tuple[int, int]] = {}  # table id -> (L, U)
+    dac_ac: dict[int, int] = {}  # table id -> Kx
+
     for marker, payload, scan_data in _parse_segments(bytes(buf)):
-        if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 seq, SOF2 prog, SOF3 lossless (Huffman);
+            # SOF9 seq, SOF10 prog (arithmetic, T.81 Annex D + F/G)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             lossless = marker == 0xC3
+            arith = marker in (0xC9, 0xCA)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(
@@ -884,19 +1135,34 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             # h == 0 defers the line count to a DNL segment (B.2.5)
             if not 1 <= ncomp <= 4:
                 raise ValueError(f"{ncomp}-component frame outside 1..4")
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", payload, 1 + 5 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "lossless": lossless}
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise _gate(f"SOF{marker - 0xC0} (hierarchical) coding")
-        elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
-            raise _gate("arithmetic entropy coding")
-        elif marker == 0xCC:
-            raise _gate("arithmetic entropy coding (DAC)")
+        elif marker == 0xCB:
+            raise _gate("SOF11 (arithmetic lossless) coding")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p < len(payload):
+                tc, tb = payload[p] >> 4, payload[p] & 15
+                cs = payload[p + 1]
+                p += 2
+                if tc == 0:
+                    low, up = cs & 15, cs >> 4
+                    if not (0 <= low <= up <= 15):
+                        raise ValueError(
+                            f"DAC DC conditioning L={low} > U={up}"
+                        )
+                    dac_dc[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"DAC AC conditioning Kx={cs}")
+                    dac_ac[tb] = cs
         elif marker == 0xDB:  # DQT
             p = 0
             while p < len(payload):
@@ -951,11 +1217,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise ValueError(
                     "sequential frame with non-full spectral selection"
                 )
-            # tables are mutable between scans (DHT/DRI may interleave):
-            # snapshot the CURRENT table dict + restart interval
+            # tables are mutable between scans (DHT/DAC/DRI may
+            # interleave): snapshot the CURRENT tables + restart interval
             scans.append(
                 (sel, ss, se, ah, al, scan_data, restart_interval,
-                 dict(htables))
+                 dict(htables), (dict(dac_dc), dict(dac_ac)))
             )
             # NO early break on sequential frames: T.81 allows a
             # sequential frame to spread its components over several
@@ -1037,26 +1303,45 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for bx in range(nbw)
         ]
 
-    for sel, ss, se, ah, al, scan_data, ri, tabs in scans:
+    for sel, ss, se, ah, al, scan_data, ri, tabs, dac in scans:
         sel_comps = [ci for ci, c in enumerate(comps) if c["id"] in sel]
         if len(sel_comps) != len(sel):
             raise ValueError("SOS references a component not in the frame")
         units = _units(sel_comps)
         segments = _scan_segments(scan_data, ri)
         if not progressive:
-            _decode_seq_scan(segments, units, comps, sel, tabs, ri)
+            if arith:
+                _decode_seq_scan_arith(
+                    segments, units, comps, sel, dac[0], dac[1], ri
+                )
+            else:
+                _decode_seq_scan(segments, units, comps, sel, tabs, ri)
             continue
         if ss == 0:  # DC scan (Se must be 0 in progressive)
             if se != 0:
                 raise ValueError("progressive DC scan with Se != 0")
             if ah == 0:
-                _decode_dc_first(segments, units, sel, comps, tabs, al, ri)
+                if arith:
+                    _decode_dc_first_arith(
+                        segments, units, sel, comps, dac[0], al, ri
+                    )
+                else:
+                    _decode_dc_first(segments, units, sel, comps, tabs, al, ri)
+            elif arith:
+                _decode_dc_refine_arith(segments, units, al, ri)
             else:
                 _decode_dc_refine(segments, units, al, ri)
         else:  # AC scan: exactly one component
             if len(sel_comps) != 1:
                 raise ValueError("progressive AC scan with >1 component")
             ta = sel[comps[sel_comps[0]]["id"]][1]
+            if arith:
+                kx = dac[1].get(ta, 5)
+                if ah == 0:
+                    _decode_ac_first_arith(segments, units, ss, se, al, kx, ri)
+                else:
+                    _decode_ac_refine_arith(segments, units, ss, se, al, kx, ri)
+                continue
             if (1, ta) not in tabs:
                 raise ValueError("missing AC Huffman table referenced by SOS")
             if ah == 0:
@@ -1204,12 +1489,147 @@ def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
     return np.matmul(np.matmul(_DCT_T, b), _DCT_T.T)
 
 
+def _arith_encode_dc(code, dst, s0, diff, low, up):
+    """Encode one DC difference (T.81 F.1.4.4.1 / Figures F.4, F.6-F.9);
+    mirror of ``_arith_dc_decode``.  Returns the next conditioning
+    group for this component."""
+    if diff == 0:
+        code(dst, s0, 0)
+        return 0
+    code(dst, s0, 1)
+    sign = 0 if diff > 0 else 1
+    code(dst, s0 + 1, sign)
+    v = (diff if diff > 0 else -diff) - 1
+    st = s0 + 2 + sign
+    m = 0
+    if v:
+        code(dst, st, 1)
+        m = 1
+        st = 20  # Table F.4: X1
+        v2 = v
+        while v2 >> 1:
+            v2 >>= 1
+            code(dst, st, 1)
+            m <<= 1
+            st += 1
+    code(dst, st, 0)
+    if m < (1 << low) >> 1:
+        ctx = 0
+    elif m > (1 << up) >> 1:
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    st += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        code(dst, st, 1 if v & mm else 0)
+    return ctx
+
+
+def _arith_encode_ac_band(code, enc_fixed, ast, zz, ss, se, kx):
+    """Encode one block's AC band [ss, se] (T.81 F.1.4.4.2 / Figures
+    F.5-F.9); mirror of ``_arith_ac_band``."""
+    ke = se
+    while ke >= ss and zz[ke] == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        code(ast, st, 0)  # not EOB yet
+        while zz[k] == 0:
+            code(ast, st + 1, 0)
+            st += 3
+            k += 1
+        code(ast, st + 1, 1)
+        v = zz[k]
+        sign = 0 if v > 0 else 1
+        enc_fixed(sign)
+        if sign:
+            v = -v
+        v -= 1
+        st += 2
+        m = 0
+        if v:
+            code(ast, st, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                code(ast, st, 1)
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    code(ast, st, 1)
+                    m <<= 1
+                    st += 1
+        code(ast, st, 0)
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            code(ast, st, 1 if v & mm else 0)
+        k += 1
+    if ke < se:
+        code(ast, 3 * (k - 1), 1)  # EOB
+
+
+def _stuff_ff(data: bytes) -> bytes:
+    """JPEG byte stuffing: a zero byte after every 0xFF (B.1.1.5)."""
+    return data.replace(b"\xff", b"\xff\x00")
+
+
+def _encode_arith_entropy(qlists, comps, n_blocks, restart_interval) -> bytes:
+    """QM-coded interleaved entropy data for a sequential (SOF9) scan;
+    statistics, predictors and conditioning reset at restart markers,
+    each segment flushed and stuffed independently."""
+    from .qmcoder import FIXED_BIN, QMEncoder, new_ac_stats, new_dc_stats
+
+    nc = len(comps)
+    fixed = bytearray([FIXED_BIN])
+    out = bytearray()
+
+    def _fresh():
+        enc = QMEncoder()
+        dstats, astats = {}, {}
+        for _, _, td, ta in comps:
+            dstats.setdefault(td, new_dc_stats())
+            astats.setdefault(ta, new_ac_stats())
+        return enc, dstats, astats, [0] * nc, [0] * nc
+
+    enc, dstats, astats, pred, dcctx = _fresh()
+    rst = 0
+    for t in range(n_blocks):
+        if restart_interval and t and t % restart_interval == 0:
+            out += _stuff_ff(enc.flush())
+            out += bytes((0xFF, 0xD0 + (rst & 7)))
+            rst += 1
+            enc, dstats, astats, pred, dcctx = _fresh()
+        code = enc.encode
+        for ci in range(nc):
+            _cid, _tq, td, ta = comps[ci]
+            zz = qlists[ci][t]
+            dc = zz[0]
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            dcctx[ci] = _arith_encode_dc(
+                code, dstats[td], dcctx[ci], diff, 0, 1
+            )
+            _arith_encode_ac_band(
+                code, lambda d: code(fixed, 0, d), astats[ta], zz, 1, 63, 5
+            )
+    out += _stuff_ff(enc.flush())
+    return bytes(out)
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 75,
     restart_interval: int = 0,
     precision: int = 8,
     cmyk_transform: int = 0,
+    arithmetic: bool = False,
 ) -> bytes:
     """Encode uint8 (H, W) grayscale or (H, W, 3) RGB as a baseline
     sequential JPEG (grayscale single-component, or 4:4:4 YCbCr).
@@ -1312,21 +1732,36 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
             int(v) for v in qt[ZIGZAG]
         )
-    # SOF0 (baseline, 8-bit) or SOF1 (extended sequential, 12-bit)
+    # SOF0 (baseline, 8-bit), SOF1 (extended sequential, 12-bit) or
+    # SOF9 (arithmetic extended sequential, 8/12-bit)
     nc = len(comps)
-    sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    if arithmetic:
+        sof = b"\xff\xc9"
+    else:
+        sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
     out += sof + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
     for cid, tq, _, _ in comps:
         out += struct.pack(">BBB", cid, 0x11, tq)  # h=v=1 (4:4:4)
-    # DHT: Annex K typical tables cover 8-bit categories only (DC SSSS
-    # <= 11, AC size <= 10); 12-bit needs DC 0..15 and AC size 1..14
-    # (Table F.1) — flat canonical tables there.
     two_tables = not gray and not cmyk
-    if precision == 8:
+    enc_tabs = {}
+    if arithmetic:
+        # DAC (B.2.4.3): the T.81 default conditioning, stated
+        # explicitly — DC L=0/U=1 (Cs=0x10), AC Kx=5
+        dac = [(0x00, 0x10), (0x10, 5)]
+        if two_tables:
+            dac += [(0x01, 0x10), (0x11, 5)]
+        out += b"\xff\xcc" + struct.pack(">H", 2 + 2 * len(dac))
+        for tctb, cs in dac:
+            out += struct.pack(">BB", tctb, cs)
+    elif precision == 8:
+        # DHT: Annex K typical tables cover 8-bit categories only (DC
+        # SSSS <= 11, AC size <= 10)
         hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
         if two_tables:
             hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
     else:
+        # 12-bit needs DC 0..15 and AC size 1..14 (Table F.1) — flat
+        # canonical tables there
         dc12 = _flat_table(list(range(16)))
         ac12 = _flat_table(
             [0x00, 0xF0]
@@ -1335,11 +1770,11 @@ def encode_jpeg(
         hts = [(0x00, dc12), (0x10, ac12)]
         if two_tables:
             hts += [(0x01, dc12), (0x11, ac12)]
-    enc_tabs = {}
-    for tcth, (bits, values) in hts:
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tcth)
-        out += bytes(bits) + bytes(values)
-        enc_tabs[tcth] = _enc_table(bits, values)
+    if not arithmetic:
+        for tcth, (bits, values) in hts:
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tcth)
+            out += bytes(bits) + bytes(values)
+            enc_tabs[tcth] = _enc_table(bits, values)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
@@ -1356,6 +1791,11 @@ def encode_jpeg(
     # cost ~3x.
     n_blocks = qcoef[0].shape[0]
     qlists = [q.tolist() for q in qcoef]
+    if arithmetic:
+        out += _encode_arith_entropy(qlists, comps, n_blocks,
+                                     restart_interval)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     ctabs = [
         (enc_tabs[td], enc_tabs[0x10 | ta]) for _, _, td, ta in comps
     ]
@@ -1458,7 +1898,9 @@ def _flat_table(symbols: list[int]) -> tuple[list[int], list[int]]:
     return bits, syms
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 50) -> bytes:
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 50, arithmetic: bool = False
+) -> bytes:
     """Encode uint8 (H, W) grayscale or (H, W, 3) RGB as a REAL
     progressive JPEG (SOF2, T.81 Annex G), 4:4:4, with the scan script
 
@@ -1476,7 +1918,16 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 50) -> bytes:
     refinement restores the low DC bit exactly, decode reproduces the
     same quantized coefficients as the baseline encoder at the same
     quality — the exact-subspace fixtures (x65) stay exact through the
-    progressive path (x88)."""
+    progressive path (x88).
+
+    ``arithmetic=True`` emits the SAME scan script as a progressive
+    ARITHMETIC frame (SOF10, QM-coded per Annex D + G.2 over F.1.4):
+    DAC conditioning replaces the Huffman tables (default L=0/U=1,
+    Kx=5), the DC first scan codes point-transformed diffs through the
+    adaptive DC decision tree, AC first scans run the F.1.4.4.2 band
+    procedure (EOB decision per index — arithmetic coding has no EOBn
+    run symbols), and the DC refinement scan is one equiprobable
+    (fixed-state) decision per block."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg_progressive wants uint8")
@@ -1525,7 +1976,9 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 50) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
             int(v) for v in qt[ZIGZAG]
         )
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += (b"\xff\xca" if arithmetic else b"\xff\xc2") + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
     for cid, tq in comps:
         out += struct.pack(">BBB", cid, 0x11, tq)  # 4:4:4
 
@@ -1544,32 +1997,79 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 50) -> bytes:
         seg += struct.pack(">BBB", ss, se, (ah << 4) | al)
         return b"\xff\xda" + seg
 
+    if arithmetic:
+        # DAC (B.2.4.3): default DC conditioning L=0/U=1 per td, one
+        # AC table (Kx=5) shared by every AC scan
+        dac = [(0x00, 0x10), (0x10, 5)]
+        if not gray:
+            dac.insert(1, (0x01, 0x10))
+        out += b"\xff\xcc" + struct.pack(">H", 2 + 2 * len(dac))
+        for tctb, cs in dac:
+            out += struct.pack(">BB", tctb, cs)
+        from .qmcoder import FIXED_BIN, QMEncoder, new_ac_stats, new_dc_stats
+
+        fixed = bytearray([FIXED_BIN])
+
     # ---- scan 1: interleaved DC first, Al=1 ----
-    out += _dht(0x00, *HUFF_DC_LUMA)
-    if not gray:
-        out += _dht(0x01, *HUFF_DC_CHROMA)
-    dc_enc = [
-        _enc_table(*(HUFF_DC_LUMA if ci == 0 else HUFF_DC_CHROMA))
-        for ci in range(nc)
-    ]
+    if not arithmetic:
+        out += _dht(0x00, *HUFF_DC_LUMA)
+        if not gray:
+            out += _dht(0x01, *HUFF_DC_CHROMA)
+        dc_enc = [
+            _enc_table(*(HUFF_DC_LUMA if ci == 0 else HUFF_DC_CHROMA))
+            for ci in range(nc)
+        ]
     out += _sos([(cid, 0 if i == 0 else 1, 0) for i, (cid, _) in enumerate(comps)],
                 0, 0, 0, 1)
-    wr = _BitWriter()
-    pred = [0] * nc
-    for t in range(n_blocks):
-        for ci in range(nc):
-            v = int(qcoef[ci][t][0]) >> 1  # point transform (Al=1)
-            s, field = _magnitude(v - pred[ci])
-            pred[ci] = v
-            code, ln = dc_enc[ci][s]
-            wr.write(code, ln)
-            if s:
-                wr.write(field, s)
-    wr.flush()
-    out += wr.out
+    if arithmetic:
+        enc = QMEncoder()
+        code = enc.encode
+        dstats = {0: new_dc_stats()}
+        if not gray:
+            dstats[1] = new_dc_stats()
+        pred = [0] * nc
+        dcctx = [0] * nc
+        for t in range(n_blocks):
+            for ci in range(nc):
+                v = int(qcoef[ci][t][0]) >> 1  # point transform (Al=1)
+                dcctx[ci] = _arith_encode_dc(
+                    code, dstats[0 if ci == 0 else 1], dcctx[ci],
+                    v - pred[ci], 0, 1,
+                )
+                pred[ci] = v
+        out += _stuff_ff(enc.flush())
+    else:
+        wr = _BitWriter()
+        pred = [0] * nc
+        for t in range(n_blocks):
+            for ci in range(nc):
+                v = int(qcoef[ci][t][0]) >> 1  # point transform (Al=1)
+                s, field = _magnitude(v - pred[ci])
+                pred[ci] = v
+                code, ln = dc_enc[ci][s]
+                wr.write(code, ln)
+                if s:
+                    wr.write(field, s)
+        wr.flush()
+        out += wr.out
 
     # ---- per-component AC first scans, Ss=1..63, Al=0, EOB-run coded ----
     for ci, (cid, _tq) in enumerate(comps):
+        if arithmetic:
+            # F.1.4.4.2 band procedure per block (per-index EOB
+            # decisions; arithmetic coding has no EOBn run symbols)
+            out += _sos([(cid, 0, 0)], 1, 63, 0, 0)
+            enc = QMEncoder()
+            code = enc.encode
+            ast = new_ac_stats()
+            enc_fixed = lambda d: code(fixed, 0, d)  # noqa: E731
+            qlist = qcoef[ci].tolist()
+            for t in range(n_blocks):
+                _arith_encode_ac_band(
+                    code, enc_fixed, ast, qlist[t], 1, 63, 5
+                )
+            out += _stuff_ff(enc.flush())
+            continue
         events: list[tuple[int, int, int]] = []  # (symbol, extra, nbits)
         eobrun = 0
 
@@ -1615,12 +2115,20 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 50) -> bytes:
 
     # ---- final scan: interleaved DC refinement, Ah=1, Al=0 ----
     out += _sos([(cid, 0, 0) for cid, _ in comps], 0, 0, 1, 0)
-    wr = _BitWriter()
-    for t in range(n_blocks):
-        for ci in range(nc):
-            wr.write(int(qcoef[ci][t][0]) & 1, 1)
-    wr.flush()
-    out += wr.out
+    if arithmetic:
+        # one equiprobable decision per block (F.1.4.4.1.3)
+        enc = QMEncoder()
+        for t in range(n_blocks):
+            for ci in range(nc):
+                enc.encode(fixed, 0, int(qcoef[ci][t][0]) & 1)
+        out += _stuff_ff(enc.flush())
+    else:
+        wr = _BitWriter()
+        for t in range(n_blocks):
+            for ci in range(nc):
+                wr.write(int(qcoef[ci][t][0]) & 1, 1)
+        wr.flush()
+        out += wr.out
 
     out += b"\xff\xd9"
     return bytes(out)

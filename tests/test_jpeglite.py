@@ -319,15 +319,254 @@ def test_progressive_exact_subspace():
     )
 
 
-def test_arithmetic_coding_still_gated():
-    """SOF9 (arithmetic-coded sequential) stays an honest gate: flip a
-    real baseline stream's SOF0 marker to SOF9."""
-    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
-    data = bytearray(encode_jpeg(img, quality=75))
-    sof = bytes(data).index(b"\xff\xc0")
-    data[sof + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_jpeg(bytes(data))
+def test_sof9_arithmetic_matches_huffman_pixels():
+    """Sequential arithmetic coding (SOF9, round 12): the entropy layer
+    is the ONLY difference from the Huffman path, so decoding the
+    arithmetic stream must reproduce the Huffman stream's pixels
+    bit-for-bit — and the QM coder should compress tighter than the
+    Annex K Huffman tables on noise."""
+    rng = np.random.default_rng(12)
+    for shape in [(8, 8), (24, 40), (16, 16, 3), (33, 17, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ea = encode_jpeg(img, quality=75, arithmetic=True)
+        eh = encode_jpeg(img, quality=75, arithmetic=False)
+        assert b"\xff\xc9" in ea and b"\xff\xcc" in ea  # SOF9 + DAC
+        assert b"\xff\xc4" not in ea  # no Huffman tables
+        assert np.array_equal(decode_jpeg(ea), decode_jpeg(eh))
+        assert len(ea) < len(eh)
+
+
+def test_sof9_arithmetic_restart_intervals():
+    """Restart markers reset the QM statistics, predictors, and DC
+    conditioning on both sides; pixels must still match the Huffman
+    path exactly."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    for ri in (1, 2, 5):
+        ea = encode_jpeg(img, quality=75, restart_interval=ri,
+                         arithmetic=True)
+        eh = encode_jpeg(img, quality=75, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(ea), decode_jpeg(eh))
+
+
+def test_sof9_arithmetic_12bit():
+    """SOF9 is the arithmetic EXTENDED sequential process: 12-bit
+    samples ride the same DC/AC decision trees (magnitude ladders just
+    grow taller)."""
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)
+    ea = encode_jpeg(img, quality=90, precision=12, arithmetic=True)
+    eh = encode_jpeg(img, quality=90, precision=12)
+    da, dh = decode_jpeg(ea), decode_jpeg(eh)
+    assert da.dtype == np.uint16
+    assert np.array_equal(da, dh)
+
+
+def test_sof9_arithmetic_cmyk():
+    """4-component (CMYK) frames interleave four components per MCU
+    through one shared conditioning table pair."""
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    ea = encode_jpeg(img, quality=85, arithmetic=True)
+    eh = encode_jpeg(img, quality=85)
+    assert np.array_equal(decode_jpeg(ea), decode_jpeg(eh))
+
+
+def test_sof9_arithmetic_default_conditioning_without_dac():
+    """T.81 F.1.4.4.1.4: when no DAC segment arrives, decoders use the
+    default conditioning (DC L=0/U=1, AC Kx=5) — which is exactly what
+    the encoder declares, so stripping the DAC segment must not change
+    a single pixel."""
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    ea = bytearray(encode_jpeg(img, quality=75, arithmetic=True))
+    i = bytes(ea).index(b"\xff\xcc")
+    seg_len = (ea[i + 2] << 8) | ea[i + 3]
+    stripped = bytes(ea[:i]) + bytes(ea[i + 2 + seg_len:])
+    assert b"\xff\xcc" not in stripped
+    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(bytes(ea)))
+
+
+def test_dac_conditioning_validation():
+    """Malformed DAC parameters fail loudly: DC L > U and AC Kx
+    outside 1..63 are spec violations (B.2.4.3 / Table B.6)."""
+    img = np.zeros((8, 8), np.uint8)
+    buf = bytearray(encode_jpeg(img, arithmetic=True))
+    i = bytes(buf).index(b"\xff\xcc")
+    bad_dc = bytearray(buf)
+    bad_dc[i + 5] = 0x15  # Cs: L=5 (low nibble) > U=1 (high nibble)
+    with pytest.raises(ValueError, match="DAC DC"):
+        decode_jpeg(bytes(bad_dc))
+    bad_ac = bytearray(buf)
+    j = i + 6  # the (0x10, Kx) pair
+    assert bad_ac[j] == 0x10
+    bad_ac[j + 1] = 0
+    with pytest.raises(ValueError, match="DAC AC"):
+        decode_jpeg(bytes(bad_ac))
+
+
+def test_sof10_progressive_arithmetic_matches_huffman():
+    """Progressive arithmetic frames (SOF10): the multi-scan script
+    (interleaved DC first Al=1, per-component AC first, DC refinement)
+    through the QM coder must land on the same coefficients as the
+    Huffman progressive writer — pixels identical."""
+    from modis_aggregation_spark.sinks.jpeglite import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    for shape in [(8, 8), (16, 16), (40, 24, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        pa = encode_jpeg_progressive(img, quality=75, arithmetic=True)
+        ph = encode_jpeg_progressive(img, quality=75)
+        assert b"\xff\xca" in pa and b"\xff\xcc" in pa
+        assert np.array_equal(decode_jpeg(pa), decode_jpeg(ph))
+        assert len(pa) < len(ph)
+
+
+def test_sof10_arithmetic_exact_subspace():
+    """The x65/x88 exact subspace survives the arithmetic progressive
+    path bit-for-bit (this is the property the x114 contract query
+    rides)."""
+    from modis_aggregation_spark.sinks.jpeglite import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(18)
+    vals = (rng.integers(0, 128, (2, 2)) * 2).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, quality=50,
+                                            arithmetic=True)), img
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=50, arithmetic=True)), img
+    )
+
+
+def _arith_encode_ac_refine(code, enc_fixed, ast, zz, ss, se, al):
+    """Test-local mirror of _decode_ac_refine_arith (G.2.2 over
+    F.1.4.4.2): correction decision per already-significant
+    coefficient, significance+sign for newly-significant ones, EOB
+    decisions only beyond the last previously-significant index."""
+    p = al + 1
+    kex = 0
+    kend = 0
+    for k in range(ss, se + 1):
+        if abs(zz[k]) >> p:
+            kex = k
+        if abs(zz[k]) >> al:
+            kend = k
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if k > kend:
+                code(ast, st, 1)  # EOB
+                return
+            code(ast, st, 0)
+        while True:
+            v = abs(zz[k]) >> al
+            if abs(zz[k]) >> p:  # already significant: correction bit
+                code(ast, st + 2, v & 1)
+                break
+            if v:  # newly significant: significance then sign
+                code(ast, st + 1, 1)
+                enc_fixed(1 if zz[k] < 0 else 0)
+                break
+            code(ast, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+
+
+def test_sof10_ac_refinement_arithmetic():
+    """AC refinement scans (Ah>0) through the QM coder: hand-build a
+    single-block SOF10 stream — DC first (Al=0), AC first (Al=1), AC
+    refinement (Ah=1/Al=0) — with a flat quantization table, and check
+    it decodes to the same pixels as the equivalent sequential SOF9
+    stream carrying the full-precision coefficients."""
+    import struct as _struct
+
+    from modis_aggregation_spark.sinks.jpeglite import (
+        _encode_arith_entropy,
+        _stuff_ff,
+    )
+    from modis_aggregation_spark.sinks.qmcoder import (
+        FIXED_BIN,
+        QMEncoder,
+        new_ac_stats,
+        new_dc_stats,
+    )
+
+    # zig-zag coefficients: odd/even magnitudes, both signs, a value at
+    # the band end — exercises correction bits, new significance below
+    # and above kex, and the EOB decision
+    zz = [0] * 64
+    zz[0] = 5
+    zz[1] = 3
+    zz[2] = -3
+    zz[5] = 1
+    zz[9] = -1
+    zz[20] = 7
+    zz[63] = -2
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", 2 + len(payload)
+        ) + payload
+
+    head = b"\xff\xd8"
+    head += seg(0xDB, b"\x00" + bytes([1] * 64))  # flat DQT
+    head += seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # default DAC
+
+    fixed = bytearray([FIXED_BIN])
+
+    # --- progressive (SOF10) stream ---
+    prog = bytearray(head)
+    prog += seg(0xCA, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # scan 1: DC first, Al=0
+    prog += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    enc = QMEncoder()
+    from modis_aggregation_spark.sinks.jpeglite import _arith_encode_dc
+
+    _arith_encode_dc(enc.encode, new_dc_stats(), 0, zz[0], 0, 1)
+    prog += _stuff_ff(enc.flush())
+    # scan 2: AC first, Ss=1..63, Al=1 (point-transformed magnitudes)
+    prog += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    from modis_aggregation_spark.sinks.jpeglite import _arith_encode_ac_band
+
+    shifted = [0] + [
+        (abs(v) >> 1) * (1 if v >= 0 else -1) for v in zz[1:]
+    ]
+    enc = QMEncoder()
+    _arith_encode_ac_band(
+        enc.encode, lambda d: enc.encode(fixed, 0, d), new_ac_stats(),
+        shifted, 1, 63, 5,
+    )
+    prog += _stuff_ff(enc.flush())
+    # scan 3: AC refinement, Ah=1, Al=0
+    prog += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    enc = QMEncoder()
+    _arith_encode_ac_refine(
+        enc.encode, lambda d: enc.encode(fixed, 0, d), new_ac_stats(),
+        zz, 1, 63, 0,
+    )
+    prog += _stuff_ff(enc.flush())
+    prog += b"\xff\xd9"
+
+    # --- equivalent sequential (SOF9) stream ---
+    seq = bytearray(head)
+    seq += seg(0xC9, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    seq += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+    seq += _encode_arith_entropy([[zz]], [(1, 0, 0, 0)], 1, 0)
+    seq += b"\xff\xd9"
+
+    pix_prog = decode_jpeg(bytes(prog))
+    pix_seq = decode_jpeg(bytes(seq))
+    assert pix_prog.shape == (8, 8)
+    assert np.array_equal(pix_prog, pix_seq)
+    assert pix_seq.std() > 0  # the coefficients actually did something
 
 
 # ---- the Spark seam: decode_images(decoder="jpeg") ----
@@ -739,20 +978,19 @@ def test_12bit_wrong_dtype_and_baseline_mislabel():
         decode_jpeg(bytes(buf))
 
 
-def test_arithmetic_and_hierarchical_still_gated():
-    """The remaining honest gates: arithmetic (SOF9/10 — T.81's Qe
-    probability table is normative spec data we cannot derive here) and
-    hierarchical (SOF5-7/11) frames raise NotImplementedError."""
+def test_hierarchical_and_arith_lossless_still_gated():
+    """The remaining honest gates: hierarchical frames (SOF5-7 and the
+    differential SOF13-15) and arithmetic LOSSLESS (SOF11) raise
+    NotImplementedError.  SOF9/SOF10 are REAL since round 12."""
     buf = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = buf.find(b"\xff\xc0")
-    for marker in (0xC9, 0xCA):
-        buf[i + 1] = marker
-        with pytest.raises(NotImplementedError, match="arithmetic"):
-            decode_jpeg(bytes(buf))
-    for marker in (0xC5, 0xC6, 0xC7):
+    for marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
         buf[i + 1] = marker
         with pytest.raises(NotImplementedError, match="hierarchical"):
             decode_jpeg(bytes(buf))
+    buf[i + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(buf))
 
 
 def test_decode_images_lossless_path(spark):
