@@ -10600,18 +10600,24 @@ def _x106_ivfpq_artifacts(spark, sf_dir):
 
 
 def _q_x113_decode_tiff(spark, sf_dir):
-    """REAL TIFF decode (Adobe TIFF 6.0 baseline, ``sinks/tifflite.py``
-    — round 11): the x110 4x4 grayscale byte fixture encoded as genuine
-    multi-strip TIFFs with the LAYOUT ROTATING BY doc_id across
-    uncompressed / PackBits / LZW / LZW+predictor-2 (the corpus
-    exercises IFD parsing, strip assembly, both codecs, the LZW
-    early-change widths and the horizontal-differencing undo), then
-    decoded for real by ``decode_images(decoder="tiff")``.  TIFF is
-    lossless, so the oracle is the SAME codec-free golden as x110
-    (goldens/x110_lossless_decode.parquet — the expected mean is the
-    raw byte mean).  Cross-validated BOTH directions against the JDK's
-    javax.imageio TIFF plugin in tests/test_tifflite.py, which also
-    pinned the LZW width-change convention."""
+    """REAL TIFF decode (Adobe TIFF 6.0, ``sinks/tifflite.py`` — round
+    11, layouts extended round 12): the x110 4x4 grayscale byte fixture
+    encoded as genuine TIFFs with the LAYOUT ROTATING BY doc_id across
+    EIGHT variants — multi-strip uncompressed / PackBits / LZW /
+    LZW+predictor-2 (8-bit), TILED organization (the 4x4 block-repeated
+    to 16x16 — mean- and resample-exact — then tiled 16x16 with LZW+
+    predictor and with PackBits+PlanarConfiguration=2), 16-BIT samples
+    (strip LZW+predictor), and 16-bit TILED — so IFD parsing, strip and
+    tile assembly, boundary padding/cropping, both codecs, the LZW
+    early-change widths, per-chunk predictor chains, and the uint16
+    sample path all decode for real in one corpus.  TIFF is lossless
+    and the 16x16 repeat preserves both the mean and the 4x4 nearest-
+    neighbor resample, so the oracle is the SAME codec-free golden as
+    x110 (goldens/x110_lossless_decode.parquet — the expected mean is
+    the raw byte mean).  Cross-validated BOTH directions against the
+    JDK's javax.imageio TIFF plugin in tests/test_tifflite.py (incl.
+    tiled, planar-RGB, and 16-bit layouts), which also pinned the LZW
+    width-change convention."""
     import numpy as np
     import pandas as pd
 
@@ -10620,7 +10626,6 @@ def _q_x113_decode_tiff(spark, sf_dir):
     def to_tiff(it):
         from modis_aggregation_spark.sinks.tifflite import encode_tiff
 
-        variants = [("none", 1), ("packbits", 1), ("lzw", 1), ("lzw", 2)]
         for pdf in it:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -10628,13 +10633,32 @@ def _q_x113_decode_tiff(spark, sf_dir):
                 img = np.resize(
                     np.frombuffer(data, np.uint8), (4, 4)
                 ).astype(np.uint8)
-                comp, pred = variants[int(doc_id) % 4]
-                payloads.append(
-                    encode_tiff(
-                        img, compression=comp, predictor=pred,
-                        rows_per_strip=2,
-                    )
-                )
+                big = np.repeat(np.repeat(img, 4, 0), 4, 1)
+                v = int(doc_id) % 8
+                if v == 0:
+                    enc = encode_tiff(img, rows_per_strip=2)
+                elif v == 1:
+                    enc = encode_tiff(img, compression="packbits",
+                                      rows_per_strip=2)
+                elif v == 2:
+                    enc = encode_tiff(img, compression="lzw",
+                                      rows_per_strip=2)
+                elif v == 3:
+                    enc = encode_tiff(img, compression="lzw", predictor=2,
+                                      rows_per_strip=2)
+                elif v == 4:
+                    enc = encode_tiff(big, compression="lzw", predictor=2,
+                                      tile=(16, 16))
+                elif v == 5:
+                    enc = encode_tiff(big, compression="packbits",
+                                      planar=True, tile=(16, 16))
+                elif v == 6:
+                    enc = encode_tiff(img.astype(np.uint16),
+                                      compression="lzw", predictor=2,
+                                      rows_per_strip=2)
+                else:
+                    enc = encode_tiff(big.astype(np.uint16), tile=(16, 16))
+                payloads.append(enc)
                 ids.append(doc_id)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 

@@ -87,6 +87,76 @@ def test_tiff_roundtrip_sweep():
                 assert np.array_equal(out, img), (comp, pred, shape)
 
 
+def test_lzw_eoi_at_early_change_boundary():
+    """Round-12 regression: the decoder ADDS a table entry for the
+    final data code before reading EOI, so when that entry lands
+    exactly on the early-change boundary (table size 511) the EOI must
+    be written at the WIDENED width.  254 incompressible bytes hit the
+    9->10 boundary precisely (257 + 254 = 511)."""
+    from modis_aggregation_spark.sinks.tifflite import lzw_decode, lzw_encode
+
+    for n in (253, 254, 255):
+        data = bytes(range(n if n <= 256 else 256))[:n]
+        assert lzw_decode(lzw_encode(data), n) == data
+
+
+def test_tiff_tiled_planar_16bit_roundtrip_sweep():
+    """Round-12 layouts: tiles (boundary-padded, cropped on placement),
+    PlanarConfiguration=2 (plane-major chunk order), and 16-bit samples
+    — every combination with every compression round-trips bit-exactly."""
+    rng = np.random.default_rng(7)
+    for dtype, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+        for shape in [(13, 21), (40, 40, 3), (17, 64)]:
+            img = rng.integers(0, hi, size=shape).astype(dtype)
+            for comp, pred in [("none", 1), ("packbits", 1), ("lzw", 2)]:
+                for planar in (False, True):
+                    for tile in (None, (16, 16), (32, 16)):
+                        enc = encode_tiff(
+                            img, compression=comp, predictor=pred,
+                            planar=planar, tile=tile, rows_per_strip=5,
+                        )
+                        dec = decode_tiff(enc)
+                        assert dec.dtype == img.dtype
+                        assert np.array_equal(dec, img), (
+                            dtype, shape, comp, pred, planar, tile,
+                        )
+
+
+def test_tiff_16bit_big_endian_decode():
+    """16-bit samples honor the FILE byte order: hand-build a minimal
+    big-endian (MM) stream with >u2 sample data and check the decoder
+    reads the samples in MM order (a byte-order bug would scramble
+    every value above 255)."""
+    import struct as _s
+
+    img = np.arange(16, dtype=np.uint16).reshape(4, 4) * 4097
+
+    def seg_entries(entries):
+        out = bytearray(_s.pack(">H", len(entries)))
+        for tag, etype, count, val in entries:
+            out += _s.pack(">HHI", tag, etype, count) + val
+        out += _s.pack(">I", 0)
+        return out
+
+    pix = img.astype(">u2").tobytes()
+    ifd = seg_entries([
+        (256, 4, 1, _s.pack(">I", 4)),
+        (257, 4, 1, _s.pack(">I", 4)),
+        (258, 3, 1, _s.pack(">HH", 16, 0)),
+        (259, 3, 1, _s.pack(">HH", 1, 0)),
+        (262, 3, 1, _s.pack(">HH", 1, 0)),
+        (273, 4, 1, _s.pack(">I", 8 + 2 + 12 * 10 + 4)),
+        (277, 3, 1, _s.pack(">HH", 1, 0)),
+        (278, 4, 1, _s.pack(">I", 4)),
+        (279, 4, 1, _s.pack(">I", len(pix))),
+        (284, 3, 1, _s.pack(">HH", 1, 0)),
+    ])
+    mm = b"MM\x00*" + _s.pack(">I", 8) + bytes(ifd) + pix
+    out = decode_tiff(mm)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
 def test_tiff_predictor_compresses_gradients():
     smooth = np.repeat(np.arange(200, dtype=np.uint8)[None, :] % 251, 64, 0)
     plain = encode_tiff(smooth, compression="lzw", predictor=1)
@@ -98,18 +168,27 @@ def test_tiff_predictor_compresses_gradients():
 def test_tiff_validation_and_gates():
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"\x89PNG....")
-    with pytest.raises(ValueError, match="uint8"):
-        encode_tiff(np.zeros((4, 4), np.uint16))
+    with pytest.raises(ValueError, match="uint8 or uint16"):
+        encode_tiff(np.zeros((4, 4), np.float32))
     with pytest.raises(ValueError, match="compression"):
         encode_tiff(np.zeros((4, 4), np.uint8), compression="jpeg")
     with pytest.raises(ValueError, match="only defined with LZW"):
         encode_tiff(np.zeros((4, 4), np.uint8), compression="packbits",
                     predictor=2)
-    # deep bit depths are an honest gate, not a silent mis-read
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(np.zeros((4, 4), np.uint8), tile=(15, 16))
+    # odd bit depths stay an honest gate, not a silent mis-read
     buf = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
     i = buf.find((258).to_bytes(2, "little") + (3).to_bytes(2, "little"))
     assert i != -1
-    buf[i + 8] = 16  # BitsPerSample 16
+    buf[i + 8] = 4  # BitsPerSample 4
+    with pytest.raises(NotImplementedError, match="bit depths"):
+        decode_tiff(bytes(buf))
+    # mixed per-channel depths too
+    buf = bytearray(encode_tiff(np.zeros((4, 4, 3), np.uint16)))
+    i = buf.find((258).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    (bps_off,) = __import__("struct").unpack("<I", buf[i + 8 : i + 12])
+    buf[bps_off] = 8  # first channel 8, others 16
     with pytest.raises(NotImplementedError, match="bit depths"):
         decode_tiff(bytes(buf))
 
@@ -183,6 +262,82 @@ def test_tifflite_decodes_imageio(spark, tmp_path):
     iw.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
     fos.close()
     assert np.array_equal(decode_tiff(open(p2, "rb").read()), src)
+
+
+def test_imageio_decodes_tifflite_new_layouts(spark, tmp_path):
+    """The JDK must read our round-12 layouts: tiled, planar, and
+    16-bit grayscale (raster samples compared exactly — getRGB would
+    quantize 16-bit data)."""
+    jvm = _jvm(spark)
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    cases = [
+        ("tiled", dict(compression="lzw", tile=(16, 16))),
+        ("planar", dict(compression="packbits", planar=True)),
+        ("tiled_planar", dict(compression="none", tile=(16, 32),
+                              planar=True)),
+    ]
+    for name, kw in cases:
+        p = str(tmp_path / f"ours_{name}.tif")
+        with open(p, "wb") as f:
+            f.write(encode_tiff(rgb, **kw))
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+        assert bi is not None, name
+        assert np.array_equal(_imageio_pixels(bi, 40, 40), rgb), name
+    # 16-bit gray via raster samples (predictor 1: the JDK reader
+    # refuses 16-bit + horizontal differencing — its limitation, not
+    # the spec's; 16-bit predictor-2 is covered by our round-trip sweep)
+    g16 = rng.integers(0, 65536, (24, 31), dtype=np.uint16)
+    p = str(tmp_path / "ours_16bit.tif")
+    with open(p, "wb") as f:
+        f.write(encode_tiff(g16, compression="lzw"))
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert bi is not None
+    raster = bi.getRaster()
+    got = np.array(
+        [[raster.getSample(x, y, 0) for x in range(31)] for y in range(24)],
+        dtype=np.uint16,
+    )
+    assert np.array_equal(got, g16)
+
+
+def test_tifflite_decodes_imageio_tiled_and_16bit(spark, tmp_path):
+    """The other direction: the JDK's writer producing TILED and 16-bit
+    streams that we must decode."""
+    jvm = _jvm(spark)
+    rng = np.random.default_rng(22)
+    src = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(
+        33, 21, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(21):
+        for x in range(33):
+            r, g, b = (int(v) for v in src[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    param = iw.getDefaultWriteParam()
+    param.setTilingMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(16, 16, 0, 0)
+    p = str(tmp_path / "theirs_tiled.tif")
+    fos = jvm.javax.imageio.stream.FileImageOutputStream(jvm.java.io.File(p))
+    iw.setOutput(fos)
+    iw.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    fos.close()
+    assert np.array_equal(decode_tiff(open(p, "rb").read()), src)
+    # 16-bit grayscale from the JDK
+    g16 = rng.integers(0, 65536, (19, 23), dtype=np.uint16)
+    bi16 = jvm.java.awt.image.BufferedImage(
+        23, 19, jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    )
+    raster = bi16.getRaster()
+    for y in range(19):
+        for x in range(23):
+            raster.setSample(x, y, 0, int(g16[y, x]))
+    p2 = str(tmp_path / "theirs_16bit.tif")
+    jvm.javax.imageio.ImageIO.write(bi16, "tiff", jvm.java.io.File(p2))
+    out = decode_tiff(open(p2, "rb").read())
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, g16)
 
 
 def test_decode_images_tiff_path(spark):
