@@ -1447,6 +1447,71 @@ GROUP BY l_returnflag
 """
 
 
+def _q_r63_global_percentile(spark, sf_dir):
+    """DISTRIBUTED exact GLOBAL order statistics (round 12 — VERDICT
+    item 6): `group_percentiles(group_cols=[])` now runs the bucket +
+    prefix-sum shape (operators/quantiles.py:_global_percentiles, the
+    ``pack_sequences`` pattern) instead of a single-partition sort —
+    one skinny min/max/count pass fixes 1024 equal-width value buckets
+    (a monotone map), exact per-bucket counts prefix-sum to cumulative
+    offsets on the driver, each target rank resolves to (bucket, local
+    rank), and only HIT buckets' rows are row_numbered (window
+    partitioned BY BUCKET) against a broadcast selection table.
+    Plan-locked: no unpartitioned window, no global sort exchange
+    (tests/test_quantiles.py).  Cont + disc over the full lineitem
+    price column; the oracle re-derives both rank arithmetics in SQL
+    over a global window — bit-identical interpolation, then round 6."""
+    li = _t(spark, sf_dir, "lineitem")
+    cont = ops_qt.group_percentiles(
+        li, [], "l_extendedprice",
+        {"q25": 0.25, "q50": 0.5, "q95": 0.95},
+    )
+    disc = ops_qt.group_percentiles(
+        li, [], "l_extendedprice", {"d90": 0.9}, discrete=True,
+    )
+    out = cont.crossJoin(disc)  # two 1-row frames
+    return out.select(
+        _r6(F.col("q25")).alias("q25"),
+        _r6(F.col("q50")).alias("q50"),
+        _r6(F.col("q95")).alias("q95"),
+        _r6(F.col("d90")).alias("d90"),
+    )
+
+
+_SQL_R63 = """
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+k AS (
+  SELECT
+    min(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo25,
+    min(CASE WHEN rn = CAST(ceil(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi25,
+    min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo50,
+    min(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi50,
+    min(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo95,
+    min(CASE WHEN rn = CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi95,
+    min(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN v END) AS d90,
+    max(0.25 * (n - 1)) AS r25,
+    max(0.5 * (n - 1)) AS r50,
+    max(0.95 * (n - 1)) AS r95
+  FROM r
+)
+SELECT
+  round(CASE WHEN ceil(r25) = floor(r25) THEN lo25
+             ELSE (ceil(r25) - r25) * lo25 + (r25 - floor(r25)) * hi25 END, 6) AS q25,
+  round(CASE WHEN ceil(r50) = floor(r50) THEN lo50
+             ELSE (ceil(r50) - r50) * lo50 + (r50 - floor(r50)) * hi50 END, 6) AS q50,
+  round(CASE WHEN ceil(r95) = floor(r95) THEN lo95
+             ELSE (ceil(r95) - r95) * lo95 + (r95 - floor(r95)) * hi95 END, 6) AS q95,
+  round(d90, 6) AS d90
+FROM k
+"""
+
+
 def _q_r60_funnel(spark, sf_dir):
     """Ordered-funnel matching (operators/sessions.py:funnel_steps,
     round 11 — MATCH_RECOGNIZE-lite sequence analytics): for each user
@@ -11210,6 +11275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 12 (no driver record yet) -----------------------------
         "x114_decode_arithmetic": _q_x114_decode_arithmetic,
+        "r63_global_percentile": _q_r63_global_percentile,
         # -- last driver-recorded in round 7 -----------------------------------
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
@@ -11443,6 +11509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "x114_decode_arithmetic": _SQL_X114,
+        "r63_global_percentile": _SQL_R63,
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
         "x104_ivf_partition_pruned": _SQL_X104,

@@ -57,10 +57,22 @@ def group_percentiles(
     NULL values are ignored (as the builtin does); a group whose values
     are ALL NULL is omitted from the output (the builtin would emit a
     NULL percentile — callers that need those groups can left-join this
-    result back).  ``group_cols`` may be empty for a global percentile,
-    at the cost of a single-partition sort — exact global order
-    statistics have no cheaper shape; prefer a grouped call or
-    ``approx_percentile`` at corpus scale.
+    result back).  ``group_cols`` may be empty for a global percentile:
+    since round 12 that path is DISTRIBUTED too — the bucket +
+    prefix-sum shape (the ``pack_sequences``/``seeded_shuffle``
+    pattern): one skinny min/max/count pass fixes ``n_buckets``
+    equal-width value ranges (a monotone map, so bucket order IS value
+    order), a per-bucket exact count pass prefix-sums to cumulative
+    offsets on the driver (≤ ``n_buckets`` rows — model-sized), each
+    target global rank resolves to (bucket, local rank), and only the
+    HIT buckets' rows are row_numbered (window partitioned BY BUCKET —
+    never a single-partition global sort) and joined against the tiny
+    broadcast selection table.  Exactness does not depend on bucket
+    balance — counts are exact int64 and local ranks are exact — only
+    the sort size per task does; NaNs route to a dedicated top bucket
+    (they sort greatest, as in the builtin), and a degenerate width
+    (all values equal, or infinite endpoints) collapses to one bucket,
+    which is still correct (the per-bucket sort spills).
 
     ``discrete=True`` switches to SQL-standard ``percentile_disc``
     semantics (the smallest value whose cumulative distribution
@@ -78,6 +90,9 @@ def group_percentiles(
     vals = df.select(
         *group_cols, F.col(value_col).cast("double").alias("__v")
     ).where(F.col("__v").isNotNull())
+
+    if not group_cols:
+        return _global_percentiles(vals, ps, discrete)
 
     keys = [F.col(c) for c in group_cols]
     # both windows share the partition keys, so they plan over ONE
@@ -153,3 +168,122 @@ def group_percentiles(
         )
         outs.append(interp.alias(a))
     return grid.select(*outs)
+
+
+def _global_percentiles(
+    vals: DataFrame,
+    ps: dict[str, float],
+    discrete: bool,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distributed EXACT global order statistics (round 12): bucket +
+    prefix-sum + within-bucket rank selection.  See the
+    ``group_percentiles`` docstring; ``vals`` is the non-NULL ``__v``
+    projection.  Three skinny passes, no global sort, ≤ ``n_buckets``
+    driver rows — the 100 TB shape."""
+    import math
+
+    spark = vals.sparkSession
+
+    stats = vals.agg(
+        F.count("__v").alias("n"),
+        F.min(F.when(~F.isnan("__v"), F.col("__v"))).alias("lo"),
+        F.max(F.when(~F.isnan("__v"), F.col("__v"))).alias("hi"),
+    ).collect()[0]
+    n = int(stats["n"])
+    null_row = spark.range(1).select(
+        *[F.lit(None).cast("double").alias(a) for a in ps]
+    )
+    if n == 0:
+        # builtin parity: a global aggregate over no rows yields one
+        # row of NULL percentiles
+        return null_row
+
+    lo, hi = stats["lo"], stats["hi"]
+    width = None
+    if lo is not None and hi is not None:
+        w = (hi - lo) / float(n_buckets)
+        if math.isfinite(w) and w > 0.0:
+            width = w
+    if width is None:
+        # all values equal / all NaN / infinite endpoints: one value
+        # bucket (correct — the per-bucket sort spills), NaNs on top
+        bucket = F.when(F.isnan("__v"), F.lit(1)).otherwise(F.lit(0))
+    else:
+        bucket = (
+            F.when(F.isnan("__v"), F.lit(n_buckets))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("__v") - F.lit(lo)) / F.lit(width))
+                        .cast("int"),
+                    ),
+                )
+            )
+        )
+    bucketed = vals.select(bucket.alias("__b"), "__v")
+
+    counts = {
+        int(r["__b"]): int(r["cnt"])
+        for r in bucketed.groupBy("__b").agg(F.count("__v").alias("cnt"))
+        .collect()
+    }
+    cum = 0
+    cum_before = {}  # bucket -> rows in all lower buckets
+    for b in sorted(counts):
+        cum_before[b] = cum
+        cum += counts[b]
+
+    def _locate(grank: int) -> tuple[int, int]:
+        for b in sorted(counts):
+            if grank <= cum_before[b] + counts[b]:
+                return b, grank - cum_before[b]
+        raise AssertionError(f"rank {grank} beyond {cum} rows")
+
+    # resolve every needed global rank to (bucket, local rank); the
+    # rank arithmetic mirrors the grouped path / the builtin exactly
+    selections = []  # (slot, bucket, local_rank)
+    for a, p in ps.items():
+        if discrete:
+            g = max(1, math.ceil(float(p) * float(n)))
+            selections.append((f"d_{a}",) + _locate(g))
+        else:
+            r = float(p) * (float(n) - 1.0)
+            glo, ghi = int(math.floor(r)) + 1, int(math.ceil(r)) + 1
+            selections.append((f"lo_{a}",) + _locate(glo))
+            selections.append((f"hi_{a}",) + _locate(ghi))
+
+    hit = sorted({b for _, b, _ in selections})
+    sel_df = spark.createDataFrame(
+        selections, "slot STRING, __b INT, __rn BIGINT"
+    )
+    w_b = Window.partitionBy("__b").orderBy("__v")
+    ranked = (
+        bucketed.where(F.col("__b").isin(hit))
+        .select("__b", "__v", F.row_number().over(w_b).alias("__rn"))
+        .join(F.broadcast(sel_df), ["__b", "__rn"])
+    )
+    picked = ranked.agg(
+        *[
+            F.min(F.when(F.col("slot") == s, F.col("__v"))).alias(s)
+            for s in sorted({s for s, _, _ in selections})
+        ]
+    )
+
+    outs = []
+    for a, p in ps.items():
+        if discrete:
+            outs.append(F.col(f"d_{a}").alias(a))
+            continue
+        # interpolation arithmetic identical to the grouped path and
+        # both engines' builtins: r = p * (n - 1) in double
+        r = F.lit(float(p)) * (F.lit(float(n)) - F.lit(1.0))
+        lo_c, hi_c = F.col(f"lo_{a}"), F.col(f"hi_{a}")
+        interp = F.when(F.ceil(r) == F.floor(r), lo_c).otherwise(
+            (F.ceil(r).cast("double") - r) * lo_c
+            + (r - F.floor(r).cast("double")) * hi_c
+        )
+        outs.append(interp.alias(a))
+    return picked.select(*outs)

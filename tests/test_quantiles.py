@@ -95,3 +95,76 @@ def test_group_percentiles_discrete_matches_builtin(spark):
         for r in df.groupBy("g").agg(*aggs).collect()
     }
     assert got == want
+
+
+def test_global_percentiles_distributed_parity_1_7_32(spark):
+    """Round-12 distributed global path (bucket + prefix-sum): results
+    bit-identical to the builtin at every partitioning, cont and disc."""
+    rng = np.random.default_rng(12)
+    vals = [float(v) for v in rng.normal(100, 25, 2001)] + [None]
+    ps = {"p0": 0.0, "q25": 0.25, "med": 0.5, "p95": 0.95, "p100": 1.0}
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v DOUBLE"
+        ).repartition(parts)
+        got = group_percentiles(df, [], "v", ps).collect()[0].asDict()
+        ref = df.agg(
+            *[F.expr(f"percentile(v, {p!r})").alias(a) for a, p in ps.items()]
+        ).collect()[0].asDict()
+        assert got == ref, parts
+        gd = group_percentiles(df, [], "v", ps, discrete=True).collect()[0]
+        rd = df.agg(*[
+            F.expr(f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY v)")
+            .alias(a) for a, p in ps.items()
+        ]).collect()[0]
+        assert gd.asDict() == rd.asDict(), parts
+
+
+def test_global_percentiles_degenerate_and_special_values(spark):
+    """Empty input, all-NULL, all-equal (zero bucket width), NaN
+    routing, and infinite endpoints all match the builtin."""
+    import math as _m
+
+    cases = {
+        "empty": [],
+        "all_null": [None, None],
+        "single": [42.0],
+        "all_equal": [7.0] * 100,
+        "with_nan": [1.0, 2.0, float("nan"), 3.0],
+        "with_inf": [1.0, float("inf"), 2.0, float("-inf")],
+    }
+    for name, data in cases.items():
+        df = spark.createDataFrame([(v,) for v in data], "v DOUBLE")
+        got = group_percentiles(
+            df, [], "v", {"med": 0.5, "p90": 0.9}
+        ).collect()[0].asDict()
+        ref = df.agg(
+            F.expr("percentile(v, 0.5)").alias("med"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+        ).collect()[0].asDict()
+        for k in ref:
+            same = got[k] == ref[k] or (
+                isinstance(got[k], float) and isinstance(ref[k], float)
+                and _m.isnan(got[k]) and _m.isnan(ref[k])
+            )
+            assert same, (name, k, got[k], ref[k])
+
+
+def test_global_percentiles_no_single_partition_sort(spark):
+    """Plan lock: the global path must never plan a single-partition
+    global sort or an unpartitioned window — the within-bucket
+    row_number windows over __b are the only sorts."""
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(500)], "v DOUBLE"
+    ).repartition(8)
+    out = group_percentiles(df, [], "v", {"med": 0.5, "p99": 0.99})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__b" in plan  # bucket-partitioned window
+    # no unpartitioned window (spec starting directly at the order key)
+    assert "windowspecdefinition(__v" not in plan
+    # no global sort: every Sort node must be bucket-local
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "__b" in line, line
+        if "rangepartitioning(" in line:
+            raise AssertionError(f"global sort exchange planned: {line}")
