@@ -6964,6 +6964,223 @@ GROUP BY d.source, g.bucket
 """
 
 
+_QD_U, _QD_K = 10, 32  # q-digest universe bits / compression factor
+
+
+def _qdigest_oracle_cte(u_bits: int = _QD_U, k: int = _QD_K) -> str:
+    """DuckDB re-derivation of the canonical q-digest: exact leaf
+    counts over clamped text lengths, then the bottom-up compression
+    sweep UNROLLED as one chained CTE per tree level (a sibling pair
+    merges into its parent iff left+right+parent < t = max(1, n//k) —
+    byte-identical decisions to operators/screening.py
+    qdigest_compress because both sides see the same exact-integer
+    multiset and the per-level rule is canonical).  Returns the WITH
+    body ending in cte ``s0`` = the digest cells."""
+    U = 1 << u_bits
+    parts = [
+        f"""lv AS MATERIALIZED (
+  SELECT source, {U} + least(length(text), {U - 1}) AS cell,
+         count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+prm AS MATERIALIZED (
+  SELECT source, greatest(1, CAST(sum(cnt) AS BIGINT) // {k}) AS t
+  FROM lv GROUP BY source
+),
+s{u_bits} AS MATERIALIZED (SELECT * FROM lv)"""
+    ]
+    for d in range(u_bits, 0, -1):
+        parts.append(f"""m{d} AS MATERIALIZED (
+  SELECT kk.source, kk.p, kk.s
+  FROM (SELECT source, cell // 2 AS p, SUM(cnt) AS s
+        FROM s{d} WHERE length(bin(cell)) - 1 = {d}
+        GROUP BY source, cell // 2) kk
+  LEFT JOIN s{d} pr ON pr.source = kk.source AND pr.cell = kk.p
+  JOIN prm ON prm.source = kk.source
+  WHERE kk.s + COALESCE(pr.cnt, 0) < prm.t
+)""")
+        parts.append(f"""s{d - 1} AS MATERIALIZED (
+  SELECT source, cell, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT r.source, r.cell, r.cnt
+    FROM s{d} r
+    LEFT JOIN m{d} m ON m.source = r.source AND m.p = r.cell // 2
+         AND length(bin(r.cell)) - 1 = {d}
+    WHERE m.p IS NULL
+    UNION ALL
+    SELECT source, p AS cell, s AS cnt FROM m{d}
+  ) GROUP BY source, cell
+)""")
+    return ",\n".join(parts)
+
+
+def _q_x115_qdigest(spark, sf_dir):
+    """Q-DIGEST mergeable quantile sketch (round 12 — VERDICT item 7,
+    the fourth mergeable-summary family member next to CMS x95, HLL
+    x111 and Misra-Gries x89): per-source digests over clamped text
+    lengths in the 2^10 universe (operators/screening.py:
+    qdigest_sketch — Shrivastava et al. 2004).  Chosen over KLL/GK
+    deliberately: their compactors are functions of arrival order /
+    random offsets, which can never satisfy rule 3b layout invariance;
+    the q-digest is a canonical function of the input MULTISET (exact
+    int64 leaf counts + a deterministic bottom-up compression sweep),
+    so the sketch table hashes identically under any partitioning and
+    the oracle RE-DERIVES the whole sketch in SQL — exact leaf counts
+    plus the compression sweep unrolled as one chained CTE per tree
+    level (stronger than a committed golden: zero trusted artifacts).
+    Merge = cell-wise SUM + recompress (the monoid; tested for
+    commutativity/rollup equivalence + the u·t rank-error bound vs
+    exact order statistics in tests/test_qdigest.py).  The 100 TB
+    shape: the shuffle carries at most one row per (group, distinct
+    clamped value) — corpus-size-independent, like the HLL registers."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.least(F.length("text"), F.lit((1 << _QD_U) - 1)).alias("len"),
+    )
+    return ops_scr.qdigest_sketch(docs, "len", ["source"], _QD_U, _QD_K)
+
+
+_SQL_X115 = (
+    "WITH " + _qdigest_oracle_cte()
+    + "\nSELECT source, cell, cnt FROM s0"
+)
+
+
+def _q_x116_qdigest_quantiles(spark, sf_dir):
+    """Quantile READ path of the x115 q-digest: per-source q25/q50/q90
+    estimates (postorder walk + prefix sums + the percentile_disc rank
+    arithmetic — operators/screening.py:qdigest_quantiles), the exact
+    total n, and the rank lower bound at probe length 256
+    (qdigest_ranks).  Every output is an exact int64 — the estimate IS
+    a universe value, never an interpolated float (rule 3b).  The
+    oracle re-derives the digest (x115's unrolled CTE sweep), then
+    replays the identical walk in SQL window functions."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.least(F.length("text"), F.lit((1 << _QD_U) - 1)).alias("len"),
+    )
+    d = ops_scr.qdigest_sketch(
+        docs, "len", ["source"], _QD_U, _QD_K
+    ).localCheckpoint()
+    q = ops_scr.qdigest_quantiles(
+        d, ["source"], {"q25": 0.25, "q50": 0.5, "q90": 0.9}, _QD_U
+    )
+    r = (
+        ops_scr.qdigest_ranks(d, ["source"], [256], _QD_U)
+        .select("source", "rank_lb", "n")
+    )
+    return q.join(r, "source").select(
+        "source", "n", "q25", "q50", "q90", "rank_lb"
+    )
+
+
+_SQL_X116 = (
+    "WITH " + _qdigest_oracle_cte()
+    + f""",
+cells AS (
+  SELECT source, cell, cnt,
+         ((cell - (CAST(1 AS BIGINT) << (length(bin(cell)) - 1)))
+          << ({_QD_U} - (length(bin(cell)) - 1))) AS lo,
+         ((cell - (CAST(1 AS BIGINT) << (length(bin(cell)) - 1)))
+          << ({_QD_U} - (length(bin(cell)) - 1)))
+         + (CAST(1 AS BIGINT) << ({_QD_U} - (length(bin(cell)) - 1))) - 1
+           AS hi
+  FROM s0
+),
+walk AS (
+  SELECT source, hi, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY hi ASC, lo DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM cells
+),
+rnk AS (
+  SELECT source, CAST(SUM(CASE WHEN hi <= 256 THEN cnt ELSE 0 END) AS BIGINT)
+           AS rank_lb
+  FROM cells GROUP BY source
+)
+SELECT w.source, CAST(MAX(w.n) AS BIGINT) AS n,
+  MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+           THEN hi END) AS q25,
+  MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+           THEN hi END) AS q50,
+  MIN(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+           THEN hi END) AS q90,
+  MAX(rnk.rank_lb) AS rank_lb
+FROM walk w JOIN rnk ON rnk.source = w.source
+GROUP BY w.source
+"""
+)
+
+
+def _q_s26_stream_qdigest(spark, sf_dir):
+    """STREAMING q-digest — the x115 sketch maintained under
+    Structured Streaming (the s21/s24 pattern): the corpus arrives as
+    TWO micro-batches (even/odd doc_id files, maxFilesPerTrigger=1)
+    and each batch's (source, leaf cell) rows COUNT into the exact
+    leaf table in complete mode — plain SUM is the streaming monoid
+    (qdigest_leaves' layer), proving the mergeability x115's batch
+    merge claims.  The final streamed leaf table is then canonically
+    compressed (qdigest_compress — a pure function of the summed
+    multiset, identical whether counts arrived in one batch or two),
+    so stream and batch digests are cell-identical and the oracle is
+    x115's full SQL re-derivation."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    _ensure_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    src_dir = tempfile.mkdtemp(prefix="s26_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s26_ckpt_")
+    name = f"s26_qdigest_{uuid.uuid4().hex[:8]}"
+    try:
+        tbl = papq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(tbl.column("doc_id"), 1), 0)
+        papq.write_table(tbl.filter(even), os.path.join(src_dir, "even.parquet"))
+        papq.write_table(
+            tbl.filter(pc.invert(even)), os.path.join(src_dir, "odd.parquet")
+        )
+        U = 1 << _QD_U
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .select(
+                "source",
+                (F.least(F.length("text"), F.lit(U - 1)) + F.lit(U))
+                .cast("long").alias("cell"),
+            )
+            .groupBy("source", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s26_stream_qdigest: stream did not finish")
+        leaves = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return ops_scr.qdigest_compress(leaves, ["source"], _QD_U, _QD_K)
+
+
+_SQL_S26 = _SQL_X115  # stream+compress must equal the batch digest
+
+
 def _q_s25_stream_funnel(spark, sf_dir):
     """STREAMING ordered-funnel matching
     (operators/sessions.py:funnel_stream — round 11): the r60 funnel as
@@ -11276,6 +11493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 12 (no driver record yet) -----------------------------
         "x114_decode_arithmetic": _q_x114_decode_arithmetic,
         "r63_global_percentile": _q_r63_global_percentile,
+        "x115_qdigest": _q_x115_qdigest,
+        "x116_qdigest_quantiles": _q_x116_qdigest_quantiles,
+        "s26_stream_qdigest": _q_s26_stream_qdigest,
         # -- last driver-recorded in round 7 -----------------------------------
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
@@ -11510,6 +11730,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "x114_decode_arithmetic": _SQL_X114,
         "r63_global_percentile": _SQL_R63,
+        "x115_qdigest": _SQL_X115,
+        "x116_qdigest_quantiles": _SQL_X116,
+        "s26_stream_qdigest": _SQL_S26,
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
         "x104_ivf_partition_pruned": _SQL_X104,

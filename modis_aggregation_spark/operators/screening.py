@@ -715,3 +715,256 @@ def hll_estimate(inv_numer: int, p: int = 8) -> float:
     else:
         alpha = 0.7213 / (1.0 + 1.079 / m)
     return alpha * m * m * float(1 << HLL_RHO_CLAMP) / float(inv_numer)
+
+
+# --------------------------------------------------------------------------
+# q-digest (mergeable quantile sketches over a fixed integer universe)
+# --------------------------------------------------------------------------
+
+# The fourth mergeable-summary family member next to CMS (point
+# frequencies), Misra-Gries (heavy hitters) and HLL (distinct counts):
+# quantiles.  Q-digest (Shrivastava, Buragohain, Agrawal, Suri 2004,
+# "Medians and Beyond") over a fixed integer universe [0, 2^u): cells
+# are the nodes of the complete binary tree over the universe (heap
+# ids — leaf v is cell 2^u + v, parent(c) = c // 2), each carrying an
+# EXACT int64 count; compression pushes light sibling pairs into their
+# parent bottom-up until every merged pair would reach the threshold
+# t = max(1, n // k), leaving O(k * u) cells whose rank uncertainty is
+# bounded by u * t.
+#
+# Why q-digest and not KLL/GK: KLL's compactor keeps alternate items
+# of a RANDOMLY-offset sorted run and GK's summary depends on arrival
+# order, so both sketches are functions of the data LAYOUT — they can
+# never satisfy this repo's determinism rule (CLAUDE.md 3b: every
+# golden-keyed value must be layout-invariant under 1/7/32-partition
+# sweeps).  The q-digest is a pure function of the input MULTISET:
+# leaf counts are exact distributive sums, and the bottom-up
+# compression sweep is canonical (per-level decisions depend only on
+# (parent, sibling) counts, processed leaves-up), so the sketch table
+# hashes identically under any partitioning AND is re-derivable in
+# oracle SQL (the x115 oracle unrolls the per-level sweep as chained
+# CTEs).  Merge = cell-wise SUM + recompress — the documented monoid:
+# associative and commutative because the sum is, and recompression is
+# a function of the summed multiset.
+
+
+def qdigest_leaves(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    universe_bits: int = 12,
+) -> DataFrame:
+    """Exact per-group leaf-cell counts: (group..., cell, cnt) with
+    cell = 2^u + value (heap id of the value's leaf).  Values must be
+    integers in [0, 2^u) — out-of-range or fractional values RAISE
+    (rule 5: no silent clamping; callers owning a wider domain clamp
+    or rescale explicitly).  NULLs are excluded, as every aggregate
+    here does.  This is the streaming-monoid layer: leaf tables merge
+    by plain cell-wise SUM (the s26 streaming query aggregates exactly
+    this under Structured Streaming's complete mode)."""
+    if not 2 <= universe_bits <= 24:
+        raise ValueError("qdigest: universe_bits must be in 2..24")
+    u = 1 << universe_bits
+    v = F.col(value_col).cast("long")
+    ok = (v >= 0) & (v < u) & (v == F.col(value_col).cast("double"))
+    guarded = F.when(ok, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"qdigest: value out of universe [0, {u}) or "
+                    f"non-integer: "
+                ),
+                F.col(value_col).cast("string"),
+            )
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, (guarded + F.lit(u)).alias("cell"))
+        .groupBy(*group_cols, "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qdigest_compress(
+    cells: DataFrame,
+    group_cols: list[str],
+    universe_bits: int = 12,
+    k: int = 64,
+) -> DataFrame:
+    """Canonical bottom-up q-digest compression of a cell-count table
+    (leaf tables from ``qdigest_leaves`` or summed unions of already
+    compressed digests): per group, for depth u down to 1, a sibling
+    pair merges into its parent iff
+    ``cnt(left) + cnt(right) + cnt(parent) < t`` with
+    ``t = max(1, n // k)`` — the Shrivastava et al. digest property.
+    Runs per group in one Arrow batch (a group's cell table is at most
+    2^u + compressed-input rows — model-sized); the result is a pure
+    function of the input multiset, so it is layout-invariant and
+    SQL-re-derivable.  Output: (group..., cell, cnt), exact int64."""
+    import pandas as pd
+
+    u_bits = universe_bits
+
+    out_fields = ", ".join(
+        [f"`{c}` {t}" for c, t in cells.select(*group_cols).dtypes]
+        + ["cell BIGINT", "cnt BIGINT"]
+    )
+
+    def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = dict(zip(pdf["cell"].astype(int), pdf["cnt"].astype(int)))
+        n = sum(c.values())
+        t = max(1, n // k)
+        for depth in range(u_bits, 0, -1):
+            lo_id, hi_id = 1 << depth, 1 << (depth + 1)
+            parents = {
+                cell >> 1 for cell in c if lo_id <= cell < hi_id
+            }
+            for p in parents:
+                cl = c.get(2 * p, 0)
+                cr = c.get(2 * p + 1, 0)
+                if cl + cr + c.get(p, 0) < t:
+                    c[p] = c.get(p, 0) + cl + cr
+                    c.pop(2 * p, None)
+                    c.pop(2 * p + 1, None)
+        head = pdf.iloc[:1][[g for g in pdf.columns if g not in ("cell", "cnt")]]
+        cells_sorted = sorted(c)
+        out = pd.DataFrame(
+            {
+                "cell": pd.Series(cells_sorted, dtype="int64"),
+                "cnt": pd.Series([c[x] for x in cells_sorted], dtype="int64"),
+            }
+        )
+        for g in head.columns:
+            out[g] = head[g].iloc[0]
+        return out[list(head.columns) + ["cell", "cnt"]]
+
+    if group_cols:
+        return cells.groupBy(*group_cols).applyInPandas(_compress, out_fields)
+    return (
+        cells.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(_compress, "__g INT, cell BIGINT, cnt BIGINT")
+        .drop("__g")
+    )
+
+
+def qdigest_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    universe_bits: int = 12,
+    k: int = 64,
+) -> DataFrame:
+    """Build a per-group q-digest: exact leaf counts, then canonical
+    compression.  (group..., cell, cnt) — every value an exact int64,
+    layout-invariant by construction."""
+    return qdigest_compress(
+        qdigest_leaves(df, value_col, group_cols, universe_bits),
+        group_cols,
+        universe_bits,
+        k,
+    )
+
+
+def qdigest_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    universe_bits: int = 12,
+    k: int = 64,
+) -> DataFrame:
+    """Merge a union of digest tables (per-day generations, finer
+    groups rolled up to coarser keys, ...) — cell-wise SUM, then
+    canonical recompression at the merged totals.  Associative and
+    commutative: the sum is, and compression only sees the summed
+    multiset — compaction order never changes the answer (the HLL/CMS
+    merge discipline, x111/x95)."""
+    summed = sketches.groupBy(*group_cols, "cell").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return qdigest_compress(summed, group_cols, universe_bits, k)
+
+
+def _cell_bounds(universe_bits: int) -> tuple[Column, Column]:
+    """(lo, hi) value range of the heap cell id in column ``cell`` —
+    exact integer bit arithmetic (depth from bin-string length, never
+    float log2; SQL ``shiftleft`` accepts a column-valued bit count,
+    unlike the PySpark wrapper)."""
+    u = int(universe_bits)
+    depth = f"(length(bin(cell)) - 1)"
+    lo = F.expr(
+        f"shiftleft(cell - shiftleft(1L, {depth}), {u} - {depth})"
+    )
+    hi = F.expr(
+        f"shiftleft(cell - shiftleft(1L, {depth}), {u} - {depth})"
+        f" + shiftleft(1L, {u} - {depth}) - 1"
+    )
+    return lo, hi
+
+
+def qdigest_quantiles(
+    digest: DataFrame,
+    group_cols: list[str],
+    ps: dict[str, float],
+    universe_bits: int = 12,
+) -> DataFrame:
+    """Quantile estimates from a digest: cells sorted postorder
+    (hi ascending, lo descending — children before parents), counts
+    prefix-summed, and each requested fraction returns the hi value of
+    the first cell whose cumulative count reaches
+    ``max(1, ceil(p * n))`` (the percentile_disc rank arithmetic).
+    Estimates are exact int64 universe values with rank error bounded
+    by the digest (≤ u · t); one skinny window per group."""
+    from pyspark.sql import Window
+
+    lo, hi = _cell_bounds(universe_bits)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc("__hi"), F.desc("__lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = digest.select(
+        *group_cols,
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+        "cnt",
+    ).select(
+        *group_cols,
+        "__hi",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(w_all).alias("__n"),
+    )
+    aggs = []
+    for a, p in ps.items():
+        target = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(p)) * F.col("__n").cast("double")),
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= target, F.col("__hi"))).alias(a)
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def qdigest_ranks(
+    digest: DataFrame,
+    group_cols: list[str],
+    probes: Sequence[int],
+    universe_bits: int = 12,
+) -> DataFrame:
+    """Rank lower bounds from a digest: for each probe x,
+    ``rank_lb = Σ cnt over cells entirely ≤ x`` — guaranteed
+    ``rank_lb ≤ true_rank(x) ≤ rank_lb + u · t`` (cells straddling x
+    are the only uncertainty, one per tree level, each ≤ t).  Exact
+    integer output: (group..., probe, rank_lb, n)."""
+    lo, hi = _cell_bounds(universe_bits)
+    probe_col = F.explode(
+        F.array(*[F.lit(int(x)).cast("long") for x in probes])
+    ).alias("probe")
+    cells = digest.select(*group_cols, hi.alias("__hi"), "cnt", probe_col)
+    return cells.groupBy(*group_cols, "probe").agg(
+        F.sum(F.when(F.col("__hi") <= F.col("probe"), F.col("cnt"))
+              .otherwise(F.lit(0))).alias("rank_lb"),
+        F.sum("cnt").alias("n"),
+    )
