@@ -2977,6 +2977,152 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def _x117_dhash_index(spark, sf_dir):
+    """Build-once + attach the band-key-bucketed dHash index over the
+    doc_id % 4 != 0 image corpus (the x102 artifact discipline:
+    content-keyed /tmp base, atomic rename, meta completion marker).
+    The build exercises the FULL maintenance machinery: generation 0 =
+    doc_id % 4 in (1, 2), generation 1 = doc_id % 4 == 3 PLUS a
+    replayed re-ingest of the doc_id % 8 == 1 rows (identical content
+    — last-writer-wins must pick the newer generation without changing
+    the hash set), then ``dhash_index_latest`` resolves LWW and
+    ``dhash_index_write`` compacts into the bucketed layout."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = _corpus_tag(sf_dir)
+    base = f"/tmp/spark_graft_x117_idx_{tag}"
+
+    def to_png(it):
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    if not os.path.exists(base):
+        tmp = f"{base}.{os.getpid()}.tmp"
+        gen_tmp = f"{tmp}_gens"
+        bname = f"x117_build_{os.getpid()}"
+        idx_docs = docs.filter(F.col("doc_id") % 4 != 0)
+        imgs = _spread(idx_docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
+        hashes = ops_mm.dhash_images(imgs, decoder="png").localCheckpoint()
+        ops_mm.dhash_index_append(
+            hashes.filter(F.col("id") % 4 != 3), gen_tmp, 0
+        )
+        ops_mm.dhash_index_append(
+            hashes.filter(
+                (F.col("id") % 4 == 3) | (F.col("id") % 8 == 1)
+            ),
+            gen_tmp,
+            1,
+        )
+        ops_mm.dhash_index_write(
+            ops_mm.dhash_index_latest(spark, gen_tmp), bname, tmp, buckets=8
+        )
+        for t in (f"{bname}_hashes", f"{bname}_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")  # external: files kept
+        try:
+            os.replace(tmp, base)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            # concurrent creator won; content is identical
+        import shutil
+
+        shutil.rmtree(gen_tmp, ignore_errors=True)
+    return ops_mm.dhash_index_read(spark, f"x117_idx_{tag}", base, buckets=8)
+
+
+def _q_x117_dhash_index_incremental(spark, sf_dir):
+    """Incremental PERCEPTUAL image dedup against a MATERIALIZED
+    band-key-bucketed dHash index (round 12 — VERDICT item 8: the
+    image modality gets the x92/x102 index shape the text side has):
+    the index corpus (doc_id % 4 != 0, built through generation
+    appends + last-writer-wins + compaction — see ``_x117_dhash_index``)
+    persists as (id, dhash) bucketed by id and (id, h, band, key)
+    bucketed by (band, key); the day's batch (doc_id % 4 == 0) PNG
+    payloads are REALLY decoded + fingerprinted (``dhash_images``),
+    their 4×16-bit band keys pre-aligned to the index bucket count,
+    and ``dhash_dup_incremental`` joins the index's bucketed band
+    table with the index side EXCHANGE-FREE (plan lock: tests/
+    test_plan_regressions.py::test_x117_dhash_index_no_index_exchange)
+    — exact Hamming verification rides inside the join because the
+    8-byte hash lives in the bands table (no fetch join at all, unlike
+    the MinHash layout).  Oracle: the asymmetric banded join
+    re-derived brute-force from the x79 codec-free dHash golden
+    (banded recall ≡ brute force for hamming ≤ 3 < 4 bands), plus the
+    prior-arrival batch-internal rule, in plain SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _hashes_t, bands_t = _x117_dhash_index(spark, sf_dir)
+
+    import numpy as np
+    import pandas as pd
+
+    def to_png(it):
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    batch_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    imgs = _spread(batch_docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
+    batch_hashes = ops_mm.dhash_images(imgs, decoder="png")
+    out = ops_mm.dhash_dup_incremental(
+        batch_hashes, bands_t, max_hamming=3, buckets=8
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "dhash",
+        "n_index_dups",
+        "n_batch_prior_dups",
+        "keep",
+    )
+
+
+_SQL_X117 = """
+WITH h AS (
+  SELECT d.doc_id AS id, g.dhash, (d.doc_id % 4 = 0) AS is_new
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x79_dhash.parquet') g
+    ON g.sha256 = sha256(d.text)
+),
+idx_hits AS (
+  SELECT b.id, count(*) AS n
+  FROM h b JOIN h i
+    ON b.is_new AND NOT i.is_new
+   AND bit_count(xor(b.dhash, i.dhash)) <= 3
+  GROUP BY b.id
+),
+prior_hits AS (
+  SELECT b.id, count(*) AS n
+  FROM h b JOIN h p
+    ON b.is_new AND p.is_new AND p.id < b.id
+   AND bit_count(xor(b.dhash, p.dhash)) <= 3
+  GROUP BY b.id
+)
+SELECT b.id AS doc_id, b.dhash,
+       COALESCE(ih.n, 0) AS n_index_dups,
+       COALESCE(ph.n, 0) AS n_batch_prior_dups,
+       (COALESCE(ih.n, 0) = 0 AND COALESCE(ph.n, 0) = 0) AS keep
+FROM h b
+LEFT JOIN idx_hits ih ON ih.id = b.id
+LEFT JOIN prior_hits ph ON ph.id = b.id
+WHERE b.is_new
+"""
+
+
 def _q_x86_image_dedup_canonical(spark, sf_dir):
     """End-to-end IMAGE dedup (the x30 pipeline for the image modality):
     the x79 dHash pair graph (decode → fingerprint → banded hamming ≤ 3
@@ -11496,6 +11642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x115_qdigest": _q_x115_qdigest,
         "x116_qdigest_quantiles": _q_x116_qdigest_quantiles,
         "s26_stream_qdigest": _q_s26_stream_qdigest,
+        "x117_dhash_index_incremental": _q_x117_dhash_index_incremental,
         # -- last driver-recorded in round 7 -----------------------------------
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
@@ -11733,6 +11880,7 @@ def oracle_sql() -> dict[str, str]:
         "x115_qdigest": _SQL_X115,
         "x116_qdigest_quantiles": _SQL_X116,
         "s26_stream_qdigest": _SQL_S26,
+        "x117_dhash_index_incremental": _SQL_X117,
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
         "x104_ivf_partition_pruned": _SQL_X104,

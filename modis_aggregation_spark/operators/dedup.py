@@ -583,12 +583,40 @@ def minhash_index_append(
     one window shuffle over (id, gen) until the weekly
     ``minhash_index_write`` compaction folds the generations back
     into the bucketed layout."""
+    generation_append(signatures, path, generation, ["id", "sh", "sig"])
+
+
+def generation_append(
+    df: DataFrame, path: str, generation: int, cols: list[str]
+) -> None:
+    """Generic zero-rewrite generation append — the machinery behind
+    ``minhash_index_append`` and the image-side ``dhash_index_append``
+    (operators/multimodal.py, round 12): the batch's ``cols`` land
+    under ``path/gen=<generation>/``; existing generations are never
+    touched.  ``cols`` must start with the id column used for
+    last-writer-wins resolution."""
     (
-        signatures.select("id", "sh", "sig")
+        df.select(*cols)
         .withColumn("gen", F.lit(int(generation)))
         .write.mode("append")
         .partitionBy("gen")
         .parquet(path)
+    )
+
+
+def generation_latest(
+    spark: "SparkSession", path: str, cols: list[str], id_col: str = "id"
+) -> DataFrame:
+    """Generic last-writer-wins read over a ``generation_append``
+    artifact: the newest ``gen`` partition owning an id defines its
+    row.  One window shuffle on the id; content columns are DATA here,
+    never recomputed."""
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(id_col).orderBy(F.col("gen").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*cols)
     )
 
 
@@ -602,13 +630,7 @@ def minhash_index_latest(spark: "SparkSession", path: str) -> DataFrame:
     are data here, never recomputed).  Feed the result to
     ``minhash_lsh_incremental`` / ``minhash_index_write`` exactly like
     any signatures frame."""
-    df = spark.read.parquet(path)
-    w = Window.partitionBy("id").orderBy(F.col("gen").desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "sh", "sig")
-    )
+    return generation_latest(spark, path, ["id", "sh", "sig"])
 
 
 def minhash_index_write(

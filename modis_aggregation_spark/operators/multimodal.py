@@ -678,27 +678,13 @@ def dhash_dup_pairs(
             f"banded candidates guarantee recall only for max_hamming < "
             f"num_bands ({max_hamming} >= {num_bands})"
         )
-    bits = 64 // num_bands
-    mask = (1 << bits) - 1
     src = hashes.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("h")
     )
     banded = src.select(
         "id",
         "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("h", b * bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*_dhash_band_cols(num_bands))).alias("bk"),
     ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(
         F.col("id").alias("id1"), F.col("h").alias("h1"), "band", "key"
@@ -713,6 +699,236 @@ def dhash_dup_pairs(
         .select("id1", "id2", ham.alias("hamming"))
         .distinct()  # a pair can match in several bands
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _dhash_band_cols(num_bands: int):
+    """The ``num_bands`` (band, key) splits of the 64-bit dHash in
+    column ``h`` — the shared banding expression of ``dhash_dup_pairs``,
+    the index writer, and the incremental join (one definition, so
+    index and batch keys can never drift)."""
+    bits = 64 // num_bands
+    mask = (1 << bits) - 1
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("h", b * bits).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(num_bands)
+    ]
+
+
+def dhash_index_write(
+    hashes: DataFrame,
+    name: str,
+    path: str,
+    num_bands: int = 4,
+    buckets: int = 16,
+) -> None:
+    """Persist a dHash fingerprint corpus in the band-key-BUCKETED
+    physical layout — the image-side twin of
+    ``dedup.minhash_index_write`` (round 12, VERDICT item 8): two
+    external bucketed tables under ``path``:
+
+      ``{name}_hashes``  (id, dhash)          CLUSTERED BY (id)
+      ``{name}_bands``   (id, h, band, key)   CLUSTERED BY (band, key)
+
+    ``_bands`` is the daily-join side: its bucketed scan reports
+    hash-partitioning on (band, key), so the incremental candidate
+    join (``dhash_dup_incremental``) satisfies its distribution
+    straight off the scan — only the day's batch shuffles, never the
+    corpus-sized index.  Unlike the MinHash layout, the 8-byte hash
+    rides INSIDE the bands table (4 rows × 28 B per image), so exact
+    Hamming verification happens in the banded join itself — no
+    id-keyed fetch join at all.  ``_hashes`` is the maintenance side
+    (id-bucketed for exchange-free compaction deletes, the
+    ``minhash_index_update`` discipline).
+
+    Writes are sequential; a one-row ``{path}/meta`` record (buckets,
+    num_bands) is written LAST as the completion marker, and
+    ``dhash_index_read`` refuses a declared bucket count it cannot
+    verify (the round-11 ADVICE discipline)."""
+    spark = hashes.sparkSession
+    src = hashes.select("id", "dhash")
+    (
+        src.write.mode("overwrite")
+        .option("path", f"{path}/hashes")
+        .bucketBy(buckets, "id")
+        .sortBy("id")
+        .saveAsTable(f"{name}_hashes")
+    )
+    banded = src.select(
+        "id", F.col("dhash").alias("h")
+    ).select(
+        "id",
+        "h",
+        F.explode(F.array(*_dhash_band_cols(num_bands))).alias("bk"),
+    ).select(
+        "id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    (
+        banded.write.mode("overwrite")
+        .option("path", f"{path}/bands")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(f"{name}_bands")
+    )
+    (
+        spark.createDataFrame(
+            [(int(buckets), int(num_bands))], "buckets INT, num_bands INT"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}/meta")
+    )
+
+
+def dhash_index_read(
+    spark, name: str, path: str, buckets: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """Attach a ``dhash_index_write`` artifact → ``(hashes, banded)``.
+    Bucketing metadata lives in the catalog, so a fresh session
+    re-declares the tables via DDL over the existing files; the
+    declared bucket count is VALIDATED against the ``meta`` completion
+    marker (mismatched bucketing would silently misroute joins)."""
+    meta_rows = []
+    try:
+        meta_rows = (
+            spark.read.schema("buckets INT, num_bands INT")
+            .json(f"{path}/meta")
+            .collect()
+        )
+    except Exception:
+        pass
+    if not meta_rows:
+        raise ValueError(
+            f"dhash_index_read: no meta completion marker at {path} — "
+            "refusing a possibly half-written index"
+        )
+    written = int(meta_rows[0]["buckets"])
+    if written != int(buckets):
+        raise ValueError(
+            f"dhash_index_read: declared buckets={buckets} but the artifact "
+            f"was written with buckets={written}; pass the written count"
+        )
+    if not spark.catalog.tableExists(f"{name}_hashes"):
+        spark.sql(
+            f"CREATE TABLE {name}_hashes (id BIGINT, dhash BIGINT) "
+            "USING PARQUET "
+            f"CLUSTERED BY (id) SORTED BY (id) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/hashes'"
+        )
+    if not spark.catalog.tableExists(f"{name}_bands"):
+        spark.sql(
+            f"CREATE TABLE {name}_bands "
+            "(id BIGINT, h BIGINT, band INT, key BIGINT) USING PARQUET "
+            f"CLUSTERED BY (band, key) SORTED BY (band, key) "
+            f"INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/bands'"
+        )
+    return spark.table(f"{name}_hashes"), spark.table(f"{name}_bands")
+
+
+def dhash_index_append(hashes: DataFrame, path: str, generation: int) -> None:
+    """Zero-rewrite daily maintenance for the dHash index: the day's
+    (id, dhash) rows land as a new generation; last-writer-wins at
+    read time via ``dhash_index_latest``.  Delegates to the shared
+    ``dedup.generation_append`` machinery (the x105/x107 discipline);
+    weekly compaction = ``dhash_index_write(dhash_index_latest(...))``."""
+    from modis_aggregation_spark.operators.dedup import generation_append
+
+    generation_append(hashes, path, generation, ["id", "dhash"])
+
+
+def dhash_index_latest(spark, path: str) -> DataFrame:
+    """(id, dhash) — last-writer-wins over a ``dhash_index_append``
+    artifact (shared ``dedup.generation_latest`` machinery)."""
+    from modis_aggregation_spark.operators.dedup import generation_latest
+
+    return generation_latest(spark, path, ["id", "dhash"])
+
+
+def dhash_dup_incremental(
+    batch_hashes: DataFrame,
+    index_banded: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    buckets: int = 16,
+) -> DataFrame:
+    """Incremental near-duplicate IMAGE screening against a
+    MATERIALIZED dHash index — the image twin of
+    ``dedup.minhash_lsh_incremental`` over the ``dhash_index_write``
+    layout: the day's batch derives its band keys (4 skinny rows per
+    image), pre-aligns to the index bucket count (CLAUDE.md rule 10b:
+    without ``repartition(buckets, band, key)`` EnsureRequirements
+    re-exchanges the BUCKETED side when partition counts mismatch),
+    and joins the index's bucketed band table — the index side never
+    exchanges, and because the 8-byte hash rides in the bands table,
+    exact Hamming verification happens inside the same join (no fetch
+    join).  Pigeonhole recall is exact for ``max_hamming <
+    num_bands``.  Batch-internal duplicates use the prior-arrival
+    rule: a batch image also counts duplicates among SMALLER-id batch
+    images (same banding, exact verification).
+
+    Returns one row per batch image: ``(id, dhash, n_index_dups,
+    n_batch_prior_dups, keep)`` with ``keep`` = no duplicate in the
+    index and no prior batch duplicate."""
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"banded recall needs max_hamming < num_bands "
+            f"({max_hamming} >= {num_bands})"
+        )
+    src = batch_hashes.select("id", F.col("dhash").alias("h"))
+    batch_banded = (
+        src.select(
+            "id", "h",
+            F.explode(F.array(*_dhash_band_cols(num_bands))).alias("bk"),
+        )
+        .select(
+            "id", "h",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
+        .repartition(buckets, "band", "key")
+        .localCheckpoint()
+    )
+    ham = F.bit_count(F.col("h").bitwiseXOR(F.col("ih")))
+    idx_side = index_banded.select(
+        F.col("id").alias("iid"), F.col("h").alias("ih"), "band", "key"
+    )
+    index_hits = (
+        batch_banded.join(idx_side, ["band", "key"])
+        .where(ham <= max_hamming)
+        .select("id", "iid")
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_index_dups"))
+    )
+    prior_side = batch_banded.select(
+        F.col("id").alias("pid"), F.col("h").alias("ih"), "band", "key"
+    )
+    prior_hits = (
+        batch_banded.join(prior_side, ["band", "key"])
+        .where((F.col("pid") < F.col("id")) & (ham <= max_hamming))
+        .select("id", "pid")
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_batch_prior_dups"))
+    )
+    return (
+        batch_hashes.select("id", "dhash")
+        .join(index_hits, "id", "left")
+        .join(prior_hits, "id", "left")
+        .select(
+            "id",
+            "dhash",
+            F.coalesce("n_index_dups", F.lit(0)).alias("n_index_dups"),
+            F.coalesce("n_batch_prior_dups", F.lit(0))
+            .alias("n_batch_prior_dups"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_index_dups") == 0) & (F.col("n_batch_prior_dups") == 0),
+        )
     )
 
 

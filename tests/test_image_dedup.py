@@ -153,3 +153,97 @@ def test_audio_fingerprint_structure(spark):
     )
     with pytest.raises(Exception, match="RIFF"):
         M.audio_fingerprint(notwav).collect()
+
+
+def _rand_hashes(spark, seed, ids):
+    rng = np.random.default_rng(seed)
+    rows = [(int(i), int(rng.integers(-(2**63), 2**63 - 1))) for i in ids]
+    return rows, spark.createDataFrame(rows, "id BIGINT, dhash BIGINT")
+
+
+def test_dhash_index_roundtrip_and_incremental_parity(spark, tmp_path):
+    """dhash_index_write/read + dhash_dup_incremental (round 12): the
+    incremental result against the bucketed artifact must equal the
+    brute-force xor/bit_count computation over the same hash sets —
+    index hits, prior-arrival batch hits, and keep flags."""
+    rows_i, idx = _rand_hashes(spark, 1, range(0, 300, 2))
+    # plant near-dups: batch ids whose hash is a 2-bit flip of an
+    # index hash, plus exact batch-internal dups
+    rng = np.random.default_rng(2)
+    rows_b = []
+    for j, bid in enumerate(range(1, 200, 2)):
+        if j % 5 == 0:
+            base = rows_i[j % len(rows_i)][1]
+            h = base ^ (1 << int(rng.integers(0, 64)))
+        elif j % 7 == 0 and rows_b:
+            h = rows_b[0][1]
+        else:
+            h = int(rng.integers(-(2**63), 2**63 - 1))
+        rows_b.append((bid, h))
+    batch = spark.createDataFrame(rows_b, "id BIGINT, dhash BIGINT")
+
+    name = f"tix_{abs(hash(str(tmp_path))) % 10**8}"
+    M.dhash_index_write(idx, name, str(tmp_path / "idx"), buckets=4)
+    hashes_t, bands_t = M.dhash_index_read(
+        spark, name, str(tmp_path / "idx"), buckets=4
+    )
+    assert sorted(map(tuple, hashes_t.collect())) == sorted(rows_i)
+    got = {
+        r["id"]: (r["n_index_dups"], r["n_batch_prior_dups"], r["keep"])
+        for r in M.dhash_dup_incremental(
+            batch, bands_t, max_hamming=3, buckets=4
+        ).collect()
+    }
+    # brute force
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for bid, h in rows_b:
+        ni = sum(1 for _, ih in rows_i if ham(h, ih) <= 3)
+        npr = sum(1 for pid, ph in rows_b if pid < bid and ham(h, ph) <= 3)
+        assert got[bid] == (ni, npr, ni == 0 and npr == 0), bid
+
+
+def test_dhash_index_read_validates_meta(spark, tmp_path):
+    """Mismatched bucket declarations and missing completion markers
+    refuse loudly."""
+    _, idx = _rand_hashes(spark, 3, range(20))
+    name = f"tmx_{abs(hash(str(tmp_path))) % 10**8}"
+    M.dhash_index_write(idx, name, str(tmp_path / "i2"), buckets=4)
+    with pytest.raises(ValueError, match="buckets=8 but"):
+        M.dhash_index_read(spark, name + "_b", str(tmp_path / "i2"), buckets=8)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "i2" / "meta"))
+    with pytest.raises(ValueError, match="no meta completion marker"):
+        M.dhash_index_read(spark, name + "_c", str(tmp_path / "i2"), buckets=4)
+
+
+def test_dhash_generations_lww(spark, tmp_path):
+    """dhash_index_append + dhash_index_latest: the newest generation
+    owning an id wins; replaying identical content is idempotent."""
+    _, g0 = _rand_hashes(spark, 4, range(10))
+    rows1 = [(5, 111), (6, 222), (20, 333)]  # 5/6 re-ingested, 20 new
+    g1 = spark.createDataFrame(rows1, "id BIGINT, dhash BIGINT")
+    p = str(tmp_path / "gens")
+    M.dhash_index_append(g0, p, 0)
+    M.dhash_index_append(g1, p, 1)
+    latest = {r["id"]: r["dhash"] for r in
+              M.dhash_index_latest(spark, p).collect()}
+    base = {r[0]: r[1] for r in g0.collect()}
+    want = dict(base)
+    want.update(dict((i, h) for i, h in rows1))
+    assert latest == want
+    # compaction: write the resolved set into the bucketed layout
+    name = f"tgx_{abs(hash(str(tmp_path))) % 10**8}"
+    M.dhash_index_write(
+        M.dhash_index_latest(spark, p), name, str(tmp_path / "cmp"), buckets=2
+    )
+    h_t, _ = M.dhash_index_read(spark, name, str(tmp_path / "cmp"), buckets=2)
+    assert {r["id"]: r["dhash"] for r in h_t.collect()} == want
+
+
+def test_dhash_incremental_validation(spark):
+    _, idx = _rand_hashes(spark, 5, range(4))
+    with pytest.raises(ValueError, match="max_hamming < num_bands"):
+        M.dhash_dup_incremental(idx, idx, max_hamming=4, num_bands=4)

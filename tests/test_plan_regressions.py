@@ -1192,3 +1192,61 @@ def test_r60_funnel_all_exchanges_on_user_key(spark):
     assert keys and set(keys) == {"user_id"}, keys
     assert "collect_list" not in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_x117_dhash_index_no_index_exchange(spark):
+    """The band-key-bucketed dHash index (round 12 — the image-side
+    x102): no shuffle in the incremental image-dedup plan may move raw
+    index rows, and both index scans must read bucketed.  Because the
+    8-byte hash rides in the bands table, the plan has NO id-keyed
+    fetch join at all — the bands scan is the only index input to the
+    candidate join.  AQE/auto-broadcast pinned off (broadcast could
+    mask an index-side shuffle at test scale)."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = entry.queries()["x117_dhash_index_incremental"](spark, SF)
+        root = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+    def walk(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def is_index_scan(n):
+        return n.getClass().getSimpleName() == "FileSourceScanExec" and (
+            "x117_idx" in n.simpleString(120)
+        )
+
+    joins = {
+        "SortMergeJoinExec",
+        "BroadcastHashJoinExec",
+        "ShuffledHashJoinExec",
+        "BroadcastNestedLoopJoinExec",
+        "CartesianProductExec",
+    }
+
+    def moves_raw_index_rows(n):
+        cls = n.getClass().getSimpleName()
+        if cls in joins or "Aggregate" in cls:
+            return False  # past a join/agg: rows are candidate-bound
+        if is_index_scan(n):
+            return True
+        ch = n.children()
+        return any(moves_raw_index_rows(ch.apply(i)) for i in range(ch.size()))
+
+    index_scans = [n for n in walk(root) if is_index_scan(n)]
+    # exactly ONE index scan: the bands table (hash carried inline —
+    # no sigs/fetch scan, unlike the MinHash 3-table layout)
+    assert len(index_scans) == 1, [s.simpleString(80) for s in index_scans]
+    for s in index_scans:
+        assert "Bucketed: true" in s.simpleString(400), s.simpleString(400)
+    for n in walk(root):
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
+            assert not moves_raw_index_rows(n), n.simpleString(200)
