@@ -1640,10 +1640,17 @@ def _q_r61_retention(spark, sf_dir):
     epoch0 = 1_704_067_200_000_000  # 2024-01-01 UTC in microseconds
     weeks = events.select(
         "user_id",
-        # `div`, not `/`: long / long is DOUBLE division in Spark, and a
-        # timestamp 1 us below a week boundary would round up before the
-        # cast truncates — integer division matches DuckDB's `//` exactly
-        F.expr(f"(unix_micros(ts) - {epoch0}L) div {wk_us}L").alias("week"),
+        # exact integer FLOOR division (round-11 ADVICE): Spark's `div`
+        # truncates toward zero while DuckDB's `//` floors, so a
+        # pre-2024 timestamp (negative operand) would land one week
+        # late under plain `div`.  Subtracting pmod first makes the
+        # dividend an exact multiple, so `div` == floor for any sign —
+        # and long/long `/` stays banned (DOUBLE division would round a
+        # 1-us-below-boundary timestamp up before the cast truncates).
+        F.expr(
+            f"(unix_micros(ts) - {epoch0}L"
+            f" - pmod(unix_micros(ts) - {epoch0}L, {wk_us}L)) div {wk_us}L"
+        ).alias("week"),
     ).distinct()
     cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
@@ -1659,7 +1666,9 @@ def _q_r61_retention(spark, sf_dir):
 _SQL_R61 = """
 WITH weeks AS (
   SELECT DISTINCT user_id,
-         (epoch_us(ts) - 1704067200000000) // 604800000000 AS week
+         (epoch_us(ts) - 1704067200000000
+          - ((((epoch_us(ts) - 1704067200000000) % 604800000000)
+              + 604800000000) % 604800000000)) // 604800000000 AS week
   FROM events
 ), cohort AS (
   SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
