@@ -214,6 +214,41 @@ def _query_shuffle_bytes(df) -> int:
     return total
 
 
+def _query_shuffle_records(df) -> int:
+    """Shuffle-write RECORDS of one executed query (same walk as
+    ``_query_shuffle_bytes``).  The honest scale metric when row
+    payloads are low-entropy (round 12: lz4 compressed 1.28 M
+    replicated tiny-int rows into ~1.4 MB, visually flattening a
+    linearly-growing exchange — record counts cannot be compressed)."""
+    root = df._jdf.queryExecution().executedPlan()
+    seen: set[int] = set()
+    total = 0
+
+    def walk(n):
+        nonlocal total
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
+            pid = n.id()
+            if pid not in seen:
+                seen.add(pid)
+                it = n.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "shuffleRecordsWritten":
+                        total += int(kv._2().value())
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        for attr in ("plan", "finalPhysicalPlan"):
+            if hasattr(n, attr):
+                try:
+                    walk(getattr(n, attr)())
+                except Exception:
+                    pass
+
+    walk(root)
+    return total
+
+
 def _permuted_corpus(spark, sf_dir: str, replicate: int):
     """documents replicated ``replicate``× with DISTINCT content per
     replica: each replica maps text through its own random alphanumeric
@@ -618,6 +653,105 @@ def run_hll_curve(spark, sf_dir: str, replicate: int) -> dict:
         "exact_shuffle_mb": round(exact_bytes / 1e6, 2),
         "hll_shuffle_mb": round(hll_bytes / 1e6, 2),
         "max_rel_err": round(max(errs), 4),
+    }
+
+
+def run_qdigest_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """Q-digest-vs-exact quantile anchor (round 12, backs x115/x116):
+    the documents corpus replicated ``replicate``x (value distribution
+    fixed, counts grow).  Claim: the exact order-statistics path
+    (group_percentiles) must move EVERY row through its window
+    exchange (shuffle grows with the corpus), while the q-digest build
+    shuffles at most one row per (group, distinct clamped value) per
+    map partition — FLAT as the corpus grows — and its quantile
+    estimates stay inside the u·t rank-error bound.  Shuffle bytes via
+    per-exchange shuffleBytesWritten off the executed plans."""
+    from pyspark.sql import functions as F
+
+    from modis_aggregation_spark.operators.quantiles import (
+        group_percentiles,
+    )
+    from modis_aggregation_spark.operators.screening import (
+        qdigest_quantiles,
+        qdigest_sketch,
+    )
+
+    u_bits, k = 10, 32
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rep = spark.range(replicate).select(F.col("id").alias("__rep"))
+    corpus = (
+        docs.select(
+            "source",
+            F.least(F.length("text"), F.lit((1 << u_bits) - 1)).alias("v"),
+        )
+        .crossJoin(F.broadcast(rep))
+        .select("source", "v")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    n_rows = corpus.count()
+
+    t0 = time.perf_counter()
+    exact_df = group_percentiles(
+        corpus, ["source"], "v", {"q50": 0.5, "q90": 0.9}
+    )
+    exact = {r["source"]: (r["q50"], r["q90"]) for r in exact_df.collect()}
+    t_exact = time.perf_counter() - t0
+    exact_bytes = _query_shuffle_bytes(exact_df)
+    exact_recs = _query_shuffle_records(exact_df)
+
+    t0 = time.perf_counter()
+    sketch_df = qdigest_sketch(corpus, "v", ["source"], u_bits, k)
+    est_df = qdigest_quantiles(
+        sketch_df, ["source"], {"q50": 0.5, "q90": 0.9}, u_bits
+    )
+    est = {r["source"]: (r["q50"], r["q90"]) for r in est_df.collect()}
+    t_sketch = time.perf_counter() - t0
+    sketch_bytes = _query_shuffle_bytes(est_df)
+    sketch_recs = _query_shuffle_records(est_df)
+
+    n_per = {
+        r["source"]: r["n"]
+        for r in corpus.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # worst observed rank error of the estimates, in units of the u·t
+    # bound (must stay <= 1.0)
+    sorted_vals = {
+        r["source"]: r["vs"]
+        for r in corpus.groupBy("source")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .collect()
+    }
+    import bisect
+
+    worst = 0.0
+    for src, (e50, e90) in est.items():
+        vs = sorted_vals[src]
+        n = n_per[src]
+        t = max(1, n // k)
+        for p, e in ((0.5, e50), (0.9, e90)):
+            target = max(1, -(-int(p * n * 1e6) // 1_000_000))
+            lo = bisect.bisect_left(vs, e) + 1
+            hi = bisect.bisect_right(vs, e)
+            dist = 0 if lo <= target <= hi else min(
+                abs(target - lo), abs(target - hi)
+            )
+            worst = max(worst, dist / (u_bits * t))
+    return {
+        "replicate": replicate,
+        "rows": n_rows,
+        "exact_sec": round(t_exact, 2),
+        "sketch_sec": round(t_sketch, 2),
+        "exact_shuffle_mb": round(exact_bytes / 1e6, 2),
+        "sketch_shuffle_mb": round(sketch_bytes / 1e6, 2),
+        "exact_shuffle_rows": exact_recs,
+        "sketch_shuffle_rows": sketch_recs,
+        "worst_rank_err_vs_bound": round(worst, 3),
+        "q50_match": all(
+            abs(exact[s][0] - est[s][0]) <= 64 for s in exact
+        ),
     }
 
 
