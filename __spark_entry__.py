@@ -1462,14 +1462,11 @@ def _q_r63_global_percentile(spark, sf_dir):
     price column; the oracle re-derives both rank arithmetics in SQL
     over a global window — bit-identical interpolation, then round 6."""
     li = _t(spark, sf_dir, "lineitem")
-    cont = ops_qt.group_percentiles(
+    out = ops_qt.group_percentiles(
         li, [], "l_extendedprice",
         {"q25": 0.25, "q50": 0.5, "q95": 0.95},
+        discrete_ps={"d90": 0.9},  # same three passes, no re-scan
     )
-    disc = ops_qt.group_percentiles(
-        li, [], "l_extendedprice", {"d90": 0.9}, discrete=True,
-    )
-    out = cont.crossJoin(disc)  # two 1-row frames
     return out.select(
         _r6(F.col("q25")).alias("q25"),
         _r6(F.col("q50")).alias("q50"),

@@ -48,6 +48,7 @@ def group_percentiles(
     value_col: str,
     ps: dict[str, float],
     discrete: bool = False,
+    discrete_ps: dict[str, float] | None = None,
 ) -> DataFrame:
     """One row per group: ``group_cols + [alias for alias in ps]`` with
     the exact type-7 percentile of ``value_col`` at each requested
@@ -80,19 +81,32 @@ def group_percentiles(
     interpolation — an actual member of the group), matching Spark's
     ``percentile_disc``; the arithmetic is one double multiply + ceil,
     reproducible verbatim in oracle SQL.
+
+    ``discrete_ps`` (global path only, round 12): additional
+    percentile_disc fractions computed IN THE SAME three passes as the
+    continuous ``ps`` — the disc targets just add selection rows, so a
+    mixed cont+disc read costs one operator invocation instead of two
+    full re-scans of the corpus.
     """
     if not ps:
         raise ValueError("group_percentiles: ps must name at least one fraction")
-    for a, p in ps.items():
+    for a, p in {**ps, **(discrete_ps or {})}.items():
         if not (0.0 <= float(p) <= 1.0):
             raise ValueError(f"group_percentiles: {a}={p} outside [0, 1]")
+    if discrete_ps and set(discrete_ps) & set(ps):
+        raise ValueError("group_percentiles: discrete_ps aliases collide with ps")
 
     vals = df.select(
         *group_cols, F.col(value_col).cast("double").alias("__v")
     ).where(F.col("__v").isNotNull())
 
     if not group_cols:
-        return _global_percentiles(vals, ps, discrete)
+        return _global_percentiles(vals, ps, discrete, discrete_ps)
+    if discrete_ps:
+        raise ValueError(
+            "group_percentiles: discrete_ps is only supported on the "
+            "global (group_cols=[]) path; call twice for grouped reads"
+        )
 
     keys = [F.col(c) for c in group_cols]
     # both windows share the partition keys, so they plan over ONE
@@ -174,6 +188,7 @@ def _global_percentiles(
     vals: DataFrame,
     ps: dict[str, float],
     discrete: bool,
+    discrete_ps: dict[str, float] | None = None,
     n_buckets: int = 1024,
 ) -> DataFrame:
     """Distributed EXACT global order statistics (round 12): bucket +
@@ -192,7 +207,10 @@ def _global_percentiles(
     ).collect()[0]
     n = int(stats["n"])
     null_row = spark.range(1).select(
-        *[F.lit(None).cast("double").alias(a) for a in ps]
+        *[
+            F.lit(None).cast("double").alias(a)
+            for a in {**ps, **(discrete_ps or {})}
+        ]
     )
     if n == 0:
         # builtin parity: a global aggregate over no rows yields one
@@ -245,8 +263,12 @@ def _global_percentiles(
     # resolve every needed global rank to (bucket, local rank); the
     # rank arithmetic mirrors the grouped path / the builtin exactly
     selections = []  # (slot, bucket, local_rank)
-    for a, p in ps.items():
-        if discrete:
+    disc_aliases = set(discrete_ps or {})
+    all_ps = dict(ps)
+    if discrete_ps:
+        all_ps.update(discrete_ps)
+    for a, p in all_ps.items():
+        if discrete or a in disc_aliases:
             g = max(1, math.ceil(float(p) * float(n)))
             selections.append((f"d_{a}",) + _locate(g))
         else:
@@ -273,8 +295,8 @@ def _global_percentiles(
     )
 
     outs = []
-    for a, p in ps.items():
-        if discrete:
+    for a, p in all_ps.items():
+        if discrete or a in disc_aliases:
             outs.append(F.col(f"d_{a}").alias(a))
             continue
         # interpolation arithmetic identical to the grouped path and

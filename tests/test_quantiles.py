@@ -168,3 +168,28 @@ def test_global_percentiles_no_single_partition_sort(spark):
             assert "__b" in line, line
         if "rangepartitioning(" in line:
             raise AssertionError(f"global sort exchange planned: {line}")
+
+
+def test_global_percentiles_mixed_discrete_ps(spark):
+    """Round-12 fused read: discrete_ps fractions computed in the same
+    three passes as the continuous ones — values identical to two
+    separate calls and to the builtins; validation on collisions and
+    on the grouped path."""
+    rng = np.random.default_rng(63)
+    vals = [float(v) for v in rng.normal(50, 9, 999)]
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE").repartition(7)
+    got = group_percentiles(
+        df, [], "v", {"q25": 0.25, "q50": 0.5}, discrete_ps={"d90": 0.9}
+    ).collect()[0].asDict()
+    ref = df.agg(
+        F.expr("percentile(v, 0.25)").alias("q25"),
+        F.expr("percentile(v, 0.5)").alias("q50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").alias("d90"),
+    ).collect()[0].asDict()
+    assert got == ref
+    with pytest.raises(ValueError, match="collide"):
+        group_percentiles(df, [], "v", {"a": 0.5}, discrete_ps={"a": 0.9})
+    with pytest.raises(ValueError, match="global"):
+        group_percentiles(
+            df, ["v"], "v", {"a": 0.5}, discrete_ps={"b": 0.9}
+        )

@@ -57,6 +57,24 @@ sys.path.insert(0, REPO)
 RATIO_GATE = 3.0
 ABS_GATE_SEC = 1.0
 
+# Slots whose FIRST invocation in a fresh environment includes a
+# one-time physical artifact build (corpus-keyed /tmp cache); their
+# sweep time is "build + query" unless the cache pre-exists.  Recorded
+# into the JSON so readers stop re-litigating the big first-run numbers
+# (round-11 VERDICT "what's wrong" item 2).
+AMORTIZED_BUILD_SLOTS = {
+    "x92_incremental_minhash": "signatures parquet build on first run",
+    "x102_bucketed_index": "3-table bucketed index build on first run",
+    "s22_bucketed_stream": "shares the x102 index build on first run",
+    "x106_ivfpq_indexed": "IVF+PQ artifact build on first run",
+    "x107_index_compaction": "physical 3-table bucketed index build + "
+                             "generation compaction on first run — the "
+                             "build IS the demonstrated operation",
+    "x108_ivf_append": "IVF artifact build on first run",
+    "x117_dhash_index_incremental": "two-generation dHash index build + "
+                                    "LWW compaction on first run",
+}
+
 
 def _sf(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
@@ -241,6 +259,11 @@ def main() -> int:
         "errors": errors,
         "total_sec": total,
         "calibration_sec": calibration_sec,
+        "notes": {
+            q: note
+            for q, note in AMORTIZED_BUILD_SLOTS.items()
+            if q in timings
+        },
     }
 
     out_path = None
