@@ -554,6 +554,44 @@ def run_jpeg_decode(spark, n_docs: int, hw: int = 64) -> dict:
     }
 
 
+def run_jpeg_arith_decode(spark, n_docs: int, hw: int = 64) -> dict:
+    """Arithmetic-JPEG anchor (round 12, backs x114): same gradient
+    fixture as ``run_jpeg_decode`` but entropy-coded SOF9 (Annex D QM
+    coder) — every decision runs the adaptive binary decoder, so the
+    constant is pure-Python QM decisions/s rather than Huffman table
+    lookups.  Per-payload decode is independent map-side work; the
+    corpus dimension multiplies with executors."""
+    import numpy as np
+
+    from modis_aggregation_spark.operators.multimodal import decode_images
+    from modis_aggregation_spark.sinks.jpeglite import encode_jpeg
+
+    img = np.zeros((hw, hw, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, hw).astype(np.uint8)[None, :]
+    img[..., 1] = np.linspace(20, 200, hw).astype(np.uint8)[:, None]
+    img[..., 2] = 99
+    payload = encode_jpeg(img, quality=85, arithmetic=True)
+    df = (
+        spark.range(n_docs)
+        .select(F.col("id"), F.lit(bytearray(payload)).alias("payload"))
+        .repartition(32)
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    out = decode_images(df, decoder="jpeg", out_hw=(8, 8))
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mean_pixel").alias("s")
+    ).collect()[0]
+    t = time.perf_counter() - t0
+    assert row["s"] is not None and row["n"] == n_docs
+    return {
+        "docs": n_docs,
+        "px": n_docs * hw * hw,
+        "sec": round(t, 2),
+        "px_per_sec": int(n_docs * hw * hw / t),
+    }
+
+
 def run_flac_decode(spark, n_docs: int, n_samples: int = 4096) -> dict:
     """Real-codec FLAC anchor (round 11): ``n_docs`` stereo mid-side
     FLAC payloads (``n_samples`` smooth 16-bit samples each) physically
