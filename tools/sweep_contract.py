@@ -65,7 +65,7 @@ ABS_GATE_SEC = 1.0
 AMORTIZED_BUILD_SLOTS = {
     "x92_incremental_minhash": "signatures parquet build on first run",
     "x102_bucketed_index": "3-table bucketed index build on first run",
-    "s22_bucketed_stream": "shares the x102 index build on first run",
+    "s22_stream_bucketed_index": "shares the x102 index build on first run",
     "x106_ivfpq_indexed": "IVF+PQ artifact build on first run",
     "x107_index_compaction": "physical 3-table bucketed index build + "
                              "generation compaction on first run — the "
