@@ -403,3 +403,139 @@ def test_nbit_codec_property(dt, n, seed, sign_ext, fill_one, data):
         high = high_mask if fill_one else np.uint64(0)
     want = ((field << np.uint64(shift)) | low | high) & full
     assert np.array_equal(got, want)
+
+
+# ---- round 12: QM coder + arithmetic JPEG + TIFF layouts + q-digest ----
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(1, 3000),
+    n_ctx=st.integers(1, 12),
+    p_one=st.floats(0.0, 1.0),
+)
+@settings(**_SETTINGS)
+def test_qmcoder_roundtrip_property(seed, n, n_ctx, p_one):
+    """Any decision sequence over any context assignment round-trips
+    losslessly, and encoder/decoder walk identical estimation-state
+    trajectories (T.81 Annex D)."""
+    from modis_aggregation_spark.sinks.qmcoder import QMDecoder, QMEncoder
+
+    rng = np.random.default_rng(seed)
+    decisions = (rng.random(n) < p_one).astype(int).tolist()
+    contexts = rng.integers(0, n_ctx, n).tolist()
+    enc = QMEncoder()
+    enc_st = bytearray(n_ctx)
+    for cx, d in zip(contexts, decisions):
+        enc.encode(enc_st, cx, d)
+    data = enc.flush()
+    dec = QMDecoder(data)
+    dec_st = bytearray(n_ctx)
+    assert [dec.decode(dec_st, cx) for cx in contexts] == decisions
+    assert enc_st == dec_st
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    chans=st.sampled_from([1, 3]),
+    quality=st.integers(30, 95),
+    ri=st.sampled_from([0, 1, 3]),
+)
+@settings(**_SETTINGS)
+def test_arithmetic_jpeg_equals_huffman_property(seed, h, w, chans, quality, ri):
+    """For ANY image/quality/restart combination, the SOF9 arithmetic
+    stream decodes pixel-identical to the SOF0/1 Huffman stream — the
+    entropy layer is the only moving part."""
+    from modis_aggregation_spark.sinks.jpeglite import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if chans == 1 else (h, w, chans)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    ea = encode_jpeg(img, quality=quality, restart_interval=ri, arithmetic=True)
+    eh = encode_jpeg(img, quality=quality, restart_interval=ri)
+    assert np.array_equal(decode_jpeg(ea), decode_jpeg(eh))
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    h=st.integers(1, 48),
+    w=st.integers(1, 48),
+    chans=st.sampled_from([1, 3]),
+    bits=st.sampled_from([8, 16]),
+    comp=st.sampled_from(["none", "packbits", "lzw", "lzw2"]),
+    planar=st.booleans(),
+    tiled=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_tiff_layout_roundtrip_property(seed, h, w, chans, bits, comp, planar, tiled):
+    """Any (shape x depth x compression x planar x tiled) combination
+    survives encode->decode bit-exactly."""
+    from modis_aggregation_spark.sinks.tifflite import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if chans == 1 else (h, w, chans)
+    dt = np.uint8 if bits == 8 else np.uint16
+    img = rng.integers(0, 1 << bits, shape).astype(dt)
+    kw = dict(
+        compression="lzw" if comp == "lzw2" else comp,
+        predictor=2 if comp == "lzw2" else 1,
+        planar=planar,
+        rows_per_strip=int(rng.integers(1, 9)),
+    )
+    if tiled:
+        kw["tile"] = (16, 16)
+    out = decode_tiff(encode_tiff(img, **kw))
+    assert out.dtype == img.dtype
+    assert np.array_equal(out, img)
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(0, 400),
+    split=st.floats(0.1, 0.9),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_qdigest_local_merge_equals_full_property(seed, n, split):
+    """Driver-side property of the canonical compression (no Spark):
+    compressing the summed leaf tables of any split equals compressing
+    the full multiset — the merge monoid's defining equation at the
+    leaf layer."""
+    import pandas as pd
+
+    from modis_aggregation_spark.operators.screening import qdigest_compress
+
+    u_bits, k = 8, 16
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << u_bits, n)
+    cut = int(n * split)
+
+    def leaves(vs):
+        from collections import Counter
+
+        c = Counter(int(v) + (1 << u_bits) for v in vs)
+        return dict(c)
+
+    def compress_dict(c):
+        # mirror of the operator's canonical sweep, driver-side
+        c = dict(c)
+        total = sum(c.values())
+        t = max(1, total // k)
+        for depth in range(u_bits, 0, -1):
+            lo, hi = 1 << depth, 1 << (depth + 1)
+            for p in {cell >> 1 for cell in list(c) if lo <= cell < hi}:
+                cl, cr = c.get(2 * p, 0), c.get(2 * p + 1, 0)
+                if cl + cr + c.get(p, 0) < t:
+                    c[p] = c.get(p, 0) + cl + cr
+                    c.pop(2 * p, None)
+                    c.pop(2 * p + 1, None)
+        return c
+
+    a = leaves(vals[:cut])
+    b = leaves(vals[cut:])
+    summed = dict(a)
+    for cell, cnt in b.items():
+        summed[cell] = summed.get(cell, 0) + cnt
+    assert compress_dict(summed) == compress_dict(leaves(vals))
