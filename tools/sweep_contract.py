@@ -64,6 +64,10 @@ ABS_GATE_SEC = 1.0
 # (round-11 VERDICT "what's wrong" item 2).
 AMORTIZED_BUILD_SLOTS = {
     "x92_incremental_minhash": "signatures parquet build on first run",
+    "x93_minhash_index_update": "two-day signature-artifact build + "
+                                "update-writeback on first run",
+    "x105_index_generations": "per-generation signature artifact builds "
+                              "on first run",
     "x102_bucketed_index": "3-table bucketed index build on first run",
     "s22_stream_bucketed_index": "shares the x102 index build on first run",
     "x106_ivfpq_indexed": "IVF+PQ artifact build on first run",
