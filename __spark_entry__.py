@@ -3031,7 +3031,7 @@ def _x117_dhash_index(spark, sf_dir):
         ops_mm.dhash_index_write(
             ops_mm.dhash_index_latest(spark, gen_tmp), bname, tmp, buckets=8
         )
-        for t in (f"{bname}_hashes", f"{bname}_bands"):
+        for t in (f"{bname}_hashes", f"{bname}_bands", f"{bname}_bandcounts"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")  # external: files kept
         try:
             os.replace(tmp, base)
@@ -3066,7 +3066,7 @@ def _q_x117_dhash_index_incremental(spark, sf_dir):
     (banded recall ≡ brute force for hamming ≤ 3 < 4 bands), plus the
     prior-arrival batch-internal rule, in plain SQL."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    _hashes_t, bands_t = _x117_dhash_index(spark, sf_dir)
+    _hashes_t, bands_t, _counts_t = _x117_dhash_index(spark, sf_dir)
 
     import numpy as np
     import pandas as pd

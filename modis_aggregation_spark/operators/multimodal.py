@@ -742,7 +742,12 @@ def dhash_index_write(
     Hamming verification happens in the banded join itself — no
     id-keyed fetch join at all.  ``_hashes`` is the maintenance side
     (id-bucketed for exchange-free compaction deletes, the
-    ``minhash_index_update`` discipline).
+    ``minhash_index_update`` discipline).  ``_bandcounts`` pre-
+    aggregates per-(band, key) occupancy so the optional daily bucket
+    cap (hot 16-bit keys from constant-color image classes would
+    otherwise carry quadratic collision mass) adds index counts to
+    batch counts via an exchange-free full-outer join — the
+    ``minhash_index_write`` discipline.
 
     Writes are sequential; a one-row ``{path}/meta`` record (buckets,
     num_bands) is written LAST as the completion marker, and
@@ -773,6 +778,20 @@ def dhash_index_write(
         .sortBy("band", "key")
         .saveAsTable(f"{name}_bands")
     )
+    # re-read the just-written bucketed table so the count aggregation
+    # is itself exchange-free and never re-runs the hash lineage
+    counts = (
+        spark.table(f"{name}_bands")
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("path", f"{path}/bandcounts")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(f"{name}_bandcounts")
+    )
     (
         spark.createDataFrame(
             [(int(buckets), int(num_bands))], "buckets INT, num_bands INT"
@@ -785,12 +804,13 @@ def dhash_index_write(
 
 def dhash_index_read(
     spark, name: str, path: str, buckets: int = 16
-) -> tuple[DataFrame, DataFrame]:
-    """Attach a ``dhash_index_write`` artifact → ``(hashes, banded)``.
-    Bucketing metadata lives in the catalog, so a fresh session
-    re-declares the tables via DDL over the existing files; the
-    declared bucket count is VALIDATED against the ``meta`` completion
-    marker (mismatched bucketing would silently misroute joins)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Attach a ``dhash_index_write`` artifact →
+    ``(hashes, banded, band_counts)``.  Bucketing metadata lives in
+    the catalog, so a fresh session re-declares the tables via DDL
+    over the existing files; the declared bucket count is VALIDATED
+    against the ``meta`` completion marker (mismatched bucketing would
+    silently misroute joins)."""
     meta_rows = []
     try:
         meta_rows = (
@@ -826,7 +846,19 @@ def dhash_index_read(
             f"INTO {buckets} BUCKETS "
             f"LOCATION '{path}/bands'"
         )
-    return spark.table(f"{name}_hashes"), spark.table(f"{name}_bands")
+    if not spark.catalog.tableExists(f"{name}_bandcounts"):
+        spark.sql(
+            f"CREATE TABLE {name}_bandcounts "
+            "(band INT, key BIGINT, n BIGINT) USING PARQUET "
+            f"CLUSTERED BY (band, key) SORTED BY (band, key) "
+            f"INTO {buckets} BUCKETS "
+            f"LOCATION '{path}/bandcounts'"
+        )
+    return (
+        spark.table(f"{name}_hashes"),
+        spark.table(f"{name}_bands"),
+        spark.table(f"{name}_bandcounts"),
+    )
 
 
 def dhash_index_append(hashes: DataFrame, path: str, generation: int) -> None:
@@ -854,6 +886,8 @@ def dhash_dup_incremental(
     max_hamming: int = 3,
     num_bands: int = 4,
     buckets: int = 16,
+    max_bucket: int | None = None,
+    index_band_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-duplicate IMAGE screening against a
     MATERIALIZED dHash index — the image twin of
@@ -869,6 +903,17 @@ def dhash_dup_incremental(
     num_bands``.  Batch-internal duplicates use the prior-arrival
     rule: a batch image also counts duplicates among SMALLER-id batch
     images (same banding, exact verification).
+
+    ``max_bucket`` (optional — the minhash cap discipline): skip
+    (band, key) buckets whose UNION occupancy (index + batch) exceeds
+    the cap.  Hot 16-bit keys — e.g. a constant-color image class —
+    otherwise carry quadratic collision mass at corpus scale.  Capping
+    trades recall for bounded work exactly like the text side; a pair
+    is only missed if EVERY one of its matching bands is oversized.
+    Pass ``index_band_counts`` (the third ``dhash_index_read`` frame)
+    so the occupancy check adds pre-aggregated index counts to batch
+    counts via an exchange-free full-outer join instead of re-counting
+    the corpus-sized band table.
 
     Returns one row per batch image: ``(id, dhash, n_index_dups,
     n_batch_prior_dups, keep)`` with ``keep`` = no duplicate in the
@@ -895,6 +940,38 @@ def dhash_dup_incremental(
     idx_side = index_banded.select(
         F.col("id").alias("iid"), F.col("h").alias("ih"), "band", "key"
     )
+    if max_bucket is not None:
+        new_cnt = batch_banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        if index_band_counts is not None:
+            big = (
+                index_band_counts.select(
+                    "band", "key", F.col("n").alias("__bi")
+                )
+                .join(new_cnt, ["band", "key"], "full_outer")
+                .filter(
+                    F.coalesce("__bi", F.lit(0))
+                    + F.coalesce("__bn", F.lit(0))
+                    > max_bucket
+                )
+                .select("band", "key")
+            )
+        else:
+            big = (
+                idx_side.select("band", "key")
+                .unionByName(batch_banded.select("band", "key"))
+                .groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("__bc"))
+                .filter(F.col("__bc") > max_bucket)
+                .select("band", "key")
+            )
+        batch_banded = batch_banded.join(
+            F.broadcast(big), ["band", "key"], "left_anti"
+        )
+        idx_side = idx_side.join(
+            F.broadcast(big), ["band", "key"], "left_anti"
+        )
     index_hits = (
         batch_banded.join(idx_side, ["band", "key"])
         .where(ham <= max_hamming)

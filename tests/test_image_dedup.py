@@ -184,9 +184,10 @@ def test_dhash_index_roundtrip_and_incremental_parity(spark, tmp_path):
 
     name = f"tix_{abs(hash(str(tmp_path))) % 10**8}"
     M.dhash_index_write(idx, name, str(tmp_path / "idx"), buckets=4)
-    hashes_t, bands_t = M.dhash_index_read(
+    hashes_t, bands_t, counts_t = M.dhash_index_read(
         spark, name, str(tmp_path / "idx"), buckets=4
     )
+    assert counts_t.agg(F.sum("n")).collect()[0][0] == 4 * len(rows_i)
     assert sorted(map(tuple, hashes_t.collect())) == sorted(rows_i)
     got = {
         r["id"]: (r["n_index_dups"], r["n_batch_prior_dups"], r["keep"])
@@ -239,7 +240,7 @@ def test_dhash_generations_lww(spark, tmp_path):
     M.dhash_index_write(
         M.dhash_index_latest(spark, p), name, str(tmp_path / "cmp"), buckets=2
     )
-    h_t, _ = M.dhash_index_read(spark, name, str(tmp_path / "cmp"), buckets=2)
+    h_t, _, _ = M.dhash_index_read(spark, name, str(tmp_path / "cmp"), buckets=2)
     assert {r["id"]: r["dhash"] for r in h_t.collect()} == want
 
 
@@ -247,3 +248,33 @@ def test_dhash_incremental_validation(spark):
     _, idx = _rand_hashes(spark, 5, range(4))
     with pytest.raises(ValueError, match="max_hamming < num_bands"):
         M.dhash_dup_incremental(idx, idx, max_hamming=4, num_bands=4)
+
+
+def test_dhash_incremental_bucket_cap(spark, tmp_path):
+    """max_bucket skips oversized (band, key) buckets — recall traded
+    for bounded collision mass (the minhash cap discipline): a hot key
+    (constant hash class) stops producing pairs, normal keys are
+    unaffected; with the pre-aggregated counts table the decision is
+    identical."""
+    # index: 30 images sharing ONE hash (hot bucket in every band) + 5
+    # distinct hashes
+    hot = [(i, 0x1234567890ABCDEF - 2**63) for i in range(30)]
+    cold = [(100 + i, 7 * (i + 1) + (i << 40)) for i in range(5)]
+    idx = spark.createDataFrame(hot + cold, "id BIGINT, dhash BIGINT")
+    name = f"tcx_{abs(hash(str(tmp_path))) % 10**8}"
+    M.dhash_index_write(idx, name, str(tmp_path / "cap"), buckets=4)
+    _, bands_t, counts_t = M.dhash_index_read(
+        spark, name, str(tmp_path / "cap"), buckets=4
+    )
+    # batch: one member of the hot class, one near-dup of a cold hash
+    batch = spark.createDataFrame(
+        [(500, hot[0][1]), (501, cold[0][1] ^ 1)], "id BIGINT, dhash BIGINT"
+    )
+    uncapped = {r["id"]: r["n_index_dups"] for r in M.dhash_dup_incremental(
+        batch, bands_t, buckets=4).collect()}
+    assert uncapped == {500: 30, 501: 2}
+    for counts in (None, counts_t):
+        capped = {r["id"]: r["n_index_dups"] for r in M.dhash_dup_incremental(
+            batch, bands_t, buckets=4, max_bucket=10,
+            index_band_counts=counts).collect()}
+        assert capped == {500: 0, 501: 2}, counts is None
