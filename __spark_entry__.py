@@ -3129,6 +3129,124 @@ WHERE b.is_new
 """
 
 
+def _q_s27_stream_dhash(spark, sf_dir):
+    """Stream-static PERCEPTUAL image dedup — the streaming half of
+    x117 (the s20/s22 pattern applied to the image modality, round
+    12): new images arrive as a file stream, each micro-batch REALLY
+    PNG-encodes and dHash-fingerprints its payloads (the same Arrow
+    passes the batch stack uses — ``dhash_images`` inside the stream),
+    derives band keys with the shared ``_dhash_band_cols`` JVM
+    expression, and joins the STATIC band-key-bucketed index artifact
+    (``_x117_dhash_index``'s ``_bands`` table — bucket-local read, the
+    hash rides in the table so Hamming verification happens inside the
+    join, no index-side recompute anywhere in the stream).  Output:
+    verified (doc_id, index_id, hamming) pairs for the doc_id % 4 == 0
+    arrivals vs the % 4 != 0 index; multi-band hits dedupe through the
+    stateful dropDuplicates.  availableNow, so the memory-sink result
+    equals the batch join exactly; the oracle re-derives the
+    asymmetric pair join brute-force from the x79 codec-free dHash
+    golden (banded ≡ brute for hamming ≤ 3 < 4 bands)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+
+    _ensure_utc(spark)
+    _hashes_t, bands_t, _counts_t = _x117_dhash_index(spark, sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    idx_side = bands_t.select(
+        F.col("id").alias("index_id"), F.col("h").alias("ih"),
+        "band", "key",
+    )
+
+    def to_png(it):
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    src_dir = tempfile.mkdtemp(prefix="s27_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="s27_ckpt_")
+    name = f"s27_dhash_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(src, os.path.join(src_dir, "documents.parquet"))
+        ham = F.bit_count(F.col("h").bitwiseXOR(F.col("ih")))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("doc_id") % 4 == 0)
+            # one file -> one input split: spread the CPU-bound
+            # encode+hash stage across cores (the s20 convention)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", "text")
+            .mapInPandas(to_png, "id BIGINT, payload BINARY")
+        )
+        hashes = ops_mm.dhash_images(stream, decoder="png")
+        matched = (
+            hashes.select(
+                F.col("id").alias("doc_id"), F.col("dhash").alias("h")
+            )
+            .select(
+                "doc_id", "h",
+                F.explode(
+                    F.array(*ops_mm._dhash_band_cols(4))
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id", "h",
+                F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"),
+            )
+            .join(idx_side, ["band", "key"])
+            .where(ham <= 3)
+            .select(
+                "doc_id", "index_id", ham.cast("int").alias("hamming")
+            )
+            .dropDuplicates(["doc_id", "index_id"])
+        )
+        q = (
+            matched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s27_stream_dhash: stream timeout")
+        rows_df = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return rows_df
+
+
+_SQL_S27 = """
+WITH h AS (
+  SELECT d.doc_id AS id, g.dhash, (d.doc_id % 4 = 0) AS is_new
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x79_dhash.parquet') g
+    ON g.sha256 = sha256(d.text)
+)
+SELECT b.id AS doc_id, i.id AS index_id,
+       CAST(bit_count(xor(b.dhash, i.dhash)) AS INTEGER) AS hamming
+FROM h b JOIN h i
+  ON b.is_new AND NOT i.is_new
+ AND bit_count(xor(b.dhash, i.dhash)) <= 3
+"""
+
+
 def _q_x86_image_dedup_canonical(spark, sf_dir):
     """End-to-end IMAGE dedup (the x30 pipeline for the image modality):
     the x79 dHash pair graph (decode → fingerprint → banded hamming ≤ 3
@@ -11649,6 +11767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x116_qdigest_quantiles": _q_x116_qdigest_quantiles,
         "s26_stream_qdigest": _q_s26_stream_qdigest,
         "x117_dhash_index_incremental": _q_x117_dhash_index_incremental,
+        "s27_stream_dhash": _q_s27_stream_dhash,
         # -- last driver-recorded in round 7 -----------------------------------
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
@@ -11887,6 +12006,7 @@ def oracle_sql() -> dict[str, str]:
         "x116_qdigest_quantiles": _SQL_X116,
         "s26_stream_qdigest": _SQL_S26,
         "x117_dhash_index_incremental": _SQL_X117,
+        "s27_stream_dhash": _SQL_S27,
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
         "x104_ivf_partition_pruned": _SQL_X104,
