@@ -2899,6 +2899,30 @@ JOIN read_parquet('/root/repo/goldens/x11_decode.parquet') g
 """
 
 
+def _png_fixture(shape):
+    """mapInPandas batcher factory: (doc_id, text) -> (id, payload)
+    with the text's utf-8 bytes cyclically tiled into a ``shape``
+    grayscale image, PNG-encoded by pnglite — THE shared image fixture
+    behind x61/x79/x117/s27 (one definition, so the Spark-side fixture
+    can never drift from the codec-free goldens' index arithmetic)."""
+
+    def to_png(it):
+        import numpy as np
+        import pandas as pd
+
+        from modis_aggregation_spark.sinks.pnglite import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                img = np.resize(np.frombuffer(data, np.uint8), shape)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    return to_png
+
+
 def _q_x61_decode_png(spark, sf_dir):
     """REAL image decode (no fake): each document's utf-8 bytes are
     cyclically tiled into a 12×9 grayscale image, PNG-encoded with the
@@ -2914,16 +2938,7 @@ def _q_x61_decode_png(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def to_png(it):
-        from modis_aggregation_spark.sinks.pnglite import encode_png
-
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                data = text.encode("utf-8") or b"\x00"
-                img = np.resize(np.frombuffer(data, np.uint8), (12, 9))
-                payloads.append(encode_png(img))
-            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+    to_png = _png_fixture((12, 9))
 
     imgs = _spread(docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
     out = ops_mm.decode_images(imgs, decoder="png", out_hw=(8, 8))
@@ -2952,16 +2967,7 @@ def _q_x79_image_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def to_png(it):
-        from modis_aggregation_spark.sinks.pnglite import encode_png
-
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                data = text.encode("utf-8") or b"\x00"
-                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
-                payloads.append(encode_png(img))
-            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+    to_png = _png_fixture((8, 9))
 
     imgs = _spread(docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
     hashes = ops_mm.dhash_images(imgs, decoder="png")
@@ -3000,16 +3006,7 @@ def _x117_dhash_index(spark, sf_dir):
     tag = _corpus_tag(sf_dir)
     base = f"/tmp/spark_graft_x117_idx_{tag}"
 
-    def to_png(it):
-        from modis_aggregation_spark.sinks.pnglite import encode_png
-
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                data = text.encode("utf-8") or b"\x00"
-                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
-                payloads.append(encode_png(img))
-            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+    to_png = _png_fixture((8, 9))
 
     if not os.path.exists(base):
         tmp = f"{base}.{os.getpid()}.tmp"
@@ -3071,16 +3068,7 @@ def _q_x117_dhash_index_incremental(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    def to_png(it):
-        from modis_aggregation_spark.sinks.pnglite import encode_png
-
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                data = text.encode("utf-8") or b"\x00"
-                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
-                payloads.append(encode_png(img))
-            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+    to_png = _png_fixture((8, 9))
 
     batch_docs = docs.filter(F.col("doc_id") % 4 == 0)
     imgs = _spread(batch_docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
@@ -3162,16 +3150,7 @@ def _q_s27_stream_dhash(spark, sf_dir):
         "band", "key",
     )
 
-    def to_png(it):
-        from modis_aggregation_spark.sinks.pnglite import encode_png
-
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                data = text.encode("utf-8") or b"\x00"
-                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
-                payloads.append(encode_png(img))
-            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+    to_png = _png_fixture((8, 9))
 
     src_dir = tempfile.mkdtemp(prefix="s27_src_")
     ckpt_dir = tempfile.mkdtemp(prefix="s27_ckpt_")
@@ -3261,16 +3240,7 @@ def _q_x86_image_dedup_canonical(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
 
-    def to_png(it):
-        from modis_aggregation_spark.sinks.pnglite import encode_png
-
-        for pdf in it:
-            payloads = []
-            for text in pdf["text"]:
-                data = text.encode("utf-8") or b"\x00"
-                img = np.resize(np.frombuffer(data, np.uint8), (8, 9))
-                payloads.append(encode_png(img))
-            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+    to_png = _png_fixture((8, 9))
 
     imgs = _spread(docs.select("doc_id", "text")).mapInPandas(
         to_png, "id BIGINT, payload BINARY"

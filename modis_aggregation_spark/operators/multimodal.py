@@ -803,23 +803,28 @@ def dhash_index_write(
 
 
 def dhash_index_read(
-    spark, name: str, path: str, buckets: int = 16
+    spark, name: str, path: str, buckets: int = 16, num_bands: int = 4
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Attach a ``dhash_index_write`` artifact →
     ``(hashes, banded, band_counts)``.  Bucketing metadata lives in
     the catalog, so a fresh session re-declares the tables via DDL
-    over the existing files; the declared bucket count is VALIDATED
-    against the ``meta`` completion marker (mismatched bucketing would
-    silently misroute joins)."""
-    meta_rows = []
+    over the existing files; BOTH the declared bucket count and the
+    declared band split are VALIDATED against the ``meta`` completion
+    marker — a bucket mismatch would silently misroute the join's
+    hash-partitioning, and a band-split mismatch (8×8-bit index keys
+    probed with 4×16-bit batch keys) would silently align no
+    candidates at all (n_index_dups=0, keep=true for genuine
+    near-duplicates)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         meta_rows = (
             spark.read.schema("buckets INT, num_bands INT")
             .json(f"{path}/meta")
             .collect()
         )
-    except Exception:
-        pass
+    except AnalysisException:
+        meta_rows = []  # missing path: the marker genuinely isn't there
     if not meta_rows:
         raise ValueError(
             f"dhash_index_read: no meta completion marker at {path} — "
@@ -830,6 +835,14 @@ def dhash_index_read(
         raise ValueError(
             f"dhash_index_read: declared buckets={buckets} but the artifact "
             f"was written with buckets={written}; pass the written count"
+        )
+    written_bands = int(meta_rows[0]["num_bands"])
+    if written_bands != int(num_bands):
+        raise ValueError(
+            f"dhash_index_read: declared num_bands={num_bands} but the "
+            f"artifact was written with num_bands={written_bands}; a "
+            "mismatched band split would align no candidates — pass the "
+            "written count"
         )
     if not spark.catalog.tableExists(f"{name}_hashes"):
         spark.sql(

@@ -213,6 +213,10 @@ def test_dhash_index_read_validates_meta(spark, tmp_path):
     M.dhash_index_write(idx, name, str(tmp_path / "i2"), buckets=4)
     with pytest.raises(ValueError, match="buckets=8 but"):
         M.dhash_index_read(spark, name + "_b", str(tmp_path / "i2"), buckets=8)
+    with pytest.raises(ValueError, match="num_bands=8 but"):
+        M.dhash_index_read(
+            spark, name + "_nb", str(tmp_path / "i2"), buckets=4, num_bands=8
+        )
     import shutil
 
     shutil.rmtree(str(tmp_path / "i2" / "meta"))
