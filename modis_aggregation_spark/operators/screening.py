@@ -762,8 +762,11 @@ def qdigest_leaves(
     here does.  This is the streaming-monoid layer: leaf tables merge
     by plain cell-wise SUM (the s26 streaming query aggregates exactly
     this under Structured Streaming's complete mode)."""
-    if not 2 <= universe_bits <= 24:
-        raise ValueError("qdigest: universe_bits must be in 2..24")
+    # cap at 20: a group's compression batch materializes up to
+    # 2^u + input cells in one Arrow batch (u=20 -> ~1M cells ~ 16 MB,
+    # still model-sized; 24 would allow 16M-cell batches)
+    if not 2 <= universe_bits <= 20:
+        raise ValueError("qdigest: universe_bits must be in 2..20")
     u = 1 << universe_bits
     v = F.col(value_col).cast("long")
     ok = (v >= 0) & (v < u) & (v == F.col(value_col).cast("double"))
