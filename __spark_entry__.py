@@ -3211,6 +3211,105 @@ def _q_s27_stream_dhash(spark, sf_dir):
     return rows_df
 
 
+def _q_x118_dhash_capped(spark, sf_dir):
+    """The dHash index's HOT-KEY BUCKET CAP, oracle-verified (round 12
+    — the x5/x92 capped-semantics discipline applied to the image
+    index): same corpus split and artifact as x117, but
+    ``dhash_dup_incremental(max_bucket=2, index_band_counts=...)`` —
+    (band, key) buckets whose UNION occupancy (index + batch) exceeds
+    2 are skipped on BOTH join sides, with the occupancy decision made
+    exchange-free against the pre-aggregated bucketed counts table.  A
+    pair is only missed if EVERY one of its matching bands is
+    oversized, so the oracle re-derives the exact capped semantics in
+    SQL: band keys recomputed from the x79 golden dHashes (arithmetic
+    shift + mask — identical to Spark's shiftright), occupancy counted
+    over ALL ids (index ∪ batch), and a pair counts iff some SHARED
+    band key is within cap AND hamming ≤ 3.  The natural corpus has no
+    hot keys (max occupancy 3, none on real near-dup pairs), so the
+    batch additionally REPLICATES every doc_id % 20 == 0 document at
+    id + 10^9 — identical image, identical dHash: a replicated doc
+    with an exact index twin fills every shared bucket to occupancy 3
+    and its pairs get CAPPED, while a replicated doc without one sits
+    at occupancy 2 and its (original, replica) pair SURVIVES — both
+    branches of the cap proven against the oracle, with counts that
+    provably differ from the uncapped x117 semantics on the same
+    batch."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _hashes_t, bands_t, counts_t = _x117_dhash_index(spark, sf_dir)
+
+    to_png = _png_fixture((8, 9))
+    batch_docs = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
+        )
+    )
+    imgs = _spread(batch_docs).mapInPandas(to_png, "id BIGINT, payload BINARY")
+    batch_hashes = ops_mm.dhash_images(imgs, decoder="png")
+    out = ops_mm.dhash_dup_incremental(
+        batch_hashes, bands_t, max_hamming=3, buckets=8,
+        max_bucket=2, index_band_counts=counts_t,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "dhash",
+        "n_index_dups",
+        "n_batch_prior_dups",
+        "keep",
+    )
+
+
+_SQL_X118 = """
+WITH h0 AS (
+  SELECT d.doc_id AS id, g.dhash, (d.doc_id % 4 = 0) AS is_new
+  FROM documents d
+  JOIN read_parquet('/root/repo/goldens/x79_dhash.parquet') g
+    ON g.sha256 = sha256(d.text)
+),
+h AS (
+  SELECT id, dhash, is_new FROM h0
+  UNION ALL
+  SELECT id + 1000000000, dhash, TRUE FROM h0 WHERE id % 20 = 0
+),
+bk AS (
+  SELECT id, is_new, b.band, (dhash >> (b.band * 16)) & 65535 AS key
+  FROM h, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+ok AS (
+  SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS bid, p.id AS pid, p.is_new AS partner_new
+  FROM bk a
+  JOIN ok USING (band, key)
+  JOIN bk p USING (band, key)
+  WHERE a.is_new AND a.id <> p.id
+),
+verified AS (
+  SELECT c.bid, c.pid, c.partner_new
+  FROM cand c
+  JOIN h a ON a.id = c.bid
+  JOIN h p ON p.id = c.pid
+  WHERE bit_count(xor(a.dhash, p.dhash)) <= 3
+),
+idx_hits AS (
+  SELECT bid, count(*) AS n FROM verified
+  WHERE NOT partner_new GROUP BY bid
+),
+prior_hits AS (
+  SELECT bid, count(*) AS n FROM verified
+  WHERE partner_new AND pid < bid GROUP BY bid
+)
+SELECT b.id AS doc_id, b.dhash,
+       COALESCE(ih.n, 0) AS n_index_dups,
+       COALESCE(ph.n, 0) AS n_batch_prior_dups,
+       (COALESCE(ih.n, 0) = 0 AND COALESCE(ph.n, 0) = 0) AS keep
+FROM h b
+LEFT JOIN idx_hits ih ON ih.bid = b.id
+LEFT JOIN prior_hits ph ON ph.bid = b.id
+WHERE b.is_new
+"""
+
+
 _SQL_S27 = """
 WITH h AS (
   SELECT d.doc_id AS id, g.dhash, (d.doc_id % 4 = 0) AS is_new
@@ -11738,6 +11837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s26_stream_qdigest": _q_s26_stream_qdigest,
         "x117_dhash_index_incremental": _q_x117_dhash_index_incremental,
         "s27_stream_dhash": _q_s27_stream_dhash,
+        "x118_dhash_capped": _q_x118_dhash_capped,
         # -- last driver-recorded in round 7 -----------------------------------
         "r26_range_join": _q_r26_range_join,
         "r27_merge_upsert": _q_r27_merge_upsert,
@@ -11977,6 +12077,7 @@ def oracle_sql() -> dict[str, str]:
         "s26_stream_qdigest": _SQL_S26,
         "x117_dhash_index_incremental": _SQL_X117,
         "s27_stream_dhash": _SQL_S27,
+        "x118_dhash_capped": _SQL_X118,
         "x102_bucketed_index": _SQL_X102,
         "x103_pca_project": _SQL_X103,
         "x104_ivf_partition_pruned": _SQL_X104,
