@@ -1077,3 +1077,84 @@ def test_cmyk_bad_transform_rejected():
     img = np.zeros((8, 8, 4), np.uint8)
     with pytest.raises(ValueError, match="cmyk_transform"):
         encode_jpeg(img, cmyk_transform=1)
+
+
+def test_sof9_custom_dac_conditioning():
+    """NON-DEFAULT DAC conditioning (the values a foreign encoder may
+    emit): hand-build SOF9 streams whose entropy data is coded with
+    custom DC L/U classification thresholds and a custom AC Kx ladder
+    split, declared in the DAC segment — pixels must equal the
+    default-conditioned stream of the SAME coefficients (conditioning
+    moves probabilities between contexts, never values)."""
+    import struct as _struct
+
+    from modis_aggregation_spark.sinks.jpeglite import (
+        _arith_encode_ac_band,
+        _arith_encode_dc,
+        _stuff_ff,
+    )
+    from modis_aggregation_spark.sinks.qmcoder import (
+        FIXED_BIN,
+        QMEncoder,
+        new_ac_stats,
+        new_dc_stats,
+    )
+
+    rng = np.random.default_rng(99)
+    # several blocks with spread-out coefficient magnitudes so the DC
+    # classification actually lands in the small/large buckets
+    blocks = []
+    for t in range(6):
+        zz = [0] * 64
+        zz[0] = int(rng.integers(-200, 200))
+        for k in rng.integers(1, 64, size=6):
+            zz[int(k)] = int(rng.integers(-30, 30))
+        blocks.append(zz)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", 2 + len(payload)
+        ) + payload
+
+    def build(low, up, kx, declare):
+        head = b"\xff\xd8"
+        head += seg(0xDB, b"\x00" + bytes([1] * 64))
+        if declare:
+            head += seg(0xCC, bytes([0x00, (up << 4) | low, 0x10, kx]))
+        out = bytearray(head)
+        out += seg(0xC9, _struct.pack(">BHHB", 8, 8, 8 * len(blocks), 1)
+                   + bytes([1, 0x11, 0]))
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+        enc = QMEncoder()
+        fixed = bytearray([FIXED_BIN])
+        dst, ast = new_dc_stats(), new_ac_stats()
+        pred, ctx = 0, 0
+        for zz in blocks:
+            diff = zz[0] - pred
+            pred = zz[0]
+            ctx = _arith_encode_dc(enc.encode, dst, ctx, diff, low, up)
+            _arith_encode_ac_band(
+                enc.encode, lambda d: enc.encode(fixed, 0, d), ast,
+                zz, 1, 63, kx,
+            )
+        out += _stuff_ff(enc.flush())
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    base = decode_jpeg(build(0, 1, 5, declare=True))
+    for low, up, kx in [(2, 4, 20), (0, 0, 1), (4, 15, 63), (1, 3, 10)]:
+        got = decode_jpeg(build(low, up, kx, declare=True))
+        assert np.array_equal(got, base), (low, up, kx)
+    # and the spec-default stream decodes identically WITHOUT any DAC
+    # segment (F.1.4.4.1.4 defaults)
+    assert np.array_equal(decode_jpeg(build(0, 1, 5, declare=False)), base)
+    # conditioning MISMATCH (coded with one, declared another) must
+    # change pixels — proving the conditioning is actually honored,
+    # not ignored
+    coded_2_4_20 = build(2, 4, 20, declare=True)
+    declared_only = bytearray(coded_2_4_20)
+    i = bytes(declared_only).index(b"\xff\xcc")
+    declared_only[i + 5] = 0x10  # claim L=0/U=1 over (2,4)-coded data
+    declared_only[i + 7] = 5  # claim Kx=5 over 20-coded data
+    mismatched = decode_jpeg(bytes(declared_only))
+    assert not np.array_equal(mismatched, base)
