@@ -1158,3 +1158,57 @@ def test_sof9_custom_dac_conditioning():
     declared_only[i + 7] = 5  # claim Kx=5 over 20-coded data
     mismatched = decode_jpeg(bytes(declared_only))
     assert not np.array_equal(mismatched, base)
+
+
+def test_sof10_arithmetic_restart_segments():
+    """Restart intervals inside progressive ARITHMETIC scans: the
+    statistics areas, predictors, and conditioning reset per segment
+    (fresh QM decoder per restart interval).  Hand-build a 6-block
+    SOF10 stream — DC first scan with DRI=2 (three entropy segments
+    separated by RST markers), AC left at zero — and check it decodes
+    identically to the equivalent unsegmented stream."""
+    import struct as _struct
+
+    from modis_aggregation_spark.sinks.jpeglite import (
+        _arith_encode_dc,
+        _stuff_ff,
+    )
+    from modis_aggregation_spark.sinks.qmcoder import QMEncoder, new_dc_stats
+
+    dcs = [40, -120, 7, 255, -1, 88]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", 2 + len(payload)
+        ) + payload
+
+    def build(ri):
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, b"\x00" + bytes([1] * 64))
+        out += seg(0xCC, bytes([0x00, 0x10]))
+        out += seg(0xCA, _struct.pack(">BHHB", 8, 8, 48, 1)
+                   + bytes([1, 0x11, 0]))
+        if ri:
+            out += seg(0xDD, _struct.pack(">H", ri))
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # DC first Al=0
+        entropy = bytearray()
+        enc, dst, pred, ctx = QMEncoder(), new_dc_stats(), 0, 0
+        rst = 0
+        for t, dc in enumerate(dcs):
+            if ri and t and t % ri == 0:
+                entropy += _stuff_ff(enc.flush())
+                entropy += bytes((0xFF, 0xD0 + (rst & 7)))
+                rst += 1
+                enc, dst, pred, ctx = QMEncoder(), new_dc_stats(), 0, 0
+            ctx = _arith_encode_dc(enc.encode, dst, ctx, dc - pred, 0, 1)
+            pred = dc
+        entropy += _stuff_ff(enc.flush())
+        out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    plain = decode_jpeg(build(0))
+    segmented = decode_jpeg(build(2))
+    assert plain.shape == (8, 48)
+    assert np.array_equal(plain, segmented)
+    assert plain.std() > 0
