@@ -1202,12 +1202,26 @@ def editdist_pairs(
     # explode_outer + null-filter: inner explodes get an optimizer-
     # inferred size>0 filter that re-evaluates the collapsed operand
     # tree per row (round 8, see screening.distinct_ngrams)
-    keyed = neigh.select(
-        "id",
-        F.explode_outer(
-            F.transform(F.col("__neigh"), lambda v: F.xxhash64(v))
-        ).alias("fp"),
-    ).filter(F.col("fp").isNotNull()).dropDuplicates(["id", "fp"])
+    #
+    # localCheckpoint (round 12): the (id, fp) frame feeds the bucket-cap
+    # aggregation AND both sides of the capped self-join, and exchange
+    # reuse does not deduplicate the three references — the executed plan
+    # re-ran the deletion-neighborhood generation (the expensive nested
+    # per-string transform) + explode + dedup shuffle three times.
+    # Materializing the skinny post-dedup rows (≤ C(L,k)+1 per input row,
+    # 16 B each) runs it once; the string payloads are still fetched
+    # per-candidate from the source below, never checkpointed.
+    keyed = (
+        neigh.select(
+            "id",
+            F.explode_outer(
+                F.transform(F.col("__neigh"), lambda v: F.xxhash64(v))
+            ).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+        .dropDuplicates(["id", "fp"])
+        .localCheckpoint()
+    )
 
     big = (
         keyed.groupBy("fp")

@@ -663,6 +663,12 @@ def resample(
     )
     if not gap_fill:
         return agg
+    # localCheckpoint (round 12): ``agg`` feeds the span summary AND the
+    # gap-fill join-back, and exchange reuse does not deduplicate the two
+    # references — the executed plan scanned + aggregated the raw events
+    # twice. Materializing the skinny (key, bucket, avg, n) rows (bounded
+    # by keys × span/bucket, never event count) runs the event pass once.
+    agg = agg.localCheckpoint()
     spans = agg.groupBy("key").agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )

@@ -1250,3 +1250,39 @@ def test_x117_dhash_index_no_index_exchange(spark):
     for n in walk(root):
         if n.getClass().getSimpleName() == "ShuffleExchangeExec":
             assert not moves_raw_index_rows(n), n.simpleString(200)
+
+
+def test_x49_triangles_single_edge_derivation(spark):
+    """Round-12 lock: the wedge pipeline references the canonical edge
+    set 5x and the directed orientation 3x, and exchange reuse does NOT
+    deduplicate them — without materialization the executed plan re-ran
+    the source scan + distinct FIFTEEN times. ``und`` is eagerly
+    localCheckpoint'd (exactly one source scan per call) and ``directed``
+    lazily (first consumer materializes, no extra barrier job): the
+    returned plan must read only checkpointed RDDs, never the source."""
+    plan = _plan(spark, "x49_triangles")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_x54_editdist_single_neighborhood_pass(spark):
+    """Round-12 lock: the (id, fp) deletion-neighborhood frame feeds the
+    bucket-cap aggregation and both self-join sides; without
+    materialization the expensive per-string neighborhood generation ran
+    three times. After the localCheckpoint the only parquet scans left
+    are the two id-keyed payload fetches (which must NOT read from the
+    checkpoint — the strings are deliberately never materialized)."""
+    plan = _plan(spark, "x54_editdist_join")
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "Scan ExistingRDD" in plan
+
+
+def test_x48_resample_single_event_pass(spark):
+    """Round-12 lock: the per-(key, bucket) aggregate feeds the span
+    summary and the gap-fill join-back; without materialization the raw
+    event scan + aggregation ran twice. After the localCheckpoint the
+    plan reads the events exactly zero times (both consumers read the
+    checkpointed skinny aggregate)."""
+    plan = _plan(spark, "x48_resample_interp")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan
