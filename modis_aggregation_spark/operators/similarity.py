@@ -27,6 +27,27 @@ from modis_aggregation_spark.functions.layout import spread_small_scan
 from modis_aggregation_spark.operators.dedup import cosine
 
 
+def _norm(emb_col: str) -> Column:
+    """Euclidean norm of an ARRAY<DOUBLE> column — the exact fold
+    ``cosine()`` uses, split out so join operators can stage it per SIDE
+    (once per row) instead of re-evaluating it per PAIR."""
+    return F.sqrt(
+        F.aggregate(F.col(emb_col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def _cosine_staged(a: str, b: str, na: str, nb: str) -> Column:
+    """``cosine()`` with the two norms read from pre-staged columns.
+    Identical float operation sequence (dot fold, na*nb, nullif, divide)
+    — bit-identical to the inline form, minus the per-pair norm folds."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / F.nullif(F.col(na) * F.col(nb), F.lit(0.0))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,18 +61,25 @@ def cosine_topk(
     ``queries``: (query_id, embedding). Broadcast-joined against the
     corpus; ties broken by neighbor id for determinism.
     """
+    # norms staged per SIDE, below the join (round 12, guide §3.2): the
+    # inline `cosine()` helper evaluates BOTH norm folds per PAIR, so the
+    # corpus norm was recomputed once per query and the query norm once
+    # per corpus row. Staging them as real columns under the join boundary
+    # (which CollapseProject cannot cross) computes each exactly once per
+    # row; per-pair work collapses to the dot product. Same fold, same
+    # order, same nullif — the double is bit-identical.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).cast("array<double>").alias("__ce"),
-    )
+    ).withColumn("__cn", _norm("__ce"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).cast("array<double>").alias("__qe"),
-    )
+    ).withColumn("__qn", _norm("__qe"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("__ce"), F.col("__qe")))
+        .withColumn("cosine", _cosine_staged("__ce", "__qe", "__cn", "__qn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -857,16 +885,19 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).cast("array<double>").alias("__qe"),
     )
-    qp = _probe_lists(qa, centroids, nprobe)
+    # per-side norm staging (round 12) — see cosine_topk; the query norm
+    # is staged after the probe explode (once per (query, probe) row,
+    # nprobe << list size), the corpus norm once per corpus row
+    qp = _probe_lists(qa, centroids, nprobe).withColumn("__qn", _norm("__qe"))
     c = corpus_assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).cast("array<double>").alias("__ce"),
         "list_id",
-    )
+    ).withColumn("__cn", _norm("__ce"))
     scored = (
         c.join(F.broadcast(qp), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("__ce"), F.col("__qe")))
+        .withColumn("cosine", _cosine_staged("__ce", "__qe", "__cn", "__qn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -1182,21 +1213,23 @@ def hard_negatives(
     At full-corpus anchor counts use the IVF/ANN stack to pre-select
     candidates and re-rank exactly, as in x83.
     """
+    # per-side norm staging (round 12) — see cosine_topk: one norm fold
+    # per row instead of two per (anchor, corpus) pair, bit-identical
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__nl"),
         F.col(emb_col).cast("array<double>").alias("__ce"),
-    ).where(F.col("__nl").isNotNull())
+    ).where(F.col("__nl").isNotNull()).withColumn("__cn", _norm("__ce"))
     q = anchors.select(
         F.col(anchor_id_col).alias("anchor_id"),
         F.col(label_col).alias("__al"),
         F.col(emb_col).cast("array<double>").alias("__qe"),
-    ).where(F.col("__al").isNotNull())
+    ).where(F.col("__al").isNotNull()).withColumn("__qn", _norm("__qe"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("anchor_id"))
         .filter(F.col("__nl") != F.col("__al"))
-        .withColumn("cosine", cosine(F.col("__ce"), F.col("__qe")))
+        .withColumn("cosine", _cosine_staged("__ce", "__qe", "__cn", "__qn"))
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -1551,17 +1584,21 @@ def pca_project(
                 )
 
         return staged.mapInPandas(_proj, out_schema)
+    # Each component's multiply-add chain is built as ONE SQL string and
+    # parsed once (round 12): the previous per-term Column algebra made
+    # ~4 py4j round-trips per literal — 5-8 s of pure DRIVER time at
+    # k*d = 512 (measured; Spark execution of the same plan is <1 s).
+    # `{w}L` BIGINT literals × the BIGINT array element reproduce the
+    # exact int64 multiply-add tree term for term, in the same j-ascending
+    # order, so the result is bit-identical to the Column form.
     comps = []
     for c in range(k):
-        acc = None
-        for j in range(dim):
-            w = int(wq[c, j])
-            if w == 0:
-                continue
-            term = F.col("__q").getItem(j) * F.lit(w)
-            acc = term if acc is None else acc + term
-        if acc is None:
-            acc = F.lit(0).cast("long")
+        terms = [
+            f"__q[{j}] * {int(wq[c, j])}L"
+            for j in range(dim)
+            if int(wq[c, j]) != 0
+        ]
+        acc = F.expr(" + ".join(terms)) if terms else F.lit(0).cast("long")
         comps.append(
             (acc.cast("double") / F.lit(qq)) - F.lit(float(offsets[c]))
         )

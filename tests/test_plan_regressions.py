@@ -1286,3 +1286,27 @@ def test_x48_resample_single_event_pass(spark):
     plan = _plan(spark, "x48_resample_interp")
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_x7_cosine_norms_staged_per_side(spark):
+    """Round-12 lock: the brute-force cosine join evaluates each side's
+    norm fold ONCE PER ROW in a project below the join (the corpus norm
+    used to be re-folded once per query and the query norm once per
+    corpus row — per-pair work must be the dot product alone). Exactly
+    two SQRT(aggregate folds in the whole plan, none above the join."""
+    plan = _plan(spark, "x7_cosine_topk")
+    assert plan.count("SQRT(aggregate") == 2, plan
+    join_pos = plan.find("BroadcastNestedLoopJoin")
+    assert join_pos != -1, plan
+    assert "SQRT(aggregate" not in plan[:join_pos], plan[:join_pos]
+
+
+def test_x98_hard_negative_norms_staged_per_side(spark):
+    """Round-12 lock: same staging contract as x7 for hard-negative
+    mining — two per-side norm folds below the broadcast join, per-pair
+    work is the dot product only."""
+    plan = _plan(spark, "x98_hard_negatives")
+    assert plan.count("SQRT(aggregate") == 2, plan
+    join_pos = plan.find("BroadcastNestedLoopJoin")
+    assert join_pos != -1, plan
+    assert "SQRT(aggregate" not in plan[:join_pos], plan[:join_pos]
