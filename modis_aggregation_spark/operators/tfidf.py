@@ -175,43 +175,56 @@ def bm25(
     projection that counts each query term inside the token array. The
     naive explode→groupBy(doc,term)→join-back plan shuffles the corpus
     by doc_id three times; this one never does — and the corpus is
-    tokenized exactly TWICE (the stats agg and the scoring projection —
-    the stats pass is inherent, as in any standardization; round 7
-    shipped three tokenize passes, with df and (avgdl, N) as separate
-    aggregates). Terms absent from the corpus contribute 0 (their tf is
-    0 everywhere).
+    tokenized exactly ONCE (round 12; round 7 shipped three tokenize
+    passes, rounds 8-11 two — the stats agg and the scoring projection
+    each re-derived the token arrays from text). A single pass reduces
+    every document to the skinny per-doc state BOTH consumers need —
+    (dl, tf per query term), |q|+2 numbers per doc — and materializes
+    it (localCheckpoint); the stats aggregate and the scoring
+    projection read that, never the text. ``df_t`` as ``Σ 1[tf_t > 0]``
+    is value-identical to the former ``Σ 1[array_contains]`` (contains
+    ⇔ count > 0; NULL token arrays yield 0.0 through the same
+    when/otherwise), so scores are bit-identical. Terms absent from the
+    corpus contribute 0 (their tf is 0 everywhere).
 
     No counterpart in the reference; extends the TF-IDF family above for
     retrieval-style corpus triage (e.g., topic-targeted data selection).
     """
     terms = sorted({t.lower() for t in query_terms})
-    staged = docs.select(
+
+    def _eq(term: str):
+        return lambda x: x == term
+
+    per_doc = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__toks")
-    )
-    # skinny corpus-wide state in ONE agg pass: df per query term
-    # (conditional sums — indexed aliases, term text may not be a safe
-    # column name) + (avgdl, N) scalars
-    stats = staged.agg(
-        F.avg(F.size("__toks").cast("double")).alias("__avgdl"),
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("double").alias("__dl"),
+        *(
+            F.size(F.filter(F.col("__toks"), _eq(t)))
+            .cast("double")
+            .alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ),
+    ).localCheckpoint()
+    # skinny corpus-wide state in ONE agg pass over the per-doc frame:
+    # df per query term (conditional sums — indexed aliases, term text
+    # may not be a safe column name) + (avgdl, N) scalars
+    stats = per_doc.agg(
+        F.avg(F.col("__dl")).alias("__avgdl"),
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
         *(
-            F.sum(
-                F.when(F.array_contains("__toks", F.lit(t)), 1.0).otherwise(
-                    0.0
-                )
-            ).alias(f"__df_{i}")
+            F.sum(F.when(F.col(f"__tf_{i}") > 0, 1.0).otherwise(0.0)).alias(
+                f"__df_{i}"
+            )
             for i, t in enumerate(terms)
         ),
     )
-    scored = staged.crossJoin(F.broadcast(stats))
-    dl = F.size("__toks").cast("double")
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    dl = F.col("__dl")
     contribs = []
     for i, t in enumerate(terms):
-
-        def _eq(term: str):
-            return lambda x: x == term
-
-        tf = F.size(F.filter(F.col("__toks"), _eq(t))).cast("double")
+        tf = F.col(f"__tf_{i}")
         df_t = F.col(f"__df_{i}")
         idf = F.log(
             F.lit(1.0) + (F.col("__n_docs") - df_t + 0.5) / (df_t + 0.5)

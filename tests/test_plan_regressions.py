@@ -572,19 +572,21 @@ def test_x13_tfidf_single_tokenize_pass(spark):
     assert "strategy=broadcast" not in logical
 
 
-def test_x42_bm25_two_scans_no_shuffle(spark):
-    """bm25 (round-8 audit): exactly TWO corpus scans — the 1-row
-    stats agg (df per query term + avgdl + N as conditional sums in ONE
-    agg; round 7 ran df and scalars as separate passes = three scans)
-    and the map-only scoring projection.  No doc-keyed shuffle at all:
-    the only exchanges are the single-partition stats agg and the
-    top-k sort."""
+def test_x42_bm25_single_tokenize_no_shuffle(spark):
+    """bm25 (round-12): the corpus tokenizes exactly ONCE — a single
+    pass reduces each doc to the skinny (dl, tf per term) state and
+    localCheckpoints it; the stats agg and the scoring projection both
+    read the checkpointed frame, so the returned plan holds ZERO
+    parquet scans (round 7 ran three tokenize passes, rounds 8-11 two).
+    Still no doc-keyed shuffle: the only exchange is the
+    single-partition stats agg."""
     df = entry.queries()["x42_bm25"](spark, SF)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString().split(
         "+- == Initial Plan =="
     )[0]
-    assert final.count("FileScan parquet") == 2
+    assert final.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in final
     assert final.count("Exchange hashpartitioning") == 0
 
 
