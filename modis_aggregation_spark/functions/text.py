@@ -153,9 +153,27 @@ def text_profile(df, content_col: str = "text", lang: str = "en"):
     no_ws = F.col("__no_ws")
     n = F.nullif(F.size(toks), F.lit(0))
     punct = F.regexp_replace(no_ws, r"[A-Za-z0-9]", "")
-    pr = F.length(punct) / F.nullif(F.length(no_ws), F.lit(0))
-    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))) / n
-    mwl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n
+    # second staging layer (round 12): the three ratios feed both their
+    # output column AND the quality formula — left inline, the executed
+    # plan re-ran the mean-word-length fold 3x, the stopword filter 2x
+    # and the punctuation regexp 2x per row (Catalyst CSEs only cheap
+    # size/length subtrees).  Multi-referenced non-cheap projections
+    # survive CollapseProject (same mechanism that keeps __toks staged)
+    # — verified on the executed plan: each runs exactly once.
+    staged = staged.withColumns(
+        {
+            "__pr": F.length(punct) / F.nullif(F.length(no_ws), F.lit(0)),
+            "__sw": F.size(
+                F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+            ) / n,
+            "__mwl": F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ) / n,
+        }
+    )
+    pr = F.col("__pr")
+    sw = F.col("__sw")
+    mwl = F.col("__mwl")
     wc = F.size(toks)
     len_score = F.least(wc / F.lit(100.0), F.lit(1.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - pr * 4)
@@ -187,7 +205,7 @@ def text_profile(df, content_col: str = "text", lang: str = "en"):
             "quality": len_score * 0.3 + punct_pen * 0.3 + sw_score * 0.2 + mwl_score * 0.2,
             "lang": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
         }
-    ).drop("__toks", "__no_ws")
+    ).drop("__toks", "__no_ws", "__pr", "__sw", "__mwl")
 
 
 # PII patterns — ASCII classes, no lookarounds, so Java regex (Spark) and

@@ -1312,3 +1312,16 @@ def test_x98_hard_negative_norms_staged_per_side(spark):
     join_pos = plan.find("BroadcastNestedLoopJoin")
     assert join_pos != -1, plan
     assert "SQRT(aggregate" not in plan[:join_pos], plan[:join_pos]
+
+
+def test_x2_text_profile_single_fold_per_ratio(spark):
+    """Round-12 lock: the mean-word-length fold, stopword filter and
+    punctuation regexp each feed their output column AND the quality
+    formula — they must be staged columns evaluated once per row, not
+    re-expanded per reference (the inline form ran the fold 3x and the
+    filter/regexp 2x; Catalyst CSEs only cheap size/length subtrees)."""
+    df = entry.queries()["x2_text_stats"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan.count("aggregate(")
+    # 2 = tokenize's empty-string filter + ONE stopword filter (was 3)
+    assert plan.count("filter(") == 2, plan.count("filter(")
