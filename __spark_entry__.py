@@ -1853,9 +1853,13 @@ GROUP BY 1, 2
 def _q_r25_asof_join(spark, sf_dir):
     """As-of join (point-in-time lookup): each click takes the latest
     prior-or-equal view of the same user. Union-marker + running last()
-    window — ONE shuffle on user_id, no theta join. The right side is
-    pre-aggregated to one row per (user, ts) so the matched payload is
-    deterministic (ASOF is otherwise ambiguous among equal-ts rows)."""
+    window — ONE shuffle on user_id, no theta join. Determinism among
+    equal-ts views comes from the window tie-break on event_id (round
+    12): ascending tie + running last() resolves each click to the
+    max-event_id view of the latest matching ts — row-for-row identical
+    to the previous per-(user, ts) max/max_by pre-aggregation (event_id
+    is unique), without the pre-aggregation's extra full shuffle of the
+    view side."""
     from modis_aggregation_spark.operators.temporal import asof_join
 
     _ensure_utc(spark)
@@ -1863,17 +1867,16 @@ def _q_r25_asof_join(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts"
     )
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max("event_id").alias("view_event_id"),
-            F.max_by("value", "event_id").alias("view_value"),
-        )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
     )
     out = asof_join(
         clicks, views, on="user_id", ts_col="ts",
         right_cols=("view_event_id", "view_value"),
+        tie_break_cols=("view_event_id",),
     )
     return out.select(
         "user_id",

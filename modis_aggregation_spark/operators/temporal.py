@@ -40,6 +40,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_sec: float | None = None,
     suffix: str = "_r",
+    tie_break_cols: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (``backward``; ``forward`` = earliest with
@@ -48,8 +49,14 @@ def asof_join(
 
     Ties: an equal-timestamp right row DOES match (>= / <=, like DuckDB's
     ASOF). Among right rows sharing the extreme timestamp the window picks
-    one nondeterministically — pre-aggregate the right side to one row per
-    (key, ts) if the payload must be deterministic.
+    one nondeterministically UNLESS ``tie_break_cols`` names right-side
+    columns that make the order total: rows tie-sort ASCENDING on them,
+    so ``backward`` (running last) resolves to the LARGEST tie-break and
+    ``forward`` (running first) to the SMALLEST. Passing a unique
+    tie-break is the scale shape for deterministic payloads — it replaces
+    the pre-aggregate-per-(key, ts) workaround, which cost a full extra
+    shuffle of the right side (round 12; the tie columns only widen the
+    per-key sort, no new exchange).
 
     Output: all left columns, then ``<ts_col><suffix>`` and
     ``<c><suffix>`` for each of ``right_cols``.
@@ -65,15 +72,25 @@ def asof_join(
     # side sorts the right row BEFORE the left at equal ts for backward
     # (so last() sees it) and AFTER for forward (so first() sees it).
     r_side = 0 if direction == "backward" else 2
+    tbs = [f"__asof_tb{i}" for i in range(len(tie_break_cols))]
     r = (
         right.where(F.col(ts_col).isNotNull())
-        .select(*keys, ts_col, payload.alias(_PAYLOAD))
+        .select(
+            *keys,
+            ts_col,
+            payload.alias(_PAYLOAD),
+            *[F.col(c).alias(a) for c, a in zip(tie_break_cols, tbs)],
+        )
         .withColumn(_SIDE, F.lit(r_side))
     )
     l = left.withColumn(_PAYLOAD, F.lit(None).cast(r.schema[_PAYLOAD].dataType)).withColumn(
         _SIDE, F.lit(1)
     )
-    unioned = l.select(*left.columns, _PAYLOAD, _SIDE).unionByName(
+    r_tb_types = {a: dict(r.dtypes)[a] for a in tbs}
+    l = l.withColumns(
+        {a: F.lit(None).cast(r_tb_types[a]) for a in tbs}
+    ) if tbs else l
+    unioned = l.select(*left.columns, _PAYLOAD, _SIDE, *tbs).unionByName(
         r.select(
             *keys,
             *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
@@ -81,10 +98,13 @@ def asof_join(
             ts_col,
             _PAYLOAD,
             _SIDE,
-        ).select(*left.columns, _PAYLOAD, _SIDE)
+            *tbs,
+        ).select(*left.columns, _PAYLOAD, _SIDE, *tbs)
     )
 
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(_SIDE))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), F.col(_SIDE), *[F.col(a) for a in tbs]
+    )
     if direction == "backward":
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         carried = F.last(F.col(_PAYLOAD), ignorenulls=True).over(frame)

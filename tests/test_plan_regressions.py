@@ -1325,3 +1325,14 @@ def test_x2_text_profile_single_fold_per_ratio(spark):
     assert plan.count("aggregate(") == 1, plan.count("aggregate(")
     # 2 = tokenize's empty-string filter + ONE stopword filter (was 3)
     assert plan.count("filter(") == 2, plan.count("filter(")
+
+
+def test_r25_asof_single_exchange_no_preagg(spark):
+    """Round-12 lock: the as-of join is ONE user_id exchange over the
+    union — determinism among equal-ts views comes from the window
+    tie-break on event_id, not a per-(user, ts) pre-aggregation (which
+    cost a second full shuffle of the view side + two HashAggregates
+    for zero row reduction: event timestamps are unique per user)."""
+    plan = _plan(spark, "r25_asof_join")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" not in plan, plan
