@@ -294,22 +294,31 @@ def c4_clean(
             & ~F.contains(F.lower(t), F.lit("javascript"))
         )
 
-    kept = F.filter(lines, _keep)
-    clean = F.array_join(kept, "\n")
-    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    # the filtered line array is a MATERIALIZED column (round 12): it
+    # feeds n_lines_kept, clean_text and (via the sentence count) kept —
+    # left inline, the executed plan re-ran the per-line RLIKE battery
+    # THREE times per row.  clean_text is likewise staged before the
+    # sentence count reads it.  Multi-referenced non-cheap projections
+    # survive CollapseProject; verified on the executed plan.
+    staged = staged.withColumn("__c4_kept", F.filter(lines, _keep))
+    kept = F.col("__c4_kept")
     raw = F.col(content_col)
-    return staged.withColumns(
+    staged = staged.withColumns(
         {
             "n_lines": F.size(lines),
             "n_lines_kept": F.size(kept),
-            "clean_text": clean,
-            "kept": (
-                (n_sent >= F.lit(min_sentences))
-                & ~F.contains(raw, F.lit("{"))
-                & ~F.contains(F.lower(raw), F.lit("lorem ipsum"))
-            ),
+            "clean_text": F.array_join(kept, "\n"),
         }
-    ).drop("__lines")
+    )
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("clean_text"), F.lit(r"[.!?]"), 0)
+    )
+    return staged.withColumn(
+        "kept",
+        (n_sent >= F.lit(min_sentences))
+        & ~F.contains(raw, F.lit("{"))
+        & ~F.contains(F.lower(raw), F.lit("lorem ipsum")),
+    ).drop("__lines", "__c4_kept")
 
 
 GOPHER_STOPWORDS: tuple[str, ...] = (
@@ -369,7 +378,12 @@ def gopher_quality(
     for s in GOPHER_STOPWORDS:
         hit = F.array_contains(words, s).cast("int")
         stop_hits = hit if stop_hits is None else stop_hits + hit
-    return staged.withColumns(
+    # metrics are MATERIALIZED columns and the pass conjunct reads the
+    # ATTRIBUTES (round 12): inline, every regex/filter metric was
+    # evaluated twice per row — once for its output column and once
+    # inside gopher_pass.  Multi-referenced non-cheap projections
+    # survive CollapseProject; verified on the executed plan.
+    staged = staged.withColumns(
         {
             "word_count": wc,
             "mean_word_len": mwl,
@@ -378,16 +392,17 @@ def gopher_quality(
             "ellipsis_frac": ellipsis_frac,
             "alpha_frac": alpha_frac,
             "n_stopword_hits": stop_hits,
-            "gopher_pass": (
-                wc.between(min_words, max_words)
-                & mwl.between(min_mean_word_len, max_mean_word_len)
-                & (symbol_ratio <= max_symbol_ratio)
-                & (bullet_frac <= max_bullet_frac)
-                & (ellipsis_frac <= max_ellipsis_frac)
-                & (alpha_frac >= min_alpha_frac)
-                & (stop_hits >= min_stopwords)
-            ),
         }
+    )
+    return staged.withColumn(
+        "gopher_pass",
+        F.col("word_count").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stopword_hits") >= min_stopwords),
     ).drop("__gw", "__gl")
 
 

@@ -1336,3 +1336,23 @@ def test_r25_asof_single_exchange_no_preagg(spark):
     plan = _plan(spark, "r25_asof_join")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_x31_x32_screen_battery_staged_once(spark):
+    """Round-12 lock: c4_clean's filtered line array and gopher_quality's
+    metric columns are staged once per row — inline, the per-line RLIKE
+    battery ran 3x (kept-lines + clean_text + sentence count) and every
+    gopher metric twice (output column + the pass conjunct): 9
+    lambda-filters / 16 array_contains in the executed screen plan vs 4/8
+    staged."""
+    from modis_aggregation_spark.functions.text import (
+        c4_clean,
+        gopher_quality,
+        pii_scrub,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = pii_scrub(gopher_quality(c4_clean(docs, min_sentences=1)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lambdafunction") == 4, plan.count("lambdafunction")
+    assert plan.count("array_contains") == 8, plan.count("array_contains")
