@@ -260,6 +260,19 @@ def minhash_lsh_pairs(
         .select("band", "key")
     )
     capped = banded.join(F.broadcast(big), ["band", "key"], "left_anti")
+    # the capped band-key frame feeds BOTH self-join sides; inline, each
+    # side re-ran the explode + the bucket-count aggregation + the anti
+    # join (2 full band passes, 2 count shuffles — round 12, measured
+    # 1.66 -> 1.26 s at sf0.1).  Materialize it LAZILY: the first
+    # consumer computes it once, the other side reads the blocks — no
+    # extra barrier job.  The rows are exactly the skinny (id, band,
+    # key) triples the join shuffles anyway (~24 B x num_bands per doc),
+    # so the materialization is scale-safe at any corpus size, and the
+    # now-exact size statistics stop the planner electing a broadcast
+    # it could not afford at real scale (CLAUDE.md rule 9's failure
+    # mode) — the 1000-row bucket cap keeps collision mass bounded
+    # either way.
+    capped = capped.localCheckpoint(eager=False)
 
     # same-lineage alias self-join (not two select-renamed copies)
     lhs, rhs = capped.alias("l"), capped.alias("r")

@@ -1356,3 +1356,15 @@ def test_x31_x32_screen_battery_staged_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lambdafunction") == 4, plan.count("lambdafunction")
     assert plan.count("array_contains") == 8, plan.count("array_contains")
+
+
+def test_x5_minhash_capped_bands_single_pass(spark):
+    """Round-12 lock: the capped (id, band, key) frame feeds both LSH
+    self-join sides — it must be materialized (lazy localCheckpoint)
+    so the explode + bucket-count aggregation + anti-join run once,
+    not once per side (the inline form ran 2 full band passes and 2
+    count shuffles).  Both self-join sides must read the checkpointed
+    RDD; no Generate (explode) may remain in the returned plan."""
+    plan = _plan(spark, "x5_minhash_pairs")
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "Generate explode" not in plan, plan
