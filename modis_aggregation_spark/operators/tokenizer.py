@@ -923,9 +923,19 @@ def wordpiece_encode(
         F.col(id_col).alias("id"),
         F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "word"),
     )
-    alphabet = (
+    # distinct words materialized ONCE (skinny, Zipf-bounded): the
+    # alphabet derivation and the Arrow encode pass both read it.  The
+    # inline form re-tokenized the corpus a third time for the alphabet
+    # and char-exploded every word OCCURRENCE before the distinct
+    # (round 12, measured — chars of distinct words are the same set).
+    words = (
         exploded.filter(F.col("word").isNotNull())
-        .select(F.explode(_wp_chars(F.col("word"))).alias("s"))
+        .select("word")
+        .distinct()
+        .localCheckpoint()
+    )
+    alphabet = (
+        words.select(F.explode(_wp_chars(F.col("word"))).alias("s"))
         .distinct()
         .collect()
     )
@@ -960,12 +970,7 @@ def wordpiece_encode(
                 toks_col.append(out)
             yield pd.DataFrame({"word": pdf["word"], "toks": toks_col})
 
-    word_toks = (
-        exploded.filter(F.col("word").isNotNull())
-        .select("word")
-        .distinct()
-        .mapInPandas(enc, "word STRING, toks ARRAY<STRING>")
-    )
+    word_toks = words.mapInPandas(enc, "word STRING, toks ARRAY<STRING>")
     return (
         exploded.join(word_toks, "word", "left")
         .groupBy("id")

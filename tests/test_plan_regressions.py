@@ -1368,3 +1368,17 @@ def test_x5_minhash_capped_bands_single_pass(spark):
     plan = _plan(spark, "x5_minhash_pairs")
     assert plan.count("Scan ExistingRDD") >= 2, plan
     assert "Generate explode" not in plan, plan
+
+
+def test_x91_wordpiece_encode_single_corpus_scan(spark):
+    """Round-12 lock: wordpiece encode derives the alphabet AND the Arrow
+    encode pass from ONE materialized distinct-word frame — the inline
+    form tokenized the corpus three times (alphabet char-explode over
+    word OCCURRENCES, the distinct-word encode, the re-attach join).
+    The returned plan must hold exactly one corpus scan (the re-attach
+    pass) with the MapInPandas fed by the checkpointed words."""
+    plan = _plan(spark, "x91_wordpiece_encode")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
