@@ -37,7 +37,22 @@ def merge_upsert(
     not emitted).
 
     Schemas must agree on the non-key columns being merged; the output
-    column order is the target's.
+    column order is the target's. Target keys must be unique (the MERGE
+    precondition every lake format enforces): a matched target row is
+    replaced by its source row, so duplicate target keys would collapse
+    to one surviving row per matching source row.
+
+    Shape (round 12): anti-join + union instead of the previous
+    full-outer join — because matched rows take ALL source values, the
+    output is exactly (target rows whose key has no source row) ∪
+    (non-deleted source rows). The anti side carries only the source
+    KEYS, so when source ≪ target (the normal MERGE regime) the plan is
+    a broadcast anti hash join with ZERO shuffles, where the full-outer
+    form shuffled and sorted both whole snapshots even for a 1-row
+    source. Row-for-row identical to the join+coalesce form for unique
+    target keys (incl. NULL source values — the union branch carries
+    the source row wholesale, which is what the whole-row-upsert CASE
+    produced).
     """
     keys = list(key_cols)
     data_cols = [c for c in target.columns if c not in keys]
@@ -46,24 +61,13 @@ def merge_upsert(
         s = s.withColumn("__del", F.lit(False))
     else:
         s = s.withColumn("__del", F.coalesce(F.col(delete_col), F.lit(False)))
-    s = s.select(
-        *keys, *[F.col(c).alias(f"__s_{c}") for c in data_cols], "__del"
+    # keys of EVERY source row (deletes included) knock out the matched
+    # target rows; non-deleted source rows are the replacement/insert set
+    kept = target.join(s.select(*keys), on=keys, how="left_anti")
+    upserts = s.where(~F.col("__del")).select(*keys, *data_cols)
+    return kept.select(*target.columns).unionByName(
+        upserts.select(*target.columns)
     )
-    joined = target.join(s, on=keys, how="full_outer")
-    merged = joined.where(~F.coalesce(F.col("__del"), F.lit(False))).select(
-        *keys,
-        *[
-            # __del is never-null on source rows, so its presence marks
-            # "source row exists" even when the source value is NULL —
-            # a whole-row upsert must take a NULL source value, which a
-            # bare coalesce(source, target) would silently skip
-            F.when(F.col("__del").isNotNull(), F.col(f"__s_{c}"))
-            .otherwise(F.col(c))
-            .alias(c)
-            for c in data_cols
-        ],
-    )
-    return merged.select(*target.columns)
 
 
 def snapshot_diff(

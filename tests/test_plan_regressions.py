@@ -620,17 +620,22 @@ def test_m5_hist_1d_single_shuffle_partial_agg(spark):
 
 
 def test_r27_merge_upsert_plan_shape(spark):
-    """R27 MERGE snapshot rewrite (round-8 lock after the r7 bench
-    drift, attributed to host noise — r8 re-measured 0.376 s vs r6's
-    0.380 s): the source→target match stays ONE equi-join (SMJ on the
-    full snapshots is the intended co-partitioned shape at scale; AQE
-    may elect broadcast when small), never a cartesian, and no more
-    than the two key exchanges."""
+    """R27 MERGE snapshot rewrite (round-12 shape): anti-join + union
+    replaced the full-outer join — matched rows take ALL source values,
+    so the output is (target anti source-keys) ∪ (non-deleted source).
+    The anti side carries only the source KEYS (keys-only ReadSchema on
+    the anti-side scans) and broadcasts when small, so the whole merge
+    runs with ZERO hash exchanges and zero sorts where the full-outer
+    form shuffled+sorted both snapshots. At scale an oversized source
+    degrades to SMJ LeftAnti — still strictly less data moved than the
+    full outer (keys vs whole rows on the source side)."""
     plan = _plan(spark, "r27_merge_upsert")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" not in plan
+    assert "LeftAnti" in plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") == 0
 
 
 def test_x92_incremental_no_index_reshingle(spark):
