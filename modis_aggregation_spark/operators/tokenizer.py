@@ -808,10 +808,18 @@ def wordpiece_train(
     merges: list[tuple[int, str, str, str, int, int, int]] = []
     applied_since_ckpt = 0
     while len(merges) < num_merges:
+        # lazy localCheckpoint: the symbol-count table has TWO consumers
+        # (the l_cnt and r_cnt join sides) and Catalyst splices a
+        # separate agg subtree into each — the whole explode+agg pass
+        # over the vocab ran twice per round (round 12, measured).  The
+        # lazy form makes both sides read one shared RDD with no extra
+        # barrier job; the table is symbol-level (alphabet + merges) —
+        # trivially small at any corpus scale.
         units = (
             vocab.select(F.explode("syms").alias("s"), "count")
             .groupBy("s")
             .agg(F.sum("count").alias("u_cnt"))
+            .localCheckpoint(eager=False)
         )
         pairs = (
             vocab.select(
