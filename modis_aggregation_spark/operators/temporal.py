@@ -523,37 +523,45 @@ def _ewma_partitioned(
         for pdf in batches:
             if pdf.empty:
                 continue
-            outs = []
-            # contiguous key runs (the partition is sorted by key)
-            run_starts = [0] + [
-                i
-                for i in range(1, len(pdf))
-                if pdf["key"].iat[i] != pdf["key"].iat[i - 1]
-            ] + [len(pdf)]
+            n_rows = len(pdf)
+            keys = pdf["key"].to_numpy()
+            values = pdf["value"].to_numpy()
+            # contiguous key runs (the partition is sorted by key) —
+            # vectorized boundary detection; the previous per-row
+            # Python .iat comparison loop was O(rows) interpreter work
+            # per batch (round 12)
+            bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            run_starts = np.concatenate(([0], bounds, [n_rows]))
+            lidx = np.empty(n_rows, dtype=np.int64)
+            lnum = np.empty(n_rows, dtype=np.float64)
+            lden = np.empty(n_rows, dtype=np.float64)
             for s, e in zip(run_starts[:-1], run_starts[1:]):
-                seg = pdf.iloc[s:e]
-                k = seg["key"].iat[0]
+                k = keys[s]
                 if k != state["key"]:
                     state.update(key=k, num=0.0, den=0.0, idx=0)
                 nums, dens = _ewma_segment_scan(
-                    seg["value"].to_numpy(), state["num"], state["den"], beta
+                    values[s:e], state["num"], state["den"], beta
                 )
-                n = len(seg)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "key": seg["key"].to_numpy(),
-                            "pid": seg["pid"].to_numpy(),
-                            "lidx": state["idx"] + 1 + np.arange(n, dtype=np.int64),
-                            "ts": seg["ts"].to_numpy(),
-                            "value": seg["value"].to_numpy(),
-                            "lnum": nums,
-                            "lden": dens,
-                        }
-                    )
+                n = e - s
+                lidx[s:e] = state["idx"] + 1 + np.arange(n, dtype=np.int64)
+                lnum[s:e] = nums
+                lden[s:e] = dens
+                state.update(
+                    num=float(nums[-1]),
+                    den=float(dens[-1]),
+                    idx=state["idx"] + n,
                 )
-                state.update(num=float(nums[-1]), den=float(dens[-1]), idx=state["idx"] + n)
-            yield pd.concat(outs, ignore_index=True)
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "pid": pdf["pid"].to_numpy(),
+                    "lidx": lidx,
+                    "ts": pdf["ts"].to_numpy(),
+                    "value": values,
+                    "lnum": lnum,
+                    "lden": lden,
+                }
+            )
 
     # MATERIALIZED ONCE, LINEAGE TRUNCATED: the scan feeds two consumers
     # (the end-state aggregation on the broadcast side and the final
@@ -574,32 +582,74 @@ def _ewma_partitioned(
         F.max_by("lden", "lidx").alias("eden"),
     )
 
-    prefix_schema = f"key {key_t}, pid int, pnum double, pden double, poffset long"
-
-    def _carry(pdf):
-        pdf = pdf.sort_values("pid").reset_index(drop=True)
-        pn = pd_ = 0.0
-        off = 0
-        pnum, pden, poff = [], [], []
-        for cnt, en, ed in zip(pdf["cnt"], pdf["enum"], pdf["eden"]):
-            pnum.append(pn)
-            pden.append(pd_)
-            poff.append(off)
-            decay = beta ** float(cnt)
-            pn = decay * pn + en
-            pd_ = decay * pd_ + ed
-            off += int(cnt)
-        return pd.DataFrame(
-            {
-                "key": pdf["key"],
-                "pid": pdf["pid"],
-                "pnum": pnum,
-                "pden": pden,
-                "poffset": poff,
-            }
+    # per-key carry fold — pure codegen (round 12).  This was an
+    # applyInPandas calling a Python function once per KEY: ~3 ms of
+    # pandas-frame construction per group × #keys dominated the whole
+    # operator (measured 5.4 s of the 7 s slot for 1500 keys at sf0.1),
+    # and the broadcast below re-executed it.  Each key has ≤
+    # #partitions segments, so the exclusive prefix scan is a bounded
+    # HOF fold over one collected struct array: sort_array orders
+    # segments by pid (unique per key — deterministic), the aggregate
+    # appends the PRE-update state per segment (appends bounded by
+    # #partitions), and the same `decay·prefix + end` recurrence runs in
+    # the JVM.  explode_outer + isNotNull per CLAUDE.md rule 2b.
+    segs = ends.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("pid", "cnt", "enum", "eden"))
+        ).alias("__segs")
+    )
+    empty_prefix = F.slice(
+        F.array(
+            F.struct(
+                F.lit(0).cast("int").alias("pid"),
+                F.lit(0.0).alias("pnum"),
+                F.lit(0.0).alias("pden"),
+                F.lit(0).cast("long").alias("poffset"),
+            )
+        ),
+        1,
+        0,
+    )
+    carry0 = F.struct(
+        F.lit(0.0).alias("pn"),
+        F.lit(0.0).alias("pd"),
+        F.lit(0).cast("long").alias("off"),
+        empty_prefix.alias("out"),
+    )
+    folded = F.aggregate(
+        F.col("__segs"),
+        carry0,
+        lambda acc, s: F.struct(
+            (
+                F.pow(F.lit(beta), s["cnt"].cast("double")) * acc["pn"]
+                + s["enum"]
+            ).alias("pn"),
+            (
+                F.pow(F.lit(beta), s["cnt"].cast("double")) * acc["pd"]
+                + s["eden"]
+            ).alias("pd"),
+            (acc["off"] + s["cnt"]).alias("off"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        s["pid"].alias("pid"),
+                        acc["pn"].alias("pnum"),
+                        acc["pd"].alias("pden"),
+                        acc["off"].alias("poffset"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    prefixes = (
+        segs.select("key", F.explode_outer(folded).alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .select(
+            "key", "__p.pid", "__p.pnum", "__p.pden", "__p.poffset"
         )
-
-    prefixes = ends.groupBy("key").applyInPandas(_carry, prefix_schema)
+    )
 
     decay = F.pow(F.lit(beta), F.col("lidx").cast("double"))
     return (

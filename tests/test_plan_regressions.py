@@ -213,6 +213,14 @@ def test_x66_ewma_partitioned_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint
+    # round 12: the per-key carry fold is a pure-codegen HOF aggregate
+    # over the collected segment array — the applyInPandas it replaced
+    # paid ~3 ms of pandas-frame construction per KEY (5.4 s of the 7 s
+    # slot at sf0.1) and re-ran inside the broadcast. The only Python
+    # node left is the stage-1 segment scan (behind the checkpoint, so
+    # invisible here — zero Pandas nodes in the returned plan).
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("aggregate(") >= 1  # the carry fold
     # stage-1 subtree: range split + in-partition sort ahead of the scan
     from pyspark.sql import functions as F
 
