@@ -590,7 +590,19 @@ def kneser_ney_lm(
     """
     if pairs is None:
         pairs = _doc_bigrams(docs, content_col, None)
-    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # lazy localCheckpoint (round 12): the count table has FOUR consumers
+    # (probability join, w1-marginal, w2-continuation, global total) and
+    # Catalyst spliced the whole upstream tree into each — with inline
+    # pairs that was four corpus scans + tokenize passes per run
+    # (plan-verified).  The materialized frame is the vocabulary²-bounded
+    # count table (one row per observed bigram), the scale-safe thing to
+    # hold; lazy = the first consumer (the broadcast total) materializes
+    # it, no extra barrier job.
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     c1t = bg.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("__n1f")
     )
@@ -676,7 +688,16 @@ def bm25_topk_queries(
         .filter(F.col("term").isNotNull())
         .distinct()
     )
-    tf_q = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # lazy localCheckpoint (round 12): the query-term postings feed BOTH
+    # the document-frequency aggregate and the scoring join, and each
+    # consumer re-ran the whole corpus tokenize + posting aggregation
+    # (plan-verified: two of the three documents scans were this
+    # subtree).  The materialized rows are postings of QUERY terms only
+    # — bounded by the query bag, scale-safe; lazy = the df_q broadcast
+    # materializes it, the scoring join reads the blocks.
+    tf_q = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).localCheckpoint(eager=False)
     df_q = tf_q.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("__df")
     )

@@ -1002,9 +1002,11 @@ def test_x97_bm25_retrieval_broadcast_daat(spark):
     """Batch BM25 retrieval: the query bag, the filtered df table and
     the global stats all broadcast into the index scan (no sort-merge
     join anywhere), and the per-query top-k prunes below the exchange
-    as WindowGroupLimit."""
+    as WindowGroupLimit. Round 12: the qterms pre-filter join lives
+    INSIDE the checkpointed tf_q subtree now, so the returned plan
+    shows the scoring-side broadcasts only (qterms fan-out + df_q)."""
     plan = _plan(spark, "x97_bm25_retrieval")
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
@@ -1395,3 +1397,28 @@ def test_x91_wordpiece_encode_single_corpus_scan(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_x96_kneser_ney_single_corpus_pass(spark):
+    """Round-12 lock: every Kneser-Ney statistic (probability join,
+    w1-marginal, w2-continuation, global total) reads the ONE lazily
+    checkpointed bigram-count table — the inline form spliced the whole
+    corpus scan + tokenize + bigram explode into each of the four
+    consumers (plan-verified: four documents scans). The returned plan
+    must hold zero parquet scans (the single corpus pass happens when
+    the first consumer materializes the checkpoint)."""
+    plan = _plan(spark, "x96_kneser_ney")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 4, plan
+
+
+def test_x97_bm25_retrieval_single_postings_pass(spark):
+    """Round-12 lock: the query-term postings (tf_q) feed BOTH the
+    document-frequency aggregate and the scoring join from one lazily
+    checkpointed frame — the inline form re-ran the corpus tokenize +
+    posting aggregation for each (3 documents scans before, 1 after:
+    the global-stats pass, which needs every doc's length including
+    docs with no query terms)."""
+    plan = _plan(spark, "x97_bm25_retrieval")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
