@@ -11832,59 +11832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gets driver confirmation the moment that cohort re-enters (~r9).
     # Keys and aliases unchanged.
     return {
-        # -- NEW in round 12 (no driver record yet) -----------------------------
-        "x114_decode_arithmetic": _q_x114_decode_arithmetic,
-        "r63_global_percentile": _q_r63_global_percentile,
-        "x115_qdigest": _q_x115_qdigest,
-        "x116_qdigest_quantiles": _q_x116_qdigest_quantiles,
-        "s26_stream_qdigest": _q_s26_stream_qdigest,
-        "x117_dhash_index_incremental": _q_x117_dhash_index_incremental,
-        "s27_stream_dhash": _q_s27_stream_dhash,
-        "x118_dhash_capped": _q_x118_dhash_capped,
-        # -- last driver-recorded in round 7 -----------------------------------
-        "r26_range_join": _q_r26_range_join,
-        "r27_merge_upsert": _q_r27_merge_upsert,
-        "r28_scd2": _q_r28_scd2,
-        "r29_unpivot": _q_r29_unpivot,
-        "r30_snapshot_diff": _q_r30_snapshot_diff,
-        "r31_hopping_window": _q_r31_hopping_window,
-        "r32_session_window": _q_r32_session_window,
-        "r33_tpch_q4": _q_r33_tpch_q4,
-        "r34_tpch_q13": _q_r34_tpch_q13,
-        "r35_tpch_q17": _q_r35_tpch_q17,
-        "r37_tpch_q22": _q_r37_tpch_q22,
-        "r43_funnel": _q_r43_funnel,
-        "r44_cohort_retention": _q_r44_cohort_retention,
-        "x8_embedding_pairs": _q_x8_embedding_pairs,
-        "x9_ivf_topk": _q_x9_ivf_topk,
-        "x9b_ivf_full_probe": _q_x9b_ivf_full_probe,
-        "x10_media_meta": _q_x10_media_meta,
-        "x11_decode_images": _q_x11_decode_images,
-        "x12_curate_corpus": _q_x12_curate_corpus,
-        "x13_tfidf": _q_x13_tfidf,
-        "x14_quality_quantile": _q_x14_quality_quantile,
-        "x15_label_centroids": _q_x15_label_centroids,
         # -- last driver-recorded in round 8 -----------------------------------
-        "s19_hdf4_nbit_scan": _q_s19_hdf4_nbit_scan,
-        "x92_incremental_minhash": _q_x92_incremental_minhash,
-        "s20_stream_minhash": _q_s20_stream_minhash,
-        "x16_train_split": _q_x16_train_split,
-        "x17_winnow_fps": _q_x17_winnow_fps,
-        "x18_quantize": _q_x18_quantize,
-        "x19_chunk_docs": _q_x19_chunk_docs,
-        "x20_stratified_sample": _q_x20_stratified_sample,
-        "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
-        "x22_subword_tokens": _q_x22_subword_tokens,
-        "x23_dedup_clusters": _q_x23_dedup_clusters,
-        "x24_quality_checks": _q_x24_quality_checks,
-        "x25_fk_orphans": _q_x25_fk_orphans,
-        "x26_pii_scrub": _q_x26_pii_scrub,
-        "x27_pack_sequences": _q_x27_pack_sequences,
-        "x28_repetition": _q_x28_repetition,
-        "x29_decontaminate": _q_x29_decontaminate,
-        "x30_dedup_canonical": _q_x30_dedup_canonical,
-        "x31_c4_clean": _q_x31_c4_clean,
-        "x32_gopher_quality": _q_x32_gopher_quality,
         "x33_domain_cap": _q_x33_domain_cap,
         "x34_source_mix": _q_x34_source_mix,
         "x35_salted_agg": _q_x35_salted_agg,
@@ -12068,6 +12016,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r23_pivot": _q_r23_pivot,
         "r24_tumbling_window": _q_r24_tumbling_window,
         "r25_asof_join": _q_r25_asof_join,
+        # -- last driver-recorded in round 12 ----------------------------------
+        "x114_decode_arithmetic": _q_x114_decode_arithmetic,
+        "r63_global_percentile": _q_r63_global_percentile,
+        "x115_qdigest": _q_x115_qdigest,
+        "x116_qdigest_quantiles": _q_x116_qdigest_quantiles,
+        "s26_stream_qdigest": _q_s26_stream_qdigest,
+        "x117_dhash_index_incremental": _q_x117_dhash_index_incremental,
+        "s27_stream_dhash": _q_s27_stream_dhash,
+        "x118_dhash_capped": _q_x118_dhash_capped,
+        "r26_range_join": _q_r26_range_join,
+        "r27_merge_upsert": _q_r27_merge_upsert,
+        "r28_scd2": _q_r28_scd2,
+        "r29_unpivot": _q_r29_unpivot,
+        "r30_snapshot_diff": _q_r30_snapshot_diff,
+        "r31_hopping_window": _q_r31_hopping_window,
+        "r32_session_window": _q_r32_session_window,
+        "r33_tpch_q4": _q_r33_tpch_q4,
+        "r34_tpch_q13": _q_r34_tpch_q13,
+        "r35_tpch_q17": _q_r35_tpch_q17,
+        "r37_tpch_q22": _q_r37_tpch_q22,
+        "r43_funnel": _q_r43_funnel,
+        "r44_cohort_retention": _q_r44_cohort_retention,
+        "x8_embedding_pairs": _q_x8_embedding_pairs,
+        "x9_ivf_topk": _q_x9_ivf_topk,
+        "x9b_ivf_full_probe": _q_x9b_ivf_full_probe,
+        "x10_media_meta": _q_x10_media_meta,
+        "x11_decode_images": _q_x11_decode_images,
+        "x12_curate_corpus": _q_x12_curate_corpus,
+        "x13_tfidf": _q_x13_tfidf,
+        "x14_quality_quantile": _q_x14_quality_quantile,
+        "x15_label_centroids": _q_x15_label_centroids,
+        "s19_hdf4_nbit_scan": _q_s19_hdf4_nbit_scan,
+        "x92_incremental_minhash": _q_x92_incremental_minhash,
+        "s20_stream_minhash": _q_s20_stream_minhash,
+        "x16_train_split": _q_x16_train_split,
+        "x17_winnow_fps": _q_x17_winnow_fps,
+        "x18_quantize": _q_x18_quantize,
+        "x19_chunk_docs": _q_x19_chunk_docs,
+        "x20_stratified_sample": _q_x20_stratified_sample,
+        "x21_cosine_pairs_exact": _q_x21_cosine_pairs_exact,
+        "x22_subword_tokens": _q_x22_subword_tokens,
+        "x23_dedup_clusters": _q_x23_dedup_clusters,
+        "x24_quality_checks": _q_x24_quality_checks,
+        "x25_fk_orphans": _q_x25_fk_orphans,
+        "x26_pii_scrub": _q_x26_pii_scrub,
+        "x27_pack_sequences": _q_x27_pack_sequences,
+        "x28_repetition": _q_x28_repetition,
+        "x29_decontaminate": _q_x29_decontaminate,
+        "x30_dedup_canonical": _q_x30_dedup_canonical,
+        "x31_c4_clean": _q_x31_c4_clean,
+        "x32_gopher_quality": _q_x32_gopher_quality,
     }
 
 
