@@ -126,6 +126,150 @@ def _select_disjoint(rows, budget: int, min_count: int, merged_of):
     return picked
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-store blocks of a ``localCheckpoint``'d frame —
+    no public DataFrame API exists (ADVICE r12: without this, iterative
+    trainers pin one RDD per round for the session).  The logical plan
+    of a checkpointed frame is a LogicalRDD whose ``rdd()`` is the
+    persisted internal RDD; best-effort (a plan-shape change across
+    Spark versions degrades back to GC-driven cleanup, never an error).
+    """
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+# relative slack on every float bound comparison below: rejects a
+# candidate whenever a competing score could sit within ~1e-9 relative
+# of it (IEEE rounding of the bound chain is a few ulps, ~1e-16) — the
+# safe direction is always "don't batch, recount next round"
+_PROVE_EPS = 1e-9
+
+
+def _select_provable(rows, budget: int, min_count: int, merged_of, truncated: bool):
+    """Select the longest PREFIX of one round's ordered candidate rows
+    that is PROVABLY the exact sequence the sequential (batch-1) argmax
+    rule would pick — bit-identical training, fewer driver rounds
+    (round 13; the WordPiece LIKELIHOOD score is what makes the proof
+    tractable, so this applies to ``wordpiece_train`` only).
+
+    ``rows`` are (l, r, cnt, l_cnt, r_cnt, score) sorted by
+    (score desc, l asc, r asc) — the sequential ranking; ``score`` is
+    the engine's own IEEE division.  Having accepted the prefix A, the
+    next row ``c`` is accepted only when every way a merge in A could
+    change the ranking is bounded BELOW score(c):
+
+    * ``c`` shares no symbol (incl. merged outputs) with A, so its
+      recorded cnt/l_cnt/r_cnt — and its score — are exact under
+      sequential application of A (a merge only touches pairs
+      containing its symbols; adjacency of other symbols is never
+      created, since a merge replaces two adjacent symbols by one);
+    * ANY pair containing a merged output m of j=(l,r)→m — created by
+      the merge, or pre-existing when m collides with an existing unit
+      name (its count may then RISE) — scores at most ``1/u'(m)``:
+      occurrences of a pair (x, m), x ≠ m, consume distinct x units, so
+      cnt' ≤ u'(x) and score = cnt'/(u'(x)·u'(m)) ≤ 1/u'(m); u'(m) is
+      at least the application count, ≥ cnt_j (≥ cnt_j/2 when l == r,
+      where overlapping adjacencies halve it; a name collision only
+      INCREASES u'(m));
+    * every other existing pair is BOOSTED only via its operands' unit
+      counts shrinking (its count cannot rise: a merge replaces two
+      adjacent symbols by one, never creating adjacency between symbols
+      other than m).  For collected rows the exact bound
+      cnt/((l_cnt−Δl)·(r_cnt−Δr)) is checked per row; for the
+      uncollected tail, (score of the last collected row) × (worst
+      unit-shrink factor)² — when the collected list holds EVERY pair
+      (shorter than the requested limit) there is no tail.
+
+    Ties: an unaffected pair with score equal to score(c) sorts after
+    ``c`` in the same (score, l, r) order sequential uses, so only
+    BOOSTED/CREATED pairs need the strict bound.  Returns
+    ``(picked, stop)``; ``stop`` means the proven next argmax fell
+    below ``min_count`` — sequential training would end here.
+    """
+    picked: list = []
+    used: set = set()
+    merged_names: set = set()  # merged outputs of the picked prefix
+    delta: dict[str, int] = {}  # symbol -> proven max unit-count shrink
+    units: dict[str, int] = {}  # symbol -> unit count (from its rows)
+    created_bound = 0.0  # max over picked of the created-pair score bound
+    # ``truncated``: the collect hit its limit, so pairs BEYOND the list
+    # exist and score at most the last collected row's score; a complete
+    # list (shorter than the limit) has no tail to bound
+    tail_score = rows[-1]["score"] if (truncated and rows) else None
+
+    def _boost_factor() -> float | None:
+        worst = 1.0
+        for s, d in delta.items():
+            u = units.get(s)
+            if u is None or u - d <= 0:
+                return None
+            worst = max(worst, u / (u - d))
+        return worst
+
+    for row in rows:
+        if len(picked) >= budget:
+            break
+        l_, r_ = row["l"], row["r"]
+        cnt = int(row["cnt"])
+        m_ = merged_of(l_, r_)
+        score_c = float(row["score"])
+        if picked:
+            # 1. exactness: disjoint from everything A touched
+            if l_ in used or r_ in used or m_ in used:
+                break
+            # 2. created pairs cannot reach score(c)
+            if created_bound * (1.0 + _PROVE_EPS) >= score_c:
+                break
+            # 3a. boosted collected pairs cannot reach score(c) —
+            # rows before c are the picked prefix (their adjacencies
+            # are fully consumed by their own merge), c itself is
+            # disjoint; only rows AFTER c compete
+            ok = True
+            for other in rows[len(picked) + 1:]:
+                if other["l"] in merged_names or other["r"] in merged_names:
+                    continue  # covered by created_bound (condition 2)
+                dl = delta.get(other["l"], 0)
+                dr = delta.get(other["r"], 0)
+                if not dl and not dr:
+                    continue  # unaffected: order vs c preserved
+                ul = int(other["l_cnt"]) - dl
+                ur = int(other["r_cnt"]) - dr
+                bound = (
+                    float("inf")
+                    if ul <= 0 or ur <= 0
+                    else int(other["cnt"]) / (float(ul) * float(ur))
+                )
+                if bound * (1.0 + _PROVE_EPS) >= score_c:
+                    ok = False
+                    break
+            if not ok:
+                break
+            # 3b. the uncollected tail cannot reach score(c)
+            if tail_score is not None:
+                f = _boost_factor()
+                if f is None or tail_score * f * f * (1.0 + _PROVE_EPS) >= score_c:
+                    break
+        if cnt < min_count:
+            # c IS the proven next argmax and it is sub-threshold:
+            # sequential training stops here
+            return picked, True
+        picked.append(row)
+        used.update((l_, r_, m_))
+        merged_names.add(m_)
+        units[l_] = int(row["l_cnt"])
+        units[r_] = int(row["r_cnt"])
+        if l_ == r_:
+            delta[l_] = delta.get(l_, 0) + 2 * cnt
+            created_bound = max(created_bound, 2.0 / cnt)
+        else:
+            delta[l_] = delta.get(l_, 0) + cnt
+            delta[r_] = delta.get(r_, 0) + cnt
+            created_bound = max(created_bound, 1.0 / cnt)
+    return picked, False
+
+
 def _train_local(
     wc: dict,
     num_merges: int,
@@ -750,7 +894,14 @@ def wordpiece_train(
     Distributed shape per round (same scale posture as BPE): one
     pair-count aggregation and one symbol-count aggregation over the
     DISTINCT-WORD vocab (skinny shuffles, corpus text never moves),
-    one 1-row argmax collect, one pure-JVM merge fold.
+    one small argmax-candidate collect, one pure-JVM merge fold per
+    landed merge.  Round 13: the default (``merge_batch=1``) path lands
+    up to ALL remaining merges per round via ``_select_provable`` — a
+    prefix of the collected candidate ranking is accepted only when the
+    WordPiece score bounds PROVE the sequential argmax would pick
+    exactly that prefix, so the merge sequence (and every recorded
+    count) is bit-identical to one-merge-per-round recounting while the
+    driver runs fewer rounds.
 
     Determinism: counts are exact int64; the score is one IEEE
     division ``double(cnt) / (double(l_cnt) · double(r_cnt))`` computed
@@ -808,33 +959,55 @@ def wordpiece_train(
     merges: list[tuple[int, str, str, str, int, int, int]] = []
     applied_since_ckpt = 0
     while len(merges) < num_merges:
-        # lazy localCheckpoint: the symbol-count table has TWO consumers
-        # (the l_cnt and r_cnt join sides) and Catalyst splices a
-        # separate agg subtree into each — the whole explode+agg pass
-        # over the vocab ran twice per round (round 12, measured).  The
-        # lazy form makes both sides read one shared RDD with no extra
-        # barrier job; the table is symbol-level (alphabet + merges) —
-        # trivially small at any corpus scale.
-        units = (
-            vocab.select(F.explode("syms").alias("s"), "count")
-            .groupBy("s")
-            .agg(F.sum("count").alias("u_cnt"))
-            .localCheckpoint(eager=False)
-        )
-        pairs = (
+        # ONE explode+aggregation pass over the vocab per round (round
+        # 13; round 12 ran two — a pair-count pass and a symbol-count
+        # pass sharing a lazy localCheckpoint).  Every symbol occurrence
+        # is either the LEFT element of exactly one adjacent pair or the
+        # word's last symbol, so appending one (last_sym, NULL) marker
+        # per word to the pair stream makes the unit count derivable
+        # from the aggregated pair table itself:
+        # u(s) = Σ_r cnt(s, r) + cnt(s, NULL) — exact int64 sums of the
+        # same per-word contributions, only regrouped (rule 3b safe).
+        # The aggregated table is symbol²-bounded (trivially small at
+        # any corpus scale); a LAZY localCheckpoint shares it across the
+        # units re-agg and the scoring join sides inside the round's one
+        # collect job (persist() was measured first: AQE materializes a
+        # cached shuffle plan as its own jobs — 37 → 77 jobs per x90
+        # call), and _free_local_checkpoint releases the blocks after
+        # the collect (the round-12 lazy form pinned one RDD per round
+        # for the session — ADVICE r12).
+        pairs_m = (
             vocab.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                # explode_outer + isNotNull per CLAUDE.md rule 2b (the
+                # operand is a variable-length HOF array; the marker
+                # makes it non-empty, but an inner explode would still
+                # get the inferred size>0 filter re-evaluating it)
+                F.explode_outer(
+                    F.concat(
+                        F.zip_with(
+                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                        ),
+                        F.array(
+                            F.struct(
+                                F.element_at(F.col("syms"), -1).alias("l"),
+                                F.lit(None).cast("string").alias("r"),
+                            )
+                        ),
                     )
                 ).alias("p"),
                 "count",
             )
+            .filter(F.col("p").isNotNull())
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("count").alias("cnt"))
+            .localCheckpoint(eager=False)
         )
+        units = pairs_m.groupBy(F.col("l").alias("s")).agg(
+            F.sum("cnt").alias("u_cnt")
+        )
+        pairs = pairs_m.filter(F.col("r").isNotNull())
         lc = units.select(
             F.col("s").alias("l"), F.col("u_cnt").alias("l_cnt")
         )
@@ -854,12 +1027,35 @@ def wordpiece_train(
             )
         )
         budget = min(batch, num_merges - len(merges))
-        top = (
-            scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
-            .limit(budget if budget == 1 else 8 * budget)
-            .collect()
-        )
-        picked = _select_disjoint(top, budget, min_pair_count, _wp_merged)
+        stop = False
+        if batch == 1:
+            # provable batched scheduling (round 13): collect a candidate
+            # list wide enough to PROVE which prefix of it the sequential
+            # argmax rule would pick (see _select_provable) — the merge
+            # sequence stays bit-identical to batch-1 recounting, but one
+            # round can now land several merges, cutting the number of
+            # driver rounds (each round = 2 vocab aggregations + a
+            # collect — the slot is round-count-bound, not data-bound)
+            want = num_merges - len(merges)
+            limit = max(16, 4 * want)
+            top = (
+                scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+                .limit(limit)
+                .collect()
+            )
+            _free_local_checkpoint(pairs_m)
+            picked, stop = _select_provable(
+                top, want, min_pair_count, _wp_merged,
+                truncated=len(top) == limit,
+            )
+        else:
+            top = (
+                scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+                .limit(budget if budget == 1 else 8 * budget)
+                .collect()
+            )
+            _free_local_checkpoint(pairs_m)
+            picked = _select_disjoint(top, budget, min_pair_count, _wp_merged)
         if not picked:
             break
         for row in picked:
@@ -887,6 +1083,10 @@ def wordpiece_train(
                 "count",
             )
             applied_since_ckpt += 1
+        if stop:
+            # the proven next argmax fell below min_pair_count —
+            # sequential training ends here
+            break
         if applied_since_ckpt >= 4 and len(merges) < num_merges:
             vocab = vocab.localCheckpoint()
             applied_since_ckpt = 0

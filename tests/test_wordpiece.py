@@ -148,6 +148,85 @@ def test_encode_matches_independent_matcher(spark):
         )
 
 
+def _prov_row(l, r, cnt, lc, rc):
+    return {"l": l, "r": r, "cnt": cnt, "l_cnt": lc, "r_cnt": rc,
+            "score": float(cnt) / (float(lc) * float(rc))}
+
+
+def _wp_merged(l, r):
+    return l + (r[2:] if r.startswith("##") else r)
+
+
+def test_select_provable_accepts_only_proven_prefix():
+    """The round-13 batched scheduler must accept a second candidate
+    only when the created-pair bound (1/cnt of every earlier merge)
+    sits strictly below its score, and must reject interaction."""
+    # accept: both pure pairs, second score (1/99) above 1/100
+    rows = [_prov_row("x", "##q", 100, 100, 100),
+            _prov_row("a", "##b", 99, 99, 99)]
+    picked, stop = T._select_provable(rows, 8, 2, _wp_merged, truncated=False)
+    assert [(p["l"], p["r"]) for p in picked] == [("x", "##q"), ("a", "##b")]
+    assert not stop
+    # reject: second candidate's score 90/(1000·1000) is below the
+    # created-pair bound 1/100 — merge 1 could spawn a better pair
+    rows = [_prov_row("x", "##q", 100, 100, 100),
+            _prov_row("a", "##b", 90, 1000, 1000)]
+    picked, _ = T._select_provable(rows, 8, 2, _wp_merged, truncated=False)
+    assert len(picked) == 1
+    # reject: shares a symbol with the first pick (its counts go stale)
+    rows = [_prov_row("x", "##q", 100, 100, 100),
+            _prov_row("xq", "##z", 99, 99, 99)]  # xq = merged output
+    picked, _ = T._select_provable(rows, 8, 2, _wp_merged, truncated=False)
+    assert len(picked) == 1
+    # tail: truncated list forces the tail bound s_last·f² >= score_c
+    # (here the boost factor is even unbounded: u(x) − cnt = 0)
+    rows = [_prov_row("x", "##q", 1000, 1000, 1000),
+            _prov_row("a", "##b", 999, 999, 999)]
+    picked, _ = T._select_provable(rows, 8, 2, _wp_merged, truncated=True)
+    # tail pairs could score up to s_last (≈1e-3) boosted by u(x)
+    # shrink factor (1000/(1000-1000) -> unbounded): must reject
+    assert len(picked) == 1
+    # stop: the proven next argmax is sub-threshold
+    rows = [_prov_row("x", "##q", 100, 100, 100),
+            _prov_row("a", "##b", 1, 1, 1)]
+    picked, stop = T._select_provable(rows, 8, 2, _wp_merged, truncated=False)
+    assert len(picked) == 1 and stop
+
+
+def test_provable_batching_matches_reference_on_random_corpora(spark):
+    """Randomized differential for the round-13 provable batching: mixed
+    corpora with several DISJOINT alphabets (independent merge families,
+    the case where batching can fire) must still reproduce the
+    independent sequential trainer bit-for-bit."""
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.make_goldens import _independent_wordpiece
+
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        fams = ["abcde", "vwxyz", "01234", "ghijk"]
+        words = [
+            "".join(rng.choice(fam) for _ in range(rng.randint(2, 6)))
+            for fam in fams
+            for _ in range(6)
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 12)))
+            for _ in range(30)
+        ]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        got = [
+            tuple(r)
+            for r in T.wordpiece_train(
+                _docs(spark, rows), num_merges=10
+            ).orderBy("rank").collect()
+        ]
+        want, _ = _independent_wordpiece(texts, num_merges=10)
+        assert got == [tuple(w) for w in want], f"seed {seed}"
+
+
 def test_encode_empty_vocab_yields_unk(spark):
     """Empty model over a word-free corpus: the alphabet set is empty, so
     vocab == {} and the greedy matcher's max-piece-length must degrade
