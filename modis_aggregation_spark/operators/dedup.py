@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modis_aggregation_spark.functions.layout import spread_small_scan
+from modis_aggregation_spark.functions.materialize import shared_frame
 from modis_aggregation_spark.functions.text import char_shingles, fingerprint, tokens
 
 
@@ -272,7 +273,7 @@ def minhash_lsh_pairs(
     # it could not afford at real scale (CLAUDE.md rule 9's failure
     # mode) — the 1000-row bucket cap keeps collision mass bounded
     # either way.
-    capped = capped.localCheckpoint(eager=False)
+    capped = shared_frame(capped)
 
     # same-lineage alias self-join (not two select-renamed copies)
     lhs, rhs = capped.alias("l"), capped.alias("r")
@@ -1048,12 +1049,22 @@ def connected_components(
     propagation: every node's label converges to the minimum id reachable
     from it. Returns (id, component).
 
-    Each round is one join + one groupBy (label = min over self and
-    neighbors); lineage is cut with localCheckpoint per round so the plan
-    does not grow exponentially. Converges in O(diameter) rounds —
-    near-dup clusters are shallow (boilerplate stars, chain lengths of a
-    few), so ``max_iter`` is a safety bound, not a truncation in practice;
-    a non-converged graph raises rather than returning wrong labels.
+    Each round is one edge join + one groupBy (label = min over self and
+    neighbors) plus a POINTER-DOUBLING shortcut (round 13): the stepped
+    label is joined back to the PREVIOUS round's label table so every
+    node also adopts ``comp_prev(comp(x))`` — its new parent's own best
+    label.  Information distance roughly doubles per round, so a chain
+    of length L converges in O(log L) rounds instead of O(L) (measured
+    on the x23 fixture: 23 label rounds → 6; each round is one full
+    |E|-join shuffle, so the round count IS the scale cost).  The
+    shortcut label is always the id of a node reachable from x
+    (reachability is transitive), so the fixpoint is the identical
+    min-reachable-id labeling — exact, layout-invariant.  Lineage is cut
+    with localCheckpoint per round so the plan does not grow
+    exponentially; the previous round's table is checkpointed, so the
+    shortcut join re-reads blocks, never recomputes.  ``max_iter`` is a
+    safety bound, not a truncation in practice; a non-converged graph
+    raises rather than returning wrong labels.
     """
     # materialize the edge list ONCE — it re-enters the join every round,
     # and without the checkpoint each iteration re-executes the entire
@@ -1079,7 +1090,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -1087,6 +1098,22 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
                 ).alias("comp"),
                 F.col("comp").alias("__old"),
+            )
+        )
+        # pointer doubling against the PREVIOUS (checkpointed) table:
+        # comp(x) <- min(comp(x), comp_prev(comp(x)))
+        parent = labels.select(
+            F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["comp"] == parent["__pid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("__pcomp"), F.col("comp")),
+                ).alias("comp"),
+                "__old",
             )
         ).localCheckpoint()
         changed = new_labels.filter(F.col("comp") != F.col("__old")).limit(1).count()
@@ -1233,8 +1260,11 @@ def editdist_pairs(
         )
         .filter(F.col("fp").isNotNull())
         .dropDuplicates(["id", "fp"])
-        .localCheckpoint()
     )
+    # lazy (round 13, was EAGER in round 12): the bucket-cap aggregation
+    # is the first consumer and materializes the frame inside its own
+    # job; eager added a dedicated barrier job per invocation.
+    keyed = shared_frame(keyed)
 
     big = (
         keyed.groupBy("fp")

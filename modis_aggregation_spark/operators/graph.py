@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from modis_aggregation_spark.functions.materialize import shared_frame
+
 
 def degrees(
     edges: DataFrame, src: str = "src", dst: str = "dst"
@@ -126,8 +128,12 @@ def triangles(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    # und stays EAGER: the round-13 interleaved A/B of both-lazy vs this
+    # shape had best-of-4 favoring und-eager at BOTH core counts
+    # (local[32] 1.51 vs 1.71, local[8] 1.21 vs 1.38) — consistent with
+    # round 12's three-way measurement that settled on it
+    und = shared_frame(und, eager=True)
     deg = (
         und.select(F.col("u").alias("id"))
         .unionAll(und.select(F.col("v").alias("id")))
@@ -145,7 +151,8 @@ def triangles(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    ).localCheckpoint(eager=False)
+    )
+    directed = shared_frame(directed)
     # wedge (s; x, y) with rk(x) < rk(y): x→y is then the only possible
     # closing orientation, so ONE edge join closes it
     e1 = directed.select("s", F.col("d").alias("x"), F.col("dd").alias("dx"))

@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from modis_aggregation_spark.functions.materialize import shared_frame
+
 _PAYLOAD = "__asof_payload"
 _SIDE = "__asof_side"
 _BIN = "__range_bin"
@@ -733,12 +735,14 @@ def resample(
     )
     if not gap_fill:
         return agg
-    # localCheckpoint (round 12): ``agg`` feeds the span summary AND the
-    # gap-fill join-back, and exchange reuse does not deduplicate the two
-    # references — the executed plan scanned + aggregated the raw events
-    # twice. Materializing the skinny (key, bucket, avg, n) rows (bounded
-    # by keys × span/bucket, never event count) runs the event pass once.
-    agg = agg.localCheckpoint()
+    # shared materialization (round 12): ``agg`` feeds the span summary
+    # AND the gap-fill join-back, and exchange reuse does not deduplicate
+    # the two references — the executed plan scanned + aggregated the raw
+    # events twice. Materializing the skinny (key, bucket, avg, n) rows
+    # (bounded by keys × span/bucket, never event count) runs the event
+    # pass once.  Lazy since round 13 (was eager): the span summary is
+    # the first consumer and materializes it inside its own job.
+    agg = shared_frame(agg)
     spans = agg.groupBy("key").agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )

@@ -22,6 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from modis_aggregation_spark.functions.materialize import shared_frame
 from modis_aggregation_spark.functions.text import tokens
 
 
@@ -206,7 +207,14 @@ def bm25(
             .alias(f"__tf_{i}")
             for i, t in enumerate(terms)
         ),
-    ).localCheckpoint()
+    )
+    # lazy shared materialization (round 13, was an EAGER localCheckpoint
+    # in round 12): nothing orders the two consumers — the 1-row stats
+    # aggregate is the first consumer and materializes the frame inside
+    # its own job; eager added a dedicated barrier job per invocation and
+    # made merely CONSTRUCTING the DataFrame (plan capture, .explain)
+    # run a full corpus scan (ADVICE r12).
+    per_doc = shared_frame(per_doc)
     # skinny corpus-wide state in ONE agg pass over the per-doc frame:
     # df per query term (conditional sums — indexed aliases, term text
     # may not be a safe column name) + (avgdl, N) scalars
@@ -598,10 +606,8 @@ def kneser_ney_lm(
     # count table (one row per observed bigram), the scale-safe thing to
     # hold; lazy = the first consumer (the broadcast total) materializes
     # it, no extra barrier job.
-    bg = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
+    bg = shared_frame(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     )
     c1t = bg.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("__n1f")
@@ -695,9 +701,9 @@ def bm25_topk_queries(
     # subtree).  The materialized rows are postings of QUERY terms only
     # — bounded by the query bag, scale-safe; lazy = the df_q broadcast
     # materializes it, the scoring join reads the blocks.
-    tf_q = tf.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).localCheckpoint(eager=False)
+    tf_q = shared_frame(
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    )
     df_q = tf_q.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("__df")
     )

@@ -123,6 +123,11 @@ def stream_upsert(
                 ).drop(delete_col)
         else:
             target = read_table(spark, table_dir, current)
+            # merge_upsert's unique-target-keys precondition (ADVICE
+            # r12) holds by construction here: v0 is a _batch_latest
+            # output (one row per key) and every later version is a
+            # merge_upsert result — (anti-joined keeps) ∪ (one source
+            # row per key) can never duplicate a key across versions
             merged = merge_upsert(target, latest, keys, delete_col=delete_col)
         nxt = current + 1
         out = os.path.join(table_dir, f"v{nxt}")

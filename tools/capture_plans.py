@@ -1,10 +1,11 @@
-"""Capture .explain("formatted") for the bench queries into plans/r12/.
+"""Capture .explain("formatted") for the bench queries into plans/r<N>/.
 
 Usage: python tools/capture_plans.py <suffix> [slot ...]
 
-Writes plans/r12/<slot>_<suffix>.txt for each bench slot (default: all).
-The same DataFrame construction as bench.py, so the captured plan is the
-one the bench times (initial AQE plan, isFinalPlan=false).
+Writes plans/r$SPARK_GRAFT_ROUND/<slot>_<suffix>.txt for each bench slot
+(default round: 13; default slots: all).  The same DataFrame construction
+as bench.py, so the captured plan is the one the bench times (initial AQE
+plan, isFinalPlan=false).
 """
 
 from __future__ import annotations
@@ -16,7 +17,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "plans", "r12")
+OUT = os.path.join(
+    REPO, "plans", "r" + os.environ.get("SPARK_GRAFT_ROUND", "13")
+)
 
 
 def bench_frames(spark):

@@ -12,10 +12,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# tools/ on the path BEFORE the sibling import (ADVICE r12: the import
+# used to precede this insert and only worked because `python
+# tools/final_plan.py` auto-prepends the script dir — -m or an import
+# from elsewhere broke)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from capture_plans import bench_frames  # noqa: E402
-
-sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def main() -> None:
