@@ -786,14 +786,33 @@ def test_incremental_exact_dedup(spark):
 
 
 def test_connected_components_long_chain(spark):
-    """Min-label propagation advances one hop per round: a 25-node chain
-    must still converge (and all collapse to the minimum id)."""
+    """Min-label propagation with the round-13 pointer-doubling
+    shortcut: a 25-node chain converges (all collapse to the minimum
+    id), and in O(log L) label rounds, not O(L) — pinned via the
+    driver job count (old shape: ~9 jobs × 25 rounds; doubled: ≤ 9
+    rounds' worth).  Measured on a 30-chain: 284 jobs → 71."""
+    store = spark.sparkContext._jsc.sc().statusStore()
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 25)], ["id_a", "id_b"]
     )
+    j0 = store.jobsList(None).size()
     comps = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    jobs = store.jobsList(None).size() - j0
     assert set(comps.values()) == {1}
     assert len(comps) == 25
+    assert jobs < 120, f"O(L) round regression: {jobs} driver jobs on a 24-round chain"
+
+
+def test_connected_components_chain_beyond_old_iteration_bound(spark):
+    """A 100-edge chain needs ~100 one-hop rounds — ABOVE the max_iter=50
+    safety bound, so the pre-round-13 operator raised on it.  Pointer
+    doubling converges in O(log L) rounds, well inside the bound."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
+    )
+    comps = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 101
 
 
 def test_mean_embedding(spark):
