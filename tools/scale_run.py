@@ -1727,6 +1727,191 @@ def run_ivf_pruned_curve(spark, sf_dir: str, replicate: int) -> dict:
     }
 
 
+def _identity_shared_frame():
+    """Measurement twin (round 13, VERDICT r12 item 5): identity-patch
+    ``shared_frame`` inside an operator module so the multi-consumer
+    frame is NOT materialized — Catalyst then splices the upstream
+    subtree into every consumer, which IS the pre-round-12 shape
+    (plan-verified in plans/r12: bm25 2 tokenize passes, kneser-ney 4
+    corpus scans).  Context manager over the module attribute."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _patch(mod):
+        orig = mod.shared_frame
+        mod.shared_frame = lambda df, eager=False: df
+        try:
+            yield
+        finally:
+            mod.shared_frame = orig
+
+    return _patch
+
+
+def run_bm25_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """x42 shape anchor (round 13): BM25 scoring over the cipher-
+    replicated corpus, the round-12 single-tokenize shape vs the
+    pre-round-12 two-pass twin (shared_frame identity-patched).  Claim:
+    the removed corpus tokenize pass dominates as the corpus grows —
+    old/new wall ratio rises toward 2× (both passes are tokenize-bound),
+    and new docs/s holds."""
+    from modis_aggregation_spark.operators import tfidf as ops_tfidf
+
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = docs.count()
+    terms = ["cloud", "pixel", "data", "wind"]
+
+    def _run():
+        t0 = time.perf_counter()
+        row = ops_tfidf.bm25(docs, terms).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("score").alias("s")
+        ).collect()[0]
+        return time.perf_counter() - t0, int(row["n"])
+
+    t_new, n_new = min(_run(), _run())
+    with _identity_shared_frame()(ops_tfidf):
+        t_old, n_old = min(_run(), _run())
+    assert n_new == n_old == n_docs
+    return {
+        "docs": n_docs,
+        "new_sec": round(t_new, 2),
+        "old_sec": round(t_old, 2),
+        "docs_per_sec_new": int(n_docs / t_new),
+        "old_over_new": round(t_old / t_new, 2),
+    }
+
+
+def run_kneser_ney_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """x96 shape anchor (round 13): Kneser-Ney bigram LM over the
+    cipher-replicated corpus, round-12 materialized-count-table shape
+    (ONE corpus pass) vs the pre-round-12 twin (four corpus scans —
+    shared_frame identity-patched).  Claim: the removed tokenize+bigram
+    passes dominate as the corpus grows (old/new → ~4× on the pass-bound
+    regime); the materialized frame stays vocabulary²-bounded."""
+    from modis_aggregation_spark.operators import tfidf as ops_tfidf
+
+    docs = _permuted_corpus(spark, sf_dir, replicate)
+    n_docs = docs.count()
+
+    def _run():
+        t0 = time.perf_counter()
+        row = ops_tfidf.kneser_ney_lm(docs, discount=0.75).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("p_kn").alias("s")
+        ).collect()[0]
+        return time.perf_counter() - t0, int(row["n"])
+
+    t_new, n_new = min(_run(), _run())
+    with _identity_shared_frame()(ops_tfidf):
+        t_old, n_old = min(_run(), _run())
+    assert n_new == n_old
+    return {
+        "docs": n_docs,
+        "bigram_rows": n_new,
+        "new_sec": round(t_new, 2),
+        "old_sec": round(t_old, 2),
+        "docs_per_sec_new": int(n_docs / t_new),
+        "old_over_new": round(t_old / t_new, 2),
+    }
+
+
+def run_merge_upsert_curve(spark, sf_dir: str, replicate: int) -> dict:
+    """r27 shape anchor (round 13): MERGE of a FIXED-SELECTIVITY daily
+    source into a PARQUET target snapshot replicated ``replicate``×
+    (distinct keys per replica) — the normal lake regime (source ≪
+    target, both stored tables with real scan statistics; a
+    localCheckpoint-backed target was measured first and REJECTED as the
+    harness: LogicalRDD has no size stats, so the planner lost the
+    broadcast election BOTH forms and the comparison degenerated to
+    SMJ-vs-SMJ).  The round-12 anti-join+union shape vs the full-outer
+    twin (the r11 form, inlined exactly as merge.py shipped it).
+    Claim: the old form shuffles+sorts the WHOLE target per merge
+    (shuffle rows grow with the target), the new form broadcasts the
+    source keys (target-side shuffle rows 0) — advantage grows with the
+    snapshot."""
+    import shutil
+    import tempfile
+
+    from modis_aggregation_spark.operators.merge import merge_upsert
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    rep = spark.range(replicate).select(F.col("id").alias("__rep"))
+    tmp = tempfile.mkdtemp(prefix="merge_curve_")
+    try:
+        (
+            orders.crossJoin(F.broadcast(rep))
+            .select(
+                (F.col("o_orderkey") * replicate + F.col("__rep")).alias(
+                    "o_orderkey"
+                ),
+                "o_custkey",
+                "o_totalprice",
+                "o_orderstatus",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "target"))
+        )
+        target = spark.read.parquet(os.path.join(tmp, "target"))
+        n_target = target.count()
+        (
+            target.where(F.col("o_orderkey") % 997 == 0)
+            .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+            .withColumn("o_orderstatus", F.lit("U"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "source"))
+        )
+        source = spark.read.parquet(os.path.join(tmp, "source"))
+        n_source = source.count()
+        keys = ["o_orderkey"]
+        data_cols = [c for c in target.columns if c not in keys]
+
+        def _time(df_builder):
+            best, recs, n = float("inf"), 0, 0
+            for _ in range(2):
+                df = df_builder()
+                t0 = time.perf_counter()
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+                recs = _query_shuffle_records(df)
+            return best, recs, n
+
+        t_new, new_recs, n_new = _time(
+            lambda: merge_upsert(target, source, keys)
+        )
+
+        # the r11 full-outer twin: matched rows take all source values
+        def _old():
+            s = source.select(
+                *keys,
+                *[F.col(c).alias(f"__s_{c}") for c in data_cols],
+                F.lit(True).alias("__m"),
+            )
+            return target.join(s, on=keys, how="full_outer").select(
+                *keys,
+                *[
+                    F.when(F.col("__m").isNotNull(), F.col(f"__s_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in data_cols
+                ],
+            )
+
+        t_old, old_recs, n_old = _time(_old)
+        assert n_new == n_old == n_target
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "target_rows": n_target,
+        "source_rows": n_source,
+        "new_sec": round(t_new, 2),
+        "old_sec": round(t_old, 2),
+        "new_shuffle_rows": new_recs,
+        "old_shuffle_rows": old_recs,
+        "old_over_new": round(t_old / t_new, 2),
+    }
+
+
 def main() -> None:
     counts = [int(a) for a in sys.argv[1:]] or [4, 16, 32]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
