@@ -946,10 +946,12 @@ def wordpiece_train(
         )
     if engine != "rounds":
         raise ValueError(f"unknown engine {engine!r} (rounds|local)")
+    # lazy (round 13): round 1's collect materializes the vocab inside
+    # its own job; the eager form paid a dedicated barrier job up front
     vocab = (
         word_vocab(df, text_col)
         .select(_wp_chars(F.col("word")).alias("syms"), "count")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _wp_merged(l_: str, r_: str) -> str:
@@ -959,55 +961,45 @@ def wordpiece_train(
     merges: list[tuple[int, str, str, str, int, int, int]] = []
     applied_since_ckpt = 0
     while len(merges) < num_merges:
-        # ONE explode+aggregation pass over the vocab per round (round
-        # 13; round 12 ran two — a pair-count pass and a symbol-count
-        # pass sharing a lazy localCheckpoint).  Every symbol occurrence
-        # is either the LEFT element of exactly one adjacent pair or the
-        # word's last symbol, so appending one (last_sym, NULL) marker
-        # per word to the pair stream makes the unit count derivable
-        # from the aggregated pair table itself:
-        # u(s) = Σ_r cnt(s, r) + cnt(s, NULL) — exact int64 sums of the
-        # same per-word contributions, only regrouped (rule 3b safe).
-        # The aggregated table is symbol²-bounded (trivially small at
-        # any corpus scale); a LAZY localCheckpoint shares it across the
-        # units re-agg and the scoring join sides inside the round's one
-        # collect job (persist() was measured first: AQE materializes a
-        # cached shuffle plan as its own jobs — 37 → 77 jobs per x90
-        # call), and _free_local_checkpoint releases the blocks after
-        # the collect (the round-12 lazy form pinned one RDD per round
-        # for the session — ADVICE r12).
-        pairs_m = (
+        # lazy localCheckpoint: the symbol-count table has TWO consumers
+        # (the l_cnt and r_cnt join sides) and Catalyst splices a
+        # separate agg subtree into each — the whole explode+agg pass
+        # over the vocab ran twice per round (round 12, measured).  The
+        # lazy form makes both sides read one shared RDD with no extra
+        # barrier job; the table is symbol-level (alphabet + merges) —
+        # trivially small at any corpus scale.  _free_local_checkpoint
+        # releases the blocks after the round's collect (the round-12
+        # form pinned one RDD per round for the session — ADVICE r12).
+        # Round 13 also measured and REJECTED two sharing variants:
+        # persist() (AQE materializes a cached shuffle plan as separate
+        # jobs — 37 → 77 jobs per x90 call) and fusing the unit counts
+        # into the pair pass via end-of-word markers + re-agg of the
+        # checkpointed pair table (exact int64, value-identical, ONE
+        # vocab explode per round instead of two — but the re-agg over
+        # the checkpointed RDD planned as its own AQE stage-job per
+        # round: 37 → 45 jobs, +1.5 s at sf0.1; the slot is driver-
+        # latency-bound, and the saved explode is over the Zipf-bounded
+        # vocab, not the corpus, so the bytes saved never dominate).
+        units = (
+            vocab.select(F.explode("syms").alias("s"), "count")
+            .groupBy("s")
+            .agg(F.sum("count").alias("u_cnt"))
+            .localCheckpoint(eager=False)
+        )
+        pairs = (
             vocab.select(
-                # explode_outer + isNotNull per CLAUDE.md rule 2b (the
-                # operand is a variable-length HOF array; the marker
-                # makes it non-empty, but an inner explode would still
-                # get the inferred size>0 filter re-evaluating it)
-                F.explode_outer(
-                    F.concat(
-                        F.zip_with(
-                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                        ),
-                        F.array(
-                            F.struct(
-                                F.element_at(F.col("syms"), -1).alias("l"),
-                                F.lit(None).cast("string").alias("r"),
-                            )
-                        ),
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                     )
                 ).alias("p"),
                 "count",
             )
-            .filter(F.col("p").isNotNull())
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("count").alias("cnt"))
-            .localCheckpoint(eager=False)
         )
-        units = pairs_m.groupBy(F.col("l").alias("s")).agg(
-            F.sum("cnt").alias("u_cnt")
-        )
-        pairs = pairs_m.filter(F.col("r").isNotNull())
         lc = units.select(
             F.col("s").alias("l"), F.col("u_cnt").alias("l_cnt")
         )
@@ -1043,7 +1035,7 @@ def wordpiece_train(
                 .limit(limit)
                 .collect()
             )
-            _free_local_checkpoint(pairs_m)
+            _free_local_checkpoint(units)
             picked, stop = _select_provable(
                 top, want, min_pair_count, _wp_merged,
                 truncated=len(top) == limit,
@@ -1054,7 +1046,7 @@ def wordpiece_train(
                 .limit(budget if budget == 1 else 8 * budget)
                 .collect()
             )
-            _free_local_checkpoint(pairs_m)
+            _free_local_checkpoint(units)
             picked = _select_disjoint(top, budget, min_pair_count, _wp_merged)
         if not picked:
             break
@@ -1088,7 +1080,7 @@ def wordpiece_train(
             # sequential training ends here
             break
         if applied_since_ckpt >= 4 and len(merges) < num_merges:
-            vocab = vocab.localCheckpoint()
+            vocab = vocab.localCheckpoint(eager=False)
             applied_since_ckpt = 0
     return spark.createDataFrame(
         merges,
