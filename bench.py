@@ -48,7 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 RETIME_RATIO = 1.5  # slot > ratio x committed prior => isolated re-time
-RETIME_MAX_SLOTS = 10  # bound the extra wall-clock on a fully-bursty run
+RETIME_MAX_SLOTS = 16  # bound the extra wall-clock on a fully-bursty run
 
 
 def _sf(sf_dir: str) -> float:
