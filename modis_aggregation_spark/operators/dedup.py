@@ -1084,7 +1084,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -1100,22 +1100,29 @@ def connected_components(
                 F.col("comp").alias("__old"),
             )
         )
-        # pointer doubling against the PREVIOUS (checkpointed) table:
-        # comp(x) <- min(comp(x), comp_prev(comp(x)))
-        parent = labels.select(
-            F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
-        )
-        new_labels = (
-            stepped.join(parent, stepped["comp"] == parent["__pid"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"),
-                    F.coalesce(F.col("__pcomp"), F.col("comp")),
-                ).alias("comp"),
-                "__old",
+        if rnd == 0:
+            # round 1's shortcut is provably a no-op: the previous table
+            # is the identity labeling, so comp_prev(comp(x)) == comp(x)
+            # — skip the join (shallow star graphs converge in 2-3
+            # rounds and would pay it for nothing)
+            new_labels = stepped.localCheckpoint()
+        else:
+            # pointer doubling against the PREVIOUS (checkpointed)
+            # table: comp(x) <- min(comp(x), comp_prev(comp(x)))
+            parent = labels.select(
+                F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
             )
-        ).localCheckpoint()
+            new_labels = (
+                stepped.join(parent, stepped["comp"] == parent["__pid"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("__pcomp"), F.col("comp")),
+                    ).alias("comp"),
+                    "__old",
+                )
+            ).localCheckpoint()
         changed = new_labels.filter(F.col("comp") != F.col("__old")).limit(1).count()
         labels = new_labels.drop("__old")
         if changed == 0:
