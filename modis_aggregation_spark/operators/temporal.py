@@ -111,8 +111,22 @@ def asof_join(
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         carried = F.last(F.col(_PAYLOAD), ignorenulls=True).over(frame)
     else:
-        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carried = F.first(F.col(_PAYLOAD), ignorenulls=True).over(frame)
+        # running last() over the FULLY REVERSED order instead of
+        # first() over a [current, unboundedFollowing] frame: Spark
+        # evaluates shrinking frames by re-aggregating the remaining
+        # rows for EVERY row — O(rows²) per key (round 13, measured
+        # 2.5x on the interpolation twin of this pattern).  Reversing
+        # every sort key makes the growing frame select the identical
+        # row: the first non-null at-or-after current in (ts, side, tb)
+        # ascending IS the last non-null at-or-before current in the
+        # reversed total order (same tie class when the order is not
+        # total; desc NULLS LAST mirrors asc NULLS FIRST).
+        w_rev = Window.partitionBy(*keys).orderBy(
+            F.col(ts_col).desc(), F.col(_SIDE).desc(),
+            *[F.col(a).desc() for a in tbs]
+        )
+        frame = w_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = F.last(F.col(_PAYLOAD), ignorenulls=True).over(frame)
 
     matched = (
         unioned.withColumn(_PAYLOAD, carried)
@@ -768,11 +782,20 @@ def interpolate_linear(
     """Linear interpolation of NULL buckets between observed neighbors.
 
     Two ignore-nulls window passes per key (last-before carrying value AND
-    bucket forward, first-after carrying them backward), then the closed
-    form ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)``. Buckets
+    bucket forward, last-after in REVERSED bucket order carrying them
+    backward), then the closed form
+    ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)``. Buckets
     before the first / after the last observation stay NULL (no
     extrapolation). Window state is one row — safe for arbitrarily long
     keys. Adds ``interp_v``; observed buckets keep their value.
+
+    The backward carry runs as ``last()`` over a DESCENDING growing
+    frame, not ``first()`` over [current, unboundedFollowing] (round
+    13): Spark evaluates shrinking frames by re-aggregating the
+    remaining rows for every row — O(buckets²) per key, measured
+    1.07 → 0.42 s on the x48 interp stage at sf0.1 (selection
+    identical — (key, bucket) is unique, so the reversed order picks
+    the same row; exceptAll 0/0 both directions).
     """
     w_back = (
         Window.partitionBy(key_col)
@@ -781,15 +804,15 @@ def interpolate_linear(
     )
     w_fwd = (
         Window.partitionBy(key_col)
-        .orderBy(bucket_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col)
     observed_b = F.when(v.isNotNull(), F.col(bucket_col))
     prev_v = F.last(v, ignorenulls=True).over(w_back)
     prev_b = F.last(observed_b, ignorenulls=True).over(w_back)
-    next_v = F.first(v, ignorenulls=True).over(w_fwd)
-    next_b = F.first(observed_b, ignorenulls=True).over(w_fwd)
+    next_v = F.last(v, ignorenulls=True).over(w_fwd)
+    next_b = F.last(observed_b, ignorenulls=True).over(w_fwd)
     frac = (F.col(bucket_col) - prev_b) / (next_b - prev_b)
     interp = F.when(v.isNotNull(), v).otherwise(
         F.when(
