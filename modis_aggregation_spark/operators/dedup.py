@@ -1069,15 +1069,29 @@ def connected_components(
     # materialize the edge list ONCE — it re-enters the join every round,
     # and without the checkpoint each iteration re-executes the entire
     # upstream pair computation (screen + LSH/Jaccard joins), turning an
-    # O(diameter) loop into O(diameter × full-pipeline)
-    edges = (
+    # O(diameter) loop into O(diameter × full-pipeline).  The SKINNY
+    # pair projection is itself materialized first (round 13): the edge
+    # union references the pair table TWICE (a→b and b→a), and Spark
+    # does not deduplicate the branches — both used to re-execute the
+    # whole pair pipeline inside the edges-checkpoint job.  Lazy
+    # shared_frame: the edges job is the first (and only) consumer, and
+    # both union branches read the one stored copy; its blocks are
+    # freed as soon as edges lands.
+    from modis_aggregation_spark.operators.tokenizer import (
+        _free_local_checkpoint,
+    )
+
+    p0 = shared_frame(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = (
+        p0.unionByName(
+            p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint()
     )
+    _free_local_checkpoint(p0)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -1452,10 +1466,21 @@ def ngram_jaccard_pairs(
     and sizes alike (self-consistent stopword removal; they add
     candidates without discriminating).  With the cap inactive the
     result is the classic exact all-shared-gram Jaccard.
+
+    The tokenize input is fed through ``spread_small_scan`` (round 13):
+    a single-file corpus otherwise pins the persisted inverted index to
+    ONE partition, and the candidate self-join's probe side — the
+    slot's dominant stage, every (gram, id)×(gram, id) match plus the
+    per-pair partial count — runs on one core (measured 1.44 → 0.79 s
+    on the isolated join at sf0.1, local[32]; the x23/x30/x38/x101
+    composites share this upstream).  At real corpus scale the scan
+    already has thousands of splits and no shuffle is added.  Layout
+    only — candidacy, counts and the exact-integer Jaccard are
+    partition-invariant.
     """
-    staged = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(content_col)).alias("__toks")
-    )
+    staged = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("__txt"))
+    ).select("id", tokens(F.col("__txt")).alias("__toks"))
     toks = F.col("__toks")
     grams = F.array_distinct(
         F.transform(
